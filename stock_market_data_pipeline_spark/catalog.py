@@ -1,0 +1,685 @@
+"""Query catalog: the driver-facing registry.
+
+One entry per implemented operator from SURVEY.md §2, each with a
+DuckDB oracle (oracles.py). The Spark side composes the model layer;
+the SQL side mirrors it expression-for-expression. Output columns are
+identically named and identically rounded on both sides (see oracles.py
+header for the cross-engine determinism rules).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import oracles
+from .functions.indicators import flag
+from .models.mapping import (
+    bars_from_lineitem,
+    constituents_from_part,
+    universe_daily_from_tpch,
+)
+from .models.marts import (
+    SMALL,
+    IndicatorParams,
+    agg_daily_market_breadth,
+    dim_securities_current,
+    fct_trading_momentum,
+)
+from .operators.qualify import top_n_per_group
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+DEFAULT = IndicatorParams()
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _r(col, n=6):
+    return F.round(col, n)
+
+
+# ---------------------------------------------------------------------
+# Staging / projection / filter operators (SURVEY.md §2.2 P1-P4)
+# ---------------------------------------------------------------------
+
+@q("stg_projection_flags", """
+SELECT l_orderkey AS order_id, l_linenumber AS line_no,
+       CAST(l_quantity AS BIGINT) AS qty,
+       l_extendedprice AS price,
+       l_discount AS discount,
+       CAST(l_shipdate AS DATE) AS trade_date,
+       CASE WHEN l_quantity > 0 THEN 1 ELSE 0 END AS has_volume,
+       CASE WHEN l_extendedprice > 0 AND l_quantity > 0
+                 AND l_discount >= 0 AND l_discount <= 1 AND l_tax >= 0
+            THEN 1 ELSE 0 END AS is_valid_record
+FROM lineitem
+WHERE l_shipdate IS NOT NULL
+""")
+def stg_projection_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 rename-projection+cast, P2 NOT NULL filter, P3/P4 0/1 flags
+    (stg_daily_stocks.sql:2-25)."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty, price, disc, tax = (F.col(c) for c in
+                             ["l_quantity", "l_extendedprice",
+                              "l_discount", "l_tax"])
+    return (
+        li.where(F.col("l_shipdate").isNotNull())
+        .select(
+            F.col("l_orderkey").alias("order_id"),
+            F.col("l_linenumber").alias("line_no"),
+            qty.cast("long").alias("qty"),
+            price.alias("price"),
+            disc.alias("discount"),
+            F.col("l_shipdate").cast("date").alias("trade_date"),
+            flag(qty > 0).alias("has_volume"),
+            flag((price > 0) & (qty > 0) & (disc >= 0) & (disc <= 1)
+                 & (tax >= 0)).alias("is_valid_record"),
+        )
+    )
+
+
+@q("bars_ohlcv", oracles.BARS_SQL)
+def bars_ohlcv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bar construction from trades: groupBy to (ticker, trade_date)
+    grain (models/mapping.py; plays RAW.DAILY_STOCKS)."""
+    return bars_from_lineitem(_t(spark, sf_dir, "lineitem"))
+
+
+@q("constituents_snapshots", oracles.CONSTITUENTS_SQL)
+def constituents_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 UNION ALL snapshot stacking with literal validity intervals
+    (stg_russell3000__constituents.sql:6-53)."""
+    return constituents_from_part(_t(spark, sf_dir, "part"))
+
+
+@q("universe_daily", oracles.UNIVERSE_SQL)
+def universe_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int_russell3000__daily full build: A9 dedup, J1/J2 as-of interval
+    join, W5 lag, W9 row_number, W10 first-row flag."""
+    return universe_daily_from_tpch(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------
+# The momentum fact + downstream marts (SURVEY.md §2.5, §2.4)
+# ---------------------------------------------------------------------
+
+_MOMENTUM_ROUND = {
+    "close": 4, "yesterday_close": 4, "sma_s": 4, "sma_m": 4, "sma_l": 4,
+    "avg_gain": 6, "avg_loss": 6, "rsi": 6, "rel_volume": 6,
+}
+_MOMENTUM_KEEP = [
+    "ticker", "trade_date", "volume", "n_trades", "company", "sector",
+    "index_weight", "consecutive_trading_days", "is_new_to_index",
+    "roll_high", "roll_low", "bullish_crossover", "bearish_crossover",
+    "golden_cross", "death_cross", "is_new_high", "is_new_low",
+]
+
+
+def _momentum_projection(fct: DataFrame) -> DataFrame:
+    cols = [F.col(c) for c in _MOMENTUM_KEEP]
+    cols += [_r(F.col(c), n).alias(c) for c, n in _MOMENTUM_ROUND.items()]
+    return fct.select(*cols)
+
+
+def _momentum(spark: SparkSession, sf_dir: str,
+              p: IndicatorParams) -> DataFrame:
+    return fct_trading_momentum(universe_daily_from_tpch(spark, sf_dir), p)
+
+
+@q("fct_trading_momentum", oracles.momentum_sql(DEFAULT))
+def momentum_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fct_trading_momentum with the reference's window lengths
+    (20/50/200 SMA, 252 high/low, 14 RSI, 20 rel-vol): W1-W8."""
+    return _momentum_projection(_momentum(spark, sf_dir, DEFAULT))
+
+
+@q("fct_trading_momentum_small", oracles.momentum_sql(SMALL))
+def momentum_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same model, scaled-down windows so every indicator populates on
+    the ~30-rows-per-ticker test data (non-NULL paths exercised)."""
+    return _momentum_projection(_momentum(spark, sf_dir, SMALL))
+
+
+@q("agg_daily_market_breadth", oracles.breadth_sql(SMALL))
+def breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg_daily_market_breadth: A1-A3 conditional aggs, W12 running
+    A/D line, W13 smoothed high/low index, O1 ordered output."""
+    fct = _momentum(spark, sf_dir, SMALL)
+    out = agg_daily_market_breadth(fct, SMALL)
+    return out.select(
+        "trade_date", "stocks_traded", "advances", "declines", "unchanged",
+        "advancing_volume", "declining_volume", "total_volume",
+        "new_highs", "new_lows",
+        _r(F.col("pct_above_sma_s")).alias("pct_above_sma_s"),
+        _r(F.col("pct_above_sma_m")).alias("pct_above_sma_m"),
+        _r(F.col("pct_above_sma_l")).alias("pct_above_sma_l"),
+        _r(F.col("market_rsi"), 4).alias("market_rsi"),
+        "net_advances", "ad_line",
+        _r(F.col("ad_ratio")).alias("ad_ratio"),
+        _r(F.col("ad_percentage")).alias("ad_percentage"),
+        _r(F.col("high_low_ratio")).alias("high_low_ratio"),
+        _r(F.col("high_low_index_smoothed")).alias("high_low_index_smoothed"),
+    )
+
+
+@q("dim_securities_current", oracles.securities_dim_sql(SMALL))
+def securities_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dim_securities_current: W6 lag returns, W11 QUALIFY emulation,
+    W14 sector window AVG, W15 NULL-segregated percent_rank, A4-A7
+    aggregates, J5 chained dim joins, J6 scalar max-date subquery."""
+    fct = _momentum(spark, sf_dir, SMALL)
+    dim = dim_securities_current(fct, SMALL)
+    return dim.select(
+        "ticker", "trade_date", "volume", "company", "sector",
+        "trading_days", "window_rows", "last_golden_cross",
+        "last_death_cross", "last_bullish_crossover",
+        _r(F.col("close"), 4).alias("close"),
+        _r(F.col("sma_s"), 4).alias("sma_s"),
+        _r(F.col("sma_m"), 4).alias("sma_m"),
+        _r(F.col("sma_l"), 4).alias("sma_l"),
+        "roll_high", "roll_low",
+        _r(F.col("rsi")).alias("rsi"),
+        _r(F.col("return_s")).alias("return_s"),
+        _r(F.col("return_m")).alias("return_m"),
+        _r(F.col("return_l")).alias("return_l"),
+        _r(F.col("return_y")).alias("return_y"),
+        _r(F.col("volatility_ann")).alias("volatility_ann"),
+        "avg_volume",
+        _r(F.col("performance_percentile")).alias("performance_percentile"),
+        _r(F.col("sector_return_m")).alias("sector_return_m"),
+        "days_since_golden_cross", "days_since_death_cross",
+    )
+
+
+# ---------------------------------------------------------------------
+# Join operators (SURVEY.md §2.3)
+# ---------------------------------------------------------------------
+
+@q("self_lag_join", """
+WITH bars AS ({bars})
+SELECT b.ticker, b.trade_date, b.close, p.close AS prev_close_joined
+FROM bars b
+LEFT JOIN bars p
+  ON b.ticker = p.ticker AND p.trade_date = b.trade_date - 1
+""".format(bars=oracles.BARS_SQL))
+def self_lag_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: recover prev-day close by equi-joining on (key, date - 1) —
+    the reference's incremental-boundary lag
+    (int_russell3000__daily.sql:110-116)."""
+    bars = bars_from_lineitem(_t(spark, sf_dir, "lineitem"))
+    b, p = bars.alias("b"), bars.alias("p")
+    return b.join(
+        p,
+        (F.col("b.ticker") == F.col("p.ticker"))
+        & (F.col("p.trade_date") == F.date_sub(F.col("b.trade_date"), 1)),
+        "left",
+    ).select(
+        F.col("b.ticker").alias("ticker"),
+        F.col("b.trade_date").alias("trade_date"),
+        F.col("b.close").alias("close"),
+        F.col("p.close").alias("prev_close_joined"),
+    )
+
+
+@q("scalar_max_filter", """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CAST(o_orderdate AS DATE) AS order_date
+FROM orders
+WHERE CAST(o_orderdate AS DATE) =
+      (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)
+""")
+def scalar_max_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/A7: filter to the latest date via scalar subquery
+    (dim_securities_current.sql:27) — expressed through Spark SQL so
+    Catalyst plans the subquery natively."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               CAST(o_orderdate AS DATE) AS order_date
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) =
+              (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)
+    """)
+
+
+@q("agg_alignment_join", """
+WITH o AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders,
+         ROUND(SUM(o_totalprice), 4) AS day_total
+  FROM orders GROUP BY 1
+),
+l AS (
+  SELECT CAST(l_shipdate AS DATE) AS d,
+         CAST(SUM(l_quantity) AS BIGINT) AS shipped_qty
+  FROM lineitem GROUP BY 1
+)
+SELECT o.d AS trade_date, o.n_orders, o.day_total, l.shipped_qty
+FROM o LEFT JOIN l ON o.d = l.d
+""")
+def agg_alignment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: LEFT-join independently computed per-day aggregates on the
+    date key (agg_daily_market_breadth.sql:134-138)."""
+    o = (_t(spark, sf_dir, "orders")
+         .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+         .agg(F.count(F.lit(1)).alias("n_orders"),
+              _r(F.sum("o_totalprice"), 4).alias("day_total")))
+    l = (_t(spark, sf_dir, "lineitem")
+         .groupBy(F.col("l_shipdate").cast("date").alias("d"))
+         .agg(F.sum("l_quantity").cast("long").alias("shipped_qty")))
+    return (o.join(l, "d", "left")
+            .select(F.col("d").alias("trade_date"),
+                    "n_orders", "day_total", "shipped_qty"))
+
+
+@q("multiway_dim_join", """
+WITH cust_orders AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         ROUND(SUM(o_totalprice), 4) AS total_spend,
+         MAX(CAST(o_orderdate AS DATE)) AS last_order_date
+  FROM orders GROUP BY o_custkey
+)
+SELECT c.c_custkey, c.c_name, n.n_name AS nation, r.r_name AS region,
+       co.n_orders, co.total_spend, co.last_order_date
+FROM customer c
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+LEFT JOIN cust_orders co ON c.c_custkey = co.o_custkey
+""")
+def multiway_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: chained LEFT joins assembling a wide dimension
+    (dim_securities_current.sql:219-231); small sides broadcast."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    co = (_t(spark, sf_dir, "orders")
+          .groupBy("o_custkey")
+          .agg(F.count(F.lit(1)).alias("n_orders"),
+               _r(F.sum("o_totalprice"), 4).alias("total_spend"),
+               F.max(F.col("o_orderdate").cast("date"))
+               .alias("last_order_date")))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
+        .join(co, c.c_custkey == co.o_custkey, "left")
+        .select(
+            "c_custkey", "c_name",
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            "n_orders", "total_spend", "last_order_date",
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# Windows / sorts / top-k (SURVEY.md §2.5, §2.6)
+# ---------------------------------------------------------------------
+
+@q("qualify_latest_per_key", """
+SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+       o_totalprice
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY o_custkey
+      ORDER BY CAST(o_orderdate AS DATE) DESC, o_orderkey DESC) AS rn
+  FROM orders)
+WHERE rn = 1
+""")
+def qualify_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W11: QUALIFY ROW_NUMBER()=1 emulation — latest order per customer
+    (dim_securities_current.sql:38,82); o_orderkey tie-break for
+    determinism."""
+    o = _t(spark, sf_dir, "orders")
+    return top_n_per_group(
+        o, "o_custkey",
+        [F.col("o_orderdate").cast("date").desc(), F.col("o_orderkey").desc()],
+    ).select(
+        "o_custkey", "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        "o_totalprice",
+    )
+
+
+@q("topk_by_metric", """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""")
+def topk_by_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: top-k by metric with unique tie-break — Spark plans
+    TakeOrderedAndProject (2_Universe_Screener.py:105-106)."""
+    return (_t(spark, sf_dir, "orders")
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(100)
+            .select("o_orderkey", "o_custkey", "o_totalprice"))
+
+
+@q("screener_filter", """
+SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+FROM part
+WHERE p_size IN (5, 10, 15, 20, 25)
+  AND p_retailprice BETWEEN 900 AND 1500
+  AND p_type ILIKE '%brass%'
+ORDER BY p_retailprice DESC, p_partkey
+LIMIT 50
+""")
+def screener_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: dynamic screener predicate set — IN list, BETWEEN, ILIKE,
+    AND-combined, ordered top-k (2_Universe_Screener.py:58-77)."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.where(
+            F.col("p_size").isin(5, 10, 15, 20, 25)
+            & F.col("p_retailprice").between(900, 1500)
+            & F.col("p_type").ilike("%brass%")
+        )
+        .orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+        .limit(50)
+        .select("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+                "p_retailprice")
+    )
+
+
+@q("distinct_ordered", """
+SELECT DISTINCT p_brand AS sector FROM part ORDER BY sector
+""")
+def distinct_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: distinct pick-list, ordered (2_Universe_Screener.py:21-25)."""
+    return (_t(spark, sf_dir, "part")
+            .select(F.col("p_brand").alias("sector"))
+            .distinct().orderBy("sector"))
+
+
+@q("running_total", """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS trade_date, COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT trade_date, n_orders,
+       CAST(SUM(n_orders) OVER (ORDER BY trade_date
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       AS cumulative_orders
+FROM daily
+""")
+def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W12: unbounded running sum over a global ordered window, computed
+    at day grain so the single partition stays tiny
+    (agg_daily_market_breadth.sql:86-88)."""
+    daily = (_t(spark, sf_dir, "orders")
+             .groupBy(F.col("o_orderdate").cast("date").alias("trade_date"))
+             .agg(F.count(F.lit(1)).alias("n_orders")))
+    w = Window.orderBy("trade_date").rowsBetween(
+        Window.unboundedPreceding, 0)
+    return daily.withColumn(
+        "cumulative_orders", F.sum("n_orders").over(w))
+
+
+@q("smoothed_daily_index", """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS trade_date, COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT trade_date, n_orders,
+       ROUND(AVG(n_orders) OVER (ORDER BY trade_date
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS smoothed
+FROM daily
+""")
+def smoothed_daily_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W13: 10-row smoothed average over a global ordered day-grain
+    window (agg_daily_market_breadth.sql:123-132)."""
+    daily = (_t(spark, sf_dir, "orders")
+             .groupBy(F.col("o_orderdate").cast("date").alias("trade_date"))
+             .agg(F.count(F.lit(1)).alias("n_orders")))
+    w = Window.orderBy("trade_date").rowsBetween(-9, 0)
+    return daily.withColumn("smoothed", _r(F.avg("n_orders").over(w)))
+
+
+@q("percent_rank_null_segregated", """
+WITH cust_orders AS (
+  SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+),
+base AS (
+  SELECT c.c_custkey, co.n_orders
+  FROM customer c LEFT JOIN cust_orders co ON c.c_custkey = co.o_custkey
+)
+SELECT c_custkey, n_orders,
+       ROUND(CASE WHEN n_orders IS NOT NULL THEN
+         PERCENT_RANK() OVER (
+           PARTITION BY (CASE WHEN n_orders IS NOT NULL THEN 1 ELSE 0 END)
+           ORDER BY n_orders) END, 6) AS activity_percentile
+FROM base
+""")
+def percent_rank_null_segregated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W15: PERCENT_RANK with NULL rows segregated into their own
+    partition and nulled out (dim_securities_current.sql:74-80)."""
+    co = (_t(spark, sf_dir, "orders")
+          .groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders")))
+    c = _t(spark, sf_dir, "customer")
+    base = c.join(co, c.c_custkey == co.o_custkey, "left") \
+            .select("c_custkey", "n_orders")
+    notnull = F.when(F.col("n_orders").isNotNull(), 1).otherwise(0)
+    w = Window.partitionBy(notnull).orderBy("n_orders")
+    return base.withColumn(
+        "activity_percentile",
+        _r(F.when(F.col("n_orders").isNotNull(), F.percent_rank().over(w))))
+
+
+@q("partition_window_avg", """
+SELECT p_partkey, p_brand,
+       ROUND(AVG(p_retailprice) OVER (PARTITION BY p_brand), 4)
+       AS brand_avg_price
+FROM part
+""")
+def partition_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W14: whole-partition analytic AVG, no ORDER BY
+    (dim_securities_current.sql:72)."""
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand",
+        _r(F.avg("p_retailprice").over(Window.partitionBy("p_brand")), 4)
+        .alias("brand_avg_price"))
+
+
+# ---------------------------------------------------------------------
+# Aggregation operators (SURVEY.md §2.4)
+# ---------------------------------------------------------------------
+
+@q("conditional_agg_daily", """
+SELECT CAST(o_orderdate AS DATE) AS trade_date,
+       COUNT(DISTINCT o_custkey) AS active_customers,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+         AS finished_orders,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                THEN o_totalprice ELSE 0 END) AS DOUBLE) AS urgent_value,
+       ROUND(AVG(o_totalprice), 4) AS avg_order_value
+FROM orders
+GROUP BY 1
+""")
+def conditional_agg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A3: per-day COUNT DISTINCT + conditional SUM/ratio aggregates
+    (agg_daily_market_breadth.sql:6-17,60-69)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("trade_date"))
+        .agg(
+            F.countDistinct("o_custkey").alias("active_customers"),
+            F.sum(flag(F.col("o_orderstatus") == "F")).cast("long")
+            .alias("finished_orders"),
+            F.sum(F.when(F.col("o_orderpriority") == "1-URGENT",
+                         F.col("o_totalprice")).otherwise(F.lit(0.0)))
+            .cast("double").alias("urgent_value"),
+            _r(F.avg("o_totalprice"), 4).alias("avg_order_value"),
+        )
+    )
+
+
+@q("volatility_by_key", """
+WITH bars AS ({bars}),
+with_prev AS (
+  SELECT *, LAG(close) OVER (PARTITION BY ticker ORDER BY trade_date)
+        AS prev_close
+  FROM bars
+)
+SELECT ticker,
+  ROUND(STDDEV_SAMP(CASE WHEN prev_close IS NOT NULL AND prev_close != 0
+                          AND close / prev_close > 0
+                         THEN LN(close / prev_close) END) * SQRT(252), 6)
+    AS volatility_ann,
+  AVG(volume) AS avg_volume,
+  COUNT(*) AS n_days
+FROM with_prev
+GROUP BY ticker
+""".format(bars=oracles.BARS_SQL))
+def volatility_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: STDDEV(LN(close/prev)) * SQRT(252) annualized volatility
+    (dim_securities_current.sql:85-94)."""
+    import math
+    bars = bars_from_lineitem(_t(spark, sf_dir, "lineitem"))
+    w = Window.partitionBy("ticker").orderBy("trade_date")
+    with_prev = bars.withColumn("prev_close", F.lag("close").over(w))
+    log_ret = F.when(
+        F.col("prev_close").isNotNull() & (F.col("prev_close") != 0)
+        & (F.col("close") / F.col("prev_close") > 0),
+        F.log(F.col("close") / F.col("prev_close")))
+    return with_prev.groupBy("ticker").agg(
+        _r(F.stddev_samp(log_ret) * F.lit(math.sqrt(252)))
+        .alias("volatility_ann"),
+        F.avg("volume").alias("avg_volume"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+
+
+@q("conditional_signal_dates", """
+SELECT o_custkey,
+  COALESCE(MAX(CASE WHEN o_orderstatus = 'F'
+                    THEN CAST(o_orderdate AS DATE) END),
+           MIN(CASE WHEN o_totalprice > 0
+                    THEN CAST(o_orderdate AS DATE) END)) AS last_signal_date,
+  MAX(CASE WHEN o_orderpriority = '1-URGENT'
+           THEN CAST(o_orderdate AS DATE) END) AS last_urgent_date
+FROM orders
+GROUP BY o_custkey
+""")
+def conditional_signal_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: conditional MAX/MIN dates with COALESCE fallback
+    (dim_securities_current.sql:114-154)."""
+    o = _t(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    return o.groupBy("o_custkey").agg(
+        F.coalesce(
+            F.max(F.when(F.col("o_orderstatus") == "F", od)),
+            F.min(F.when(F.col("o_totalprice") > 0, od)),
+        ).alias("last_signal_date"),
+        F.max(F.when(F.col("o_orderpriority") == "1-URGENT", od))
+        .alias("last_urgent_date"),
+    )
+
+
+@q("median_summary", """
+SELECT p_brand,
+       ROUND(MEDIAN(p_retailprice), 6) AS median_price,
+       ROUND(AVG(CASE WHEN p_size > 25 THEN 1 ELSE 0 END), 6)
+         AS large_fraction,
+       COUNT(*) AS n_parts
+FROM part
+GROUP BY p_brand
+""")
+def median_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: median + mean-of-flag summary stats
+    (2_Universe_Screener.py:120-127), pushed into the engine as exact
+    MEDIAN instead of client-side pandas."""
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        _r(F.median("p_retailprice")).alias("median_price"),
+        _r(F.avg(flag(F.col("p_size") > 25))).alias("large_fraction"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+
+
+# ---------------------------------------------------------------------
+# TPC-H classics (bench headliners; exercise scan+agg and join+agg+topk)
+# ---------------------------------------------------------------------
+
+@q("tpch_q1_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 6) AS avg_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan + filter + wide aggregate (TPC-H Q1 shape): the canonical
+    map-side-combine benchmark query."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            _r(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("sum_disc_price"),
+            _r(F.avg("l_quantity")).alias("avg_qty"),
+            _r(F.avg("l_extendedprice")).alias("avg_price"),
+            _r(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@q("tpch_q3_topk_revenue", """
+SELECT l_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(o_orderdate AS DATE) AS order_date
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
+  AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""")
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + aggregate + ordered top-k (TPC-H Q3 shape); revenue is
+    rounded BEFORE the sort so the top-k row set is stable across
+    engines."""
+    c = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").cast("date") < F.lit("1995-03-15"))
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").cast("date") > F.lit("1995-03-15"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey",
+                 F.col("o_orderdate").cast("date").alias("order_date"))
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "order_date")
+    )

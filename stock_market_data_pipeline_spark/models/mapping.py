@@ -1,0 +1,82 @@
+"""TPC-H -> market-data shape mapping (FIXTURES.md "Mapping to driver
+testdata"): lineitem plays the daily-bars fact (l_partkey -> ticker,
+l_shipdate -> trade_date), part plays the constituent dimension.
+
+Every expression here is chosen to be FP-deterministic across engines so
+the DuckDB oracle hash-matches bit-for-bit where possible:
+- close = (min+max)/2 — min/max are exact, halving is exact;
+- volume = SUM(l_quantity) of integer-valued doubles — exact;
+- synthetic dimension attributes derive from integer modulo arithmetic.
+
+The matching DuckDB SQL text for these views lives in
+``catalog_sql.BARS_SQL`` / ``CONSTITUENTS_SQL``; keep the two in sync.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..models.staging import stack_constituent_snapshots
+from datetime import date
+
+
+def bars_from_lineitem(lineitem: DataFrame) -> DataFrame:
+    """One OHLCV-style bar per (l_partkey, ship date).
+
+    Aggregating to the (ticker, trade_date) grain both mirrors
+    bar-construction from trades and guarantees a unique window ordering
+    key, so every downstream LAG/rolling result is deterministic.
+    """
+    price = F.col("l_extendedprice")
+    return (
+        lineitem.groupBy(
+            F.col("l_partkey").alias("ticker"),
+            F.col("l_shipdate").cast("date").alias("trade_date"),
+        )
+        .agg(
+            F.min(price).alias("low"),
+            F.max(price).alias("high"),
+            ((F.min(price) + F.max(price)) / F.lit(2.0)).alias("close"),
+            F.sum("l_quantity").cast("long").alias("volume"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+    )
+
+
+def universe_daily_from_tpch(spark: SparkSession, sf_dir: str,
+                             broadcast_dim: bool = True) -> DataFrame:
+    """bars + synthetic constituents -> int_universe_daily-shaped frame."""
+    import os
+    from ..models.intermediate import int_universe_daily
+
+    lineitem = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    part = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+    return int_universe_daily(
+        bars_from_lineitem(lineitem),
+        constituents_from_part(part),
+        broadcast_dim=broadcast_dim,
+    )
+
+
+def constituents_from_part(part: DataFrame) -> DataFrame:
+    """Two deterministic membership snapshots with validity intervals.
+
+    Snapshot 1 (1992-01-01 .. 1995-12-31): parts with p_partkey % 10 != 0.
+    Snapshot 2 (1996-01-01 .. open):       parts with p_partkey % 10 != 1.
+    So ~10% of tickers churn at the boundary — the as-of join (J1) and
+    is_new_to_index flag (W10) have observable effects, like the
+    reference's 4 Russell snapshots.
+    """
+    base = part.select(
+        F.col("p_partkey").alias("ticker"),
+        F.col("p_name").alias("company"),
+        F.col("p_brand").alias("sector"),
+        ((F.col("p_partkey") % 97) / F.lit(10.0)).alias("index_weight"),
+    )
+    snap1 = base.where(F.col("ticker") % 10 != 0)
+    snap2 = base.where(F.col("ticker") % 10 != 1)
+    return stack_constituent_snapshots([
+        (snap1, date(1992, 1, 1), date(1995, 12, 31)),
+        (snap2, date(1996, 1, 1), None),
+    ])

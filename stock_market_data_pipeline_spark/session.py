@@ -1,0 +1,47 @@
+"""SparkSession factory tuned for both local test runs and cluster scale.
+
+The reference delegates execution to Snowflake (SURVEY.md §4); here the
+equivalent "warehouse" is a properly configured SparkSession: AQE for
+runtime re-planning (skew joins, partition coalescing), Arrow for any
+pandas interchange, UTC session time zone to match the reference's
+TIMESTAMP_NTZ semantics (src/snowflake_client.py:73-75).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_LOCAL_DEFAULTS = {
+    # Shuffle partitions sized for local cores; on a real cluster this is
+    # overridden (AQE coalesces anyway).
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Parity with the reference's fixed-schema discipline (SURVEY.md §1.2):
+    # fail fast rather than silently coerce.
+    "spark.sql.parquet.mergeSchema": "false",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+}
+
+
+def get_spark(app_name: str = "stock_market_data_pipeline_spark",
+              master: str | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or fetch) the session. ``master`` defaults to local[$SPARK_GRAFT_CPUS]."""
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in _LOCAL_DEFAULTS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,32 @@
+"""Test-table loaders for the driver's TPC-H-ish parquet directories.
+
+TESTDATA.md: tables region nation customer supplier part orders lineitem
+events documents embeddings, one parquet file each under
+/root/testdata/sf{0.001,0.01,0.1}/.
+
+At 100 TB these would be partitioned/bucketed table scans; the loader
+keeps the read declarative (``spark.read.parquet``) so filter pushdown
+and column pruning reach the scan unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view (mirrors the DuckDB oracle
+    environment, where the same names are pre-registered)."""
+    for name in TABLE_NAMES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
