@@ -120,12 +120,14 @@ def universe_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------
 
 _MOMENTUM_ROUND = {
-    "close": 4, "yesterday_close": 4, "sma_s": 4, "sma_m": 4, "sma_l": 4,
-    "avg_gain": 6, "avg_loss": 6, "rsi": 6, "rel_volume": 6,
+    "close": 4, "yesterday_close": 4, "rel_volume": 6,
 }
+# sma_*/avg_gain/avg_loss/rsi are decimal-sum deterministic and emitted
+# unrounded (see oracles.MOMENTUM_PROJECTION for the rationale)
 _MOMENTUM_KEEP = [
     "ticker", "trade_date", "volume", "n_trades", "company", "sector",
     "index_weight", "consecutive_trading_days", "is_new_to_index",
+    "sma_s", "sma_m", "sma_l", "avg_gain", "avg_loss", "rsi",
     "roll_high", "roll_low", "bullish_crossover", "bearish_crossover",
     "golden_cross", "death_cross", "is_new_high", "is_new_low",
 ]
@@ -482,17 +484,23 @@ def percent_rank_null_segregated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("partition_window_avg", """
 SELECT p_partkey, p_brand,
-       ROUND(AVG(p_retailprice) OVER (PARTITION BY p_brand), 4)
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY p_brand) AS DOUBLE)
+         / COUNT(p_retailprice) OVER (PARTITION BY p_brand)
        AS brand_avg_price
 FROM part
 """)
 def partition_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W14: whole-partition analytic AVG, no ORDER BY
-    (dim_securities_current.sql:72)."""
+    (dim_securities_current.sql:72). AVG expressed as exact decimal SUM
+    over COUNT so the value is association-order-independent — a raw
+    double AVG hash-mismatched at 96/2000 cells in round 1."""
+    wb = Window.partitionBy("p_brand")
+    price = F.col("p_retailprice")
     return _t(spark, sf_dir, "part").select(
         "p_partkey", "p_brand",
-        _r(F.avg("p_retailprice").over(Window.partitionBy("p_brand")), 4)
-        .alias("brand_avg_price"))
+        (F.sum(price.cast("decimal(18,2)")).over(wb).cast("double")
+         / F.count(price).over(wb)).alias("brand_avg_price"))
 
 
 # ---------------------------------------------------------------------
@@ -505,25 +513,31 @@ SELECT CAST(o_orderdate AS DATE) AS trade_date,
        CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
          AS finished_orders,
        CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
-                THEN o_totalprice ELSE 0 END) AS DOUBLE) AS urgent_value,
-       ROUND(AVG(o_totalprice), 4) AS avg_order_value
+                THEN CAST(o_totalprice AS DECIMAL(18,2))
+                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS urgent_value,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+         AS avg_order_value
 FROM orders
 GROUP BY 1
 """)
 def conditional_agg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1-A3: per-day COUNT DISTINCT + conditional SUM/ratio aggregates
-    (agg_daily_market_breadth.sql:6-17,60-69)."""
+    (agg_daily_market_breadth.sql:6-17,60-69). Money sums go through
+    exact decimals: round 1 compared raw double sums (urgent_value) and
+    half-boundary ROUNDed averages — both association-order-dependent."""
     o = _t(spark, sf_dir, "orders")
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
     return (
         o.groupBy(F.col("o_orderdate").cast("date").alias("trade_date"))
         .agg(
             F.countDistinct("o_custkey").alias("active_customers"),
             F.sum(flag(F.col("o_orderstatus") == "F")).cast("long")
             .alias("finished_orders"),
-            F.sum(F.when(F.col("o_orderpriority") == "1-URGENT",
-                         F.col("o_totalprice")).otherwise(F.lit(0.0)))
+            F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", price_dec)
+                  .otherwise(F.lit(0).cast("decimal(18,2)")))
             .cast("double").alias("urgent_value"),
-            _r(F.avg("o_totalprice"), 4).alias("avg_order_value"),
+            (F.sum(price_dec).cast("double") / F.count(F.lit(1)))
+            .alias("avg_order_value"),
         )
     )
 

@@ -44,9 +44,28 @@ def guarded(agg: Column, count_target: Column, w: WindowSpec, n: int) -> Column:
     return F.when(F.count(count_target).over(w) >= n, agg.over(w))
 
 
+#: decimal type wide enough for any price-like double in the synthetic
+#: universe (≤2-dp inputs, ≤3-dp derived closes); summing decimals is
+#: EXACT and therefore independent of partition/association order, which
+#: raw double sums are not (root cause of round 1's 3 hash failures:
+#: DuckDB's segment-tree window sums associate differently from Spark's)
+DEC = "decimal(18,6)"
+
+
+def exact_sum(col: Column, w: WindowSpec) -> Column:
+    """Order-independent windowed sum: sum exact decimals, then one
+    double cast — bit-identical across engines for fixed-point inputs."""
+    return F.sum(col.cast(DEC)).over(w).cast("double")
+
+
 def guarded_sma(col: Column, w: WindowSpec, n: int) -> Column:
-    """Simple moving average, NULL until n rows present (W1)."""
-    return guarded(F.avg(col), col, w, n)
+    """Simple moving average, NULL until n rows present (W1).
+
+    Under the count guard the frame holds exactly n non-null rows, so
+    AVG == SUM/n; the decimal SUM makes the value deterministic (the
+    raw double AVG is association-order-dependent at ulp scale).
+    """
+    return F.when(F.count(col).over(w) >= n, exact_sum(col, w) / F.lit(float(n)))
 
 
 def guarded_max(col: Column, w: WindowSpec, n: int) -> Column:
@@ -72,14 +91,15 @@ def loss(close: Column, prev_close: Column) -> Column:
 def avg_gain_loss(close: Column, prev_close: Column, w: WindowSpec,
                   n: int = 14) -> tuple[Column, Column]:
     """Rolling average gain/loss with the reference's exact semantics:
-    SUM(moves)/n — constant denominator n, NOT the count of moves
-    (fct_trading_momentum.sql:99-138); NULL until the frame holds n rows
-    with a defined previous close.
+    SUM(moves)/n — constant denominator n, NOT the count of moves, and
+    guarded on COUNT(close) >= n, where the first row's NULL
+    yesterday_close contributes 0 to the SUM
+    (fct_trading_momentum.sql:99-138 avg_gain_14/avg_loss_14).
+    Decimal sums for cross-engine determinism (see exact_sum).
     """
-    g = F.when(F.count(prev_close).over(w) >= n,
-               F.sum(gain(close, prev_close)).over(w) / F.lit(float(n)))
-    l = F.when(F.count(prev_close).over(w) >= n,
-               F.sum(loss(close, prev_close)).over(w) / F.lit(float(n)))
+    guard = F.count(close).over(w) >= n
+    g = F.when(guard, exact_sum(gain(close, prev_close), w) / F.lit(float(n)))
+    l = F.when(guard, exact_sum(loss(close, prev_close), w) / F.lit(float(n)))
     return g, l
 
 

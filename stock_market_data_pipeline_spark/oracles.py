@@ -71,16 +71,23 @@ WITH universe AS ({UNIVERSE_SQL}),
 t2 AS (
   SELECT *,
     LAG(close) OVER ord AS yesterday_close,
-    CASE WHEN COUNT(close) OVER w_s >= {p.sma_s} THEN AVG(close) OVER w_s END AS sma_s,
-    CASE WHEN COUNT(close) OVER w_m >= {p.sma_m} THEN AVG(close) OVER w_m END AS sma_m,
-    CASE WHEN COUNT(close) OVER w_l >= {p.sma_l} THEN AVG(close) OVER w_l END AS sma_l,
+    -- decimal SUM / n instead of double AVG: exact, association-order-
+    -- independent, bit-identical to the Spark side (indicators.exact_sum)
+    CASE WHEN COUNT(close) OVER w_s >= {p.sma_s} THEN
+      CAST(SUM(CAST(close AS DECIMAL(18,6))) OVER w_s AS DOUBLE) / {p.sma_s} END AS sma_s,
+    CASE WHEN COUNT(close) OVER w_m >= {p.sma_m} THEN
+      CAST(SUM(CAST(close AS DECIMAL(18,6))) OVER w_m AS DOUBLE) / {p.sma_m} END AS sma_m,
+    CASE WHEN COUNT(close) OVER w_l >= {p.sma_l} THEN
+      CAST(SUM(CAST(close AS DECIMAL(18,6))) OVER w_l AS DOUBLE) / {p.sma_l} END AS sma_l,
     CASE WHEN COUNT(close) OVER w_hl >= {p.high_low} THEN MAX(close) OVER w_hl END AS roll_high,
     CASE WHEN COUNT(close) OVER w_hl >= {p.high_low} THEN MIN(close) OVER w_hl END AS roll_low,
-    CASE WHEN COUNT(prev_close) OVER w_rsi >= {p.rsi_n} THEN
-      SUM(CASE WHEN close > prev_close THEN close - prev_close ELSE 0.0 END) OVER w_rsi
+    CASE WHEN COUNT(close) OVER w_rsi >= {p.rsi_n} THEN
+      CAST(SUM(CAST(CASE WHEN close > prev_close THEN close - prev_close ELSE 0.0 END
+               AS DECIMAL(18,6))) OVER w_rsi AS DOUBLE)
         / CAST({p.rsi_n} AS DOUBLE) END AS avg_gain,
-    CASE WHEN COUNT(prev_close) OVER w_rsi >= {p.rsi_n} THEN
-      SUM(CASE WHEN close < prev_close THEN prev_close - close ELSE 0.0 END) OVER w_rsi
+    CASE WHEN COUNT(close) OVER w_rsi >= {p.rsi_n} THEN
+      CAST(SUM(CAST(CASE WHEN close < prev_close THEN prev_close - close ELSE 0.0 END
+               AS DECIMAL(18,6))) OVER w_rsi AS DOUBLE)
         / CAST({p.rsi_n} AS DOUBLE) END AS avg_loss,
     CASE WHEN COUNT(volume) OVER w_rv >= {p.rel_vol} AND AVG(volume) OVER w_rv != 0
          THEN volume / AVG(volume) OVER w_rv END AS rel_volume
@@ -124,11 +131,13 @@ SELECT ticker, trade_date, volume, n_trades, company, sector, index_weight,
        consecutive_trading_days, is_new_to_index,
        ROUND(close, 4) AS close,
        ROUND(yesterday_close, 4) AS yesterday_close,
-       ROUND(sma_s, 4) AS sma_s, ROUND(sma_m, 4) AS sma_m,
-       ROUND(sma_l, 4) AS sma_l,
+       -- sma/avg_gain/avg_loss/rsi are decimal-sum deterministic:
+       -- emitted unrounded (ROUND of a half-boundary double is itself a
+       -- cross-engine hazard; these values sit on boundaries by design)
+       sma_s, sma_m, sma_l,
        roll_high, roll_low,
-       ROUND(avg_gain, 6) AS avg_gain, ROUND(avg_loss, 6) AS avg_loss,
-       ROUND(rsi, 6) AS rsi, ROUND(rel_volume, 6) AS rel_volume,
+       avg_gain, avg_loss,
+       rsi, ROUND(rel_volume, 6) AS rel_volume,
        bullish_crossover, bearish_crossover, golden_cross, death_cross,
        is_new_high, is_new_low
 FROM t3

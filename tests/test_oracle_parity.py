@@ -39,7 +39,10 @@ def canon(val):
     if isinstance(val, float):
         if math.isnan(val):
             return "NaN"
-        return round(val, 9)
+        # exact — the driver hash-compares values bit-for-bit, so a
+        # lenient local compare would hide 1-ulp cross-engine drift
+        # (round 1's three hash failures passed locally at round 9)
+        return val
     if isinstance(val, datetime.datetime):
         return val.replace(tzinfo=None).isoformat()
     if isinstance(val, datetime.date):
