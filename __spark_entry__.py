@@ -30,9 +30,12 @@ def entry(spark: SparkSession) -> DataFrame:
     from stock_market_data_pipeline_spark.catalog import QUERIES
 
     fct = QUERIES["fct_trading_momentum_small"](spark, SF0001)
+    # bounded top-k (TakeOrderedAndProject) — the reference's display
+    # queries all carry LIMIT (data-viz/streamlit_app.py:28); an
+    # unbounded global sort would be a full distributed sort at scale
     return fct.orderBy(
         F.desc("golden_cross"), F.desc("bullish_crossover"),
-        F.desc("trade_date"), F.asc("ticker"))
+        F.desc("trade_date"), F.asc("ticker")).limit(5000)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -158,6 +158,16 @@ def momentum_small(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _momentum_projection(_momentum(spark, sf_dir, SMALL))
 
 
+@q("fct_trading_momentum_valid", oracles.momentum_sql(SMALL, valid_only=True))
+def momentum_valid_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: the incremental-run ``is_valid_record = 1`` filter
+    (fct_trading_momentum.sql:213) applied before the indicator windows;
+    flags come from the staging layer (stg_daily_stocks.sql:14-23)."""
+    fct = fct_trading_momentum(universe_daily_from_tpch(spark, sf_dir),
+                               SMALL, valid_only=True)
+    return _momentum_projection(fct)
+
+
 @q("agg_daily_market_breadth", oracles.breadth_sql(SMALL))
 def breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """agg_daily_market_breadth: A1-A3 conditional aggs, W12 running
@@ -377,19 +387,22 @@ SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
 FROM part
 WHERE p_size IN (5, 10, 15, 20, 25)
   AND p_retailprice BETWEEN 900 AND 1500
-  AND p_type ILIKE '%brass%'
+  AND p_type ILIKE '%anda%'
 ORDER BY p_retailprice DESC, p_partkey
 LIMIT 50
 """)
 def screener_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8: dynamic screener predicate set — IN list, BETWEEN, ILIKE,
-    AND-combined, ordered top-k (2_Universe_Screener.py:58-77)."""
+    AND-combined, ordered top-k (2_Universe_Screener.py:58-77).
+    '%anda%' infix-matches the synthetic p_type domain's STANDARD
+    case-insensitively (round 1's '%brass%' could never match, making
+    the oracle check vacuous)."""
     p = _t(spark, sf_dir, "part")
     return (
         p.where(
             F.col("p_size").isin(5, 10, 15, 20, 25)
             & F.col("p_retailprice").between(900, 1500)
-            & F.col("p_type").ilike("%brass%")
+            & F.col("p_type").ilike("%anda%")
         )
         .orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
         .limit(50)

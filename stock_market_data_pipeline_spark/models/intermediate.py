@@ -33,7 +33,13 @@ def int_universe_daily(staged_bars: DataFrame, constituents: DataFrame,
     ``constituents`` needs: ticker, company, sector, index_weight,
     valid_from, valid_to.
     """
-    deduped = staged_bars.dropDuplicates()
+    # Keyed dedup, not all-column: bar construction groups by
+    # (ticker, trade_date) so that grain is already unique — the
+    # reference's SELECT DISTINCT * (line 17) is equally a no-op on its
+    # staging output. Keying avoids shuffling the full row width as the
+    # hash key at scale; dropDuplicates on the grain keeps the defensive
+    # semantics if an upstream ever violates the invariant.
+    deduped = staged_bars.dropDuplicates(["ticker", "trade_date"])
     joined = asof_interval_join(
         deduped,
         constituents.select(

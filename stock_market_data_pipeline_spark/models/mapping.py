@@ -28,8 +28,10 @@ def bars_from_lineitem(lineitem: DataFrame) -> DataFrame:
     bar-construction from trades and guarantees a unique window ordering
     key, so every downstream LAG/rolling result is deterministic.
     """
+    from ..functions.indicators import flag
+
     price = F.col("l_extendedprice")
-    return (
+    bars = (
         lineitem.groupBy(
             F.col("l_partkey").alias("ticker"),
             F.col("l_shipdate").cast("date").alias("trade_date"),
@@ -41,6 +43,17 @@ def bars_from_lineitem(lineitem: DataFrame) -> DataFrame:
             F.sum("l_quantity").cast("long").alias("volume"),
             F.count(F.lit(1)).alias("n_trades"),
         )
+    )
+    # staging flags (P3/P4, stg_daily_stocks.sql:13-23): has_volume and a
+    # multi-predicate validity flag. volume >= 3 plays the "enough data to
+    # trust the bar" predicate so is_valid_record=0 actually occurs on the
+    # synthetic universe (pure OHLC sanity is true by construction here).
+    low, high, close, vol = (F.col(c) for c in ["low", "high", "close", "volume"])
+    return (
+        bars.withColumn("has_volume", flag(vol > 0))
+        .withColumn("is_valid_record",
+                    flag((low > 0) & (high > 0) & (close >= low)
+                         & (close <= high) & (vol >= 3)))
     )
 
 

@@ -21,15 +21,21 @@ from .models.marts import IndicatorParams
 # ---------------------------------------------------------------- bases
 
 BARS_SQL = """
-SELECT l_partkey AS ticker,
-       CAST(l_shipdate AS DATE) AS trade_date,
-       MIN(l_extendedprice) AS low,
-       MAX(l_extendedprice) AS high,
-       (MIN(l_extendedprice) + MAX(l_extendedprice)) / 2.0 AS close,
-       CAST(SUM(l_quantity) AS BIGINT) AS volume,
-       COUNT(*) AS n_trades
-FROM lineitem
-GROUP BY 1, 2
+SELECT *,
+       CASE WHEN volume > 0 THEN 1 ELSE 0 END AS has_volume,
+       CASE WHEN low > 0 AND high > 0 AND close >= low AND close <= high
+                 AND volume >= 3 THEN 1 ELSE 0 END AS is_valid_record
+FROM (
+  SELECT l_partkey AS ticker,
+         CAST(l_shipdate AS DATE) AS trade_date,
+         MIN(l_extendedprice) AS low,
+         MAX(l_extendedprice) AS high,
+         (MIN(l_extendedprice) + MAX(l_extendedprice)) / 2.0 AS close,
+         CAST(SUM(l_quantity) AS BIGINT) AS volume,
+         COUNT(*) AS n_trades
+  FROM lineitem
+  GROUP BY 1, 2
+)
 """.strip()
 
 CONSTITUENTS_SQL = """
@@ -64,8 +70,16 @@ WINDOW w AS (PARTITION BY ticker ORDER BY trade_date)
 """.strip()
 
 
-def momentum_core_sql(p: IndicatorParams) -> str:
-    """CTE chain ending in unrounded momentum columns (table ``t3``)."""
+def momentum_core_sql(p: IndicatorParams, valid_only: bool = False) -> str:
+    """CTE chain ending in unrounded momentum columns (table ``t3``).
+
+    ``valid_only`` mirrors the reference's incremental-run filter
+    ``is_valid_record = 1`` (fct_trading_momentum.sql:213): applied to
+    the fact source BEFORE the indicator windows, so warmup counts run
+    over valid rows only — exactly what the Spark model does.
+    """
+    src = ("(SELECT * FROM universe WHERE is_valid_record = 1)"
+           if valid_only else "universe")
     return f"""
 WITH universe AS ({UNIVERSE_SQL}),
 t2 AS (
@@ -91,7 +105,7 @@ t2 AS (
         / CAST({p.rsi_n} AS DOUBLE) END AS avg_loss,
     CASE WHEN COUNT(volume) OVER w_rv >= {p.rel_vol} AND AVG(volume) OVER w_rv != 0
          THEN volume / AVG(volume) OVER w_rv END AS rel_volume
-  FROM universe
+  FROM {src}
   WINDOW
     ord  AS (PARTITION BY ticker ORDER BY trade_date),
     w_s  AS (PARTITION BY ticker ORDER BY trade_date ROWS BETWEEN {p.sma_s - 1} PRECEDING AND CURRENT ROW),
@@ -144,8 +158,8 @@ FROM t3
 """.strip()
 
 
-def momentum_sql(p: IndicatorParams) -> str:
-    return f"{momentum_core_sql(p)}\n{MOMENTUM_PROJECTION}"
+def momentum_sql(p: IndicatorParams, valid_only: bool = False) -> str:
+    return f"{momentum_core_sql(p, valid_only)}\n{MOMENTUM_PROJECTION}"
 
 
 def breadth_sql(p: IndicatorParams, smooth_n: int = 10) -> str:

@@ -26,7 +26,12 @@ _LOCAL_DEFAULTS = {
     # fail fast rather than silently coerce.
     "spark.sql.parquet.mergeSchema": "false",
     "spark.ui.enabled": "false",
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+    # NOTE: only effective when THIS builder launches the JVM; a later
+    # getOrCreate on an existing session silently ignores it. Set
+    # SPARK_GRAFT_DRIVER_MEM (or spark-submit --driver-memory) before
+    # first session creation to size the driver. The default is modest
+    # so session startup never fails on small hosts.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
 }
 
 
