@@ -710,3 +710,10 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("l_orderkey", "revenue", "order_date")
     )
+
+
+# ---------------------------------------------------------------------
+# extension registries (import side effect registers their entries)
+# ---------------------------------------------------------------------
+
+from . import catalog_llm  # noqa: E402,F401  (registers llm/* entries)

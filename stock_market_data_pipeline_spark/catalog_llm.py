@@ -1,0 +1,378 @@
+"""Catalog entries for the LLM-data-pipeline operators (llm/*).
+
+Oracle SQL is generated from the same constants the Spark operators
+use (MINHASH_P / MINHASH_AB / FINGERPRINT_P), so both engines run the
+identical integer math. See llm/dedup.py for the determinism contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import _t, q
+from .llm import dedup, multimodal, similarity, textops
+from .llm.dedup import MINHASH_AB, MINHASH_P
+from .llm.textops import FINGERPRINT_P
+
+# ---------------------------------------------------------------- SQL
+# shared fragments
+
+def _shingle_cte(k: int = 3) -> str:
+    """words -> distinct k-word shingles per doc (matches
+    llm.dedup.shingle_table boundary semantics)."""
+    return f"""
+words AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+idx AS (SELECT doc_id, w,
+               unnest(generate_series(1, greatest(len(w) - {k - 1}, 1))) AS i
+        FROM words),
+sh AS (SELECT DISTINCT doc_id,
+              array_to_string(w[i:i+{k - 1}], ' ') AS shingle
+       FROM idx)""".strip()
+
+
+_JACCARD_TAIL = """
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)""".strip()
+
+
+def _jaccard_select(tau: float, candidate_join: str = "") -> str:
+    return f"""
+SELECT c.doc_a, c.doc_b, c.n_common,
+       c.n_common / (sa.n + sb.n - c.n_common) AS jaccard
+FROM common c
+{candidate_join}
+JOIN sizes sa ON c.doc_a = sa.doc_id
+JOIN sizes sb ON c.doc_b = sb.doc_id
+WHERE c.n_common / (sa.n + sb.n - c.n_common) >= {tau}""".strip()
+
+
+DEDUP_EXACT_SQL = """
+WITH h AS (
+  SELECT doc_id, md5(text) AS content_md5,
+         md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))),
+             ' ')) AS canon_md5
+  FROM documents
+)
+SELECT doc_id, content_md5, canon_md5,
+       COUNT(*) OVER (PARTITION BY canon_md5) AS dup_group_size,
+       CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY canon_md5)
+            THEN 1 ELSE 0 END AS is_canonical
+FROM h
+""".strip()
+
+NGRAM_JACCARD_SQL = f"""
+WITH {_shingle_cte(3)},
+{_JACCARD_TAIL}
+{_jaccard_select(0.5)}
+""".strip()
+
+
+def _minhash_sql(bands: int = 4, tau: float = 0.5) -> str:
+    n_perm = len(MINHASH_AB)
+    r = n_perm // bands
+    mins = ",\n       ".join(
+        f"MIN(({a} * x + {b}) % {MINHASH_P}) AS h{j}"
+        for j, (a, b) in enumerate(MINHASH_AB))
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, concat_ws('-', "
+        + ", ".join(f"h{b * r + i}" for i in range(r))
+        + ") AS sig FROM sig"
+        for b in range(bands))
+    return f"""
+WITH {_shingle_cte(3)},
+ids AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT)
+           % {MINHASH_P} AS x
+  FROM sh
+),
+sig AS (
+  SELECT doc_id,
+       {mins}
+  FROM ids GROUP BY doc_id
+),
+bands_long AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands_long a
+  JOIN bands_long b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+{_JACCARD_TAIL}
+{_jaccard_select(tau, candidate_join="JOIN cand ON c.doc_a = cand.doc_a AND c.doc_b = cand.doc_b")}
+""".strip()
+
+
+TEXT_STATS_SQL = """
+SELECT doc_id, lang, source,
+       length(text) AS n_chars,
+       len(str_split(text, ' ')) AS n_words,
+       len(list_distinct(str_split(text, ' '))) AS n_unique_words,
+       len(list_filter(str_split(text, ' '),
+           x -> x = 'a' OR x = 'the')) AS n_stopwords,
+       len(list_distinct(str_split(text, ' ')))
+         / len(str_split(text, ' ')) AS uniq_ratio,
+       len(list_filter(str_split(text, ' '), x -> x = 'a' OR x = 'the'))
+         / len(str_split(text, ' ')) AS stop_ratio,
+       (length(text) - (len(str_split(text, ' ')) - 1))
+         / len(str_split(text, ' ')) AS avg_word_len,
+       len(regexp_extract_all(text, '[aeiou]+')) AS n_vowel_groups
+FROM documents
+""".strip()
+
+QUALITY_SCORE_SQL = """
+WITH s AS (
+  SELECT doc_id, lang,
+         len(str_split(text, ' ')) AS n_words,
+         len(list_distinct(str_split(text, ' ')))
+           / len(str_split(text, ' ')) AS uniq_ratio,
+         len(list_filter(str_split(text, ' '), x -> x = 'a' OR x = 'the'))
+           / len(str_split(text, ' ')) AS stop_ratio
+  FROM documents
+)
+SELECT doc_id, lang, n_words, uniq_ratio, stop_ratio,
+       least(n_words / 50.0, 1.0) AS length_prior,
+       0.4 * uniq_ratio + 0.3 * (1.0 - stop_ratio)
+         + 0.3 * least(n_words / 50.0, 1.0) AS quality_score
+FROM s
+""".strip()
+
+LANG_ID_SQL = """
+WITH s AS (
+  SELECT doc_id, lang,
+         len(list_filter(str_split(text, ' '), x -> x = 'a' OR x = 'the'))
+           / len(str_split(text, ' ')) AS stopword_rate
+  FROM documents
+)
+SELECT doc_id, lang, stopword_rate,
+       CASE WHEN stopword_rate >= 0.02 THEN 'en' ELSE 'und' END
+         AS predicted_lang,
+       CASE WHEN (CASE WHEN stopword_rate >= 0.02 THEN 'en' ELSE 'und' END)
+                 = lang THEN 1 ELSE 0 END AS agrees_with_label
+FROM s
+""".strip()
+
+FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       len(list_distinct(str_split(text, ' '))) AS n_unique_words,
+       CAST(list_sum(list_transform(
+              list_distinct(str_split(text, ' ')),
+              x -> CAST('0x' || substring(md5(x), 1, 15) AS BIGINT)
+                   % {FINGERPRINT_P}))
+            % {FINGERPRINT_P} AS BIGINT) AS fingerprint
+FROM documents
+""".strip()
+
+def _simhash_sql(bits: int = 32, k: int = 3) -> str:
+    """Per-doc SimHash signature over k-word shingles — mirrors
+    llm.dedup.simhash_signatures bit-for-bit."""
+    hexid = (f"CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT)"
+             f" % {MINHASH_P}")
+    bit_sums = ",\n       ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(bits))
+    sig = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END)"
+        for j in range(bits))
+    return f"""
+WITH {_shingle_cte(k)},
+ids AS (SELECT doc_id, {hexid} AS h FROM sh),
+sums AS (
+  SELECT doc_id,
+       {bit_sums}
+  FROM ids GROUP BY doc_id
+)
+SELECT doc_id, CAST({sig} AS BIGINT) AS simhash
+FROM sums
+""".strip()
+
+
+def _simhash_pairs_sql(max_hamming: int = 4) -> str:
+    sig = _simhash_sql()
+    return f"""
+WITH sigt AS ({sig}),
+chunks AS (
+  SELECT doc_id, simhash,
+         unnest([0, 1, 2, 3]) AS chunk_idx,
+         unnest([
+           CAST((simhash >> 0) & 255 AS BIGINT),
+           CAST((simhash >> 8) & 255 AS BIGINT),
+           CAST((simhash >> 16) & 255 AS BIGINT),
+           CAST((simhash >> 24) & 255 AS BIGINT)
+         ]) AS chunk_val
+  FROM sigt
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM chunks a
+  JOIN chunks b ON a.chunk_idx = b.chunk_idx
+               AND a.chunk_val = b.chunk_val
+               AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, sim_a, sim_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}
+""".strip()
+
+
+# dot product / norm fragments for the embedding oracles: strict
+# left-to-right double fold, mirroring Spark's sequential aggregate()
+# (see llm.similarity.dot_exact)
+_DOT = ("list_reduce(list_transform(list_zip({a}, {b}), "
+        "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), "
+        "(acc, x) -> acc + x)")
+_NORM = ("sqrt(list_reduce(list_transform({v}, "
+         "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+         "(acc, x) -> acc + x))")
+
+
+def _ann_sql(n_queries: int, k: int, ivf: bool) -> str:
+    cell_sel = ", label AS cell" if ivf else ""
+    join = ("JOIN c ON q.cell = c.cell AND c.cand_id != q.query_id"
+            if ivf else "CROSS JOIN c")
+    where = "" if ivf else "WHERE c.cand_id != q.query_id"
+    cell_out = "cell, " if ivf else ""
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding{cell_sel},
+         {_NORM.format(v='embedding')} AS norm
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS q_vec, norm AS q_norm
+             {', cell' if ivf else ''}
+      FROM e WHERE vec_id < {n_queries}),
+c AS (SELECT vec_id AS cand_id, embedding AS c_vec, norm AS c_norm
+             {', cell' if ivf else ''}
+      FROM e),
+scored AS (
+  SELECT q.query_id, {('q.cell AS cell, ' if ivf else '')}c.cand_id,
+         CASE WHEN q.q_norm > 0 AND c.c_norm > 0 THEN
+           {_DOT.format(a='q.q_vec', b='c.c_vec')} / (q.q_norm * c.c_norm)
+         END AS cosine
+  FROM q {join}
+  {where}
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id
+      ORDER BY cosine DESC NULLS LAST, cand_id) AS rank
+  FROM scored
+)
+SELECT query_id, {cell_out}cand_id, cosine, rank FROM ranked
+WHERE rank <= {k}
+""".strip()
+
+
+EMB_NEAR_DUP_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding, label AS cell,
+         {_NORM.format(v='embedding')} AS norm
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CASE WHEN a.norm > 0 AND b.norm > 0 THEN
+         {_DOT.format(a='a.embedding', b='b.embedding')} / (a.norm * b.norm)
+       END AS cosine
+FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE (CASE WHEN a.norm > 0 AND b.norm > 0 THEN
+         {_DOT.format(a='a.embedding', b='b.embedding')} / (a.norm * b.norm)
+       END) >= 0.3
+""".strip()
+
+
+# ------------------------------------------------------------- entries
+
+@q("dedup_exact", DEDUP_EXACT_SQL)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact + canonical-form dedup (hash-partitioned digest groupBy);
+    survivor = min doc_id per canonical group."""
+    return dedup.dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+@q("dedup_ngram_jaccard", NGRAM_JACCARD_SQL)
+def dedup_ngram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-word-shingle Jaccard >= 0.5 via
+    inverted-index bucket join (never all-pairs)."""
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), k=3, tau=0.5)
+
+
+@q("dedup_minhash_lsh", _minhash_sql(bands=4, tau=0.5))
+def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (16 perms) + 4-band LSH candidates, exact-Jaccard
+    verified at tau=0.5. Integer-exact in both engines."""
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), k=3, bands=4, tau=0.5)
+
+
+@q("dedup_simhash", _simhash_pairs_sql(max_hamming=4))
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: Hamming <= 4 over 32-bit 3-shingle
+    signatures, candidates via 8-bit chunk-equality buckets."""
+    return dedup.simhash_pairs(_t(spark, sf_dir, "documents"),
+                               max_hamming=4, k=3)
+
+
+@q("text_stats", TEXT_STATS_SQL)
+def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token statistics (counts, ratios, vowel-group subword
+    proxy) — scan+map, no shuffle."""
+    return textops.text_stats(_t(spark, sf_dir, "documents"))
+
+
+@q("text_quality_score", QUALITY_SCORE_SQL)
+def quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite pre-training quality filter score."""
+    return textops.quality_score(_t(spark, sf_dir, "documents"))
+
+
+@q("text_lang_id", LANG_ID_SQL)
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-rate language-ID heuristic + label agreement flag."""
+    return textops.lang_id(_t(spark, sf_dir, "documents"))
+
+
+@q("text_fingerprint", FINGERPRINT_SQL)
+def fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent bag-of-words fingerprint mod p."""
+    return textops.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+@q("ann_cosine_topk", _ann_sql(n_queries=8, k=5, ivf=False))
+def ann_brute_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 8 query vectors — the exactness
+    baseline for ANN."""
+    return similarity.cosine_topk(
+        _t(spark, sf_dir, "embeddings"), n_queries=8, k=5)
+
+
+@q("ann_ivf_topk", _ann_sql(n_queries=8, k=5, ivf=True))
+def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned ANN: equi-join on the cell id instead of a
+    crossJoin — the scale path."""
+    return similarity.ivf_topk(
+        _t(spark, sf_dir, "embeddings"), n_queries=8, k=5)
+
+
+@q("mm_payload_features")  # mm_: Arrow/mapInPandas path, no SQL oracle
+def mm_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column + typed metadata ->
+    Arrow-batched mapInPandas feature extraction (byte stats + fixed
+    GRID segment means). Deterministic fake decode; rows-only check."""
+    payloads = multimodal.payload_table(_t(spark, sf_dir, "documents"))
+    return multimodal.extract_features(payloads)
+
+
+@q("dedup_embedding_cosine", EMB_NEAR_DUP_SQL)
+def emb_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (>= 0.3), IVF-cell bucketed."""
+    return similarity.embedding_near_dup(
+        _t(spark, sf_dir, "embeddings"), tau=0.3)

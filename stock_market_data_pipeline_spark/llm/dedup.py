@@ -1,0 +1,276 @@
+"""Deduplication operator family over document tables.
+
+Four scalable strategies, each avoiding the all-pairs cartesian trap:
+
+- exact:          hash-partitioned groupBy on a content digest
+- n-gram Jaccard: inverted-index bucket join on shingles (pairs only
+                  form inside a shingle bucket)
+- MinHash + LSH:  banded signatures; the shuffle key is the band
+                  signature, candidate pairs only form inside a bucket
+- SimHash:        bitwise fingerprint; near-dup candidates via
+                  band-equality on signature chunks (Hamming ≤ r)
+
+Reference analog: the reference's only dedup is the defensive
+``SELECT DISTINCT *`` (int_russell3000__daily.sql:17); this family is
+the training-data-pipeline extension the north star asks for.
+
+Scale notes (100 TB):
+- every stage shuffles on a hash-distributed key (digest / shingle /
+  band signature), never on raw row bytes, and never builds an
+  all-pairs product;
+- the inverted-index join's worst case is a hot shingle appearing in
+  many docs: production runs cap shingle document-frequency (drop
+  shingles with DF > cap — stopword shingles carry no dedup signal).
+  ``max_df`` implements that cap; the oracle-checked catalog entries
+  leave it off so the semantics stay exactly mirrorable;
+- MinHash signatures are 16 permutations = one 128-byte row per doc —
+  the LSH join input is ~1e4x smaller than the shingle table.
+
+Determinism: shingle ids come from md5 (bit-identical across engines),
+permutations are integer (a*x + b) % P with constants small enough that
+a*x never overflows int64. All comparisons against DuckDB oracles are
+exact-integer or single-IEEE-op derived.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: prime > 2^32 — shingle-id space for the MinHash permutations
+MINHASH_P = 4_294_967_311
+
+#: 16 fixed (a, b) permutation constants, a,b < 1e9 so a*x + b < 2^63.
+#: Literal (not generated at import) so the DuckDB oracle SQL embeds
+#: the exact same numbers.
+MINHASH_AB: list[tuple[int, int]] = [
+    (472882049, 128181421), (824634101, 965325167),
+    (297170593, 518204473), (733685261, 63689193),
+    (378551139, 903996029), (604496437, 250899317),
+    (941550679, 461171837), (123456791, 786431347),
+    (672287573, 347191831), (211732417, 594372169),
+    (856203929, 119428583), (463129523, 872642419),
+    (935187739, 281974127), (517902343, 690839471),
+    (149085331, 437510389), (790320871, 52654129),
+]
+
+#: word-hash bit width for SimHash signatures
+SIMHASH_BITS = 32
+
+
+def words_col(text: Column = None) -> Column:
+    """Whitespace tokenization — the synthetic corpus is single-space
+    separated; swap for a locale-aware tokenizer on real data."""
+    return F.split(text if text is not None else F.col("text"), " ")
+
+
+def hex_id(col: Column) -> Column:
+    """String -> 60-bit integer id via md5, bit-identical to DuckDB's
+    ``CAST('0x' || substring(md5(x),1,15) AS BIGINT)`` (verified)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def canonical_text(text: Column) -> Column:
+    """Order/multiplicity-insensitive canonical form: sorted distinct
+    words. The normalization step of exact dedup (real pipelines use
+    lowercase/strip-punctuation here; the synthetic corpus is already
+    both, so canonicalization is the observable part)."""
+    return F.array_join(F.array_sort(F.array_distinct(words_col(text))), " ")
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Exact + canonical-form dedup via content digests.
+
+    Output per doc: raw digest, canonical digest, canonical-group size
+    and a 0/1 keep flag (min doc_id wins — deterministic survivor).
+    The groupBy key is the digest, so the shuffle is uniformly
+    hash-distributed regardless of document skew.
+    """
+    from ..functions.indicators import flag
+
+    with_hashes = docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("content_md5"),
+        F.md5(canonical_text(F.col("text"))).alias("canon_md5"),
+    )
+    w = Window.partitionBy("canon_md5")
+    return (
+        with_hashes
+        .withColumn("dup_group_size", F.count("*").over(w).cast("long"))
+        .withColumn("is_canonical",
+                    flag(F.col("doc_id") == F.min("doc_id").over(w)))
+    )
+
+
+def shingle_table(docs: DataFrame, k: int = 3,
+                  max_df: int | None = None) -> DataFrame:
+    """(doc_id, shingle) pairs — distinct k-word shingles per doc.
+
+    ``max_df`` optionally drops shingles appearing in more than that
+    many docs (hot-key cap for the inverted-index join; changes
+    semantics, so oracle-checked entries leave it None).
+    """
+    w = words_col()
+    n = F.size(w)
+    starts = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingles = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)))
+    out = docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+    if max_df is not None:
+        df_w = Window.partitionBy("shingle")
+        out = (out.withColumn("__df", F.count("*").over(df_w))
+               .where(F.col("__df") <= max_df).drop("__df"))
+    return out
+
+
+def _pair_jaccard(sh: DataFrame, pairs_from: DataFrame | None = None) -> DataFrame:
+    """Exact Jaccard for doc pairs sharing >= 1 shingle.
+
+    ``pairs_from``: optional (doc_a, doc_b) candidate set to restrict
+    the verification join (the LSH path). Jaccard = c / (na + nb - c)
+    is one IEEE division of exact ints — deterministic.
+    """
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    if pairs_from is not None:
+        common = common.join(pairs_from, ["doc_a", "doc_b"], "left_semi")
+    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")
+    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")
+    return (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "n_common",
+            (F.col("n_common")
+             / (F.col("na") + F.col("nb") - F.col("n_common")))
+            .alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, tau: float = 0.5,
+                        max_df: int | None = None) -> DataFrame:
+    """Near-dup pairs by exact k-word-shingle Jaccard >= tau.
+
+    Inverted-index formulation: the pair join happens per shingle
+    bucket (shuffle key = shingle), never all-pairs. With ``max_df``
+    set, hot shingles are dropped before the join (the scalable
+    configuration; c.f. prefix filtering in similarity-join
+    literature)."""
+    sh = shingle_table(docs, k, max_df)
+    return _pair_jaccard(sh).where(F.col("jaccard") >= tau)
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """One row per doc: h0..h15 MinHash values (exact integer math)."""
+    x = hex_id(F.col("shingle")) % MINHASH_P
+    sh = sh.withColumn("x", x)
+    aggs = [
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_P).alias(f"h{j}")
+        for j, (a, b) in enumerate(MINHASH_AB)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, k: int = 3, bands: int = 4,
+                      tau: float = 0.5) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, exact-Jaccard verified.
+
+    Pipeline: shingles -> 16 minhashes/doc -> ``bands`` band signatures
+    (rows/band = 16/bands) -> candidate pairs bucket-join on
+    (band, signature) -> exact Jaccard on candidates only -> >= tau.
+
+    The only joins are (a) equi-join on band signature over rows of
+    ~128 bytes/doc and (b) the shingle verification join restricted to
+    LSH candidates — no stage is quadratic in corpus size. At 100 TB
+    the band join's shuffle key is a hash-uniform signature, and the
+    verification join touches only candidate docs' shingles.
+    """
+    n_perm = len(MINHASH_AB)
+    r = n_perm // bands
+    sh = shingle_table(docs, k)
+    sig = minhash_signatures(sh)
+    band_cols = [
+        F.concat_ws("-", *[F.col(f"h{b * r + i}").cast("string")
+                           for i in range(r)])
+        for b in range(bands)
+    ]
+    sig_long = sig.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band", "sig"))
+    a, b = sig_long.alias("a"), sig_long.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.sig") == F.col("b.sig"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _pair_jaccard(sh, pairs_from=cand).where(F.col("jaccard") >= tau)
+
+
+def simhash_signatures(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-doc SimHash over k-word shingle hashes.
+
+    bit_j(doc) = sign of sum over distinct tokens of +/-1 depending on
+    bit j of the token hash; signature = the 32-bit integer. Near-dup
+    docs differ in few bits. Exact integer math throughout.
+
+    k=3 shingles, not single words: on a small vocabulary word-level
+    signatures collapse (every doc contains most words), while shingles
+    span a |V|^k token space that discriminates.
+    """
+    sh = shingle_table(docs, k)
+    h = (hex_id(F.col("shingle")) % MINHASH_P).alias("h")
+    sh = sh.select("doc_id", h)
+    bit_sums = [
+        F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sums = sh.groupBy("doc_id").agg(*bit_sums)
+    sig = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+        sig = bit if sig is None else (sig + bit)
+    return sums.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 4,
+                  k: int = 3) -> DataFrame:
+    """Near-dup candidate pairs with Hamming(simhash) <= max_hamming.
+
+    Candidates via band equality on four 8-bit signature chunks (a pair
+    within Hamming <= 6 of a 32-bit signature must agree exactly on at
+    least one of 4 chunks when differing bits spread; the chunk join is
+    the standard Hamming-LSH trick — shuffle on chunk value, no
+    all-pairs)."""
+    sig = simhash_signatures(docs, k)
+    chunks = F.array(*[
+        (F.shiftright(F.col("simhash"), 8 * c).bitwiseAND(255)).cast("long")
+        for c in range(4)
+    ])
+    long = sig.select(
+        "doc_id", "simhash",
+        F.posexplode(chunks).alias("chunk_idx", "chunk_val"))
+    a, b = long.alias("a"), long.alias("b")
+    cand = (
+        a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+               & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.simhash").alias("sim_a"),
+                F.col("b.simhash").alias("sim_b"))
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (cand.withColumn("hamming", hamming.cast("int"))
+            .where(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "sim_a", "sim_b", "hamming"))

@@ -1,0 +1,115 @@
+"""Text-analysis operators over document tables.
+
+quality/stats/token-count/fingerprint/language-ID, all Catalyst-native
+column expressions (no Python UDFs — each is a scan + map, trivially
+100 TB-parallel with zero shuffles except where grouped).
+
+Determinism contract for the DuckDB oracles: ratios are single IEEE
+divisions of exact integers; the fingerprint is an order-independent
+integer sum mod p; every expression is structured identically on both
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import hex_id, words_col
+
+#: tiny function-word list — the synthetic corpus' only English
+#: function words. Real pipelines plug in per-language lists.
+STOPWORDS = ("a", "the")
+
+FINGERPRINT_P = 1_000_000_007
+
+
+def _is_stop(w: Column) -> Column:
+    cond = F.lit(False)
+    for s in STOPWORDS:
+        cond = cond | (w == s)
+    return cond
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc token statistics: counts, unique ratio, stopword ratio,
+    average word length, vowel-group (BPE-ish subword proxy) count."""
+    w = words_col()
+    n_words = F.size(w)
+    n_unique = F.size(F.array_distinct(w))
+    n_stop = F.size(F.filter(w, _is_stop))
+    n_chars = F.length(F.col("text"))
+    # counts cast to long: DuckDB length()/len() are BIGINT
+    return docs.select(
+        "doc_id", "lang", "source",
+        n_chars.cast("long").alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        n_unique.cast("long").alias("n_unique_words"),
+        n_stop.cast("long").alias("n_stopwords"),
+        (n_unique / n_words).alias("uniq_ratio"),
+        (n_stop / n_words).alias("stop_ratio"),
+        # single-space corpus: total word chars = chars - (words - 1)
+        ((n_chars - (n_words - F.lit(1))) / n_words).alias("avg_word_len"),
+        F.regexp_count(F.col("text"), F.lit("[aeiou]+")).cast("long")
+        .alias("n_vowel_groups"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Composite quality score — the standard pre-training filter shape
+    (lexical diversity + function-word plausibility + length prior).
+    Weights are fixed; the expression tree matches the oracle SQL
+    term-for-term so the doubles are bit-identical.
+    """
+    stats = text_stats(docs)
+    length_prior = F.least(F.col("n_words") / F.lit(50.0), F.lit(1.0))
+    score = (F.lit(0.4) * F.col("uniq_ratio")
+             + F.lit(0.3) * (F.lit(1.0) - F.col("stop_ratio"))
+             + F.lit(0.3) * length_prior)
+    return stats.select(
+        "doc_id", "lang", "n_words", "uniq_ratio", "stop_ratio",
+        length_prior.alias("length_prior"),
+        score.alias("quality_score"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Heuristic language-ID: function-word rate thresholding (the
+    classic cheap n-gram/stopword detector). On this corpus the lang
+    label is independent of the vocabulary, so the operator reports
+    its prediction plus an agreement flag rather than claiming
+    accuracy — the *shape* (detector + label comparison column) is
+    what a curation pipeline runs at scale."""
+    from ..functions.indicators import flag
+
+    w = words_col()
+    stop_rate = F.size(F.filter(w, _is_stop)) / F.size(w)
+    predicted = F.when(stop_rate >= 0.02, F.lit("en")).otherwise(F.lit("und"))
+    return docs.select(
+        "doc_id", "lang",
+        stop_rate.alias("stopword_rate"),
+        predicted.alias("predicted_lang"),
+        flag(predicted == F.col("lang")).alias("agrees_with_label"),
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Order-independent 60-bit-ish document fingerprint:
+    sum of distinct-word hashes mod p (bag-of-words MinHash cousin;
+    equal fingerprints => near-certain same vocabulary set).
+
+    The sum is over <= |doc| ints < 1e9+7, far from int64 overflow, and
+    order-independent — safe under any partitioning."""
+    word_ids = F.transform(
+        F.array_distinct(words_col()),
+        lambda x: hex_id(x) % FINGERPRINT_P,
+    )
+    fp = F.aggregate(
+        word_ids, F.lit(0).cast("long"), lambda acc, x: acc + x
+    ) % FINGERPRINT_P
+    return docs.select(
+        "doc_id",
+        F.size(F.array_distinct(words_col())).cast("long")
+        .alias("n_unique_words"),
+        fp.alias("fingerprint"),
+    )
