@@ -158,6 +158,66 @@ def momentum_small(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _momentum_projection(_momentum(spark, sf_dir, SMALL))
 
 
+@q("scd2_constituents", """
+WITH attrs AS (
+  SELECT p_partkey AS ticker, p_name AS company, p_brand AS sector,
+         (p_partkey % 97) / 10.0 AS w1,
+         CASE WHEN p_partkey % 7 = 0 THEN ((p_partkey % 97) + 1) / 10.0
+              ELSE (p_partkey % 97) / 10.0 END AS w2,
+         p_partkey % 10 AS m10, p_partkey % 7 AS m7
+  FROM part
+)
+SELECT ticker, company, sector, w1 AS index_weight,
+       DATE '1996-01-01' AS dbt_valid_from,
+       DATE '1997-01-01' AS dbt_valid_to
+FROM attrs WHERE m10 = 1                       -- hard-deleted in snap2
+UNION ALL
+SELECT ticker, company, sector, w2,
+       DATE '1997-01-01', NULL
+FROM attrs WHERE m10 = 0                       -- new in snap2
+UNION ALL
+SELECT ticker, company, sector, w1,
+       DATE '1996-01-01', DATE '1997-01-01'
+FROM attrs WHERE m10 NOT IN (0, 1) AND m7 = 0  -- changed: closed row
+UNION ALL
+SELECT ticker, company, sector, w2,
+       DATE '1997-01-01', NULL
+FROM attrs WHERE m10 NOT IN (0, 1) AND m7 = 0  -- changed: new version
+UNION ALL
+SELECT ticker, company, sector, w1,
+       DATE '1996-01-01', NULL
+FROM attrs WHERE m10 NOT IN (0, 1) AND m7 != 0 -- unchanged
+""")
+def scd2_constituents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 snapshot MERGE (russell3000_constituents_snapshot.sql:4-12):
+    two membership snapshots applied with the check strategy on
+    (company, sector, index_weight) + hard-delete invalidation. The
+    oracle enumerates the expected history directly from the synthetic
+    membership/weight rules."""
+    from .snapshots import scd2_apply
+
+    part = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    base = part.select(
+        k.alias("ticker"),
+        F.col("p_name").alias("company"),
+        F.col("p_brand").alias("sector"),
+        ((k % 97) / F.lit(10.0)).alias("w1"),
+        F.when(k % 7 == 0, ((k % 97) + 1) / F.lit(10.0))
+        .otherwise((k % 97) / F.lit(10.0)).alias("w2"),
+    )
+    snap1 = (base.where(F.col("ticker") % 10 != 0)
+             .select("ticker", "company", "sector",
+                     F.col("w1").alias("index_weight")))
+    snap2 = (base.where(F.col("ticker") % 10 != 1)
+             .select("ticker", "company", "sector",
+                     F.col("w2").alias("index_weight")))
+    check = ["company", "sector", "index_weight"]
+    hist = scd2_apply(None, snap1, "ticker", check, "1996-01-01")
+    hist = scd2_apply(hist, snap2, "ticker", check, "1997-01-01")
+    return hist
+
+
 @q("fct_trading_momentum_valid", oracles.momentum_sql(SMALL, valid_only=True))
 def momentum_valid_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7: the incremental-run ``is_valid_record = 1`` filter
@@ -166,6 +226,25 @@ def momentum_valid_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     fct = fct_trading_momentum(universe_daily_from_tpch(spark, sf_dir),
                                SMALL, valid_only=True)
     return _momentum_projection(fct)
+
+
+@q("fct_momentum_incremental", oracles.momentum_sql(SMALL))
+def momentum_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MERGE run (§2.9): the fact materialized up to a
+    split date plays yesterday's table; everything after (plus the
+    trailing-4-day late-data window) is recomputed with
+    window-sufficient warmup and MERGEd on (ticker, trade_date)
+    (int_russell3000__daily.sql:19-26, fct_trading_momentum.sql:2-7,
+    209-214). The oracle is the FULL REBUILD — hash equality proves
+    incremental == rebuild."""
+    from .incremental import incremental_momentum
+
+    universe = universe_daily_from_tpch(spark, sf_dir)
+    split = "1997-06-30"
+    prior = fct_trading_momentum(
+        universe.where(F.col("trade_date") <= F.lit(split)), SMALL)
+    merged = incremental_momentum(universe, prior, SMALL, lookback_days=4)
+    return _momentum_projection(merged)
 
 
 @q("agg_daily_market_breadth", oracles.breadth_sql(SMALL))

@@ -1,0 +1,90 @@
+"""Incremental materialization: upsert-on-key MERGE with the
+reference's trailing-lookback reprocess semantics.
+
+Reference analogs:
+- dbt ``incremental`` with ``unique_key=['ticker','trade_date']``
+  (int_russell3000__daily.sql:3-7, fct_trading_momentum.sql:2-7)
+- the trailing-4-day late-data window:
+  ``WHERE trade_date >= DATEADD(day,-4,(SELECT MAX(trade_date) FROM this))``
+  (int_russell3000__daily.sql:19-26, fct_trading_momentum.sql:209-214)
+
+Design: Delta Lake's MERGE INTO is the natural sink on a real cluster;
+this module expresses the same algebra engine-agnostically as
+anti-join + union, so it runs on plain parquet too. The key decision
+for correctness is the WARMUP: the reference recomputes indicator
+windows over only the reprocessed slice (accepting NULL warmups); we
+instead carry the preceding ``warmup_rows`` rows per key into the
+window stage and drop them after, so incremental output is
+bit-identical to a full rebuild — verified by the
+``fct_momentum_incremental`` catalog entry hash-matching the
+full-rebuild oracle.
+
+Scale notes: the MERGE touches only (keys in the update slice); with
+the target partitioned by trade_date, the anti-join prunes to the
+trailing partitions (dynamic partition pruning does this for free on
+Delta/parquet partitioned tables). The warmup selection is one
+row_number window over the trailing rows per ticker — the same single
+shuffle the indicator stage needs anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_upsert(target: DataFrame, updates: DataFrame,
+                 keys: list[str]) -> DataFrame:
+    """Batch MERGE: rows of ``target`` whose key is absent from
+    ``updates``, plus all of ``updates`` (update wins on match —
+    WHEN MATCHED THEN UPDATE, WHEN NOT MATCHED THEN INSERT)."""
+    kept = target.join(updates.select(*keys).distinct(), keys, "left_anti")
+    return kept.unionByName(updates)
+
+
+def trailing_slice(universe: DataFrame, as_of_max, lookback_days: int,
+                   warmup_rows: int,
+                   key: str = "ticker", ts: str = "trade_date"):
+    """Split the source into (reprocess slice, warmup rows).
+
+    ``cutoff`` = as_of_max - lookback_days (calendar days, matching the
+    reference's DATEADD over trading-day rows — SURVEY §4 gotcha 1).
+    Warmup = the last ``warmup_rows`` rows per key strictly before the
+    cutoff; they feed the window stage but are dropped from the output.
+    """
+    cutoff = F.date_sub(F.lit(as_of_max), lookback_days)
+    slice_df = universe.where(F.col(ts) >= cutoff)
+    w_desc = Window.partitionBy(key).orderBy(F.col(ts).desc())
+    warmup = (
+        universe.where(F.col(ts) < cutoff)
+        .withColumn("__rn", F.row_number().over(w_desc))
+        .where(F.col("__rn") <= warmup_rows)
+        .drop("__rn")
+    )
+    return slice_df, warmup, cutoff
+
+
+def incremental_momentum(universe: DataFrame, prior_fct: DataFrame,
+                         params, lookback_days: int = 4) -> DataFrame:
+    """One incremental run of fct_trading_momentum.
+
+    ``prior_fct``: the existing materialized fact (yesterday's table).
+    ``universe``: the full current source (with late corrections).
+    Output: prior_fct MERGEd with the recomputed trailing slice —
+    bit-identical to a full rebuild given window-sufficient warmup.
+    """
+    from .models.marts import fct_trading_momentum
+
+    as_of = prior_fct.agg(F.max("trade_date")).first()[0]
+    # longest frame, plus one: crossover columns LAG an already-windowed
+    # SMA, so the first recomputed row needs its predecessor's full
+    # frame too (off-by-one that a frame-length-only warmup misses)
+    warmup_rows = max(params.sma_l, params.high_low, params.ret_year) + 1
+    slice_df, warmup, cutoff = trailing_slice(
+        universe, as_of, lookback_days, warmup_rows)
+    recompute_src = warmup.unionByName(slice_df)
+    recomputed = (
+        fct_trading_momentum(recompute_src, params)
+        .where(F.col("trade_date") >= cutoff)
+    )
+    return merge_upsert(prior_fct, recomputed, ["ticker", "trade_date"])
