@@ -1,0 +1,114 @@
+"""Catalog entries for the streaming slice and the ingest path
+(SURVEY.md §2.1 S1-S8, §2.9). Streaming entries run real Structured
+Streaming queries to a terminal state and are verified against batch
+oracles — the defining correctness property of a streaming pipeline.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from datetime import date
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import q
+
+STREAM_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""".strip()
+
+STREAM_UPSERT_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1
+""".strip()
+
+PENDING_DATES_SQL = """
+WITH days AS (
+  SELECT CAST(unnest(generate_series(DATE '1998-02-02', DATE '1998-03-31',
+                                     INTERVAL 1 DAY)) AS DATE) AS cal_date
+),
+trading AS (
+  SELECT cal_date FROM days
+  WHERE isodow(cal_date) <= 5 AND cal_date != DATE '1998-02-16'
+)
+SELECT cal_date FROM trading WHERE day(cal_date) % 3 != 0
+""".strip()
+
+INGEST_BARS_SQL = """
+WITH ids AS (SELECT unnest(generate_series(0, 49)) AS i),
+dts AS (SELECT unnest([DATE '1998-02-02', DATE '1998-02-03',
+                       DATE '1998-02-04']) AS dt),
+calc AS (
+  SELECT 'TK' || lpad(CAST(i AS VARCHAR), 4, '0') AS T,
+         CAST((i * 131 + day(dt) * 977) % 100000 + 1 AS DOUBLE) AS V,
+         ((i * 17 + day(dt) * 11) % 1000) / 10.0 + 1.0 AS O,
+         ((i * 31 + day(dt) * 7) % 1000) / 10.0 + 1.0 AS C,
+         CAST(i + day(dt) AS BIGINT) AS mix,
+         CAST((i + day(dt)) % 500 + 1 AS BIGINT) AS N,
+         dt AS "DATE"
+  FROM ids CROSS JOIN dts
+)
+SELECT T, V, (O + C) / 2.0 AS VW, O, C,
+       greatest(C, O) + (mix % 10) / 10.0 AS H,
+       least(C, O) - (mix % 7) / 10.0 AS L,
+       N, "DATE"
+FROM calc
+""".strip()
+
+
+@q("stream_hourly_rollup", STREAM_HOURLY_SQL)
+def stream_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling 1h event-time windows + watermark,
+    AvailableNow replay to a memory sink; terminal state must equal the
+    batch GROUP BY oracle (SURVEY §2.9 tumbling window / late data)."""
+    from .streaming.events import hourly_rollup
+    return hourly_rollup(spark, sf_dir)
+
+
+@q("stream_upsert_rollup", STREAM_UPSERT_SQL)
+def stream_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch MERGE upsert with ledger idempotency under
+    DUPLICATE delivery (source unioned with itself): the dedup-on-key
+    upsert makes the terminal rollup equal the single-copy batch
+    oracle — without it every count would double."""
+    from .streaming.events import upsert_replay
+    return upsert_replay(spark, sf_dir)
+
+
+@q("ingest_pending_dates", PENDING_DATES_SQL)
+def pending_dates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4+S8: trading-calendar plan minus ledger-completed dates
+    (here: every 3rd day-of-month already completed), the daily-run
+    date planner (src/extract_load_stocks.py:40-69)."""
+    from .ingest.calendar import trading_days
+    cal = trading_days(spark, date(1998, 2, 2), date(1998, 3, 31),
+                       holidays=[date(1998, 2, 16)])
+    return cal.where(F.dayofmonth("cal_date") % 3 != 0)
+
+
+@q("ingest_daily_bars", INGEST_BARS_SQL)
+def ingest_bars_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-S8 end-to-end: plan 3 trading days, fetch (deterministic
+    Polygon-shaped generator) with retry wrapper, normalize (P5/P6),
+    bulk-append, checkpoint — then RE-RUN the whole loop to prove
+    ledger idempotency (second pass loads 0). Oracle reproduces the
+    generator arithmetic in SQL."""
+    from .ingest.loader import extract_load_range
+
+    warehouse = tempfile.mkdtemp(prefix="ingest_wh_")
+    r1 = extract_load_range(spark, warehouse,
+                            date(1998, 2, 2), date(1998, 2, 4))
+    r2 = extract_load_range(spark, warehouse,
+                            date(1998, 2, 2), date(1998, 2, 4))
+    assert r1["loaded"] == 3 and r2["loaded"] == 0 and r2["skipped"] == 3, \
+        (r1, r2)
+    bars = spark.read.parquet(r1["bars_path"])
+    return bars.select("T", "V", "VW", "O", "C", "H", "L", "N", "DATE")

@@ -25,6 +25,10 @@ _LOCAL_DEFAULTS = {
     # Parity with the reference's fixed-schema discipline (SURVEY.md §1.2):
     # fail fast rather than silently coerce.
     "spark.sql.parquet.mergeSchema": "false",
+    # the synthetic events table stores ts as TIMESTAMP(NANOS), which
+    # Spark rejects by default; read as long and convert explicitly
+    # (streaming/events.py does `ts div 1000` -> timestamp_micros)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
     # NOTE: only effective when THIS builder launches the JVM; a later
     # getOrCreate on an existing session silently ignores it. Set

@@ -1,0 +1,138 @@
+"""Streaming jobs over the events table.
+
+Both jobs run Trigger.AvailableNow (ordered backfill replay — the
+analog of the reference's oldest->newest date loop,
+src/extract_load_stocks.py:64-78) and are verified against batch
+oracles: a correct streaming pipeline's terminal state equals the
+batch computation over the same inputs.
+
+Determinism: value sums go through exact decimals (2-dp synthetic
+values), so streaming state-merge order can't perturb the result —
+the same rule as every batch aggregate in this engine.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: physical schema: ts is TIMESTAMP(NANOS) in the parquet -> read as
+#: BIGINT (nanosAsLong) and truncate to micros exactly like DuckDB does
+EVENTS_SCHEMA = ("event_id BIGINT, ts BIGINT, user_id BIGINT, "
+                 "event_type STRING, value DOUBLE, props STRING")
+
+
+def _staged_events_dir(sf_dir: str, copies: int = 1) -> str:
+    """Stage the events file into a temp directory (the file streaming
+    source reads directories). ``copies`` > 1 simulates duplicate
+    delivery of the same payload — each copy is one micro-batch with
+    maxFilesPerTrigger=1."""
+    d = tempfile.mkdtemp(prefix="events_src_")
+    src = os.path.join(sf_dir, "events.parquet")
+    for i in range(copies):
+        shutil.copy(src, os.path.join(d, f"events_{i}.parquet"))
+    return d
+
+
+def _events_stream(spark: SparkSession, src_dir: str,
+                   max_files: int | None = None) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = (spark.readStream.schema(EVENTS_SCHEMA)
+              .format("parquet"))
+    if max_files is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    df = reader.load(src_dir)
+    # nanos -> micros by integer division (floor), the same truncation
+    # DuckDB applies when reading TIMESTAMP(NANOS)
+    return df.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_rollup(spark: SparkSession, sf_dir: str,
+                  watermark: str = "4 hours") -> DataFrame:
+    """Tumbling 1-hour event-time windows per event_type with a late-
+    data watermark; complete-mode memory sink, AvailableNow trigger.
+
+    Returns the terminal result as a batch DataFrame whose values are
+    bit-comparable to the batch GROUP BY date_trunc('hour') oracle.
+    """
+    stream = _events_stream(spark, _staged_events_dir(sf_dir))
+    # NOTE: no COUNT(DISTINCT) here — streaming aggregation doesn't
+    # support exact distinct (state would be unbounded); the batch
+    # rollup keeps it, streaming pipelines use approx_count_distinct
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+             .alias("total_value"))
+    )
+    name = "hourly_rollup_sink"
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        q = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("complete")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    return (spark.table(name)
+            .select(F.col("w.start").alias("hour_start"), "event_type",
+                    "n_events", "total_value"))
+
+
+def upsert_replay(spark: SparkSession, sf_dir: str,
+                  batches: int = 4) -> DataFrame:
+    """foreachBatch MERGE upsert with ledger idempotency: the stream is
+    replayed in multiple micro-batches; every batch MERGEs on event_id
+    into a parquet target and records its batch id — re-delivery of an
+    already-recorded batch is a no-op (exactly-once effect on at-least-
+    once delivery, SURVEY §2.9 row 1).
+
+    The SAME file is also delivered a second time (a duplicate-source
+    union), so the upsert path is observably exercised: without the
+    MERGE the target would double-count.
+
+    Returns the terminal per-type rollup of the target table.
+    """
+    from ..incremental import merge_upsert
+
+    tmp = tempfile.mkdtemp(prefix="stream_upsert_")
+    target_path = os.path.join(tmp, "events_current")
+    seen_batches: set[int] = set()  # ledger: processed batch ids
+
+    # duplicate delivery: the same payload staged twice; one file per
+    # micro-batch, so batch 2 re-delivers batch 1's rows
+    stream = _events_stream(spark, _staged_events_dir(sf_dir, copies=2),
+                            max_files=1)
+
+    def do_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in seen_batches:      # ledger skip (S8 semantics)
+            return
+        updates = batch_df.dropDuplicates(["event_id"])
+        if os.path.isdir(target_path):
+            current = spark.read.parquet(target_path)
+            merged = merge_upsert(current, updates, ["event_id"])
+        else:
+            merged = updates
+        # overwrite-after-merge: MERGE INTO on Delta; rewrite on parquet
+        merged.write.mode("overwrite").parquet(target_path + "_next")
+        next_df = spark.read.parquet(target_path + "_next")
+        next_df.write.mode("overwrite").parquet(target_path)
+        seen_batches.add(batch_id)
+
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        q = (stream.writeStream.foreachBatch(do_batch)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    final = spark.read.parquet(target_path)
+    return (final.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                 .alias("total_value"))
+            )
