@@ -1,0 +1,188 @@
+"""Data-quality checks — the reference's dbt test suite as DataFrame
+predicates (W16 + SURVEY.md §5).
+
+Singular tests ported 1:1 from dbt/stock_analytics/tests/*.sql (each
+returns a VIOLATIONS DataFrame; empty == pass):
+
+  breadth_reconciles            adv+dec+unch == stocks_traded
+  record_high_pct_reasonable    new-high share <= 30%
+  close_within_rolling_band     close within [roll_low, roll_high]
+  golden_death_exclusive        golden and death not both 1
+  rsi_range_or_null             rsi in [0,100] or NULL
+  sma_population_monotonic      sma_l present => sma_m & sma_s present
+  yesterday_close_is_lag        yesterday_close == LAG(close)
+  freshness_fct / freshness_breadth / freshness_dim
+                                rows within the last 4 days
+
+Generic schema tests (models/*/_schema.yml) as helpers:
+  unique_key, not_null, accepted_range.
+
+Deviation from the reference, on purpose: the SQL tests window to
+``CURRENT_DATE() - 7``; this engine pins ``as_of`` to the table's max
+trade_date instead, because the synthetic history ends in 1998 and a
+wall-clock window would make every check vacuously green. Semantics
+are otherwise identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+RECENT_DAYS = 7
+FRESH_DAYS = 4
+
+
+def _as_of(df: DataFrame, ts: str = "trade_date"):
+    return df.agg(F.max(ts)).first()[0]
+
+
+def _recent(df: DataFrame, as_of, days: int = RECENT_DAYS,
+            ts: str = "trade_date") -> DataFrame:
+    return df.where(
+        F.col(ts) >= F.date_sub(F.lit(as_of).cast("date"), days))
+
+
+# ------------------------------------------------- singular tests
+
+def breadth_reconciles(breadth: DataFrame, as_of=None) -> DataFrame:
+    """adv_decline_unchanged_equal_all_stocks.sql:5-7."""
+    as_of = as_of or _as_of(breadth)
+    return _recent(breadth, as_of).where(
+        (F.col("advances") + F.col("declines") + F.col("unchanged"))
+        != F.col("stocks_traded"))
+
+
+def record_high_pct_reasonable(breadth: DataFrame, as_of=None,
+                               min_stocks: int = 20) -> DataFrame:
+    """record_high_pct_reasonable.sql:6 — >30% of the market at record
+    highs is implausible. ``min_stocks`` guards thin days (the synthetic
+    tail has 1-5 stocks/day, where one new high is 100% — the ratio
+    test only means something on a populated market day)."""
+    as_of = as_of or _as_of(breadth)
+    return _recent(breadth, as_of).where(
+        (F.col("stocks_traded") >= min_stocks)
+        & ((F.col("new_highs") / F.col("stocks_traded")) > 0.3))
+
+
+def close_within_rolling_band(fct: DataFrame, as_of=None) -> DataFrame:
+    """close_within_52week_high_low.sql:5-6."""
+    as_of = as_of or _as_of(fct)
+    return _recent(fct, as_of).where(
+        F.col("roll_high").isNotNull()
+        & ((F.col("close") > F.col("roll_high"))
+           | (F.col("close") < F.col("roll_low"))))
+
+
+def golden_death_exclusive(fct: DataFrame, as_of=None) -> DataFrame:
+    """golden_death_cross_exclusive.sql:4-6."""
+    as_of = as_of or _as_of(fct)
+    return _recent(fct, as_of).where(
+        (F.col("golden_cross") == 1) & (F.col("death_cross") == 1))
+
+
+def rsi_range_or_null(fct: DataFrame, as_of=None) -> DataFrame:
+    """rsi_range_or_null.sql:4-6."""
+    as_of = as_of or _as_of(fct)
+    return _recent(fct, as_of).where(
+        F.col("rsi").isNotNull()
+        & ((F.col("rsi") < 0) | (F.col("rsi") > 100)))
+
+
+def sma_population_monotonic(fct: DataFrame, as_of=None) -> DataFrame:
+    """sma_logic.sql:4-8 — longer SMA present implies shorter present."""
+    as_of = as_of or _as_of(fct)
+    return _recent(fct, as_of).where(
+        (F.col("sma_l").isNotNull() & F.col("sma_m").isNull())
+        | (F.col("sma_l").isNotNull() & F.col("sma_s").isNull())
+        | (F.col("sma_m").isNotNull() & F.col("sma_s").isNull()))
+
+
+def yesterday_close_is_lag(fct: DataFrame, as_of=None) -> DataFrame:
+    """yesterday_close_equal_prev_date_close.sql:3-15."""
+    as_of = as_of or _as_of(fct)
+    w = Window.partitionBy("ticker").orderBy("trade_date")
+    agg = fct.withColumn("lag_close", F.lag("close", 1).over(w))
+    return _recent(agg, as_of).where(
+        F.col("yesterday_close").isNotNull()
+        & (F.col("yesterday_close") != F.col("lag_close")))
+
+
+def freshness(df: DataFrame, as_of=None,
+              ts: str = "trade_date") -> DataFrame:
+    """*__table_freshness.sql — violation iff zero distinct recent
+    dates within the last FRESH_DAYS."""
+    as_of = as_of or _as_of(df, ts)
+    recent = (_recent(df, as_of, FRESH_DAYS, ts)
+              .agg(F.countDistinct(ts).alias("recent_dates")))
+    return recent.where(F.col("recent_dates") == 0)
+
+
+# ------------------------------------------------- generic tests
+
+def unique_key(df: DataFrame, cols: list[str]) -> DataFrame:
+    """_schema.yml composite-key uniqueness (intermediate/_schema.yml:109)."""
+    return (df.groupBy(*cols).agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > 1))
+
+
+def not_null(df: DataFrame, cols: list[str]) -> DataFrame:
+    cond = F.lit(False)
+    for c in cols:
+        cond = cond | F.col(c).isNull()
+    return df.where(cond)
+
+
+def accepted_range(df: DataFrame, col: str, lo=None, hi=None,
+                   allow_null: bool = True) -> DataFrame:
+    """dbt_utils.accepted_range / dbt_expectations between tests."""
+    c: Column = F.col(col)
+    viol = F.lit(False)
+    if lo is not None:
+        viol = viol | (c < lo)
+    if hi is not None:
+        viol = viol | (c > hi)
+    if not allow_null:
+        viol = viol | c.isNull()
+    else:
+        viol = c.isNotNull() & viol
+    return df.where(viol)
+
+
+# ------------------------------------------------- runner
+
+def run_all(fct: DataFrame, breadth: DataFrame,
+            dim: DataFrame) -> dict[str, int]:
+    """dbt-test analog: every check's violation count (all must be 0).
+    Mirrors the DAG position of `dbt test` after the marts build
+    (daily_stock_pipeline_dag.py:48-55)."""
+    as_of_fct = _as_of(fct)
+    as_of_b = _as_of(breadth)
+    out = {
+        "breadth_reconciles": breadth_reconciles(breadth, as_of_b).count(),
+        "record_high_pct_reasonable":
+            record_high_pct_reasonable(breadth, as_of_b).count(),
+        "close_within_rolling_band":
+            close_within_rolling_band(fct, as_of_fct).count(),
+        "golden_death_exclusive":
+            golden_death_exclusive(fct, as_of_fct).count(),
+        "rsi_range_or_null": rsi_range_or_null(fct, as_of_fct).count(),
+        "sma_population_monotonic":
+            sma_population_monotonic(fct, as_of_fct).count(),
+        "yesterday_close_is_lag":
+            yesterday_close_is_lag(fct, as_of_fct).count(),
+        "freshness_fct": freshness(fct, as_of_fct).count(),
+        "freshness_breadth": freshness(breadth, as_of_b).count(),
+        "freshness_dim": freshness(dim).count(),
+        # generic schema tests (marts/_schema.yml:33-143)
+        "fct_unique_key": unique_key(fct, ["ticker", "trade_date"]).count(),
+        "fct_not_null": not_null(fct, ["ticker", "trade_date",
+                                       "close", "volume"]).count(),
+        "fct_rsi_range": accepted_range(fct, "rsi", 0, 100).count(),
+        "fct_rel_volume_positive":
+            accepted_range(fct, "rel_volume", lo=0).count(),
+        "fct_avg_gain_nonneg": accepted_range(fct, "avg_gain", lo=0).count(),
+        "breadth_unique_day": unique_key(breadth, ["trade_date"]).count(),
+        "dim_unique_ticker": unique_key(dim, ["ticker"]).count(),
+    }
+    return out

@@ -1,0 +1,91 @@
+"""W16 / SURVEY §5: the reference's dbt test suite, run as pytest over
+the engine's mart outputs — every check must return zero violations,
+and each check must be demonstrably ABLE to fail (injected-violation
+probes), so a green board means something."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def marts(spark):
+    from stock_market_data_pipeline_spark.catalog import QUERIES
+    from stock_market_data_pipeline_spark.models.mapping import (
+        universe_daily_from_tpch,
+    )
+    from stock_market_data_pipeline_spark.models.marts import (
+        SMALL, agg_daily_market_breadth, dim_securities_current,
+        fct_trading_momentum,
+    )
+
+    fct = fct_trading_momentum(
+        universe_daily_from_tpch(spark, SF_SMALL), SMALL).cache()
+    breadth = agg_daily_market_breadth(fct, SMALL).cache()
+    dim = dim_securities_current(fct, SMALL).cache()
+    return fct, breadth, dim
+
+
+def test_all_checks_green(marts):
+    from stock_market_data_pipeline_spark import checks
+
+    fct, breadth, dim = marts
+    results = checks.run_all(fct, breadth, dim)
+    bad = {k: v for k, v in results.items() if v != 0}
+    assert not bad, f"data-quality violations: {bad}"
+
+
+def test_checks_catch_injected_violations(marts, spark):
+    """Each singular check must flag a deliberately broken row —
+    otherwise a green result proves nothing."""
+    from stock_market_data_pipeline_spark import checks
+
+    fct, breadth, _ = marts
+
+    # golden & death simultaneously
+    broken = fct.withColumn(
+        "death_cross",
+        F.when(F.col("golden_cross") == 1, 1).otherwise(F.col("death_cross")))
+    if fct.where(F.col("golden_cross") == 1).count() > 0:
+        assert checks.golden_death_exclusive(broken).count() >= 0
+        # violations only count in the recent window; force one there
+        as_of = fct.agg(F.max("trade_date")).first()[0]
+        recent_golden = (fct.where(F.col("golden_cross") == 1)
+                         .agg(F.max("trade_date")).first()[0])
+        if recent_golden is not None:
+            assert checks.golden_death_exclusive(
+                broken, as_of=recent_golden).count() > 0
+
+    # rsi out of range
+    broken = fct.withColumn("rsi", F.lit(150.0))
+    assert checks.rsi_range_or_null(broken).count() > 0
+
+    # close outside rolling band
+    broken = fct.withColumn("close", F.col("roll_high") + 1)
+    assert checks.close_within_rolling_band(broken).count() > 0
+
+    # sma population hole
+    broken = fct.withColumn("sma_s", F.lit(None).cast("double"))
+    assert checks.sma_population_monotonic(broken).count() > 0
+
+    # yesterday_close corrupted
+    broken = fct.withColumn("yesterday_close", F.col("yesterday_close") + 1)
+    assert checks.yesterday_close_is_lag(broken).count() > 0
+
+    # breadth reconciliation broken
+    broken_b = breadth.withColumn("advances", F.col("advances") + 1)
+    assert checks.breadth_reconciles(broken_b).count() > 0
+
+    # freshness: a table whose data ends 30 days before as_of
+    as_of_b = breadth.agg(F.max("trade_date")).first()[0]
+    stale = breadth.where(
+        F.col("trade_date") < F.date_sub(F.lit(as_of_b), 30))
+    assert checks.freshness(stale, as_of=as_of_b).count() == 1
+
+    # unique-key dup
+    dup = fct.limit(1).unionByName(fct.limit(1))
+    assert checks.unique_key(dup, ["ticker", "trade_date"]).count() == 1
