@@ -64,6 +64,42 @@ FROM calc
 """.strip()
 
 
+SEED_CSV_SQL = """
+WITH ids AS (SELECT unnest(generate_series(0, 199)) AS i)
+SELECT 'TK' || lpad(CAST(i AS VARCHAR), 4, '0') AS ticker,
+       'Company ' || CAST(i AS VARCHAR) AS company,
+       ['Tech', 'Energy', 'Health', 'Finance', 'Retail'][(i % 5) + 1]
+         AS sector,
+       ((i * 7919) % 90000000 + 10000000) / 100.0 AS market_value
+FROM ids
+""".strip()
+
+
+@q("seed_csv_constituents", SEED_CSV_SQL)
+def seed_csv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: seed CSV with declared schema, quoted fields, and
+    comma-GROUPED numerics ('1,234,567.89') — written then read back
+    through the seed loader, which must strip grouping commas like
+    Snowflake's does (dbt_project.yml:26-52; Spark's CSV reader alone
+    would yield NULLs). Oracle recomputes the parsed values from the
+    same arithmetic."""
+    import os
+
+    from .seeds import read_seed_csv
+
+    d = tempfile.mkdtemp(prefix="seeds_")
+    path = os.path.join(d, "constituents.csv")
+    sectors = ["Tech", "Energy", "Health", "Finance", "Retail"]
+    with open(path, "w") as f:
+        f.write("ticker,company,sector,market_value\n")
+        for i in range(200):
+            mv = ((i * 7919) % 90000000 + 10000000) / 100.0
+            f.write(f'TK{i:04d},Company {i},{sectors[i % 5]},"{mv:,.2f}"\n')
+    return read_seed_csv(spark, path,
+                         string_cols=["ticker", "company", "sector"],
+                         grouped_numeric_cols=["market_value"])
+
+
 @q("stream_hourly_rollup", STREAM_HOURLY_SQL)
 def stream_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming tumbling 1h event-time windows + watermark,
@@ -81,6 +117,74 @@ def stream_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle — without it every count would double."""
     from .streaming.events import upsert_replay
     return upsert_replay(spark, sf_dir)
+
+
+#: 20 of the 25 possible p_brand sectors — the IN-list filter excludes
+#: Brand#*5 so it observably filters, while keeping rows at all scales
+SCREENER_SECTORS = [f"Brand#{i}{j}" for i in range(1, 6)
+                    for j in range(1, 5)]
+
+
+def _serving_screener_sql() -> str:
+    from . import oracles
+    from .models.marts import SMALL
+    in_list = ", ".join(f"'{s}'" for s in SCREENER_SECTORS)
+    return f"""
+WITH dim AS ({oracles.securities_dim_sql(SMALL)})
+SELECT ticker, sector, close, rsi, return_m, volatility_ann
+FROM dim
+WHERE rsi BETWEEN 10 AND 90
+  AND sector IN ({in_list})
+  AND return_m >= -1.0
+  AND CAST(ticker AS VARCHAR) ILIKE '%%'
+ORDER BY return_m DESC, ticker
+LIMIT 500
+""".strip()
+
+
+def _serving_range_sql() -> str:
+    from . import oracles
+    from .models.marts import SMALL
+    return f"""
+WITH fct AS ({oracles.momentum_sql(SMALL)})
+SELECT ticker, trade_date, close, sma_s, sma_m, sma_l, rsi, volume
+FROM fct
+WHERE ticker = 5
+  AND trade_date BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+ORDER BY trade_date
+""".strip()
+
+
+@q("serving_screener", _serving_screener_sql())
+def serving_screener_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 + P8 + P10: the Universe Screener page query as a
+    PARAMETERIZED spark.sql over the registered dim view — RSI band,
+    sector IN-list, min return, ILIKE ticker search, ordered top-k
+    (2_Universe_Screener.py:29-77) with every user input bound as a
+    named parameter instead of string-spliced."""
+    from .catalog import QUERIES
+    from .serve import screener
+
+    dim = QUERIES["dim_securities_current"](spark, sf_dir)
+    sel = dim.select("ticker", "sector", "close", "rsi", "return_m",
+                     "volatility_ann")
+    sel.createOrReplaceTempView("dim_securities")
+    return screener(spark, rsi_lo=10.0, rsi_hi=90.0,
+                    sectors=SCREENER_SECTORS,
+                    min_return=-1.0, ticker_search="", limit=500)
+
+
+@q("serving_ticker_range", _serving_range_sql())
+def serving_range_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 + P9: the Ticker Momentum page query — key + date-range
+    predicate through parameterized SQL (3_Ticker_Momentum.py:93-96);
+    with a date-partitioned fact this prunes partitions at scale."""
+    from .catalog import QUERIES
+    from .serve import ticker_momentum
+
+    fct = QUERIES["fct_trading_momentum_small"](spark, sf_dir)
+    fct.createOrReplaceTempView("fct_momentum")
+    return ticker_momentum(spark, 5, "1995-01-01", "1996-12-31")
 
 
 @q("ingest_pending_dates", PENDING_DATES_SQL)

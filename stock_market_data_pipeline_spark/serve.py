@@ -1,0 +1,75 @@
+"""Serving layer (S12, P8-P10) — the dashboard query surface.
+
+The reference's Streamlit pages build SQL strings from widget state
+and run them over Snowflake (2_Universe_Screener.py:29-77,
+3_Ticker_Momentum.py:46-70, utilities/snowflake_helper.py:42-51); user
+input is escaped by hand (P10, :74). Here every query is a
+PARAMETERIZED ``spark.sql`` call (named args, Spark >= 3.4) — the
+strictly-better injection-safe form the SURVEY mapping calls for —
+over registered temp views, returning DataFrames the caller can
+``toPandas()`` through Arrow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+SCREENER_SQL = """
+SELECT ticker, sector, close, rsi, return_m, volatility_ann
+FROM {dim}
+WHERE rsi BETWEEN :rsi_lo AND :rsi_hi
+  AND (:any_sector OR array_contains(:sectors, sector))
+  AND return_m >= :min_return
+  AND CAST(ticker AS STRING) ILIKE :ticker_pat
+ORDER BY return_m DESC, ticker
+LIMIT {limit}
+"""
+
+TICKER_RANGE_SQL = """
+SELECT ticker, trade_date, close, sma_s, sma_m, sma_l, rsi, volume
+FROM {fct}
+WHERE ticker = :ticker AND trade_date BETWEEN :start AND :end
+ORDER BY trade_date
+"""
+
+BREADTH_RECENT_SQL = """
+SELECT *
+FROM {breadth}
+ORDER BY trade_date DESC
+LIMIT {limit}
+"""
+
+
+def screener(spark: SparkSession, dim_view: str = "dim_securities",
+             rsi_lo: float = 0.0, rsi_hi: float = 100.0,
+             sectors: list[str] | None = None,
+             min_return: float = -1.0,
+             ticker_search: str = "",
+             limit: int = 500) -> DataFrame:
+    """P8 + P10: IN list / BETWEEN / ILIKE / >= predicates, AND-combined,
+    ordered top-k — all user inputs bound as named parameters."""
+    return spark.sql(
+        SCREENER_SQL.format(dim=dim_view, limit=int(limit)),
+        args={
+            "rsi_lo": rsi_lo, "rsi_hi": rsi_hi,
+            "any_sector": sectors is None,
+            "sectors": sectors or [],
+            "min_return": min_return,
+            "ticker_pat": f"%{ticker_search}%",
+        })
+
+
+def ticker_momentum(spark: SparkSession, ticker,
+                    start: str, end: str,
+                    fct_view: str = "fct_momentum") -> DataFrame:
+    """P9: key + date-range predicate — partition-pruning friendly."""
+    return spark.sql(
+        TICKER_RANGE_SQL.format(fct=fct_view),
+        args={"ticker": ticker, "start": start, "end": end})
+
+
+def breadth_recent(spark: SparkSession, limit: int = 30,
+                   breadth_view: str = "market_breadth") -> DataFrame:
+    """O2: recency top-k over the breadth table."""
+    return spark.sql(BREADTH_RECENT_SQL.format(
+        breadth=breadth_view, limit=int(limit)))
