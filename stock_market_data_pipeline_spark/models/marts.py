@@ -180,7 +180,8 @@ def agg_daily_market_breadth(fct: DataFrame,
 
 
 def dim_securities_current(fct: DataFrame,
-                           p: IndicatorParams = IndicatorParams()) -> DataFrame:
+                           p: IndicatorParams = IndicatorParams(),
+                           reuse_input: bool = True) -> DataFrame:
     """One row per ticker, as of the latest trade_date in the fact
     (dim_securities_current.sql; W6, W11, W14-W15, A4-A7, J5-J6).
 
@@ -188,7 +189,16 @@ def dim_securities_current(fct: DataFrame,
     (QUALIFY top-1) LEFT JOIN lookback returns / trading-day counts /
     volatility metrics / last-signal dates, then whole-universe
     percent_rank with NULL segregation and per-sector analytic AVG.
+
+    ``reuse_input`` caches ``fct``: this model derives FOUR frames from
+    it (returns/tail/day-counts/signals) and Catalyst has no common-
+    subplan reuse across join branches, so an uncached input is fully
+    recomputed per branch (measured 13s -> 9s total, 2.6s marginal, at
+    sf0.1). In a materialized pipeline (runner.py) the fact is already
+    a table and the caller passes reuse_input=False.
     """
+    if reuse_input:
+        fct = fct.cache()
     ordered = Window.partitionBy("ticker").orderBy("trade_date")
 
     # W6: N-row lag returns computed on the full series, then snapshot
