@@ -25,6 +25,12 @@ _LOCAL_DEFAULTS = {
     # Parity with the reference's fixed-schema discipline (SURVEY.md §1.2):
     # fail fast rather than silently coerce.
     "spark.sql.parquet.mergeSchema": "false",
+    # local test files are single small parquets; the 128 MB default
+    # would scan them on 1-3 cores while 32 idle. 4 MB splits keep the
+    # map side parallel at bench scale; cluster deployments (many
+    # 100 MB+ files) should override back to the default.
+    "spark.sql.files.maxPartitionBytes": os.environ.get(
+        "SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"),
     # the synthetic events table stores ts as TIMESTAMP(NANOS), which
     # Spark rejects by default; read as long and convert explicitly
     # (streaming/events.py does `ts div 1000` -> timestamp_micros)
