@@ -22,6 +22,15 @@ FROM events
 GROUP BY 1, 2
 """.strip()
 
+STREAM_STATEFUL_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+            AS DOUBLE) / 100.0 AS total_value,
+       MAX(ts) AS last_ts
+FROM events
+GROUP BY user_id
+""".strip()
+
 STREAM_UPSERT_SQL = """
 SELECT event_type, COUNT(*) AS n_events,
        COUNT(DISTINCT user_id) AS n_users,
@@ -185,6 +194,17 @@ def serving_range_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     fct = QUERIES["fct_trading_momentum_small"](spark, sf_dir)
     fct.createOrReplaceTempView("fct_momentum")
     return ticker_momentum(spark, 5, "1995-01-01", "1996-12-31")
+
+
+@q("stream_stateful_user_totals", STREAM_STATEFUL_SQL)
+def stream_stateful_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running totals whose state crosses micro-batches; terminal state
+    must equal the batch GROUP BY oracle (SURVEY §2.9 stateful
+    cross-batch lookback). Integer-cents accumulation keeps the sum
+    order-independent."""
+    from .streaming.stateful import user_running_totals
+    return user_running_totals(spark, sf_dir)
 
 
 @q("ingest_pending_dates", PENDING_DATES_SQL)
