@@ -6,11 +6,17 @@ guards, same 0/1 flag semantics, same rounding). These are the dbt-macro
 analog on the oracle side: one source of truth per operator, composed
 into full model queries.
 
-Cross-engine determinism rules used throughout (see models/mapping.py):
-- every non-exact double (window AVG/SUM of doubles, stddev, ratios of
-  inexact inputs) is ROUND()ed identically on both sides;
-- integer aggregates are CAST(... AS BIGINT) because DuckDB SUM(INTEGER)
-  returns HUGEINT while Spark returns LongType;
+Cross-engine determinism rules used throughout (SURVEY.md §8.6):
+- hash-compared SUM/AVG of doubles go through EXACT decimal sums
+  (``SUM(CAST(x AS DECIMAL(18,k)))``) on both engines, then one cast
+  to double and one division — association-order-independent, so no
+  ROUND is needed (and none is applied: rounding half-boundary doubles
+  is itself engine-divergent);
+- genuinely inexact scalars (stddev, log-return ratios, percent_rank
+  products) are ROUND()ed identically on both sides — safe because
+  their values don't sit on decimal boundaries;
+- integer aggregates are CAST(... AS BIGINT) because DuckDB
+  SUM(INTEGER) returns HUGEINT while Spark returns LongType;
 - ROW_NUMBER/derived ints are BIGINT on both sides.
 """
 

@@ -31,6 +31,11 @@ class Model:
     materialization: str = "view"          # view | table | incremental
     depends_on: list[str] = field(default_factory=list)
     unique_key: list[str] | None = None    # incremental only
+    #: layout for table/incremental sinks — date partitioning gives the
+    #: dashboards' key+range predicates (P9) partition pruning, the
+    #: Spark analog of cluster_by=['ticker'] + date micro-partitions
+    #: (fct_trading_momentum.sql:5; SURVEY §1.4)
+    partition_by: list[str] = field(default_factory=list)
 
 
 class Runner:
@@ -64,20 +69,26 @@ class Runner:
             df.createOrReplaceTempView(model.name)
             return df
         path = self._table_path(model.name)
+
+        def write(frame: DataFrame, target: str) -> None:
+            w = frame.write.mode("overwrite")
+            if model.partition_by:
+                w = w.partitionBy(*model.partition_by)
+            w.parquet(target)
+
         if model.materialization == "table":
-            df.write.mode("overwrite").parquet(path)
+            write(df, path)
         elif model.materialization == "incremental":
             from .incremental import merge_upsert
             if os.path.isdir(path) and any(
-                    f.endswith(".parquet") for f in os.listdir(path)):
+                    not f.startswith(("_", ".")) for f in os.listdir(path)):
                 current = self.spark.read.parquet(path)
                 merged = merge_upsert(current, df,
                                       model.unique_key or ["id"])
-                merged.write.mode("overwrite").parquet(path + "__next")
-                (self.spark.read.parquet(path + "__next")
-                 .write.mode("overwrite").parquet(path))
+                write(merged, path + "__next")
+                write(self.spark.read.parquet(path + "__next"), path)
             else:
-                df.write.mode("overwrite").parquet(path)
+                write(df, path)
         else:
             raise ValueError(model.materialization)
         out = self.spark.read.parquet(path)

@@ -1,0 +1,154 @@
+"""Skew-salting equivalence tests + hypothesis property tests for the
+indicator column factories (engine invariants on generated series)."""
+
+from __future__ import annotations
+
+from datetime import date, timedelta
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+# ----------------------------------------------------------- salting
+
+def test_salted_agg_matches_plain(spark):
+    """Salting must change distribution only, never results."""
+    from stock_market_data_pipeline_spark.operators.salt import salted_agg
+
+    o = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    plain = (o.groupBy("o_custkey")
+             .agg(F.sum("o_totalprice").alias("total"),
+                  F.count(F.lit(1)).alias("n"))
+             )
+    salted = salted_agg(
+        o, ["o_custkey"],
+        partial_aggs=[F.sum("o_totalprice").alias("s"),
+                      F.count(F.lit(1)).alias("c")],
+        final_aggs=[F.sum("s").alias("total"), F.sum("c").alias("n")],
+        n_salts=8)
+    # compare counts exactly; sums via round (salting reorders the FP
+    # sum, which is exactly the order-sensitivity the engine's decimal
+    # rule exists for — counts prove row routing is lossless)
+    a = {(r.o_custkey, r.n, round(r.total, 2)) for r in plain.collect()}
+    b = {(r.o_custkey, r.n, round(r.total, 2)) for r in salted.collect()}
+    assert a == b
+
+
+def test_salted_broadcast_left_matches_plain(spark):
+    from stock_market_data_pipeline_spark.operators.salt import (
+        salted_broadcast_left,
+    )
+
+    c = spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+    n = spark.read.parquet(f"{SF_SMALL}/nation.parquet") \
+        .withColumnRenamed("n_nationkey", "c_nationkey")
+    plain = c.join(n, "c_nationkey").select("c_custkey", "n_name")
+    salted = salted_broadcast_left(c, n, "c_nationkey", n_salts=4) \
+        .select("c_custkey", "n_name")
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_runner_partitioned_table_layout(spark):
+    """partition_by writes hive-layout dirs and the key+range query
+    prunes to them."""
+    import os
+    import tempfile
+
+    from stock_market_data_pipeline_spark.runner import Model, Runner
+
+    wh = tempfile.mkdtemp(prefix="runner_part_")
+    r = Runner(spark, wh)
+    r.register(Model(
+        "daily_orders",
+        lambda s, b: (s.read.parquet(f"{SF_SMALL}/orders.parquet")
+                      .withColumn("od", F.col("o_orderdate").cast("date"))
+                      .withColumn("year", F.year("od"))),
+        materialization="table",
+        partition_by=["year"]))
+    out = r.run()["daily_orders"]
+    parts = [d for d in os.listdir(os.path.join(wh, "daily_orders"))
+             if d.startswith("year=")]
+    assert len(parts) > 1
+    pruned = out.where(F.col("year") == 1995)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "year=1995" in plan or "PartitionFilters" in plan
+
+
+# -------------------------------------------- indicator properties
+
+def _series_df(spark, closes):
+    base = date(1995, 1, 1)
+    rows = [("T", base + timedelta(days=i), float(c))
+            for i, c in enumerate(closes)]
+    return spark.createDataFrame(rows, "ticker string, trade_date date, close double")
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(closes=st.lists(
+    st.floats(min_value=1.0, max_value=1e5, allow_nan=False,
+              allow_infinity=False),
+    min_size=1, max_size=40))
+def test_guarded_sma_null_until_n(spark, closes):
+    """W1 invariant: NULL for the first n-1 rows, defined after."""
+    from stock_market_data_pipeline_spark.functions import indicators as ind
+
+    n = 5
+    df = _series_df(spark, closes)
+    w = ind.rolling_window("ticker", "trade_date", n)
+    out = (df.withColumn("sma", ind.guarded_sma(F.col("close"), w, n))
+           .orderBy("trade_date").collect())
+    for i, row in enumerate(out):
+        if i < n - 1:
+            assert row.sma is None, (i, row)
+        else:
+            expect = sum(closes[i - n + 1:i + 1]) / n
+            assert row.sma == pytest.approx(expect, rel=1e-9)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(closes=st.lists(
+    st.floats(min_value=1.0, max_value=1e4, allow_nan=False,
+              allow_infinity=False),
+    min_size=2, max_size=40))
+def test_crossover_mutually_exclusive(spark, closes):
+    """W7 invariant: bullish and bearish crossovers of the same pair
+    can never fire on the same row."""
+    from stock_market_data_pipeline_spark.functions import indicators as ind
+    from pyspark.sql import Window
+
+    df = _series_df(spark, closes)
+    w = Window.partitionBy("ticker").orderBy("trade_date")
+    sma = ind.guarded_sma(F.col("close"), ind.rolling_window(
+        "ticker", "trade_date", 3), 3)
+    out = (df.withColumn("sma", sma)
+           .withColumn("bull", ind.crossover(F.col("close"), F.col("sma"), w))
+           .withColumn("bear", ind.crossover(F.col("sma"), F.col("close"), w)))
+    assert out.where((F.col("bull") == 1) & (F.col("bear") == 1)).count() == 0
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.data())
+def test_merge_upsert_algebra(spark, data):
+    """MERGE invariants on generated tables: output keys = union of
+    keys; update wins on intersection; no duplicates."""
+    from stock_market_data_pipeline_spark.incremental import merge_upsert
+
+    t_keys = data.draw(st.sets(st.integers(0, 30), min_size=1, max_size=15))
+    u_keys = data.draw(st.sets(st.integers(0, 30), min_size=1, max_size=15))
+    target = spark.createDataFrame(
+        [(k, "old") for k in sorted(t_keys)], "k int, v string")
+    updates = spark.createDataFrame(
+        [(k, "new") for k in sorted(u_keys)], "k int, v string")
+    out = {(r.k, r.v) for r in merge_upsert(target, updates, ["k"]).collect()}
+    expect = {(k, "new") for k in u_keys} | {
+        (k, "old") for k in t_keys - u_keys}
+    assert out == expect
