@@ -83,8 +83,36 @@ def ensure_table(path: str) -> None:
     os.makedirs(path, exist_ok=True)
 
 
-def append_bars(df: DataFrame, path: str) -> int:
-    """S5: bulk append. Returns rows written."""
+def heal_schema(df: DataFrame, spark: SparkSession, path: str) -> DataFrame:
+    """S6 self-heal (src/snowflake_client.py:54-100 ADD COLUMN IF NOT
+    EXISTS): align an incoming frame with the existing table —
+    columns the table has but the frame lacks are padded with NULLs of
+    the table's type; NEW frame columns are kept (schema evolution,
+    surfaced to readers via evolved_read). No-op on an empty table."""
+    if not (os.path.isdir(path) and any(
+            not f.startswith(("_", ".")) for f in os.listdir(path))):
+        return df
+    existing = spark.read.parquet(path).schema
+    have = {f.name for f in df.schema.fields}
+    for f in existing.fields:
+        if f.name not in have:
+            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return df
+
+
+def evolved_read(spark: SparkSession, path: str) -> DataFrame:
+    """Read a table whose files may span schema versions: mergeSchema
+    unions the per-file schemas (older files surface NULLs for newer
+    columns) — the read side of ADD COLUMN IF NOT EXISTS."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def append_bars(df: DataFrame, path: str,
+                spark: SparkSession | None = None) -> int:
+    """S5: bulk append (schema-healed when the table exists).
+    Returns rows written."""
+    if spark is not None:
+        df = heal_schema(df, spark, path)
     n = df.count()
     df.write.mode("append").parquet(path)
     return n
@@ -117,7 +145,8 @@ def extract_load_range(spark: SparkSession, warehouse: str,
         run_id = ledger.record(api_date, "started")
         try:
             rows = fetch_with_retry(api_date, transport=transport)
-            n = append_bars(normalize_rows(spark, rows, api_date), bars_path)
+            n = append_bars(normalize_rows(spark, rows, api_date),
+                            bars_path, spark)
             ledger.record(api_date, "completed", rows_loaded=n,
                           run_id=run_id)
             loaded += 1

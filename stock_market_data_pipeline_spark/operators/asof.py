@@ -32,14 +32,33 @@ def asof_interval_join(
     how: str = "inner",
     broadcast_dim: bool = True,
     extra_cond: Column | None = None,
+    bucket_partitions: int | None = None,
 ) -> DataFrame:
     """Join ``fact`` to the dimension version valid at the fact timestamp.
 
     Interval bounds are INCLUSIVE on both ends (reference BETWEEN
     semantics). ``how='inner'`` doubles as universe-membership filtering
     (J2): non-member fact rows drop out.
+
+    Strategy ladder (pick per dim size):
+    - ``broadcast_dim=True`` (default): dim ships to every executor,
+      the fact never shuffles — right while the dim fits broadcast
+      (the reference's ~10k constituents always do).
+    - ``broadcast_dim=False, bucket_partitions=N``: both sides
+      repartition on the key first, so Catalyst plans a co-located
+      sort-merge join with the interval predicate as a streamed
+      residual filter — the beyond-broadcast scale path (an interval-
+      versioned dim has a handful of rows per key, so the residual
+      evaluates on tiny per-key groups).
+    - ``broadcast_dim=False`` alone: let AQE pick (skew-join eligible).
     """
-    d = F.broadcast(dim) if broadcast_dim else dim
+    if broadcast_dim:
+        d = F.broadcast(dim)
+    elif bucket_partitions:
+        fact = fact.repartition(bucket_partitions, key)
+        d = dim.repartition(bucket_partitions, key)
+    else:
+        d = dim
     d = d.alias("dim")
     f = fact.alias("fact")
     cond = (

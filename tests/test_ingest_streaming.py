@@ -103,3 +103,36 @@ def test_ledger_completed_dates(spark):
     led.record("1998-02-02", "completed", rows_loaded=50, run_id=rid)
     led.record("1998-02-03", "failed", error="x")
     assert led.completed_dates() == {"1998-02-02"}
+
+
+def test_schema_self_heal_and_evolution(spark):
+    """S6 self-heal: a frame missing a table column gets NULL-padded;
+    a frame with a NEW column evolves the table, and evolved_read
+    surfaces it with NULLs on old files."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from stock_market_data_pipeline_spark.ingest.loader import (
+        append_bars, evolved_read, heal_schema,
+    )
+
+    path = tempfile.mkdtemp(prefix="heal_") + "/t"
+    v1 = spark.createDataFrame([(1, "a", 10.0)], "id long, s string, x double")
+    append_bars(v1, path, spark)
+
+    # frame MISSING column x -> healed with NULL double
+    v2 = spark.createDataFrame([(2, "b")], "id long, s string")
+    healed = heal_schema(v2, spark, path)
+    assert "x" in healed.columns
+    append_bars(v2, path, spark)
+
+    # frame with a NEW column y -> schema evolution
+    v3 = spark.createDataFrame([(3, "c", 30.0, 99)],
+                               "id long, s string, x double, y long")
+    append_bars(v3, path, spark)
+
+    out = evolved_read(spark, path).orderBy("id").collect()
+    assert [r.id for r in out] == [1, 2, 3]
+    assert out[1].x is None          # healed NULL
+    assert out[0].y is None and out[2].y == 99
