@@ -85,12 +85,18 @@ def main() -> int:
         if fn is None:
             log(f"bench: skip {name} (not registered)")
             continue
-        t0 = time.perf_counter()
         try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            timings[name] = round(dt, 3)
-            log(f"bench: {name} {dt:.3f}s")
+            # min of two runs: the steady-state number (run-to-run noise
+            # from GC/JIT/machine load only ever inflates a timing)
+            reps = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop") \
+                    .mode("overwrite").save()
+                reps.append(time.perf_counter() - t0)
+            timings[name] = round(min(reps), 3)
+            log(f"bench: {name} {timings[name]:.3f}s (reps "
+                f"{[round(r, 2) for r in reps]})")
         except Exception as exc:  # one bad query must not zero the round
             log(f"bench: FAIL {name}: {exc!r:.300}")
 
