@@ -28,7 +28,6 @@ from pyspark.sql import functions as F
 
 from ..functions import indicators as ind
 from ..functions.indicators import flag
-from ..operators.qualify import top_n_per_group
 
 
 @dataclass(frozen=True)
@@ -181,7 +180,7 @@ def agg_daily_market_breadth(fct: DataFrame,
 
 def dim_securities_current(fct: DataFrame,
                            p: IndicatorParams = IndicatorParams(),
-                           reuse_input: bool = True) -> DataFrame:
+                           reuse_input: bool = False) -> DataFrame:
     """One row per ticker, as of the latest trade_date in the fact
     (dim_securities_current.sql; W6, W11, W14-W15, A4-A7, J5-J6).
 
@@ -190,30 +189,36 @@ def dim_securities_current(fct: DataFrame,
     volatility metrics / last-signal dates, then whole-universe
     percent_rank with NULL segregation and per-sector analytic AVG.
 
-    ``reuse_input`` caches ``fct``: this model derives FOUR frames from
-    it (returns/tail/day-counts/signals) and Catalyst has no common-
-    subplan reuse across join branches, so an uncached input is fully
-    recomputed per branch (measured 13s -> 9s total, 2.6s marginal, at
-    sf0.1). In a materialized pipeline (runner.py) the fact is already
-    a table and the caller passes reuse_input=False.
+    The window stage and the fused per-ticker aggregate are the only
+    two consumers of ``fct`` (the reference's four CTE scans collapse
+    into them), so recomputing the input per branch beats caching it
+    at bench scale (~1s vs ~1.7s warm at sf0.1 — cache columnar
+    (de)serialization costs more than one extra pipelined pass).
+    ``reuse_input=True`` re-enables caching for deployments where the
+    upstream fact is expensive to recompute (e.g. wide scans a cluster
+    reads from object storage).
     """
     if reuse_input:
         fct = fct.cache()
     ordered = Window.partitionBy("ticker").orderBy("trade_date")
 
-    # W6: N-row lag returns computed on the full series, then snapshot
+    # ONE window pass computes the lag returns AND the recency rank the
+    # trailing-window aggregates need (same partitioning, so both
+    # orderings share one exchange)
+    w_tail = Window.partitionBy("ticker").orderBy(F.col("trade_date").desc())
     with_returns = (
         fct.withColumn("return_s", ind.lag_return(F.col("close"), ordered, p.ret_short))
         .withColumn("return_m", ind.lag_return(F.col("close"), ordered, p.ret_mid))
         .withColumn("return_l", ind.lag_return(F.col("close"), ordered, p.ret_long))
         .withColumn("return_y", ind.lag_return(F.col("close"), ordered, p.ret_year))
+        .withColumn("__rn_desc", F.row_number().over(w_tail))
     )
 
     # J6: restrict to the global latest trade_date via scalar aggregate
     max_date = fct.agg(F.max("trade_date").alias("d"))
     passthrough = [c for c in ("company", "sector") if c in fct.columns]
     latest = (
-        top_n_per_group(with_returns, "ticker", F.col("trade_date").desc())
+        with_returns.where(F.col("__rn_desc") == 1)
         .join(F.broadcast(max_date),
               F.col("trade_date") == F.col("d"), "inner")
         .select("ticker", "trade_date", "close", "volume",
@@ -222,27 +227,26 @@ def dim_securities_current(fct: DataFrame,
                 *passthrough)
     )
 
-    # A4: annualized volatility over the trailing vol_window rows/ticker
-    w_tail = Window.partitionBy("ticker").orderBy(F.col("trade_date").desc())
-    tail = fct.withColumn("__rn", F.row_number().over(w_tail)) \
-              .where(F.col("__rn") <= p.vol_window)
+    # A4-A6 FUSED into one per-ticker aggregate pass (reference runs
+    # them as three CTEs, dim_securities_current.sql:85-154; one
+    # groupBy with conditional aggregates computes identical values —
+    # NULLs fall out of the CASE guards exactly as the filters did):
+    in_tail = F.col("__rn_desc") <= p.vol_window
     log_ret = F.when(
-        F.col("prev_close").isNotNull() & (F.col("prev_close") != 0)
+        in_tail
+        & F.col("prev_close").isNotNull() & (F.col("prev_close") != 0)
         & (F.col("close") / F.col("prev_close") > 0),
         F.log(F.col("close") / F.col("prev_close")))
-    vol_metrics = tail.groupBy("ticker").agg(
+    per_ticker = with_returns.groupBy("ticker").agg(
+        # A4 over the trailing vol_window rows
         (F.stddev_samp(log_ret) * F.lit(math.sqrt(252)))
         .alias("volatility_ann"),
-        F.avg("volume").alias("avg_volume"),
-        F.count(F.lit(1)).alias("window_rows"),
-    )
-
-    # A5: distinct trading days per ticker
-    day_counts = fct.groupBy("ticker").agg(
-        F.countDistinct("trade_date").alias("trading_days"))
-
-    # A6: conditional MAX signal dates with COALESCE fallback
-    signals = fct.groupBy("ticker").agg(
+        F.avg(F.when(in_tail, F.col("volume"))).alias("avg_volume"),
+        F.sum(F.when(in_tail, 1).otherwise(0)).cast("long")
+        .alias("window_rows"),
+        # A5
+        F.countDistinct("trade_date").alias("trading_days"),
+        # A6
         F.coalesce(
             F.max(F.when(F.col("golden_cross") == 1, F.col("trade_date"))),
             F.min(F.when(F.col("sma_l").isNotNull(), F.col("trade_date"))),
@@ -255,12 +259,9 @@ def dim_securities_current(fct: DataFrame,
         .alias("last_bullish_crossover"),
     )
 
-    # J5: chained left joins on ticker; every side is per-ticker (small)
-    dim = (
-        latest.join(vol_metrics, "ticker", "left")
-        .join(day_counts, "ticker", "left")
-        .join(signals, "ticker", "left")
-    )
+    # J5: one left join on ticker (the reference's chain of three,
+    # dim_securities_current.sql:219-231, collapses with the fusion)
+    dim = latest.join(per_ticker, "ticker", "left")
 
     # W15: percent_rank across the whole universe, NULL rows segregated
     # into their own partition and nulled out (reference semantics:
