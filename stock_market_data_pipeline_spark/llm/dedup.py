@@ -214,7 +214,10 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 3, bands: int = 4,
     """
     n_perm = len(MINHASH_AB)
     r = n_perm // bands
-    sh = shingle_table(docs, k)
+    # the shingle table feeds the signature aggregate, the size
+    # aggregate, and both sides of the verification join — cache it
+    # once rather than re-hashing the corpus per consumer
+    sh = shingle_table(docs, k).cache()
     sig = minhash_signatures(sh)
     band_cols = [
         F.concat_ws("-", *[F.col(f"h{b * r + i}").cast("string")
