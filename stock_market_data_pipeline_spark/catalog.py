@@ -158,6 +158,70 @@ def momentum_small(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _momentum_projection(_momentum(spark, sf_dir, SMALL))
 
 
+@q("gap_fill_daily", """
+WITH bars0 AS ({bars}),
+bars AS (
+  SELECT * FROM bars0
+  WHERE trade_date BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+),
+spans AS (
+  SELECT ticker, MIN(trade_date) AS d0, MAX(trade_date) AS d1
+  FROM bars GROUP BY ticker
+),
+days AS (
+  SELECT ticker,
+         CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+           AS trade_date
+  FROM spans
+),
+joined AS (
+  SELECT d.ticker, d.trade_date, b.close AS close_raw
+  FROM days d LEFT JOIN bars b
+    ON d.ticker = b.ticker AND d.trade_date = b.trade_date
+)
+SELECT ticker, trade_date,
+       last_value(close_raw IGNORE NULLS) OVER (
+         PARTITION BY ticker ORDER BY trade_date
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close,
+       close_raw,
+       CASE WHEN close_raw IS NULL THEN 1 ELSE 0 END AS is_gap_fill
+FROM joined
+""".format(bars=oracles.BARS_SQL))
+def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill with forward-fill: reindex each ticker to a
+    continuous daily calendar (sequence-explode), carry the last known
+    close (last IGNORE NULLS), flag synthetic rows — the resample/
+    align primitive the reference's pre-bucketed feed never needed.
+    Windowed to one year so the oracle compare stays collect-sized."""
+    from .operators.resample import fill_daily_gaps
+
+    bars = bars_from_lineitem(_t(spark, sf_dir, "lineitem")).where(
+        F.col("trade_date").between("1995-01-01", "1995-12-31"))
+    return fill_daily_gaps(bars)
+
+
+@q("resample_weekly_ohlc", """
+WITH bars AS ({bars})
+SELECT ticker,
+       CAST(date_trunc('week', trade_date) AS DATE) AS bucket_start,
+       arg_min(close, trade_date) AS open,
+       MAX(high) AS high,
+       MIN(low) AS low,
+       arg_max(close, trade_date) AS close,
+       CAST(SUM(volume) AS BIGINT) AS volume,
+       COUNT(*) AS n_days
+FROM bars
+GROUP BY 1, 2
+""".format(bars=oracles.BARS_SQL))
+def resample_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling to weekly bars via min_by/max_by (exact
+    first/last per bucket, no sort) — the hypertable-rollup shape."""
+    from .operators.resample import resample_ohlc
+
+    return resample_ohlc(bars_from_lineitem(_t(spark, sf_dir, "lineitem")),
+                         every="week")
+
+
 @q("scd2_constituents", """
 WITH attrs AS (
   SELECT p_partkey AS ticker, p_name AS company, p_brand AS sector,
