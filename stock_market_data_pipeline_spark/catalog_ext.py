@@ -7,6 +7,8 @@ oracles — the defining correctness property of a streaming pipeline.
 from __future__ import annotations
 
 import tempfile
+
+from .scratch import scratch_dir
 from datetime import date
 
 from pyspark.sql import DataFrame, SparkSession
@@ -96,7 +98,7 @@ def seed_csv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .seeds import read_seed_csv
 
-    d = tempfile.mkdtemp(prefix="seeds_")
+    d = scratch_dir("seeds_")
     path = os.path.join(d, "constituents.csv")
     sectors = ["Tech", "Energy", "Health", "Finance", "Retail"]
     with open(path, "w") as f:
@@ -227,7 +229,7 @@ def ingest_bars_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     generator arithmetic in SQL."""
     from .ingest.loader import extract_load_range
 
-    warehouse = tempfile.mkdtemp(prefix="ingest_wh_")
+    warehouse = scratch_dir("ingest_wh_")
     r1 = extract_load_range(spark, warehouse,
                             date(1998, 2, 2), date(1998, 2, 4))
     r2 = extract_load_range(spark, warehouse,

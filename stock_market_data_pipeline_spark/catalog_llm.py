@@ -194,17 +194,23 @@ FROM sums
 
 
 def _simhash_pairs_sql(max_hamming: int = 4) -> str:
+    from .llm.dedup import SIMHASH_CHUNK_BITS
     sig = _simhash_sql()
+    idxs, vals, off = [], [], 0
+    for i, b in enumerate(SIMHASH_CHUNK_BITS):
+        idxs.append(str(i))
+        vals.append(
+            f"CAST((simhash >> {off}) & {(1 << b) - 1} AS BIGINT)")
+        off += b
+    idx_list = ", ".join(idxs)
+    val_list = ",\n           ".join(vals)
     return f"""
 WITH sigt AS ({sig}),
 chunks AS (
   SELECT doc_id, simhash,
-         unnest([0, 1, 2, 3]) AS chunk_idx,
+         unnest([{idx_list}]) AS chunk_idx,
          unnest([
-           CAST((simhash >> 0) & 255 AS BIGINT),
-           CAST((simhash >> 8) & 255 AS BIGINT),
-           CAST((simhash >> 16) & 255 AS BIGINT),
-           CAST((simhash >> 24) & 255 AS BIGINT)
+           {val_list}
          ]) AS chunk_val
   FROM sigt
 ),

@@ -155,7 +155,15 @@ def run_all(fct: DataFrame, breadth: DataFrame,
             dim: DataFrame) -> dict[str, int]:
     """dbt-test analog: every check's violation count (all must be 0).
     Mirrors the DAG position of `dbt test` after the marts build
-    (daily_stock_pipeline_dag.py:48-55)."""
+    (daily_stock_pipeline_dag.py:48-55).
+
+    Inputs are cached for the duration: the suite fires ~19 actions
+    over them, and an uncached window-heavy fact would recompute per
+    check. (Unpersisted at the end; materialized pipeline tables are
+    already cheap re-reads, so the cache is harmless there too.)"""
+    fct = fct.cache()
+    breadth = breadth.cache()
+    dim = dim.cache()
     as_of_fct = _as_of(fct)
     as_of_b = _as_of(breadth)
     out = {

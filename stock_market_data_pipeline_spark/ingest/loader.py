@@ -110,12 +110,17 @@ def evolved_read(spark: SparkSession, path: str) -> DataFrame:
 def append_bars(df: DataFrame, path: str,
                 spark: SparkSession | None = None) -> int:
     """S5: bulk append (schema-healed when the table exists).
-    Returns rows written."""
+    Returns rows written — counted from the SAME execution as the
+    write (a separate count() would re-run the fetch/normalize lineage
+    and could disagree with what was committed)."""
+    from pyspark.sql import Observation
+
     if spark is not None:
         df = heal_schema(df, spark, path)
-    n = df.count()
-    df.write.mode("append").parquet(path)
-    return n
+    obs = Observation()
+    observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
+    observed.write.mode("append").parquet(path)
+    return int(obs.get["n"])
 
 
 def extract_load_range(spark: SparkSession, warehouse: str,

@@ -265,19 +265,32 @@ def simhash_signatures(docs: DataFrame, k: int = 3) -> DataFrame:
     return sums.select("doc_id", sig.cast("long").alias("simhash"))
 
 
+#: simhash chunk bit-widths: max_hamming + 1 = 5 chunks, so by
+#: pigeonhole ANY pair with <= 4 differing bits agrees exactly on at
+#: least one chunk — the candidate join provably reaches every pair
+#: the max_hamming=4 filter can accept. (4x8-bit chunks would only
+#: guarantee Hamming <= 3: four diffs can land one per chunk.)
+SIMHASH_CHUNK_BITS = [7, 7, 6, 6, 6]
+
+
 def simhash_pairs(docs: DataFrame, max_hamming: int = 4,
                   k: int = 3) -> DataFrame:
     """Near-dup candidate pairs with Hamming(simhash) <= max_hamming.
 
-    Candidates via band equality on four 8-bit signature chunks (a pair
-    within Hamming <= 6 of a 32-bit signature must agree exactly on at
-    least one of 4 chunks when differing bits spread; the chunk join is
-    the standard Hamming-LSH trick — shuffle on chunk value, no
-    all-pairs)."""
+    Candidates via chunk equality on len(SIMHASH_CHUNK_BITS) signature
+    chunks (the standard Hamming-LSH split: max_hamming+1 chunks make
+    the candidate set provably complete for the threshold); shuffle on
+    chunk value, no all-pairs."""
+    assert len(SIMHASH_CHUNK_BITS) == max_hamming + 1, \
+        "chunk count must be max_hamming + 1 for complete candidates"
     sig = simhash_signatures(docs, k)
+    offsets, off = [], 0
+    for b in SIMHASH_CHUNK_BITS:
+        offsets.append((off, (1 << b) - 1))
+        off += b
     chunks = F.array(*[
-        (F.shiftright(F.col("simhash"), 8 * c).bitwiseAND(255)).cast("long")
-        for c in range(4)
+        (F.shiftright(F.col("simhash"), o).bitwiseAND(mask)).cast("long")
+        for o, mask in offsets
     ])
     long = sig.select(
         "doc_id", "simhash",

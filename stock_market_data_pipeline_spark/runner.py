@@ -48,6 +48,12 @@ class Runner:
         self.models[model.name] = model
 
     def _order(self) -> list[Model]:
+        for m in self.models.values():
+            unknown = [d for d in m.depends_on if d not in self.models]
+            if unknown:
+                raise ValueError(
+                    f"model {m.name!r} depends on unregistered "
+                    f"model(s) {unknown}")
         done: list[str] = []
         remaining = dict(self.models)
         while remaining:
@@ -79,14 +85,18 @@ class Runner:
         if model.materialization == "table":
             write(df, path)
         elif model.materialization == "incremental":
+            import shutil
+
             from .incremental import merge_upsert
             if os.path.isdir(path) and any(
                     not f.startswith(("_", ".")) for f in os.listdir(path)):
                 current = self.spark.read.parquet(path)
                 merged = merge_upsert(current, df,
                                       model.unique_key or ["id"])
-                write(merged, path + "__next")
-                write(self.spark.read.parquet(path + "__next"), path)
+                staging = path + "__staging"
+                write(merged, staging)
+                write(self.spark.read.parquet(staging), path)
+                shutil.rmtree(staging, ignore_errors=True)
             else:
                 write(df, path)
         else:

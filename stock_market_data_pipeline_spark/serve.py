@@ -40,6 +40,14 @@ LIMIT {limit}
 """
 
 
+def _escape_like(term: str) -> str:
+    """Neutralize LIKE metacharacters in user input — parameter binding
+    prevents SQL injection but not wildcard injection (a '%' in the
+    search term would otherwise match everything)."""
+    return (term.replace("\\", "\\\\")
+            .replace("%", "\\%").replace("_", "\\_"))
+
+
 def screener(spark: SparkSession, dim_view: str = "dim_securities",
              rsi_lo: float = 0.0, rsi_hi: float = 100.0,
              sectors: list[str] | None = None,
@@ -47,7 +55,8 @@ def screener(spark: SparkSession, dim_view: str = "dim_securities",
              ticker_search: str = "",
              limit: int = 500) -> DataFrame:
     """P8 + P10: IN list / BETWEEN / ILIKE / >= predicates, AND-combined,
-    ordered top-k — all user inputs bound as named parameters."""
+    ordered top-k — all user inputs bound as named parameters, LIKE
+    metacharacters escaped."""
     return spark.sql(
         SCREENER_SQL.format(dim=dim_view, limit=int(limit)),
         args={
@@ -55,7 +64,7 @@ def screener(spark: SparkSession, dim_view: str = "dim_securities",
             "any_sector": sectors is None,
             "sectors": sectors or [],
             "min_return": min_return,
-            "ticker_pat": f"%{ticker_search}%",
+            "ticker_pat": f"%{_escape_like(ticker_search)}%",
         })
 
 

@@ -39,13 +39,18 @@ def scd2_apply(current: DataFrame | None, snapshot: DataFrame, key: str,
     closed = current.where(F.col("dbt_valid_to").isNotNull())
     open_rows = current.where(F.col("dbt_valid_to").isNull())
 
+    # explicit presence markers: deciding membership from a data
+    # column's NULL-ness would misclassify rows whose first check
+    # column is legitimately NULL
     snap = snapshot.select(
         F.col(key),
+        F.lit(1).alias("__in_snap"),
         *[F.col(c).alias(f"__new_{c}") for c in check_cols])
-    joined = open_rows.join(snap, key, "full_outer")
+    open_marked = open_rows.withColumn("__in_open", F.lit(1))
+    joined = open_marked.join(snap, key, "full_outer")
 
-    in_snap = F.col(f"__new_{check_cols[0]}").isNotNull()
-    in_open = F.col("dbt_valid_from").isNotNull()
+    in_snap = F.col("__in_snap").isNotNull()
+    in_open = F.col("__in_open").isNotNull()
     changed = in_open & in_snap & ~F.expr(
         " AND ".join(
             f"({c} <=> __new_{c})" for c in check_cols))

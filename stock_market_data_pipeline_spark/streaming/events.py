@@ -17,6 +17,8 @@ import os
 import shutil
 import tempfile
 
+from ..scratch import scratch_dir
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -31,7 +33,7 @@ def _staged_events_dir(sf_dir: str, copies: int = 1) -> str:
     source reads directories). ``copies`` > 1 simulates duplicate
     delivery of the same payload — each copy is one micro-batch with
     maxFilesPerTrigger=1."""
-    d = tempfile.mkdtemp(prefix="events_src_")
+    d = scratch_dir("events_src_")
     src = os.path.join(sf_dir, "events.parquet")
     for i in range(copies):
         shutil.copy(src, os.path.join(d, f"events_{i}.parquet"))
@@ -83,8 +85,7 @@ def hourly_rollup(spark: SparkSession, sf_dir: str,
                     "n_events", "total_value"))
 
 
-def upsert_replay(spark: SparkSession, sf_dir: str,
-                  batches: int = 4) -> DataFrame:
+def upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch MERGE upsert with ledger idempotency: the stream is
     replayed in multiple micro-batches; every batch MERGEs on event_id
     into a parquet target and records its batch id — re-delivery of an
@@ -99,7 +100,7 @@ def upsert_replay(spark: SparkSession, sf_dir: str,
     """
     from ..incremental import merge_upsert
 
-    tmp = tempfile.mkdtemp(prefix="stream_upsert_")
+    tmp = scratch_dir("stream_upsert_")
     target_path = os.path.join(tmp, "events_current")
     seen_batches: set[int] = set()  # ledger: processed batch ids
 

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import os
 import tempfile
+
+from ..scratch import scratch_dir
 from collections.abc import Iterator
 
 import pandas as pd
@@ -80,12 +82,12 @@ def user_running_totals(spark: SparkSession, sf_dir: str,
     src = _staged_events_dir(sf_dir, copies=1)
     # split the single file into per-half files for multi-batch replay
     whole = spark.read.parquet(src)
-    half = os.path.join(tempfile.mkdtemp(prefix="events_halves_"))
+    half = scratch_dir("events_halves_")
     whole.where("event_id % 2 = 0").write.mode("overwrite") \
         .parquet(os.path.join(half, "h0"))
     whole.where("event_id % 2 = 1").write.mode("overwrite") \
         .parquet(os.path.join(half, "h1"))
-    flat = tempfile.mkdtemp(prefix="events_flat_")
+    flat = scratch_dir("events_flat_")
     i = 0
     for sub in ("h0", "h1"):
         for f in os.listdir(os.path.join(half, sub)):

@@ -87,3 +87,57 @@ def test_dedup_exact_groups(spark):
            .where((F.col("n_canon") != 1) | (F.col("sz") != F.col("n"))))
     assert bad.count() == 0
     assert out.where(F.col("dup_group_size") > 1).count() > 0
+
+
+def test_scd2_handles_null_check_columns(spark):
+    """A snapshot row whose first check column is NULL must still count
+    as present (regression: presence was inferred from a data column's
+    NULL-ness)."""
+    from stock_market_data_pipeline_spark.snapshots import scd2_apply
+
+    snap1 = spark.createDataFrame(
+        [(1, None, "Tech"), (2, "B Corp", "Energy")],
+        "ticker int, company string, sector string")
+    hist = scd2_apply(None, snap1, "ticker", ["company", "sector"],
+                      "1996-01-01")
+    # same snapshot again: nothing changes (NULL <=> NULL is true)
+    hist2 = scd2_apply(hist, snap1, "ticker", ["company", "sector"],
+                       "1997-01-01")
+    rows = {(r.ticker, r.company, r.dbt_valid_to)
+            for r in hist2.collect()}
+    assert rows == {(1, None, None), (2, "B Corp", None)}
+
+
+def test_screener_like_escaping(spark):
+    """LIKE metacharacters in the search term match literally."""
+    from stock_market_data_pipeline_spark.serve import _escape_like
+
+    assert _escape_like("1%3") == "1\\%3"
+    assert _escape_like("a_b") == "a\\_b"
+    assert _escape_like("a\\b") == "a\\\\b"
+
+
+def test_simhash_candidates_complete_for_threshold(spark):
+    """Pigeonhole check: with max_hamming+1 chunks, a pair differing in
+    exactly max_hamming bits spread one-per-chunk must still be found."""
+    from pyspark.sql import functions as F
+
+    from stock_market_data_pipeline_spark.llm.dedup import (
+        SIMHASH_CHUNK_BITS,
+    )
+
+    assert len(SIMHASH_CHUNK_BITS) == 5 and sum(SIMHASH_CHUNK_BITS) == 32
+    # adversarial pair: 4 differing bits, one in each of 4 chunks —
+    # chunk 5 must still match
+    offsets, off = [], 0
+    for b in SIMHASH_CHUNK_BITS:
+        offsets.append(off)
+        off += b
+    sig_a = 0
+    sig_b = sum(1 << offsets[i] for i in range(4))   # flip 4 chunks
+    chunks_a = [(sig_a >> o) & ((1 << b) - 1)
+                for o, b in zip(offsets, SIMHASH_CHUNK_BITS)]
+    chunks_b = [(sig_b >> o) & ((1 << b) - 1)
+                for o, b in zip(offsets, SIMHASH_CHUNK_BITS)]
+    shared = [i for i in range(5) if chunks_a[i] == chunks_b[i]]
+    assert shared, "a 4-bit-diff pair must share at least one chunk"
