@@ -781,6 +781,91 @@ def median_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("trend_slope_by_key", """
+WITH bars AS ({bars}),
+xy AS (
+  SELECT ticker,
+         CAST(date_diff('day', DATE '1992-01-01', trade_date) AS BIGINT) AS x,
+         CAST(close AS DECIMAL(18,6)) AS y
+  FROM bars
+),
+sums AS (
+  SELECT ticker, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(x * x) AS sxx,
+         SUM(y) AS sy, SUM(x * y) AS sxy
+  FROM xy GROUP BY ticker
+)
+SELECT ticker, n,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) != 0
+            THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       END AS slope
+FROM sums
+""".format(bars=oracles.BARS_SQL))
+def trend_slope_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ticker least-squares trend slope of close over calendar-day
+    index — the regression aggregate, computed from EXACT integer/
+    decimal moment sums instead of the built-in regr_slope (whose
+    double covariances are association-order-dependent and would break
+    the bit-exact oracle)."""
+    bars = bars_from_lineitem(_t(spark, sf_dir, "lineitem"))
+    x = F.datediff(F.col("trade_date"), F.lit("1992-01-01")).cast("long")
+    y = F.col("close").cast("decimal(18,6)")
+    sums = (bars.select("ticker", x.alias("x"), y.alias("y"))
+            .groupBy("ticker")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("x").alias("sx"),
+                 F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                 F.sum("y").alias("sy"),
+                 F.sum(F.col("x") * F.col("y")).alias("sxy")))
+    # cast each EXACT sum to double first, then combine with identical
+    # elementary IEEE ops on both engines (mixed bigint x decimal(38,6)
+    # products overflow DuckDB's decimal width and silently fall back
+    # to double mid-expression, drifting from Spark's exact path)
+    n_d, sx_d, sxx_d, sy_d, sxy_d = (
+        F.col(c).cast("double") for c in ["n", "sx", "sxx", "sy", "sxy"])
+    denom = n_d * sxx_d - sx_d * sx_d
+    numer = n_d * sxy_d - sx_d * sy_d
+    return sums.select(
+        "ticker", "n",
+        F.when(denom != 0, numer / denom).alias("slope"))
+
+
+@q("rollup_revenue", """
+SELECT r_name AS region, n_name AS nation,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""")
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation via ROLLUP (region -> nation -> grand
+    total in one pass): Spark computes all grouping sets in a single
+    shuffle — the scale-correct alternative to unioning three
+    aggregations. Decimal sums keep every level deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = (o.join(c, o.o_custkey == c.c_custkey)
+              .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+              .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+              .select(F.col("r_name").alias("region"),
+                      F.col("n_name").alias("nation"),
+                      F.col("o_totalprice").cast("decimal(18,2)")
+                      .alias("price")))
+    return (joined.rollup("region", "nation")
+            .agg(F.sum("price").cast("double").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_orders")))
+
+
 # ---------------------------------------------------------------------
 # TPC-H classics (bench headliners; exercise scan+agg and join+agg+topk)
 # ---------------------------------------------------------------------
