@@ -1,0 +1,153 @@
+"""Catalog entries for the batch event-stream operators: gap-based
+sessionization, hopping windows, JSON property extraction, streaming
+dedup, and the backward as-of join.
+
+Cross-engine determinism notes (SURVEY.md §8.6): timestamps compare at
+microsecond precision on both engines (parquet TIMESTAMP(NANOS) is
+floor-truncated identically); value sums go through DECIMAL(18,2);
+session/window numbering is integer arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import q
+from .operators.events_ops import (
+    hopping_window_counts,
+    json_props_stats,
+    read_events,
+    session_stats,
+)
+
+SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM numbered
+GROUP BY user_id, session_seq
+""".strip()
+
+HOPPING_SQL = """
+WITH expanded AS (
+  SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000)
+           AS window_start, event_type, value
+  FROM events
+  UNION ALL
+  SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000
+                        - 1800000000), event_type, value
+  FROM events
+)
+SELECT window_start,
+       window_start + INTERVAL 60 MINUTES AS window_end,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM expanded
+GROUP BY 1, 2, 3
+""".strip()
+
+JSON_PROPS_SQL = """
+SELECT event_type,
+       COUNT(k) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS k_sum,
+       MIN(k) AS k_min, MAX(k) AS k_max,
+       CAST(SUM(k) AS DOUBLE) / COUNT(k) AS k_avg
+FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type
+""".strip()
+
+STREAM_DEDUP_SQL = """
+SELECT event_id, ts, user_id, event_type, value, props FROM events
+""".strip()
+
+ASOF_PRIOR_VIEW_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'click'
+),
+views AS (
+  SELECT user_id, ts, MAX(event_id) AS view_event_id FROM events
+  WHERE event_type = 'view'
+  GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id, c.ts, c.value,
+       v.ts AS matched_ts, v.view_event_id AS matched_view_event_id
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+""".strip()
+
+
+@q("sessionize_events", SESSIONIZE_SQL)
+def sessionize_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) + per-session
+    rollup. One Exchange on user_id serves the LAG, the running
+    session counter, AND the final per-session aggregate — the
+    sessionizer adds zero extra shuffles over a plain keyed agg."""
+    return session_stats(read_events(spark, sf_dir), gap_minutes=30)
+
+
+@q("events_hopping_counts", HOPPING_SQL)
+def events_hopping_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping windows (60-min duration / 30-min slide) per event
+    type: map-side window explode + single keyed aggregate; the
+    oracle reproduces the two-windows-per-event expansion with a
+    UNION ALL of shifted 30-min floors."""
+    return hopping_window_counts(read_events(spark, sf_dir),
+                                 duration_minutes=60, slide_minutes=30)
+
+
+@q("events_json_props", JSON_PROPS_SQL)
+def events_json_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction from the ``props`` column via
+    ``get_json_object`` (Catalyst expression, whole-stage codegen —
+    no Python in the loop) + per-type stats; the average is one
+    bigint->double division on both engines."""
+    return json_props_stats(read_events(spark, sf_dir))
+
+
+@q("stream_dedup_events", STREAM_DEDUP_SQL)
+def stream_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates under duplicate delivery (the same
+    payload staged as two micro-batches): terminal append-mode state
+    must equal the single-copy source — the streaming half of
+    exactly-once delivery."""
+    from .streaming.events import dedup_replay
+    return dedup_replay(spark, sf_dir)
+
+
+@q("asof_prior_view", ASOF_PRIOR_VIEW_SQL)
+def asof_prior_view_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each click event picks up the latest
+    view event of the same user at-or-before its timestamp (LEFT:
+    clicks with no prior view keep NULLs). Spark plan is the
+    union-window trick — ONE shuffle on user_id, no inequality join
+    — verified against DuckDB's native ASOF LEFT JOIN."""
+    from .operators.asof import asof_backward_join
+
+    ev = read_events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value")
+    views = (ev.where(F.col("event_type") == "view")
+             .groupBy("user_id", "ts")
+             .agg(F.max("event_id").alias("view_event_id")))
+    return asof_backward_join(clicks, views, key="user_id",
+                              left_ts="ts", right_ts="ts",
+                              payload_cols=["view_event_id"])

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def asof_interval_join(
@@ -72,4 +73,63 @@ def asof_interval_join(
     dim_cols = [c for c in dim.columns if c not in (key, valid_from, valid_to)]
     return f.join(d, cond, how).select(
         "fact.*", *[F.col(f"dim.{c}") for c in dim_cols]
+    )
+
+
+def asof_backward_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    prefix: str = "matched_",
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the payload of
+    the LATEST right row of the same key with ``right_ts <= left_ts``
+    (DuckDB ``ASOF JOIN`` / pandas ``merge_asof`` semantics, LEFT
+    outer: unmatched left rows keep NULL payloads).
+
+    Spark strategy — the union-window trick, NOT a range join: tag
+    both sides, union, and take ``last(payload, ignorenulls=True)``
+    over ``(key ORDER BY ts, side)``. One Exchange on the key, one
+    sort, zero join — at 100 TB this is a single shuffle of
+    left+right, where the naive join-then-max-per-left-row plan is an
+    exploding inequality join. Right rows sort BEFORE left rows at
+    equal timestamps, giving inclusive ``<=`` semantics.
+
+    ``right`` must be unique per ``(key, right_ts)`` (dedupe first —
+    ties inside one timestamp would be resolved arbitrarily).
+    """
+    pay = F.struct(
+        F.col(right_ts).alias(f"{prefix}{right_ts}"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in payload_cols],
+    )
+    l_cols = left.columns
+    l = left.select(
+        F.col(left_ts).alias("_ats"), F.lit(1).alias("_side"),
+        F.lit(None).cast(
+            right.select(pay.alias("_rpay")).schema["_rpay"].dataType
+        ).alias("_rpay"),
+        *l_cols,
+    )
+    r = right.select(
+        F.col(right_ts).alias("_ats"), F.lit(0).alias("_side"),
+        pay.alias("_rpay"),
+        *[
+            (F.col(key) if c == key else F.lit(None).cast(
+                dict(left.dtypes)[c]).alias(c))
+            for c in l_cols
+        ],
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_ats", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        l.unionByName(r)
+        .withColumn("_m", F.last("_rpay", ignorenulls=True).over(w))
+        .where(F.col("_side") == 1)
+        .select(*l_cols, "_m.*")
     )

@@ -1,0 +1,121 @@
+"""Batch operators over the event-stream table: sessionization,
+hopping (sliding) windows, and JSON property extraction.
+
+These are the batch halves of a clickstream/training-telemetry
+pipeline (the streaming halves live in ``streaming/``). The reference
+has no event table — its closest analog is the per-date replay loop
+(src/extract_load_stocks.py:64-78) — so these follow the standard
+large-scale event-pipeline shapes instead:
+
+- sessionization: the LAG + cumulative-flag idiom — one shuffle on
+  the session key, everything else window-local. At 100 TB the only
+  exchange is ``hashpartitioning(user_id)``; no self-join, no
+  cross-product, state never leaves the per-key sorted run.
+- hopping windows: each event is expanded to the (duration/slide)
+  windows that contain it (here 2) *before* the aggregate, so the
+  whole thing is one map-side explode + one keyed aggregate.
+- JSON extraction: ``get_json_object`` is a Catalyst expression
+  (JVM-side, codegen) — no Python in the loop.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: exact decimal for the 2-dp synthetic event values (cross-engine
+#: deterministic sums — SURVEY.md §8.6 rule 1)
+_DEC = "decimal(18,2)"
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch events reader. The parquet stores ``ts`` as
+    TIMESTAMP(NANOS); with ``nanosAsLong`` the batch reader yields
+    BIGINT nanos, truncated here to micros exactly like DuckDB's
+    nanos->micros read (floor division)."""
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(df.dtypes)["ts"] == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def sessionize(df: DataFrame, key: str = "user_id", ts: str = "ts",
+               gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap to
+    the previous event of the same key exceeds ``gap_minutes``.
+
+    Classic two-window plan sharing ONE partitioning: LAG to flag
+    session starts, then a running SUM of the flags to number the
+    sessions — both over ``(key ORDER BY ts)``, so Spark plans a
+    single Exchange + Sort and evaluates both windows in one pass.
+    """
+    us = F.unix_micros(F.col(ts))
+    w = Window.partitionBy(key).orderBy(ts, "event_id")
+    gap_us = gap_minutes * 60_000_000
+    prev = F.lag(us).over(w)
+    new_flag = F.when(prev.isNull() | ((us - prev) > gap_us), 1).otherwise(0)
+    return (
+        df.withColumn("_new", new_flag)
+        .withColumn("session_seq",
+                    F.sum("_new").over(
+                        w.rowsBetween(Window.unboundedPreceding, 0)))
+        .drop("_new")
+    )
+
+
+def session_stats(df: DataFrame, key: str = "user_id",
+                  ts: str = "ts", gap_minutes: int = 30) -> DataFrame:
+    """Per-session rollup over :func:`sessionize`: bounds, event count
+    and an exact-decimal value total (hash-stable across engines)."""
+    return (
+        sessionize(df, key, ts, gap_minutes)
+        .groupBy(key, "session_seq")
+        .agg(
+            F.min(ts).alias("session_start"),
+            F.max(ts).alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+def hopping_window_counts(df: DataFrame, ts: str = "ts",
+                          duration_minutes: int = 60,
+                          slide_minutes: int = 30) -> DataFrame:
+    """Overlapping (hopping) time windows via ``F.window``: each event
+    lands in duration/slide windows; Spark explodes map-side then runs
+    one keyed aggregate — no self-join. ``duration`` must be a
+    multiple of ``slide``."""
+    assert duration_minutes % slide_minutes == 0
+    win = F.window(F.col(ts), f"{duration_minutes} minutes",
+                   f"{slide_minutes} minutes")
+    return (
+        df.groupBy(win.alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast(_DEC)).cast("double")
+             .alias("total_value"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type", "n_events", "total_value")
+    )
+
+
+def json_props_stats(df: DataFrame) -> DataFrame:
+    """Extract the ``k`` property from the JSON ``props`` column
+    (``get_json_object`` — pure Catalyst, codegen'd) and aggregate per
+    event type. The average divides two exact integers once, so it is
+    bit-identical across engines."""
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        df.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(F.count("k").alias("n_with_k"),
+             F.sum("k").alias("k_sum"),
+             F.min("k").alias("k_min"),
+             F.max("k").alias("k_max"),
+             (F.sum("k").cast("double") / F.count("k")).alias("k_avg"))
+    )

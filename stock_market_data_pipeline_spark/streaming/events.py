@@ -85,6 +85,35 @@ def hourly_rollup(spark: SparkSession, sf_dir: str,
                     "n_events", "total_value"))
 
 
+def dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication under duplicate delivery: the source
+    stages the SAME payload twice (each copy one micro-batch), and
+    ``dropDuplicates`` on the event key suppresses the re-delivery —
+    the streaming half of exactly-once (SURVEY §2.9), complementing
+    the foreachBatch MERGE in :func:`upsert_replay`.
+
+    Dedup state is hash-partitioned by event_id across executors; with
+    a real unbounded stream pair it with
+    ``dropDuplicatesWithinWatermark`` so state is evicted past the
+    lateness bound (on a finite AvailableNow replay, plain
+    dropDuplicates keeps exact state for the run). Append-mode output:
+    rows flow through unbuffered, the terminal table is exactly the
+    single-copy source."""
+    stream = _events_stream(spark, _staged_events_dir(sf_dir, copies=2),
+                            max_files=1)
+    deduped = (stream.withWatermark("ts", "10 minutes")
+               .dropDuplicates(["event_id"]))
+    name = "dedup_replay_sink"
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        q = (deduped.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    return spark.table(name).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props")
+
+
 def upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch MERGE upsert with ledger idempotency: the stream is
     replayed in multiple micro-batches; every batch MERGEs on event_id

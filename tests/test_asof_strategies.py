@@ -55,3 +55,60 @@ def test_smj_asof_plans_sort_merge_when_not_broadcastable(spark):
         assert smj.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_backward_asof_semantics(spark):
+    """Tie (equal ts) matches inclusively; no-prior-row yields NULLs;
+    latest-not-first prior row wins."""
+    from datetime import datetime as dt
+
+    from stock_market_data_pipeline_spark.operators.asof import (
+        asof_backward_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, dt(2024, 1, 1, 10, 0)),   # after two rights -> latest (9:30)
+         (1, dt(2024, 1, 1, 9, 0)),    # exactly at a right ts -> inclusive
+         (2, dt(2024, 1, 1, 8, 0)),    # before any right -> NULLs
+         (3, dt(2024, 1, 1, 12, 0))],  # key with no right rows -> NULLs
+        "k long, lts timestamp")
+    right = spark.createDataFrame(
+        [(1, dt(2024, 1, 1, 9, 0), 100),
+         (1, dt(2024, 1, 1, 9, 30), 200),
+         (2, dt(2024, 1, 1, 9, 0), 300)],
+        "k long, rts timestamp, payload long")
+
+    out = asof_backward_join(left, right, key="k", left_ts="lts",
+                             right_ts="rts", payload_cols=["payload"])
+    got = {(r["k"], r["lts"].hour): (r["matched_payload"],
+                                     r["matched_rts"] and r["matched_rts"].minute)
+           for r in out.collect()}
+    assert got[(1, 10)] == (200, 30)
+    assert got[(1, 9)] == (100, 0)
+    assert got[(2, 8)] == (None, None)
+    assert got[(3, 12)] == (None, None)
+    assert out.count() == 4
+
+
+def test_backward_asof_single_shuffle_plan(spark):
+    """The union-window as-of is ONE exchange on the key — never an
+    inequality join (no BroadcastNestedLoop / cartesian)."""
+    from stock_market_data_pipeline_spark.operators.events_ops import (
+        read_events,
+    )
+    from stock_market_data_pipeline_spark.operators.asof import (
+        asof_backward_join,
+    )
+    from pyspark.sql import functions as F
+
+    ev = read_events(spark, SF_SMALL)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value")
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id"), F.col("ts"), F.col("event_id").alias("vid"))
+    out = asof_backward_join(clicks, views.dropDuplicates(["user_id", "ts"]),
+                             key="user_id", left_ts="ts", right_ts="ts",
+                             payload_cols=["vid"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # pure union + window, no join operator
+    assert plan.count("Exchange hashpartitioning(user_id") >= 1
