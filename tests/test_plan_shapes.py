@@ -84,3 +84,59 @@ def test_breadth_global_windows_after_day_grain(spark):
     single_pos = p.find("Exchange SinglePartition")
     assert agg_pos != -1 and single_pos < agg_pos, \
         "single-partition window should consume the day-grain aggregate"
+
+
+def test_sessionize_single_exchange(spark):
+    """Sessionization (LAG + running flag-sum + per-session rollup)
+    must run on ONE exchange over user_id: the rollup's grouping keys
+    (user_id, session_seq) are a superset of the window partitioning,
+    so the subset rule reuses it."""
+    p = plan_str(_q("sessionize_events")(spark, SF_SMALL))
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", p)
+    assert keys and all(k == "user_id" for k in keys), keys
+    assert len(keys) == 1, f"expected 1 exchange, got {keys}"
+
+
+def test_backward_asof_no_join_operator(spark):
+    """The as-of entry is the union-window plan: no join operator at
+    all between clicks and views (an inequality join here would
+    explode at scale); the views-dedup aggregate is the only extra
+    exchange."""
+    p = plan_str(_q("asof_prior_view")(spark, SF_SMALL))
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_cube_single_shuffle(spark):
+    """CUBE computes all four grouping sets in one expand + one
+    aggregate exchange — not four scans."""
+    p = plan_str(_q("cube_order_stats")(spark, SF_SMALL))
+    assert p.count("Expand") >= 1
+    assert p.count("FileScan") == 1
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_unpivot_is_map_side(spark):
+    """UNPIVOT adds no shuffle beyond its input query: melt happens
+    in place (Expand/Generate), never via self-union re-scans."""
+    dim_p = plan_str(_q("dim_securities_current")(spark, SF_SMALL))
+    unp_p = plan_str(_q("unpivot_dim_metrics")(spark, SF_SMALL))
+    assert "Expand" in unp_p
+    # no extra work vs the input query — column pruning may even DROP
+    # dim branches feeding unmelted columns, so <= not ==
+    assert unp_p.count("FileScan") <= dim_p.count("FileScan"), \
+        "unpivot re-scanned its input"
+    assert unp_p.count("Exchange") <= dim_p.count("Exchange")
+
+
+def test_band_join_broadcasts_bands_fact_streams(spark):
+    """The interval join must broadcast the band dim under the fact
+    (BroadcastNestedLoopJoin BuildRight on the inner pass) — the fact
+    side must NOT appear under any Exchange before the join."""
+    p = plan_str(_q("band_range_join")(spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin BuildRight, Inner" in p
+    join_pos = p.find("BroadcastNestedLoopJoin")
+    scan_pos = p.find("FileScan parquet [p_partkey")
+    assert scan_pos > join_pos, "fact scan should stream into the join"
+    between = p[join_pos:scan_pos]
+    assert "Exchange hashpartitioning" not in between
