@@ -352,6 +352,54 @@ def fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.fingerprints(_t(spark, sf_dir, "documents"))
 
 
+ROLLING_HASH_SQL = f"""
+SELECT doc_id,
+       len(str_split(text, ' ')) AS n_words,
+       CAST(list_reduce(list_transform(
+              str_split(text, ' '),
+              x -> CAST('0x' || substring(md5(x), 1, 15) AS BIGINT)
+                   % {FINGERPRINT_P}),
+            (acc, x) -> (acc * 1000003 + x) % {FINGERPRINT_P})
+            AS BIGINT) AS rolling_hash
+FROM documents
+""".strip()
+
+TFIDF_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents
+),
+tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, word, tf, df,
+         ROUND(CAST(tf AS DOUBLE)
+           * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+  FROM tf JOIN df USING (word) CROSS JOIN nd
+)
+SELECT doc_id, term_rank, word, tf, df, tfidf
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, word) AS term_rank
+      FROM scored)
+WHERE term_rank <= 3
+""".strip()
+
+
+@q("text_rolling_hash", ROLLING_HASH_SQL)
+def rolling_hash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-DEPENDENT Rabin-Karp rolling hash per doc (same words,
+    different order => different hash) — strict left fold, map-only."""
+    return textops.rolling_hash(_t(spark, sf_dir, "documents"))
+
+
+@q("text_tfidf_top_terms", TFIDF_SQL)
+def tfidf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per doc: explode -> (doc,word) grain ->
+    vocabulary-grain df join -> per-doc ranking window; N docs rides
+    in as a broadcast 1-row aggregate, not a driver collect."""
+    return textops.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
 @q("ann_cosine_topk", _ann_sql(n_queries=8, k=5, ivf=False))
 def ann_brute_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for 8 query vectors — the exactness

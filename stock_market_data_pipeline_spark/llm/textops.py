@@ -113,3 +113,68 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         .alias("n_unique_words"),
         fp.alias("fingerprint"),
     )
+
+
+#: Rabin-Karp base for the order-DEPENDENT rolling hash; with values
+#: < FINGERPRINT_P (~1e9) the fold term acc*B + x stays < ~1e15,
+#: far inside int64 — no overflow at any doc length
+ROLLING_B = 1_000_003
+
+
+def rolling_hash(docs: DataFrame) -> DataFrame:
+    """Order-dependent polynomial (Rabin-Karp) rolling hash over the
+    word sequence: h = fold(h * B + word_id mod p). Unlike
+    :func:`fingerprints` (bag-of-words, order-free), two docs with the
+    same words in different ORDER fingerprint differently.
+
+    Strict left-to-right ``F.aggregate`` fold ≡ DuckDB ``list_reduce``
+    (SURVEY.md §8.6 rule 2); the first fold step reduces to word_id[0]
+    on both engines, so the missing-initial-value semantics of
+    list_reduce agree with aggregate's zero init."""
+    word_ids = F.transform(
+        words_col(), lambda x: hex_id(x) % FINGERPRINT_P)
+    h = F.aggregate(
+        word_ids, F.lit(0).cast("long"),
+        lambda acc, x: (acc * ROLLING_B + x) % FINGERPRINT_P)
+    return docs.select(
+        "doc_id",
+        F.size(words_col()).cast("long").alias("n_words"),
+        h.alias("rolling_hash"),
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document: tf from an exploded token
+    table, document frequency from the distinct (doc, word) grain,
+    idf = ln(N/df) with N supplied as a broadcast 1-row aggregate
+    (never a driver-side collect).
+
+    Scale: tokenize explodes map-side; ONE shuffle to (doc_id, word)
+    grain; the df table is vocabulary-grain (small — Zipf) and joins
+    back on word; ranking windows over per-doc groups. Deterministic
+    tiebreak (score desc, word asc) so top-k is a stable set."""
+    tok = docs.select("doc_id", F.explode(words_col()).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
+    nd = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "word")
+        .join(F.broadcast(nd))
+        .withColumn(
+            "tfidf",
+            # ROUND(6) on both engines: ln() is the one place the two
+            # libms drift by 1 ulp, and transcendental outputs are not
+            # constructed half-boundary values (unlike money/20), so
+            # rounding is safe here — and ranking uses the ROUNDED
+            # score so the top-k set can't differ either
+            F.round(F.col("tf").cast("double")
+                    * F.log(F.col("n_docs").cast("double")
+                            / F.col("df").cast("double")), 6))
+    )
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("word"))
+    return (scored
+            .withColumn("term_rank", F.row_number().over(w))
+            .where(F.col("term_rank") <= k)
+            .select("doc_id", "term_rank", "word", "tf", "df", "tfidf"))
