@@ -42,6 +42,11 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "text_quality_score",
     "ann_cosine_topk",
+    # round-2 additions: one representative per new family
+    "sessionize_events",
+    "asof_prior_view",
+    "cube_order_stats",
+    "text_tfidf_top_terms",
 ]
 
 

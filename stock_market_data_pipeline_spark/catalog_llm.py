@@ -7,7 +7,8 @@ identical integer math. See llm/dedup.py for the determinism contract.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 from .catalog import _t, q
 from .llm import dedup, multimodal, similarity, textops
@@ -350,6 +351,88 @@ def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-independent bag-of-words fingerprint mod p."""
     return textops.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def _clusters_sql() -> str:
+    """Connected components over the MinHash-LSH pair graph as a
+    RECURSIVE min-label reachability CTE (UNION-dedup recursion
+    terminates; label = min doc_id of the component)."""
+    return f"""
+WITH RECURSIVE pairs AS (
+{_minhash_sql(bands=4, tau=0.5)}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT doc_id AS node, doc_id AS label FROM documents
+  UNION
+  SELECT e.dst AS node, r.label AS label
+  FROM reach r JOIN edges e ON e.src = r.node
+),
+cc AS (SELECT node AS doc_id, MIN(label) AS cluster_id
+       FROM reach GROUP BY node)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS is_kept
+FROM cc
+""".strip()
+
+
+HASH_SPLIT_SQL = """
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substring(md5('doc-' || CAST(doc_id AS VARCHAR)),
+                                1, 15) AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       CASE WHEN (lang = 'en' AND bucket % 2 = 0) OR lang != 'en'
+            THEN 1 ELSE 0 END AS in_sample
+FROM b
+""".strip()
+
+
+@q("dedup_clusters", _clusters_sql())
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs -> CLUSTERS: connected components over the LSH near-dup
+    graph via iterative min-label propagation (near-dup is not
+    transitive, so survivor selection needs components, not pairs);
+    one kept doc per cluster = the min doc_id. Verified against a
+    recursive-CTE reachability oracle."""
+    from .functions.indicators import flag
+
+    docs = _t(spark, sf_dir, "documents")
+    prs = dedup.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    cc = dedup.connected_components(prs, docs.select("doc_id"))
+    w = Window.partitionBy("cluster_id")
+    return cc.select(
+        "doc_id", "cluster_id",
+        F.count("*").over(w).alias("cluster_size"),
+        flag(F.col("doc_id") == F.col("cluster_id")).alias("is_kept"))
+
+
+@q("sample_hash_split", HASH_SPLIT_SQL)
+def hash_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash bucketing: reproducible train/val/test
+    assignment + per-language stratified sample flag from the SHARED
+    md5 bucket — no RNG, so re-runs (and both engines) agree row-for-
+    row; at scale this is a pure map with no shuffle and no state."""
+    from .functions.indicators import flag
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (dedup.hex_id(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))) % 100)
+    return docs.select(
+        "doc_id", "lang", bucket.alias("bucket"),
+        F.when(bucket < 80, "train").when(bucket < 90, "val")
+        .otherwise("test").alias("split"),
+        flag(((F.col("lang") == "en") & (bucket % 2 == 0))
+             | (F.col("lang") != "en")).alias("in_sample"))
 
 
 ROLLING_HASH_SQL = f"""

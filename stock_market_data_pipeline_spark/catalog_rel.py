@@ -182,3 +182,64 @@ def band_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("band_id", "lo", "hi",
                     F.coalesce("n_parts", F.lit(0)).alias("n_parts"),
                     "total_price"))
+
+
+QUANTILES_SQL = """
+SELECT p_brand AS brand,
+       COUNT(*) AS n,
+       quantile_cont(p_retailprice, 0.25) AS q1,
+       quantile_cont(p_retailprice, 0.50) AS q2,
+       quantile_cont(p_retailprice, 0.75) AS q3,
+       quantile_cont(p_retailprice, 0.75)
+         - quantile_cont(p_retailprice, 0.25) AS iqr
+FROM part
+GROUP BY p_brand
+""".strip()
+
+SETOPS_SQL = """
+WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE year(CAST(o_orderdate AS DATE)) = 1995),
+y96 AS (SELECT DISTINCT o_custkey FROM orders
+        WHERE year(CAST(o_orderdate AS DATE)) = 1996)
+SELECT 'both_years' AS op, o_custkey
+FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
+UNION ALL
+SELECT 'only_1995' AS op, o_custkey
+FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
+UNION ALL
+SELECT 'only_1996' AS op, o_custkey
+FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y95)
+""".strip()
+
+
+@q("quantiles_by_brand", QUANTILES_SQL)
+def quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped quantiles (percentile_cont semantics, linear
+    interpolation — verified bit-identical to DuckDB's quantile_cont).
+    Exact percentile needs the full per-group value multiset, so at
+    very large per-group cardinality switch to approx_percentile (the
+    t-digest sketch, mergeable map-side); here groups are bounded so
+    exact is both correct and cheap."""
+    pt = _t(spark, sf_dir, "part")
+    qt = (pt.groupBy(F.col("p_brand").alias("brand"))
+          .agg(F.count("*").alias("n"),
+               F.percentile("p_retailprice", 0.25).alias("q1"),
+               F.percentile("p_retailprice", 0.50).alias("q2"),
+               F.percentile("p_retailprice", 0.75).alias("q3")))
+    return qt.withColumn("iqr", F.col("q3") - F.col("q1"))
+
+
+@q("except_intersect_keys", SETOPS_SQL)
+def setops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (INTERSECT / EXCEPT, distinct semantics) over
+    year-sliced customer key sets, tagged and stacked. Spark plans
+    these as hash semi/anti joins on the key — co-partitioned, no
+    row explosion."""
+    o = _t(spark, sf_dir, "orders")
+    yr = F.year(F.col("o_orderdate").cast("date"))
+    y95 = o.where(yr == 1995).select("o_custkey").distinct()
+    y96 = o.where(yr == 1996).select("o_custkey").distinct()
+    tag = lambda df, t: df.select(F.lit(t).alias("op"), "o_custkey")  # noqa: E731
+    return (tag(y95.intersect(y96), "both_years")
+            .unionByName(tag(y95.exceptAll(y96.select("o_custkey")), "only_1995"))
+            .unionByName(tag(y96.exceptAll(y95.select("o_custkey")), "only_1996")))

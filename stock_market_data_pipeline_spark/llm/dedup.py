@@ -310,3 +310,55 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 4,
     return (cand.withColumn("hamming", hamming.cast("int"))
             .where(F.col("hamming") <= max_hamming)
             .select("doc_a", "doc_b", "sim_a", "sim_b", "hamming"))
+
+
+def connected_components(pairs: DataFrame, nodes: DataFrame,
+                         max_iter: int = 25) -> DataFrame:
+    """Connected components over a near-dup pair graph by iterative
+    min-label propagation — the step that turns PAIRS into CLUSTERS so
+    a dedup pipeline can keep one canonical doc per component (pair
+    lists alone can't: near-dup is not transitive-closed).
+
+    ``nodes``: one ``doc_id`` column (singletons keep their own id);
+    ``pairs``: ``doc_a``/``doc_b``. Returns (doc_id, cluster_id) where
+    cluster_id = the component's minimum doc_id.
+
+    Scale: each iteration is one equi-join + one keyed min-aggregate;
+    iterations needed = component diameter (near-dup clusters are
+    shallow — single digits). Lineage is truncated per iteration with
+    localCheckpoint so the plan doesn't grow with iterations. For
+    web-scale graphs with deep components, swap the loop body for the
+    large-star/small-star rounds of Kiveris et al. — the per-round
+    primitives (join + min-agg) are the same.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(
+            pairs.select(F.col("doc_b").alias("src"),
+                         F.col("doc_a").alias("dst")))
+        .cache()
+    )
+    labels = nodes.select(F.col("doc_id").alias("node"),
+                          F.col("doc_id").alias("label"))
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+        )
+        new = (
+            labels.union(prop).groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1).count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
