@@ -151,3 +151,50 @@ def asof_prior_view_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_backward_join(clicks, views, key="user_id",
                               left_ts="ts", right_ts="ts",
                               payload_cols=["view_event_id"])
+
+
+CUMULATIVE_USERS_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+         COUNT(DISTINCT user_id) AS active_users
+  FROM events GROUP BY 1
+),
+firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+  FROM events GROUP BY 1
+),
+newbies AS (
+  SELECT first_day AS day, COUNT(*) AS new_users FROM firsts GROUP BY 1
+)
+SELECT d.day, d.n_events, d.active_users,
+       COALESCE(n.new_users, 0) AS new_users,
+       CAST(SUM(COALESCE(n.new_users, 0))
+              OVER (ORDER BY d.day ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cumulative_users
+FROM daily d LEFT JOIN newbies n ON d.day = n.day
+""".strip()
+
+
+@q("cumulative_distinct_users", CUMULATIVE_USERS_SQL)
+def cumulative_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day WITHOUT a running
+    COUNT(DISTINCT) (unbounded state at scale): each user contributes
+    on their FIRST day only, then a running sum over the day grain —
+    two keyed aggregates + one single-partition window over ~days
+    rows. The same trick Structured Streaming needs (exact running
+    distinct is unbounded state there too)."""
+    from .operators.events_ops import read_events
+    from pyspark.sql.window import Window
+
+    ev = read_events(spark, sf_dir)
+    day = F.col("ts").cast("date")
+    daily = (ev.groupBy(day.alias("day"))
+             .agg(F.count("*").alias("n_events"),
+                  F.countDistinct("user_id").alias("active_users")))
+    newbies = (ev.groupBy("user_id").agg(F.min(day).alias("day"))
+               .groupBy("day").agg(F.count("*").alias("new_users")))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (daily.join(F.broadcast(newbies), "day", "left")
+            .select("day", "n_events", "active_users",
+                    F.coalesce("new_users", F.lit(0)).alias("new_users"))
+            .withColumn("cumulative_users", F.sum("new_users").over(w)))

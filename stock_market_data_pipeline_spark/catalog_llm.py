@@ -483,6 +483,30 @@ def tfidf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
+CENTROIDS_SQL = """
+WITH ex AS (
+  SELECT label,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+              AS BIGINT) AS vm
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label, pos, COUNT(*) AS n,
+       CAST(CAST(SUM(vm) AS BIGINT) AS DOUBLE)
+         / CAST(COUNT(*) * 1000000 AS DOUBLE) AS centroid
+FROM ex
+GROUP BY label, pos
+""".strip()
+
+
+@q("embedding_centroids", CENTROIDS_SQL)
+def centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (IVF training step): map-side
+    posexplode + one keyed aggregate; components floored to integer
+    micros so the cross-row sum is association-order-free."""
+    return similarity.label_centroids(_t(spark, sf_dir, "embeddings"))
+
+
 @q("ann_cosine_topk", _ann_sql(n_queries=8, k=5, ivf=False))
 def ann_brute_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for 8 query vectors — the exactness

@@ -124,3 +124,32 @@ def embedding_near_dup(embeddings: DataFrame, tau: float = 0.3) -> DataFrame:
                         F.col("b.vec_id").alias("vec_b"),
                         cos.alias("cosine"))
             .where(F.col("cosine") >= tau))
+
+
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label element-wise centroid of the embedding vectors — the
+    "training" half of IVF partitioning (assign = :func:`ivf_topk`'s
+    cell id). Long format (label, pos, n, centroid).
+
+    Scale/determinism: posexplode is map-side; ONE shuffle to
+    (label, pos) grain with map-side partial sums. Cross-row float
+    addition is order-dependent, so each component is first floored to
+    exact integer micros (identical single double multiply + floor on
+    both engines); the integer sums are then association-free and the
+    centroid is one int->double division. Precision loss is 1e-6 —
+    far below float32 embedding noise."""
+    ex = embeddings.select(
+        "label",
+        F.posexplode("embedding").alias("pos0", "v"))
+    micros = F.floor(F.col("v").cast("double") * F.lit(1000000.0))
+    return (
+        ex.select("label", (F.col("pos0") + 1).cast("long").alias("pos"),
+                  micros.alias("vm"))
+        .groupBy("label", "pos")
+        .agg(F.count("*").alias("n"), F.sum("vm").alias("s"))
+        .select(
+            F.col("label").cast("long").alias("label"), "pos", "n",
+            (F.col("s").cast("double")
+             / (F.col("n") * F.lit(1000000)).cast("double"))
+            .alias("centroid"))
+    )
