@@ -198,3 +198,67 @@ def cumulative_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("day", "n_events", "active_users",
                     F.coalesce("new_users", F.lit(0)).alias("new_users"))
             .withColumn("cumulative_users", F.sum("new_users").over(w)))
+
+
+FUNNEL_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 28800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts, event_type,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+),
+w1 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+              OVER (PARTITION BY user_id, session_seq) AS first_s1
+  FROM numbered
+),
+w2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= first_s1
+                     THEN ts END)
+              OVER (PARTITION BY user_id, session_seq) AS s2_after
+  FROM w1
+),
+w3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= s2_after
+                     THEN ts END)
+              OVER (PARTITION BY user_id, session_seq) AS s3_after
+  FROM w2
+),
+per_s AS (
+  SELECT user_id, session_seq, MAX(first_s1) AS fv, MAX(s2_after) AS ca,
+         MAX(s3_after) AS pa
+  FROM w3 GROUP BY user_id, session_seq
+),
+agg AS (
+  SELECT COUNT(*) AS n_sessions, COUNT(fv) AS n_s1,
+         COUNT(ca) AS n_s12, COUNT(pa) AS n_s123
+  FROM per_s
+)
+SELECT 'sessions' AS stage, n_sessions FROM agg
+UNION ALL SELECT 'view', n_s1 FROM agg
+UNION ALL SELECT 'view_click', n_s12 FROM agg
+UNION ALL SELECT 'view_click_purchase', n_s123 FROM agg
+""".strip()
+
+
+@q("session_funnel", FUNNEL_SQL)
+def session_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view->click->purchase funnel within sessions: stage
+    timestamps via chained window MINs over one (user, session)
+    partitioning; an out-of-order purchase does NOT count (that's the
+    difference from a conditional count). 4-row conversion table.
+
+    480-min gap: the synthetic stream is sparse per user (hours
+    between same-user events), so a web-style 30-min gap yields 1-2
+    event sessions and a vacuous funnel tail; 8h sessions give signal
+    at every stage (53 completed funnels at sf0.01)."""
+    from .operators.events_ops import session_funnel
+    return session_funnel(read_events(spark, sf_dir), gap_minutes=480)

@@ -119,3 +119,44 @@ def json_props_stats(df: DataFrame) -> DataFrame:
              F.max("k").alias("k_max"),
              (F.sum("k").cast("double") / F.count("k")).alias("k_avg"))
     )
+
+
+def session_funnel(df: DataFrame, key: str = "user_id", ts: str = "ts",
+                   gap_minutes: int = 30,
+                   stages: tuple[str, str, str] = ("view", "click",
+                                                   "purchase")) -> DataFrame:
+    """Ordered in-session funnel: how many sessions reach stage 1,
+    stage 1 THEN stage 2 (at-or-after), then stage 3. "Then" is
+    timestamp-ordered within the session — a later-stage event BEFORE
+    the earlier stage doesn't count, which is why this can't be a
+    plain conditional count.
+
+    Plan: the three stage timestamps are successive window MINs over
+    the SAME (key, session) partitioning (one Exchange shared with
+    the sessionizer), then one session-grain aggregate and a 4-row
+    stack. Scale-safe: nothing leaves the per-key sorted run until
+    the session grain."""
+    s1, s2, s3 = stages
+    s = sessionize(df, key, ts, gap_minutes)
+    w = Window.partitionBy(key, "session_seq")
+    t = F.col(ts)
+    et = F.col("event_type")
+    s = s.withColumn("first_s1", F.min(F.when(et == s1, t)).over(w))
+    s = s.withColumn(
+        "s2_after",
+        F.min(F.when((et == s2) & (t >= F.col("first_s1")), t)).over(w))
+    s = s.withColumn(
+        "s3_after",
+        F.min(F.when((et == s3) & (t >= F.col("s2_after")), t)).over(w))
+    per_session = (
+        s.groupBy(key, "session_seq")
+        .agg(F.max("first_s1").alias("fv"), F.max("s2_after").alias("ca"),
+             F.max("s3_after").alias("pa"))
+    )
+    row = per_session.agg(
+        F.count("*").alias("n_sessions"), F.count("fv").alias("n_s1"),
+        F.count("ca").alias("n_s12"), F.count("pa").alias("n_s123"))
+    return row.selectExpr(
+        f"stack(4, 'sessions', n_sessions, '{s1}', n_s1, "
+        f"'{s1}_{s2}', n_s12, '{s1}_{s2}_{s3}', n_s123) "
+        "AS (stage, n_sessions)")
