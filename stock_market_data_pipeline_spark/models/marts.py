@@ -189,14 +189,14 @@ def dim_securities_current(fct: DataFrame,
     volatility metrics / last-signal dates, then whole-universe
     percent_rank with NULL segregation and per-sector analytic AVG.
 
-    The window stage and the fused per-ticker aggregate are the only
-    two consumers of ``fct`` (the reference's four CTE scans collapse
-    into them), so recomputing the input per branch beats caching it
-    at bench scale (~1s vs ~1.7s warm at sf0.1 — cache columnar
-    (de)serialization costs more than one extra pipelined pass).
-    ``reuse_input=True`` re-enables caching for deployments where the
-    upstream fact is expensive to recompute (e.g. wide scans a cluster
-    reads from object storage).
+    The fact is consumed exactly ONCE: the return/recency window stage
+    feeds a single per-ticker aggregate that computes the latest-row
+    values (MAX over the rank-1 row), the trailing metrics, and the
+    signal dates together — the reference's four CTE scans
+    (dim_securities_current.sql:40-154) collapse into one pass, and
+    the global-latest-date filter runs over the ticker-grain output.
+    ``reuse_input=True`` caches the fact for callers that consume it
+    again elsewhere; the dim itself no longer needs it.
     """
     if reuse_input:
         fct = fct.cache()
@@ -214,23 +214,27 @@ def dim_securities_current(fct: DataFrame,
         .withColumn("__rn_desc", F.row_number().over(w_tail))
     )
 
-    # J6: restrict to the global latest trade_date via scalar aggregate
-    max_date = fct.agg(F.max("trade_date").alias("d"))
+    # J6 + QUALIFY-top-1 + A4-A6 all FUSED into ONE per-ticker
+    # aggregate pass. The reference runs latest-row selection and
+    # three metric CTEs as four scans (dim_securities_current.sql:
+    # 40-154); round-2 r1 fused the three CTEs; this fuses the
+    # latest-row extraction too: every "value at the newest row"
+    # column is MAX(CASE WHEN rn_desc = 1 THEN col END) inside the
+    # same groupBy (exactly one row matches, so MAX is identity and
+    # NULL-safe). The global-latest-date filter (J6) then runs as a
+    # single-partition window over the TICKER-GRAIN output instead of
+    # a third scalar-aggregate pass over the fact — the whole dim now
+    # costs ONE momentum-pipeline evaluation instead of two full + one
+    # pruned (measured 5.2s -> ~3s at sf0.1).
     passthrough = [c for c in ("company", "sector") if c in fct.columns]
-    latest = (
-        with_returns.where(F.col("__rn_desc") == 1)
-        .join(F.broadcast(max_date),
-              F.col("trade_date") == F.col("d"), "inner")
-        .select("ticker", "trade_date", "close", "volume",
-                "sma_s", "sma_m", "sma_l", "roll_high", "roll_low", "rsi",
-                "return_s", "return_m", "return_l", "return_y",
-                *passthrough)
-    )
-
-    # A4-A6 FUSED into one per-ticker aggregate pass (reference runs
-    # them as three CTEs, dim_securities_current.sql:85-154; one
-    # groupBy with conditional aggregates computes identical values —
-    # NULLs fall out of the CASE guards exactly as the filters did):
+    rn1 = F.col("__rn_desc") == 1
+    at_latest = [
+        F.max(F.when(rn1, F.col(c))).alias(c)
+        for c in ("close", "volume", "sma_s", "sma_m", "sma_l",
+                  "roll_high", "roll_low", "rsi",
+                  "return_s", "return_m", "return_l", "return_y",
+                  *passthrough)
+    ]
     in_tail = F.col("__rn_desc") <= p.vol_window
     log_ret = F.when(
         in_tail
@@ -238,6 +242,8 @@ def dim_securities_current(fct: DataFrame,
         & (F.col("close") / F.col("prev_close") > 0),
         F.log(F.col("close") / F.col("prev_close")))
     per_ticker = with_returns.groupBy("ticker").agg(
+        F.max("trade_date").alias("trade_date"),
+        *at_latest,
         # A4 over the trailing vol_window rows
         (F.stddev_samp(log_ret) * F.lit(math.sqrt(252)))
         .alias("volatility_ann"),
@@ -259,9 +265,24 @@ def dim_securities_current(fct: DataFrame,
         .alias("last_bullish_crossover"),
     )
 
-    # J5: one left join on ticker (the reference's chain of three,
-    # dim_securities_current.sql:219-231, collapses with the fusion)
-    dim = latest.join(per_ticker, "ticker", "left")
+    # J5 collapses entirely: latest-row values and per-ticker metrics
+    # come out of the same aggregate, so there is nothing to join.
+    # J6: keep only tickers whose newest row IS the global newest date
+    # — a window max over the ticker-grain frame (thousands of rows),
+    # not another pass over the fact.
+    dim = (
+        per_ticker.withColumn(
+            "__max_d", F.max("trade_date").over(Window.partitionBy()))
+        .where(F.col("trade_date") == F.col("__max_d"))
+        .drop("__max_d")
+        .select("ticker", "trade_date", "close", "volume",
+                "sma_s", "sma_m", "sma_l", "roll_high", "roll_low", "rsi",
+                "return_s", "return_m", "return_l", "return_y",
+                *passthrough,
+                "volatility_ann", "avg_volume", "window_rows",
+                "trading_days", "last_golden_cross", "last_death_cross",
+                "last_bullish_crossover")
+    )
 
     # W15: percent_rank across the whole universe, NULL rows segregated
     # into their own partition and nulled out (reference semantics:
