@@ -262,3 +262,50 @@ def session_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     at every stage (53 completed funnels at sf0.01)."""
     from .operators.events_ops import session_funnel
     return session_funnel(read_events(spark, sf_dir), gap_minutes=480)
+
+
+SESSION_WINDOW_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM numbered
+GROUP BY user_id, session_seq
+""".strip()
+
+
+@q("session_window_native", SESSION_WINDOW_SQL)
+def session_window_native_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window aggregate (merging-state session
+    windows — the streaming-capable form) must produce the same
+    sessions as the hand-rolled LAG+flag sessionizer: same 30-min gap,
+    same oracle. session_window.end is last_event + gap by definition,
+    so session_end is re-derived as MAX(ts) to match the gap-based
+    semantics."""
+    from .operators.events_ops import read_events
+
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id",
+                   F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"),
+             F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+             .alias("total_value"))
+        .select("user_id", "session_start", "session_end", "n_events",
+                "total_value")
+    )

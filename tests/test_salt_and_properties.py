@@ -152,3 +152,22 @@ def test_merge_upsert_algebra(spark, data):
     expect = {(k, "new") for k in u_keys} | {
         (k, "old") for k in t_keys - u_keys}
     assert out == expect
+
+
+def test_approx_count_distinct_error_bound(spark):
+    """approx_count_distinct (HyperLogLog++) is the scale path where
+    exact distinct state won't fit (streaming, running distincts);
+    calibrate its error against exact on two cardinality regimes.
+    rsd=0.02 gives a ~2% standard error — assert within 3 sigma."""
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMALL
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    for df, col in ((ev, "user_id"), (li, "l_partkey")):
+        exact, approx = df.agg(
+            F.countDistinct(col).alias("e"),
+            F.approx_count_distinct(col, rsd=0.02).alias("a"),
+        ).first()
+        assert abs(approx - exact) <= max(3, 0.06 * exact), \
+            (col, exact, approx)
