@@ -238,3 +238,19 @@ def ingest_bars_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r1, r2)
     bars = spark.read.parquet(r1["bars_path"])
     return bars.select("T", "V", "VW", "O", "C", "H", "L", "N", "DATE")
+
+
+@q("datasource_grouped_daily", INGEST_BARS_SQL)
+def datasource_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-S3 as a FIRST-CLASS Spark source: the custom Python
+    DataSource (Spark 4 DataSource API) plans one InputPartition per
+    trading date, so a backfill's per-date REST fetches run
+    distributed across executors (task retry = per-date retry) —
+    same normalized rows as the imperative loader path, same oracle."""
+    from .ingest import datasource
+
+    datasource.register(spark)
+    df = (spark.read.format("grouped_daily")
+          .option("start", "1998-02-02").option("end", "1998-02-04")
+          .load())
+    return df.select("T", "V", "VW", "O", "C", "H", "L", "N", "DATE")

@@ -136,3 +136,23 @@ def test_schema_self_heal_and_evolution(spark):
     assert [r.id for r in out] == [1, 2, 3]
     assert out[1].x is None          # healed NULL
     assert out[0].y is None and out[2].y == 99
+
+
+def test_datasource_plans_one_partition_per_trading_date(spark):
+    """The custom DataSource must parallelize a backfill by DATE:
+    one InputPartition per weekday (the distributed form of the
+    reference's serial date loop)."""
+    from stock_market_data_pipeline_spark.ingest.datasource import (
+        GroupedDailyReader, weekdays,
+    )
+    from datetime import date
+
+    r = GroupedDailyReader({"start": "1998-02-02", "end": "1998-02-15"})
+    parts = r.partitions()
+    assert len(parts) == len(weekdays(date(1998, 2, 2), date(1998, 2, 15)))
+    assert len(parts) == 10  # two full Mon-Fri weeks
+    assert [p.value for p in parts][:2] == ["1998-02-02", "1998-02-03"]
+    # executor-side read of one partition yields that date's bars only
+    rows = list(r.read(parts[0]))
+    assert len(rows) == 50
+    assert {row[-1] for row in rows} == {date(1998, 2, 2)}
