@@ -309,3 +309,21 @@ def session_window_native_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "session_start", "session_end", "n_events",
                 "total_value")
     )
+
+#: 480-min gap (same rationale as session_funnel): long sessions make
+#: ~51 sessions straddle the 3 chunk boundaries at sf0.01, so the
+#: cross-batch session-state MERGE is observably exercised — with a
+#: 30-min gap no session straddles and the replay proves nothing.
+STREAM_SESSION_SQL = SESSION_WINDOW_SQL.replace("1800000000",
+                                                "28800000000")
+
+
+@q("stream_session_windows", STREAM_SESSION_SQL)
+def stream_session_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING session windows: 480-min-gap sessions built with
+    merging session_window state across micro-batches (the input is
+    split into 3 chronological chunks, one per batch) — sessions
+    split across batch boundaries must merge back into one row;
+    terminal state equals the batch LAG-based oracle."""
+    from .streaming.events import session_replay
+    return session_replay(spark, sf_dir, gap="480 minutes")

@@ -166,3 +166,65 @@ def upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
                  .alias("total_value"))
             )
+
+
+def _staged_events_chunks(spark: SparkSession, sf_dir: str,
+                          n_chunks: int = 3) -> str:
+    """Stage the events table as ``n_chunks`` TIME-ORDERED parquet
+    files (chunk k = k-th tertile of the timestamp range), mtime-
+    ordered so the file source replays them chronologically one per
+    micro-batch — sessions that straddle a chunk boundary arrive in
+    DIFFERENT micro-batches."""
+    import time as _time
+
+    d = scratch_dir("events_chunks_")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    lo, hi = df.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) + 1
+    for k in range(n_chunks):
+        a = lo + span * k // n_chunks
+        b = lo + span * (k + 1) // n_chunks
+        chunk_dir = os.path.join(d, f"__w{k}")
+        (df.where((F.col("ts") >= a) & (F.col("ts") < b))
+         .coalesce(1).write.mode("overwrite").parquet(chunk_dir))
+        part = [f for f in os.listdir(chunk_dir)
+                if f.endswith(".parquet")][0]
+        tgt = os.path.join(d, f"chunk_{k}.parquet")
+        os.rename(os.path.join(chunk_dir, part), tgt)
+        shutil.rmtree(chunk_dir, ignore_errors=True)
+        mtime = _time.time() - (n_chunks - k) * 10
+        os.utime(tgt, (mtime, mtime))
+    return d
+
+
+def session_replay(spark: SparkSession, sf_dir: str,
+                   gap: str = "30 minutes") -> DataFrame:
+    """Streaming SESSION WINDOWS (merging-state session_window
+    aggregate): per-user sessions whose state merges across
+    micro-batches; AvailableNow replay, complete-mode memory sink.
+    Terminal sessions must equal the batch gap-based sessionizer —
+    the defining property: the input is split into 3 chronological
+    chunks replayed one per micro-batch, so any session straddling a
+    chunk boundary MUST merge across batches to match the oracle."""
+    stream = _events_stream(spark,
+                            _staged_events_chunks(spark, sf_dir, 3),
+                            max_files=1)
+    agg = (
+        stream
+        .groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"),
+             F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+             .alias("total_value"))
+    )
+    name = "session_replay_sink"
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        q = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("complete")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    return spark.table(name).select(
+        "user_id", "session_start", "session_end", "n_events",
+        "total_value")
