@@ -254,3 +254,28 @@ def datasource_q(spark: SparkSession, sf_dir: str) -> DataFrame:
           .option("start", "1998-02-02").option("end", "1998-02-04")
           .load())
     return df.select("T", "V", "VW", "O", "C", "H", "L", "N", "DATE")
+
+
+def _serving_breadth_sql() -> str:
+    from . import oracles
+    from .models.marts import SMALL
+    return f"""
+WITH breadth AS ({oracles.breadth_sql(SMALL)})
+SELECT * FROM breadth
+ORDER BY trade_date DESC
+LIMIT 30
+""".strip()
+
+
+@q("serving_breadth", _serving_breadth_sql())
+def serving_breadth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 + O2: the Market Breadth page query — recency top-30 over
+    the breadth mart through the serving layer
+    (data-viz/pages/1_Market_Breadth.py:28); the bounded DESC sort
+    plans TakeOrderedAndProject, never a full sort."""
+    from .catalog import QUERIES
+    from .serve import breadth_recent
+
+    b = QUERIES["agg_daily_market_breadth"](spark, sf_dir)
+    b.createOrReplaceTempView("market_breadth")
+    return breadth_recent(spark, limit=30)
