@@ -397,6 +397,48 @@ FROM b
 """.strip()
 
 
+def _survivors_sql() -> str:
+    """Per-cluster survivor = the highest-quality member (ties -> min
+    doc_id): recursive-CTE components joined to the quality scores."""
+    cc = _clusters_sql()
+    # reuse the clusters query verbatim as a CTE (strip its trailing
+    # SELECT: it already ends with the cc projection)
+    return f"""
+WITH RECURSIVE qs AS ({QUALITY_SCORE_SQL}),
+clusters AS ({cc})
+SELECT c.cluster_id, c.doc_id, q.quality_score, c.cluster_size,
+       CASE WHEN ROW_NUMBER() OVER (
+                PARTITION BY c.cluster_id
+                ORDER BY q.quality_score DESC, c.doc_id) = 1
+            THEN 1 ELSE 0 END AS is_survivor
+FROM clusters c JOIN qs q ON c.doc_id = q.doc_id
+""".strip()
+
+
+@q("dedup_survivors_by_quality", _survivors_sql())
+def dedup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor POLICY on top of the dedup clusters: keep the highest
+    QUALITY member of each near-dup cluster (real curation pipelines
+    keep the best copy, not the smallest id; ties break to min
+    doc_id). Quality scores ride in on a doc-grain equi-join; the
+    ranking window runs per cluster."""
+    from .functions.indicators import flag
+
+    docs = _t(spark, sf_dir, "documents")
+    prs = dedup.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    cc = dedup.connected_components(prs, docs.select("doc_id"))
+    w = Window.partitionBy("cluster_id")
+    cc = cc.withColumn("cluster_size", F.count("*").over(w))
+    qs = textops.quality_score(docs).select("doc_id", "quality_score")
+    rk = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id"))
+    return (cc.join(qs, "doc_id")
+            .withColumn("is_survivor",
+                        flag(F.row_number().over(rk) == 1))
+            .select("cluster_id", "doc_id", "quality_score",
+                    "cluster_size", "is_survivor"))
+
+
 @q("dedup_clusters", _clusters_sql())
 def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs -> CLUSTERS: connected components over the LSH near-dup
