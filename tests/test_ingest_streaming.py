@@ -156,3 +156,78 @@ def test_datasource_plans_one_partition_per_trading_date(spark):
     rows = list(r.read(parts[0]))
     assert len(rows) == 50
     assert {row[-1] for row in rows} == {date(1998, 2, 2)}
+
+
+def test_watermark_drops_too_late_rows(spark, tmp_path):
+    """Append-mode windowed aggregation with a watermark must DROP a
+    row arriving after its window was FINALIZED (SURVEY §2.9 late
+    data). Spark's watermark is an eviction bound, not a strict input
+    filter: a late row whose window is still in state MERGES (that is
+    valid), so the observable drop needs THREE batches — batch 1
+    seeds, batch 2 advances the watermark and EVICTS+EMITS the early
+    windows, batch 3 delivers a row into an already-emitted window.
+    Correct behavior: that window appears exactly once, count
+    unchanged, and no duplicate emission."""
+    import os
+    import shutil
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from stock_market_data_pipeline_spark.streaming.events import (
+        EVENTS_SCHEMA,
+    )
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    base_ns = 1_700_000_000 * 1_000_000_000
+
+    def write_events(rows, name, mtime):
+        df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+        d = str(tmp_path / ("__" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        tgt = os.path.join(src_dir, name + ".parquet")
+        shutil.copy(os.path.join(d, part), tgt)
+        os.utime(tgt, (mtime, mtime))
+
+    hour = 3_600 * 1_000_000_000
+    # batch 1: events in hours 0..3 -> watermark (used in batch 2)
+    # becomes 3h-10min
+    batch1 = [(i, base_ns + i * hour, 1, "view", 1.0, "{}")
+              for i in range(4)]
+    # batch 2: on-time event in hour 4; DURING this batch windows
+    # 0..2 are evicted and emitted (they end before the watermark)
+    batch2 = [(50, base_ns + 4 * hour, 3, "view", 1.0, "{}")]
+    # batch 3: an hour-0 event, 4h late — its window was already
+    # emitted in batch 2, so it must be dropped (not merged, and no
+    # duplicate hour-0 row emitted)
+    batch3 = [(100, base_ns + 10, 2, "late", 9.9, "{}")]
+    now = _time.time()
+    write_events(batch1, "b1", now - 30)
+    write_events(batch2, "b2", now - 20)
+    write_events(batch3, "b3", now - 10)
+
+    stream = (spark.readStream.schema(EVENTS_SCHEMA)
+              .format("parquet").option("maxFilesPerTrigger", 1)
+              .load(src_dir)
+              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    agg = (stream.withWatermark("ts", "10 minutes")
+           .groupBy(F.window("ts", "1 hour").alias("w"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    import tempfile
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (agg.writeStream.format("memory").queryName("late_sink")
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    rows = spark.table("late_sink").collect()
+    starts = [r["w"]["start"] for r in rows]
+    # no window emitted twice (a merged-or-reborn late window would
+    # re-emit), and every emitted count is exactly 1 — the late row
+    # contributed nowhere
+    assert len(starts) == len(set(starts)), rows
+    assert all(r["n"] == 1 for r in rows), rows
+    # windows 0..3 finalized (watermark ends at 4h-10min); hour-4 held
+    assert len(rows) == 4, rows
