@@ -940,6 +940,57 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@q("tpch_q5_local_supplier", """
+SELECT n_name AS nation,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND CAST(o_orderdate AS DATE) >= DATE '1994-01-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, nation
+""")
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-way join (two big facts + four dims) with
+    the local-supplier correlation (customer and supplier in the same
+    nation). Dims broadcast (region/nation/supplier/customer after
+    the selective region filter); the only repartition-joins are on
+    orderkey. Revenue goes through DECIMAL(18,4) — the discount
+    product has 4 exact decimal digits — so the big sum is
+    association-order-free."""
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate").cast("date") >= F.lit("1994-01-01"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1996-01-01")))
+    li = _t(spark, sf_dir, "lineitem")
+    sn = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+          .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey))
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(sn), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(c),
+              (o.o_custkey == c.c_custkey)
+              & (c.c_nationkey == F.col("s_nationkey")))
+    )
+    rev = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(18,4)")).cast("double")
+    return (joined.groupBy(F.col("n_name").alias("nation"))
+            .agg(rev.alias("revenue"), F.count("*").alias("n_items"))
+            .orderBy(F.desc("revenue"), F.asc("nation")))
+
+
 # ---------------------------------------------------------------------
 # extension registries (import side effect registers their entries)
 # ---------------------------------------------------------------------

@@ -494,6 +494,38 @@ def hash_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              | (F.col("lang") != "en")).alias("in_sample"))
 
 
+#: GPT-2-style pre-tokenizer pattern (simplified to the classes the
+#: corpus can contain): a token is an optionally-space-prefixed letter
+#: run, digit run, or punctuation run. Same pattern string compiles
+#: identically under Java regex (Spark) and RE2 (DuckDB).
+BPE_PATTERN = " ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+"
+
+BPE_TOKENS_SQL = f"""
+SELECT doc_id, lang,
+       length(text) AS n_chars,
+       len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_tokens,
+       CAST(length(text) AS DOUBLE)
+         / len(regexp_extract_all(text, '{BPE_PATTERN}'))
+         AS chars_per_token
+FROM documents
+""".strip()
+
+
+@q("text_bpe_tokens", BPE_TOKENS_SQL)
+def bpe_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: a GPT-2-style pre-tokenizer regex
+    (space-prefixed letter/digit/punct runs) counted per doc — the
+    cheap token-budget estimator a curation pipeline runs before the
+    real tokenizer; pure map, regexp_count is codegen'd JVM-side."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.regexp_count(F.col("text"), F.lit(BPE_PATTERN)).cast("long")
+    n_chars = F.length("text").cast("long")
+    return docs.select(
+        "doc_id", "lang", n_chars.alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        (n_chars.cast("double") / n_tok).alias("chars_per_token"))
+
+
 ROLLING_HASH_SQL = f"""
 SELECT doc_id,
        len(str_split(text, ' ')) AS n_words,
