@@ -140,3 +140,14 @@ def test_band_join_broadcasts_bands_fact_streams(spark):
     assert scan_pos > join_pos, "fact scan should stream into the join"
     between = p[join_pos:scan_pos]
     assert "Exchange hashpartitioning" not in between
+
+
+def test_tpch_q5_broadcasts_dims_no_cartesian(spark):
+    """Q5's six-way join: selective dims must broadcast (the fact side
+    shuffles at most for the orderkey join + final aggregate); the
+    nation-correlation predicate must ride join conditions, never a
+    cartesian."""
+    p = plan_str(_q("tpch_q5_local_supplier")(spark, SF_SMALL))
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
