@@ -47,6 +47,7 @@ HEADLINE = [
     "asof_prior_view",
     "cube_order_stats",
     "text_tfidf_top_terms",
+    "tpch_q5_local_supplier",
 ]
 
 
