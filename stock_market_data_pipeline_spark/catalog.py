@@ -834,6 +834,119 @@ def trend_slope_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(denom != 0, numer / denom).alias("slope"))
 
 
+
+@q("pairwise_correlation", """
+WITH bars0 AS ({bars}),
+bars AS (
+  SELECT * FROM bars0
+  WHERE ticker % 211 = 3
+    AND trade_date BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+),
+spans AS (
+  SELECT ticker, MIN(trade_date) AS d0, MAX(trade_date) AS d1
+  FROM bars GROUP BY ticker
+),
+days AS (
+  SELECT ticker,
+         CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+           AS trade_date
+  FROM spans
+),
+filled AS (
+  SELECT d.ticker, d.trade_date,
+         last_value(b.close IGNORE NULLS) OVER (
+           PARTITION BY d.ticker ORDER BY d.trade_date
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close
+  FROM days d LEFT JOIN bars b
+    ON d.ticker = b.ticker AND d.trade_date = b.trade_date
+),
+sub AS (
+  SELECT ticker, trade_date,
+         CAST(CAST(close AS DECIMAL(12,3)) * 1000 AS BIGINT) AS y
+  FROM filled
+),
+pairs AS (
+  SELECT a.ticker AS ticker_a, b.ticker AS ticker_b,
+         COUNT(*) AS n,
+         CAST(SUM(a.y) AS BIGINT) AS sx, CAST(SUM(b.y) AS BIGINT) AS sy,
+         CAST(SUM(a.y * a.y) AS BIGINT) AS sxx,
+         CAST(SUM(b.y * b.y) AS BIGINT) AS syy,
+         CAST(SUM(a.y * b.y) AS BIGINT) AS sxy
+  FROM sub a JOIN sub b
+    ON a.trade_date = b.trade_date AND a.ticker < b.ticker
+  GROUP BY 1, 2
+)
+SELECT ticker_a, ticker_b, n,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+             AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+            THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       END AS corr
+FROM pairs
+WHERE n >= 30
+""".format(bars=oracles.BARS_SQL))
+def pairwise_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise price-series correlation across a ticker subset: the
+    cross-sectional quant primitive. Equi-join on trade_date (never a
+    cartesian — pairs form WITHIN each date), exact decimal moment
+    sums, then the corr formula combined in doubles with an identical
+    op tree on both engines (the trend_slope pattern; built-in corr()
+    is an order-dependent double covariance and can't hash-match).
+
+    Scale: the date join's fan-out is |subset|^2 per date — production
+    bounds the subset (a top-k universe or per-sector blocks) exactly
+    as here (ticker % 211 = 3 picks ~1/200 of tickers); the join and
+    aggregate shuffle on date / pair keys, no driver-side state."""
+    from .operators.resample import fill_daily_gaps
+
+    bars = bars_from_lineitem(_t(spark, sf_dir, "lineitem")).where(
+        (F.col("ticker") % 211 == 3)
+        & F.col("trade_date").between("1995-01-01", "1995-12-31"))
+    filled = fill_daily_gaps(bars)
+    # closes are <= 3-dp: integer MILLIS are exact, and every moment
+    # sum is then a plain integer whose int->double cast is a SINGLE
+    # correctly-rounded conversion on both engines. (Decimal sums at
+    # this magnitude hash-mismatch: DuckDB converts decimal->double as
+    # scaled-int / 10^scale — a double-rounding — while Spark converts
+    # via BigDecimal correctly rounded.) Products peak ~7.5e15 (int64-
+    # safe); product SUMS go through decimal(38,0) Spark-side so a
+    # longer window cannot silently overflow the long sum.
+    sub = filled.select(
+        "ticker", "trade_date",
+        (F.col("close").cast("decimal(12,3)") * 1000)
+        .cast("long").alias("y"))
+    a, b = sub.alias("a"), sub.alias("b")
+    ay, by = F.col("a.y"), F.col("b.y")
+    d38 = "decimal(38,0)"
+    sums = (
+        a.join(b, (F.col("a.trade_date") == F.col("b.trade_date"))
+               & (F.col("a.ticker") < F.col("b.ticker")))
+        .groupBy(F.col("a.ticker").alias("ticker_a"),
+                 F.col("b.ticker").alias("ticker_b"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(ay).alias("sx"), F.sum(by).alias("sy"),
+             F.sum((ay * ay).cast(d38)).cast("long").alias("sxx"),
+             F.sum((by * by).cast(d38)).cast("long").alias("syy"),
+             F.sum((ay * by).cast(d38)).cast("long").alias("sxy"))
+        .where(F.col("n") >= 30)
+    )
+    n_d, sx_d, sy_d, sxx_d, syy_d, sxy_d = (
+        F.col(c).cast("double")
+        for c in ["n", "sx", "sy", "sxx", "syy", "sxy"])
+    dx = n_d * sxx_d - sx_d * sx_d
+    dy = n_d * syy_d - sy_d * sy_d
+    corr = F.when((dx > 0) & (dy > 0),
+                  (n_d * sxy_d - sx_d * sy_d)
+                  / (F.sqrt(dx) * F.sqrt(dy)))
+    return sums.select("ticker_a", "ticker_b", "n", corr.alias("corr"))
+
+
 @q("rollup_revenue", """
 SELECT r_name AS region, n_name AS nation,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
