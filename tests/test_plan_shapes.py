@@ -151,3 +151,12 @@ def test_tpch_q5_broadcasts_dims_no_cartesian(spark):
     assert p.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_pairwise_correlation_equi_join_on_date(spark):
+    """The correlation pair join must be an equi-join on trade_date
+    (pairs form within a date) — the ticker inequality rides as a
+    residual, never a cartesian."""
+    p = plan_str(_q("pairwise_correlation")(spark, SF_SMALL))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
