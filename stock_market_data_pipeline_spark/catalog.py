@@ -282,6 +282,88 @@ def scd2_constituents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist
 
 
+@q("updown_streaks", """
+WITH bars AS ({bars}),
+d AS (
+  SELECT ticker, trade_date, close,
+         CASE WHEN LAG(close) OVER w IS NULL THEN 0
+              WHEN close > LAG(close) OVER w THEN 1
+              WHEN close < LAG(close) OVER w THEN -1
+              ELSE 0 END AS direction
+  FROM bars
+  WINDOW w AS (PARTITION BY ticker ORDER BY trade_date)
+),
+g AS (
+  SELECT ticker, trade_date, close, direction,
+         ROW_NUMBER() OVER (PARTITION BY ticker ORDER BY trade_date)
+         - ROW_NUMBER() OVER (PARTITION BY ticker, direction
+                              ORDER BY trade_date) AS island
+  FROM d
+)
+SELECT ticker, trade_date, direction,
+       CAST(ROW_NUMBER() OVER (PARTITION BY ticker, direction, island
+                               ORDER BY trade_date) AS BIGINT)
+         AS streak_len
+FROM g
+""".format(bars=oracles.BARS_SQL))
+def updown_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive up/down-day streaks — the gaps-and-islands idiom:
+    direction from a LAG, island id = difference of two ROW_NUMBERs
+    (global minus per-direction), running streak length within the
+    island. All four windows share the per-ticker partitioning, so the
+    whole pattern costs the one Exchange the momentum windows already
+    pay. The momentum-scanner primitive ("N up days in a row")."""
+    bars = bars_from_lineitem(_t(spark, sf_dir, "lineitem"))
+    w = Window.partitionBy("ticker").orderBy("trade_date")
+    prev = F.lag("close").over(w)
+    direction = (F.when(prev.isNull(), 0)
+                 .when(F.col("close") > prev, 1)
+                 .when(F.col("close") < prev, -1).otherwise(0))
+    d = bars.select("ticker", "trade_date", "close",
+                    direction.alias("direction"))
+    island = (F.row_number().over(w)
+              - F.row_number().over(
+                  Window.partitionBy("ticker", "direction")
+                  .orderBy("trade_date")))
+    g = d.withColumn("island", island)
+    streak = F.row_number().over(
+        Window.partitionBy("ticker", "direction", "island")
+        .orderBy("trade_date"))
+    return g.select("ticker", "trade_date", "direction",
+                    streak.cast("long").alias("streak_len"))
+
+
+SCD2_ASOF_SQL = """
+WITH attrs AS (
+  SELECT p_partkey AS ticker, p_name AS company, p_brand AS sector,
+         (p_partkey % 97) / 10.0 AS w1,
+         CASE WHEN p_partkey % 7 = 0 THEN ((p_partkey % 97) + 1) / 10.0
+              ELSE (p_partkey % 97) / 10.0 END AS w2,
+         p_partkey % 10 AS m10, p_partkey % 7 AS m7
+  FROM part
+)
+-- state AS OF 1996-06-30: snap1 membership with snap1 weights
+SELECT ticker, company, sector, w1 AS index_weight
+FROM attrs WHERE m10 != 0
+""".strip()
+
+
+@q("scd2_asof_snapshot", SCD2_ASOF_SQL)
+def scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time read of the SCD-2 history: dimension state AS OF
+    an arbitrary historical date (here 1996-06-30, inside the snap1
+    era) via the half-open validity predicate — the time-travel query
+    the SCD-2 merge exists to serve. The oracle enumerates snap1
+    membership directly, so a wrong valid_from/valid_to in the merge
+    (off-by-one, unclosed row) shows up as a membership diff."""
+    hist = QUERIES["scd2_constituents"](spark, sf_dir)
+    at = F.lit("1996-06-30").cast("date")
+    return (hist.where((F.col("dbt_valid_from") <= at)
+                       & (F.col("dbt_valid_to").isNull()
+                          | (F.col("dbt_valid_to") > at)))
+            .select("ticker", "company", "sector", "index_weight"))
+
+
 @q("fct_trading_momentum_valid", oracles.momentum_sql(SMALL, valid_only=True))
 def momentum_valid_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7: the incremental-run ``is_valid_record = 1`` filter
