@@ -333,6 +333,61 @@ def updown_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
                     streak.cast("long").alias("streak_len"))
 
 
+@q("constituents_diff", """
+WITH attrs AS (
+  SELECT p_partkey AS ticker, p_name AS company, p_brand AS sector,
+         (p_partkey % 97) / 10.0 AS w1,
+         CASE WHEN p_partkey % 7 = 0 THEN ((p_partkey % 97) + 1) / 10.0
+              ELSE (p_partkey % 97) / 10.0 END AS w2,
+         p_partkey % 10 AS m10, p_partkey % 7 AS m7
+  FROM part
+),
+snap1 AS (SELECT ticker, company, sector, w1 AS index_weight
+          FROM attrs WHERE m10 != 0),
+snap2 AS (SELECT ticker, company, sector, w2 AS index_weight
+          FROM attrs WHERE m10 != 1)
+SELECT COALESCE(o.ticker, n.ticker) AS ticker,
+       CASE WHEN o.ticker IS NULL THEN 'added'
+            WHEN n.ticker IS NULL THEN 'removed'
+            WHEN o.index_weight IS NOT DISTINCT FROM n.index_weight
+             AND o.company IS NOT DISTINCT FROM n.company
+             AND o.sector IS NOT DISTINCT FROM n.sector
+            THEN 'unchanged' ELSE 'changed' END AS change_type,
+       o.company AS old_company, n.company AS new_company,
+       o.sector AS old_sector, n.sector AS new_sector,
+       o.index_weight AS old_index_weight,
+       n.index_weight AS new_index_weight
+FROM snap1 o FULL OUTER JOIN snap2 n ON o.ticker = n.ticker
+""")
+def constituents_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed table diff (change-data-feed): membership + weight delta
+    between the two constituents snapshots — added / removed /
+    changed / unchanged per ticker from ONE co-partitioned full outer
+    join, NULL-safe comparisons. The operational primitive behind
+    snapshot validation and CDC emission; with both sides bucketed on
+    the key (operators/layout.py) it runs shuffle-free."""
+    from .operators.diff import table_diff
+
+    part = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    base = part.select(
+        k.alias("ticker"),
+        F.col("p_name").alias("company"),
+        F.col("p_brand").alias("sector"),
+        ((k % 97) / F.lit(10.0)).alias("w1"),
+        F.when(k % 7 == 0, ((k % 97) + 1) / F.lit(10.0))
+        .otherwise((k % 97) / F.lit(10.0)).alias("w2"),
+    )
+    snap1 = (base.where(F.col("ticker") % 10 != 0)
+             .select("ticker", "company", "sector",
+                     F.col("w1").alias("index_weight")))
+    snap2 = (base.where(F.col("ticker") % 10 != 1)
+             .select("ticker", "company", "sector",
+                     F.col("w2").alias("index_weight")))
+    return table_diff(snap1, snap2, keys=["ticker"],
+                      compare=["company", "sector", "index_weight"])
+
+
 SCD2_ASOF_SQL = """
 WITH attrs AS (
   SELECT p_partkey AS ticker, p_name AS company, p_brand AS sector,
