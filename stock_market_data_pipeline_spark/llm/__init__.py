@@ -1,10 +1,13 @@
 """LLM-training-data pipeline operators (the 100 TB north star).
 
 dedup       — exact (content hash), n-gram Jaccard (inverted-index
-              bucket join), MinHash+LSH banding, SimHash
-textops     — language-ID heuristic, quality scoring, token counting,
-              document fingerprinting
-similarity  — brute-force cosine top-k baseline, IVF-partitioned ANN
+              bucket join), MinHash+LSH banding, SimHash, connected-
+              components clustering (pairs -> survivor selection)
+textops     — language-ID heuristic, quality scoring, token counting
+              (incl. BPE-style regex), bag-of-words and rolling-hash
+              fingerprints, TF-IDF top terms
+similarity  — brute-force cosine top-k baseline, IVF-partitioned ANN,
+              per-label centroids (IVF training step)
 multimodal  — opaque binary payload columns + Arrow-batched feature
               extraction via mapInPandas
 
