@@ -333,6 +333,109 @@ def updown_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
                     streak.cast("long").alias("streak_len"))
 
 
+@q("vwap_rolling", """
+WITH bars AS ({bars}),
+x AS (
+  SELECT ticker, trade_date, close, volume,
+         SUM(CAST(close AS DECIMAL(12,3)) * volume) OVER w AS pv,
+         SUM(volume) OVER w AS vv,
+         COUNT(close) OVER w AS cnt
+  FROM bars
+  WINDOW w AS (PARTITION BY ticker ORDER BY trade_date
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+)
+SELECT ticker, trade_date, close, volume,
+       CASE WHEN cnt >= 5 AND vv != 0
+            THEN CAST(CAST(pv AS DECIMAL(38,3)) AS DOUBLE)
+                 / CAST(vv AS DOUBLE)
+       END AS vwap_5
+FROM x
+""".format(bars=oracles.BARS_SQL))
+def vwap_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-row rolling VWAP per ticker: SUM(price*volume)/SUM(volume)
+    with an EXACT decimal numerator (3-dp close x integer volume) and
+    integer denominator — both association-order-free — and the
+    window-fill guard idiom (NULL until 5 rows). One more column on
+    the shared per-ticker window exchange."""
+    bars = bars_from_lineitem(_t(spark, sf_dir, "lineitem"))
+    w = (Window.partitionBy("ticker").orderBy("trade_date")
+         .rowsBetween(-4, 0))
+    pv = F.sum(F.col("close").cast("decimal(12,3)")
+               * F.col("volume")).over(w)
+    vv = F.sum("volume").over(w)
+    cnt = F.count("close").over(w)
+    vwap = F.when((cnt >= 5) & (vv != 0),
+                  pv.cast("decimal(38,3)").cast("double")
+                  / vv.cast("double"))
+    return bars.select("ticker", "trade_date", "close", "volume",
+                       vwap.alias("vwap_5"))
+
+
+@q("bollinger_bands", """
+WITH bars AS ({bars}),
+x AS (
+  SELECT ticker, trade_date, close,
+         CAST(SUM(y) OVER w AS BIGINT) AS sy,
+         CAST(SUM(y * y) OVER w AS BIGINT) AS syy,
+         COUNT(y) OVER w AS n
+  FROM (SELECT ticker, trade_date, close,
+               CAST(CAST(close AS DECIMAL(12,3)) * 1000 AS BIGINT) AS y
+        FROM bars)
+  WINDOW w AS (PARTITION BY ticker ORDER BY trade_date
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT ticker, trade_date, close,
+       CASE WHEN n >= 20
+            THEN CAST(sy AS DOUBLE) / CAST(n * 1000 AS DOUBLE) END
+         AS bb_mid,
+       CASE WHEN n >= 20
+            THEN CAST(sy AS DOUBLE) / CAST(n * 1000 AS DOUBLE)
+                 + 2.0 * (sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                               / (CAST(n AS DOUBLE)
+                                  * (CAST(n AS DOUBLE) - 1.0))) / 1000.0)
+       END AS bb_upper,
+       CASE WHEN n >= 20
+            THEN CAST(sy AS DOUBLE) / CAST(n * 1000 AS DOUBLE)
+                 - 2.0 * (sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                               / (CAST(n AS DOUBLE)
+                                  * (CAST(n AS DOUBLE) - 1.0))) / 1000.0)
+       END AS bb_lower
+FROM x
+""".format(bars=oracles.BARS_SQL))
+def bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (20-row SMA +/- 2 sigma) from EXACT integer-
+    millis moment sums: raw window STDDEV hash-mismatches in 21% of
+    cells (Spark's streaming update vs DuckDB's differ at ulp scale),
+    but n*Sum(y^2)-(Sum y)^2 over exact ints followed by one identical
+    double expression tree is bit-stable. Same guarded-window NULL
+    idiom as the SMAs; rides the shared per-ticker exchange."""
+    bars = bars_from_lineitem(_t(spark, sf_dir, "lineitem"))
+    y = (F.col("close").cast("decimal(12,3)") * 1000).cast("long")
+    w = (Window.partitionBy("ticker").orderBy("trade_date")
+         .rowsBetween(-19, 0))
+    base = bars.select("ticker", "trade_date", "close", y.alias("y"))
+    x = base.select(
+        "ticker", "trade_date", "close",
+        F.sum("y").over(w).alias("sy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).over(w)
+        .cast("long").alias("syy"),
+        F.count("y").over(w).alias("n"))
+    n_d = F.col("n").cast("double")
+    sy_d = F.col("sy").cast("double")
+    syy_d = F.col("syy").cast("double")
+    mid = sy_d / (F.col("n") * 1000).cast("double")
+    sd = F.sqrt((n_d * syy_d - sy_d * sy_d)
+                / (n_d * (n_d - F.lit(1.0)))) / F.lit(1000.0)
+    guard = F.col("n") >= 20
+    return x.select(
+        "ticker", "trade_date", "close",
+        F.when(guard, mid).alias("bb_mid"),
+        F.when(guard, mid + 2.0 * sd).alias("bb_upper"),
+        F.when(guard, mid - 2.0 * sd).alias("bb_lower"))
+
+
 @q("constituents_diff", """
 WITH attrs AS (
   SELECT p_partkey AS ticker, p_name AS company, p_brand AS sector,
