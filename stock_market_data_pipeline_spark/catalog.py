@@ -333,6 +333,36 @@ def updown_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
                     streak.cast("long").alias("streak_len"))
 
 
+@q("ranking_functions", """
+SELECT p_brand AS sector, p_partkey AS ticker, p_retailprice AS price,
+       CAST(DENSE_RANK() OVER w AS BIGINT) AS price_dense_rank,
+       CAST(NTILE(4) OVER w2 AS BIGINT) AS price_quartile,
+       CUME_DIST() OVER w2 AS price_cume_dist
+FROM part
+WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC),
+       w2 AS (PARTITION BY p_brand ORDER BY p_retailprice DESC,
+              p_partkey)
+""")
+def ranking_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining ranking family in one pass: DENSE_RANK (tie-
+    aware — prices repeat within a brand, so ranks collapse), NTILE
+    quartiles and CUME_DIST (both over a UNIQUE ordering — ntile
+    splits ties arbitrarily, so the tiebreaker column is what makes
+    the result well-defined on both engines). Both orderings share
+    the per-brand exchange."""
+    pt = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
+    w2 = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey"))
+    return pt.select(
+        F.col("p_brand").alias("sector"),
+        F.col("p_partkey").alias("ticker"),
+        F.col("p_retailprice").alias("price"),
+        F.dense_rank().over(w).cast("long").alias("price_dense_rank"),
+        F.ntile(4).over(w2).cast("long").alias("price_quartile"),
+        F.cume_dist().over(w2).alias("price_cume_dist"))
+
+
 @q("vwap_rolling", """
 WITH bars AS ({bars}),
 x AS (
