@@ -243,3 +243,53 @@ def setops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (tag(y95.intersect(y96), "both_years")
             .unionByName(tag(y95.exceptAll(y96.select("o_custkey")), "only_1995"))
             .unionByName(tag(y96.exceptAll(y95.select("o_custkey")), "only_1996")))
+
+
+BUCKETED_JOIN_SQL = """
+SELECT l_orderkey AS order_id, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_qty,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS order_total
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_orderkey
+""".strip()
+
+
+@q("bucketed_join_revenue", BUCKETED_JOIN_SQL)
+def bucketed_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-time bucketing as the shuffle eliminator: both sides are
+    written `bucketBy(8, key)` into a scratch-LOCATION database, and
+    the join + per-key aggregate then plan with ZERO Exchange (the
+    shuffle was pre-paid once at write) — asserted here, not assumed.
+    The values must still match a plain oracle join, proving bucketing
+    changed the PLAN and not the result."""
+    from .operators.layout import write_bucketed
+    from .scratch import scratch_dir
+
+    db = "bucketed_cat"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} "
+              f"LOCATION '{scratch_dir('bucketed_wh_')}'")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice")
+    write_bucketed(li, f"{db}.li_b", "l_orderkey", n_buckets=8)
+    write_bucketed(o, f"{db}.ord_b", "l_orderkey", n_buckets=8)
+
+    joined = (
+        spark.table(f"{db}.li_b")
+        .join(spark.table(f"{db}.ord_b"), "l_orderkey")
+        .groupBy(F.col("l_orderkey").alias("order_id"))
+        .agg(F.count("*").alias("n_items"),
+             F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+             .cast("double").alias("total_qty"),
+             F.max("o_totalprice").cast("double").alias("order_total"))
+    )
+    # no SHUFFLE exchange anywhere: the bucketed scan's partitioning
+    # satisfies both the join and the per-key aggregate. (A broadcast
+    # exchange may appear if AQE broadcasts the small side — that
+    # moves bytes once, it does not repartition the fact.)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, \
+        "bucketed join/agg must not shuffle"
+    assert "Exchange SinglePartition" not in plan
+    return joined
