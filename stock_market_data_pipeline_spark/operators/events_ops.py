@@ -36,6 +36,13 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     TIMESTAMP(NANOS); with ``nanosAsLong`` the batch reader yields
     BIGINT nanos, truncated here to micros exactly like DuckDB's
     nanos->micros read (floor division)."""
+    # runtime-settable legacy conf: without it Spark REJECTS the
+    # TIMESTAMP(NANOS) column outright, and the driver's own session
+    # (unlike session.get_spark) does not preset it
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # timestamps compare as UTC-naive against DuckDB: date casts and
+    # time windows must not depend on the host/session zone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     if dict(df.dtypes)["ts"] == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -43,6 +43,7 @@ def _staged_events_dir(sf_dir: str, copies: int = 1) -> str:
 def _events_stream(spark: SparkSession, src_dir: str,
                    max_files: int | None = None) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     reader = (spark.readStream.schema(EVENTS_SCHEMA)
               .format("parquet"))
     if max_files is not None:
@@ -178,6 +179,7 @@ def _staged_events_chunks(spark: SparkSession, sf_dir: str,
     import time as _time
 
     d = scratch_dir("events_chunks_")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     lo, hi = df.agg(F.min("ts"), F.max("ts")).first()
     span = (hi - lo) + 1
