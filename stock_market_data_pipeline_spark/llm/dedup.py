@@ -331,6 +331,7 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
     large-star/small-star rounds of Kiveris et al. — the per-round
     primitives (join + min-agg) are the same.
     """
+    spark = nodes.sparkSession
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(
@@ -340,25 +341,35 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
     )
     labels = nodes.select(F.col("doc_id").alias("node"),
                           F.col("doc_id").alias("label"))
-    for _ in range(max_iter):
-        prop = (
-            edges.join(labels, edges.src == labels.node)
-            .select(F.col("dst").alias("node"), "label")
-        )
-        new = (
-            labels.union(prop).groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()
-        )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1).count()
-        )
-        labels = new
-        if changed == 0:
-            break
+    # the iteration's frames are doc-grain (tiny); at an untuned
+    # session's 200 shuffle partitions every join/agg/checkpoint round
+    # pays ~200 empty tasks x iterations x 3 jobs (~2x wall time).
+    # Scope a small parallelism to the loop and restore after — on a
+    # cluster-sized node set, size this to the label cardinality.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        for _ in range(max_iter):
+            prop = (
+                edges.join(labels, edges.src == labels.node)
+                .select(F.col("dst").alias("node"), "label")
+            )
+            new = (
+                labels.union(prop).groupBy("node")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint()
+            )
+            changed = (
+                new.alias("n")
+                .join(labels.alias("o"), "node")
+                .where(F.col("n.label") != F.col("o.label"))
+                .limit(1).count()
+            )
+            labels = new
+            if changed == 0:
+                break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
