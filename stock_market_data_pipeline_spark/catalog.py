@@ -1382,3 +1382,59 @@ from . import catalog_llm  # noqa: E402,F401  (registers llm/* entries)
 from . import catalog_ext  # noqa: E402,F401  (streaming + ingest entries)
 from . import catalog_events  # noqa: E402,F401  (event-stream operators)
 from . import catalog_rel  # noqa: E402,F401  (pivot/cube/unpivot/histogram)
+
+
+# ---------------------------------------------------------------------
+# driver-window registration order
+# ---------------------------------------------------------------------
+# The driver's correctness gate oracles the FIRST 50 registered entries
+# only (CORRECTNESS_r02.json == registration indices 0-49 exactly).
+# Round 2 registered 87 entries, so the 37 newest (streaming, serving,
+# ingest, ANN, events, reshaping, text folds) never received a
+# driver-green row.  Reorder so those 37 — plus every entry whose
+# semantics changed this round — occupy the first 50 slots; rounds
+# r02 + r03 together then cover the full oracle surface.  The reorder
+# mutates the existing dict objects in place (insertion order is the
+# registration order) so every `from .catalog import QUERIES` alias
+# observes the same ordering.
+
+_DRIVER_WINDOW_FIRST = [
+    # -- the 37 entries with no driver-green CORRECTNESS row (r02 cap) --
+    "dedup_clusters", "sample_hash_split", "text_bpe_tokens",
+    "text_rolling_hash", "text_tfidf_top_terms", "embedding_centroids",
+    "ann_cosine_topk", "ann_ivf_topk", "mm_payload_features",
+    "dedup_embedding_cosine", "seed_csv_constituents",
+    "stream_hourly_rollup", "stream_upsert_rollup", "serving_screener",
+    "serving_ticker_range", "stream_stateful_user_totals",
+    "ingest_pending_dates", "ingest_daily_bars",
+    "datasource_grouped_daily", "serving_breadth", "sessionize_events",
+    "events_hopping_counts", "events_json_props", "stream_dedup_events",
+    "asof_prior_view", "cumulative_distinct_users", "session_funnel",
+    "session_window_native", "stream_session_windows",
+    "pivot_priority_year", "cube_order_stats", "unpivot_dim_metrics",
+    "histogram_prices", "band_range_join", "quantiles_by_brand",
+    "except_intersect_keys", "bucketed_join_revenue",
+    # -- entries modified in round 3 (must be re-proven by the driver) --
+    "constituents_snapshots",   # 4-way snapshot stack (was 2-way)
+    "dim_securities_current",   # count(*) under key-grain invariant
+    "fct_momentum_incremental", # partition-scoped incremental write
+    "dedup_minhash_lsh",        # bounded shingle cache / spill path
+    # -- representative core to fill the window --
+    "fct_trading_momentum", "agg_daily_market_breadth", "universe_daily",
+    "bars_ohlcv", "stg_projection_flags", "tpch_q1_pricing_summary",
+    "scd2_constituents", "dedup_exact", "qualify_latest_per_key",
+]
+
+
+def _reorder_registration() -> None:
+    front = [n for n in _DRIVER_WINDOW_FIRST if n in QUERIES]
+    rest = [n for n in QUERIES if n not in set(front)]
+    for registry in (QUERIES, ORACLES):
+        snapshot = dict(registry)
+        registry.clear()
+        for name in front + rest:
+            if name in snapshot:
+                registry[name] = snapshot[name]
+
+
+_reorder_registration()
