@@ -128,7 +128,7 @@ def upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Returns the terminal per-type rollup of the target table.
     """
-    from ..incremental import merge_upsert
+    from ..incremental import merge_into_partitioned, write_partitioned
 
     tmp = scratch_dir("stream_upsert_")
     target_path = os.path.join(tmp, "events_current")
@@ -142,16 +142,16 @@ def upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     def do_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id in seen_batches:      # ledger skip (S8 semantics)
             return
-        updates = batch_df.dropDuplicates(["event_id"])
+        updates = (batch_df.dropDuplicates(["event_id"])
+                   .withColumn("event_date", F.to_date("ts")))
         if os.path.isdir(target_path):
-            current = spark.read.parquet(target_path)
-            merged = merge_upsert(current, updates, ["event_id"])
+            # partition-scoped MERGE: prune the read to the event_date
+            # partitions this batch touches and rewrite only those —
+            # never the whole target (MERGE INTO on Delta/Iceberg)
+            merge_into_partitioned(spark, target_path, updates,
+                                   ["event_id"], ts="event_date")
         else:
-            merged = updates
-        # overwrite-after-merge: MERGE INTO on Delta; rewrite on parquet
-        merged.write.mode("overwrite").parquet(target_path + "_next")
-        next_df = spark.read.parquet(target_path + "_next")
-        next_df.write.mode("overwrite").parquet(target_path)
+            write_partitioned(updates, target_path, ts="event_date")
         seen_batches.add(batch_id)
 
     with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
