@@ -408,21 +408,17 @@ _CC_MEMO: dict = {}
 def _clusters(spark: SparkSession, sf_dir: str):
     key = (id(spark), sf_dir)
     if key not in _CC_MEMO:
-        # the whole pairs->components computation is doc-grain; on an
-        # untuned session (200 shuffle partitions) the LSH self-join
-        # stages alone fan out to 400 near-empty tasks each. Scope a
-        # parallelism sized to the corpus and restore after — the
-        # result is materialized under cache() inside the scope.
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
-        try:
-            docs = _t(spark, sf_dir, "documents")
-            prs = dedup.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
-            cc = dedup.connected_components(
-                prs, docs.select("doc_id")).cache()
-            cc.count()  # materialize under the cache
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        # doc-grain computation throughout; no session conf is touched.
+        # An untuned session's 200 shuffle partitions would fan the LSH
+        # self-join stages into near-empty tasks, but AQE partition
+        # coalescing (on in session.py and any modern deployment)
+        # collapses those at runtime, and connected_components
+        # explicitly key-partitions its own loop frames.
+        docs = _t(spark, sf_dir, "documents")
+        prs = dedup.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+        cc = dedup.connected_components(
+            prs, docs.select("doc_id")).cache()
+        cc.count()  # materialize under the cache (doc-grain, tiny)
         _CC_MEMO[key] = cc
     return _CC_MEMO[key]
 

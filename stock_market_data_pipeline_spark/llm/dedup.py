@@ -37,6 +37,22 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..scratch import scratch_dir
+
+
+def _spill(df: DataFrame, prefix: str) -> DataFrame:
+    """Materialize an intermediate to scratch parquet and read it back.
+
+    The scale-safe replacement for ``.cache()`` on large intermediates:
+    nothing is pinned in executor memory, the lineage is cut (consumers
+    re-read a columnar file instead of recomputing the upstream plan),
+    and the file is removed at interpreter exit. On a cluster this is
+    the "checkpoint to the distributed store" pattern; locally the OS
+    page cache makes re-reads near-memory-speed anyway."""
+    path = scratch_dir(prefix)
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
 #: prime > 2^32 — shingle-id space for the MinHash permutations
 MINHASH_P = 4_294_967_311
 
@@ -215,9 +231,15 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 3, bands: int = 4,
     n_perm = len(MINHASH_AB)
     r = n_perm // bands
     # the shingle table feeds the signature aggregate, the size
-    # aggregate, and both sides of the verification join — cache it
-    # once rather than re-hashing the corpus per consumer
-    sh = shingle_table(docs, k).cache()
+    # aggregate, and both sides of the verification join — materialize
+    # it ONCE rather than re-hashing the corpus per consumer. Spilled
+    # to scratch parquet, not .cache(): the shingle table is the job's
+    # largest intermediate (~|corpus| x shingles/doc), and pinning it
+    # in the block manager both leaks executor memory across catalog
+    # entries in a shared session and cannot fit at 100 TB. A columnar
+    # scratch file is disk-backed, shared by all four consumers, and
+    # freed at interpreter exit (scratch.py).
+    sh = _spill(shingle_table(docs, k), "lsh_shingles_")
     sig = minhash_signatures(sh)
     band_cols = [
         F.concat_ws("-", *[F.col(f"h{b * r + i}").cast("string")
@@ -331,23 +353,25 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
     large-star/small-star rounds of Kiveris et al. — the per-round
     primitives (join + min-agg) are the same.
     """
-    spark = nodes.sparkSession
+    # the iteration's frames are doc-grain (tiny); at an untuned
+    # session's 200 shuffle partitions every join/agg/checkpoint round
+    # would pay ~200 empty tasks x iterations x 3 jobs (~2x wall time).
+    # Rather than mutating session-global shuffle parallelism (which
+    # leaks into concurrent queries), hash-partition the loop's frames
+    # explicitly on their keys: the join and the min-aggregate then
+    # reuse the 16-way distribution with no further exchange. On a
+    # cluster-sized node set, size this to the label cardinality.
+    n_parts = 16
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(
             pairs.select(F.col("doc_b").alias("src"),
                          F.col("doc_a").alias("dst")))
+        .repartition(n_parts, "src")
         .cache()
     )
     labels = nodes.select(F.col("doc_id").alias("node"),
                           F.col("doc_id").alias("label"))
-    # the iteration's frames are doc-grain (tiny); at an untuned
-    # session's 200 shuffle partitions every join/agg/checkpoint round
-    # pays ~200 empty tasks x iterations x 3 jobs (~2x wall time).
-    # Scope a small parallelism to the loop and restore after — on a
-    # cluster-sized node set, size this to the label cardinality.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
     try:
         for _ in range(max_iter):
             prop = (
@@ -355,7 +379,9 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
                 .select(F.col("dst").alias("node"), "label")
             )
             new = (
-                labels.union(prop).groupBy("node")
+                labels.union(prop)
+                .repartition(n_parts, "node")
+                .groupBy("node")
                 .agg(F.min("label").alias("label"))
                 .localCheckpoint()
             )
@@ -369,7 +395,6 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
             if changed == 0:
                 break
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    edges.unpersist()
+        edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("cluster_id"))

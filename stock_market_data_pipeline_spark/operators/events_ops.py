@@ -33,20 +33,20 @@ _DEC = "decimal(18,2)"
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch events reader. The parquet stores ``ts`` as
-    TIMESTAMP(NANOS); with ``nanosAsLong`` the batch reader yields
-    BIGINT nanos, truncated here to micros exactly like DuckDB's
-    nanos->micros read (floor division)."""
-    # runtime-settable legacy conf: without it Spark REJECTS the
-    # TIMESTAMP(NANOS) column outright, and the driver's own session
-    # (unlike session.get_spark) does not preset it
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    TIMESTAMP(NANOS); reading it under an EXPLICIT ``ts BIGINT`` schema
+    yields raw nanos (no session conf required), truncated here to
+    micros exactly like DuckDB's nanos->micros read (floor division)."""
     # timestamps compare as UTC-naive against DuckDB: date casts and
-    # time windows must not depend on the host/session zone
+    # time windows must not depend on the host/session zone. Session
+    # time zone has no reader-level equivalent and is consumed at
+    # ACTION time, so save/restore around this lazy read would restore
+    # too early — set it for the session (documented exception).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    if dict(df.dtypes)["ts"] == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    df = spark.read.schema(
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING"
+    ).parquet(os.path.join(sf_dir, "events.parquet"))
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def sessionize(df: DataFrame, key: str = "user_id", ts: str = "ts",

@@ -42,7 +42,12 @@ def _staged_events_dir(sf_dir: str, copies: int = 1) -> str:
 
 def _events_stream(spark: SparkSession, src_dir: str,
                    max_files: int | None = None) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the EXPLICIT reader schema (ts BIGINT) is what lets Spark accept
+    # the TIMESTAMP(NANOS) column — no nanosAsLong session conf needed.
+    # Session time zone has no reader-level equivalent and is consumed
+    # at ACTION time (a save/restore around this lazy read would
+    # restore before the scan runs), so it is set here; date casts and
+    # tumbling windows must not depend on the host zone.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     reader = (spark.readStream.schema(EVENTS_SCHEMA)
               .format("parquet"))
@@ -179,8 +184,10 @@ def _staged_events_chunks(spark: SparkSession, sf_dir: str,
     import time as _time
 
     d = scratch_dir("events_chunks_")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    # explicit ts BIGINT schema accepts TIMESTAMP(NANOS) without the
+    # nanosAsLong session conf
+    df = spark.read.schema(EVENTS_SCHEMA).parquet(
+        os.path.join(sf_dir, "events.parquet"))
     lo, hi = df.agg(F.min("ts"), F.max("ts")).first()
     span = (hi - lo) + 1
     for k in range(n_chunks):

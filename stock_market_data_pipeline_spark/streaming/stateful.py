@@ -76,12 +76,14 @@ def user_running_totals(spark: SparkSession, sf_dir: str,
     """Run the stateful operator over the events stream split into
     multiple micro-batches (so state genuinely crosses batches) and
     return the terminal per-user aggregates."""
-    from .events import _events_stream, _staged_events_dir
+    from .events import EVENTS_SCHEMA, _events_stream, _staged_events_dir
 
     # two half-files -> at least two micro-batches with maxFiles=1
     src = _staged_events_dir(sf_dir, copies=1)
     # split the single file into per-half files for multi-batch replay
-    whole = spark.read.parquet(src)
+    # (explicit ts BIGINT schema accepts TIMESTAMP(NANOS) without any
+    # session conf)
+    whole = spark.read.schema(EVENTS_SCHEMA).parquet(src)
     half = scratch_dir("events_halves_")
     whole.where("event_id % 2 = 0").write.mode("overwrite") \
         .parquet(os.path.join(half, "h0"))
