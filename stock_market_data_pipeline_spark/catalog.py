@@ -1403,6 +1403,7 @@ _DRIVER_WINDOW_FIRST = [
     "dedup_clusters", "sample_hash_split", "text_bpe_tokens",
     "text_rolling_hash", "text_tfidf_top_terms", "embedding_centroids",
     "ann_cosine_topk", "ann_ivf_topk", "mm_payload_features",
+    "mm_payload_grid",          # new in round 3 (grid oracle)
     "dedup_embedding_cosine", "seed_csv_constituents",
     "stream_hourly_rollup", "stream_upsert_rollup", "serving_screener",
     "serving_ticker_range", "stream_stateful_user_totals",
@@ -1422,7 +1423,7 @@ _DRIVER_WINDOW_FIRST = [
     # -- representative core to fill the window --
     "fct_trading_momentum", "agg_daily_market_breadth", "universe_daily",
     "bars_ohlcv", "stg_projection_flags", "tpch_q1_pricing_summary",
-    "scd2_constituents", "dedup_exact", "qualify_latest_per_key",
+    "scd2_constituents", "dedup_exact",
 ]
 
 

@@ -620,13 +620,83 @@ def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "embeddings"), n_queries=8, k=5)
 
 
-@q("mm_payload_features")  # mm_: Arrow/mapInPandas path, no SQL oracle
+#: byte stats over the UTF-8 payload, recomputed per char in DuckDB
+#: (the corpus is pure ASCII — octet_length == length on every doc —
+#: so ascii(substr(..)) IS the payload byte). Every float is a single
+#: correctly-rounded op on exact integer moments, matching the
+#: mapInPandas side bit-for-bit.
+MM_FEATURES_SQL = """
+WITH pos AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+         unnest(range(1, length(text) + 1)) AS i
+  FROM documents
+), b AS (
+  SELECT doc_id,
+         CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT) AS v
+  FROM pos
+), m AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS BIGINT) AS s, CAST(SUM(v * v) AS BIGINT) AS ssq,
+         MIN(v) AS mn, MAX(v) AS mx
+  FROM b GROUP BY doc_id
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS modality,
+       n AS n_bytes,
+       CAST(s AS DOUBLE) / n AS byte_mean,
+       SQRT(CAST(n * ssq - s * s AS DOUBLE)) / n AS byte_std,
+       CAST(mn AS INTEGER) AS byte_min,
+       CAST(mx AS INTEGER) AS byte_max
+FROM m
+""".strip()
+
+
+@q("mm_payload_features", MM_FEATURES_SQL)
 def mm_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column + typed metadata ->
-    Arrow-batched mapInPandas feature extraction (byte stats + fixed
-    GRID segment means). Deterministic fake decode; rows-only check."""
+    Arrow-batched mapInPandas feature extraction (byte stats from
+    exact integer moments). Value-checked against a per-byte DuckDB
+    oracle; the fixed-grid array surface is oracled separately
+    (mm_payload_grid)."""
     payloads = multimodal.payload_table(_t(spark, sf_dir, "documents"))
-    return multimodal.extract_features(payloads)
+    return multimodal.extract_features(payloads).select(
+        "doc_id", "modality", "n_bytes", "byte_mean", "byte_std",
+        "byte_min", "byte_max")
+
+
+MM_GRID_SQL = """
+WITH pos AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+         unnest(range(1, length(text) + 1)) AS i
+  FROM documents
+), b AS (
+  SELECT doc_id,
+         CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT) AS v,
+         CAST(i - 1 AS BIGINT) AS j,
+         CAST(length(text) AS BIGINT) AS n
+  FROM pos
+)
+SELECT doc_id, CAST((j * 16) // n AS INTEGER) AS cell,
+       CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE) / COUNT(*) AS cell_mean
+FROM b
+GROUP BY doc_id, (j * 16) // n
+""".strip()
+
+
+@q("mm_payload_grid", MM_GRID_SQL)
+def mm_grid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resize-to-fixed-grid surface of the featurizer: per-doc
+    16-cell segment means (cell(j) = j*G//n integer bucketing),
+    exploded to (doc_id, cell, cell_mean) rows so the driver's
+    order-insensitive hash covers the array values. Every doc is
+    >= GRID_CELLS bytes in this corpus, so all cells are nonempty."""
+    payloads = multimodal.payload_table(_t(spark, sf_dir, "documents"))
+    feats = multimodal.extract_features(payloads)
+    return feats.select(
+        "doc_id",
+        F.posexplode("grid_means").alias("cell", "cell_mean"))
 
 
 @q("dedup_embedding_cosine", EMB_NEAR_DUP_SQL)

@@ -102,27 +102,40 @@ def extract_features(payloads: DataFrame, codec: str = "fake") -> DataFrame:
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
         import numpy as np
 
         for pdf in it:
             rows = []
             for doc_id, modality, payload in zip(
                     pdf["doc_id"], pdf["modality"], pdf["payload"]):
-                arr = _decode(bytes(payload), codec)
-                n = arr.size
-                # fixed-cell segment means ~ resize-to-grid
-                bounds = np.linspace(0, n, GRID_CELLS + 1, dtype=np.int64)
-                grid = [
-                    float(arr[bounds[i]:bounds[i + 1]].mean())
-                    if bounds[i + 1] > bounds[i] else 0.0
-                    for i in range(GRID_CELLS)
-                ]
+                arr = _decode(bytes(payload), codec).astype(np.int64)
+                n = int(arr.size)
+                # all statistics flow through EXACT integer moments
+                # (Σx, Σx²): the derived doubles are then single
+                # correctly-rounded operations on exactly-representable
+                # integers, so any engine computing the same moments
+                # (e.g. the DuckDB oracle) reproduces them bit-for-bit
+                # — SURVEY §8.6 determinism rules.
+                s = int(arr.sum())
+                ssq = int((arr * arr).sum())
+                # fixed-cell segment means ~ resize-to-grid; cell(j) =
+                # j*G//n, the standard integer bucketing (invertible in
+                # SQL as (j*G)//n, unlike linspace bounds)
+                cells = (np.arange(n) * GRID_CELLS) // max(n, 1)
+                grid = []
+                for i in range(GRID_CELLS):
+                    seg = arr[cells == i]
+                    grid.append(float(int(seg.sum()) / seg.size)
+                                if seg.size else 0.0)
                 rows.append({
                     "doc_id": doc_id,
                     "modality": modality,
                     "n_bytes": n,
-                    "byte_mean": float(arr.mean()) if n else 0.0,
-                    "byte_std": float(arr.std()) if n else 0.0,
+                    "byte_mean": s / n if n else 0.0,
+                    "byte_std": (math.sqrt(n * ssq - s * s) / n
+                                 if n else 0.0),
                     "byte_min": int(arr.min()) if n else 0,
                     "byte_max": int(arr.max()) if n else 0,
                     "grid_means": grid,

@@ -27,16 +27,18 @@ def test_multimodal_features_match_numpy(spark):
     for row in sample:
         arr = np.frombuffer(raw[row.doc_id].encode(), dtype=np.uint8)
         assert row.n_bytes == arr.size
-        assert row.byte_mean == pytest.approx(float(arr.mean()))
-        assert row.byte_std == pytest.approx(float(arr.std()))
+        # the implementation derives every float from exact integer
+        # moments — the numpy reference values must match EXACTLY,
+        # not approximately (cross-engine determinism, SURVEY §8.6)
+        assert row.byte_mean == float(arr.mean())
+        assert row.byte_std == pytest.approx(float(arr.std()), abs=1e-12)
         assert row.byte_min == int(arr.min())
         assert row.byte_max == int(arr.max())
         assert len(row.grid_means) == multimodal.GRID_CELLS
-        bounds = np.linspace(0, arr.size, multimodal.GRID_CELLS + 1,
-                             dtype=np.int64)
-        expect = [float(arr[bounds[i]:bounds[i + 1]].mean())
+        cells = (np.arange(arr.size) * multimodal.GRID_CELLS) // arr.size
+        expect = [float(arr[cells == i].mean())
                   for i in range(multimodal.GRID_CELLS)]
-        assert row.grid_means == pytest.approx(expect)
+        assert row.grid_means == expect
 
 
 def test_multimodal_unknown_codec_raises(spark):
