@@ -250,8 +250,14 @@ def dim_securities_current(fct: DataFrame,
         F.avg(F.when(in_tail, F.col("volume"))).alias("avg_volume"),
         F.sum(F.when(in_tail, 1).otherwise(0)).cast("long")
         .alias("window_rows"),
-        # A5
-        F.countDistinct("trade_date").alias("trading_days"),
+        # A5 — trading-day count. The fact is (ticker, trade_date)
+        # KEY-GRAIN by construction (bars_from_lineitem groupBy +
+        # grain-preserving windows), so COUNT(*) == COUNT(DISTINCT
+        # trade_date); the distinct form would force an Expand +
+        # SortAggregate plan, while plain COUNT keeps the whole
+        # aggregate hashable (measured SortAggregate->HashAggregate
+        # flip; the oracle makes the same grain assumption)
+        F.count(F.lit(1)).cast("long").alias("trading_days"),
         # A6
         F.coalesce(
             F.max(F.when(F.col("golden_cross") == 1, F.col("trade_date"))),

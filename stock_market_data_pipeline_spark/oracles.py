@@ -252,7 +252,10 @@ vol_metrics AS (
   FROM tail GROUP BY ticker
 ),
 day_counts AS (
-  SELECT ticker, COUNT(DISTINCT trade_date) AS trading_days FROM t3 GROUP BY ticker
+  -- (ticker, trade_date) is key-grain by construction on both engines,
+  -- so COUNT(*) == COUNT(DISTINCT trade_date) (keeps Spark's aggregate
+  -- hash-based; see models/marts.py A5 note)
+  SELECT ticker, CAST(COUNT(*) AS BIGINT) AS trading_days FROM t3 GROUP BY ticker
 ),
 signals AS (
   SELECT ticker,
