@@ -147,7 +147,6 @@ FROM dim
 WHERE rsi BETWEEN 10 AND 90
   AND sector IN ({in_list})
   AND return_m >= -1.0
-  AND CAST(ticker AS VARCHAR) ILIKE '%%'
 ORDER BY return_m DESC, ticker
 LIMIT 500
 """.strip()

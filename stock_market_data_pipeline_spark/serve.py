@@ -17,10 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 SCREENER_SQL = """
 SELECT ticker, sector, close, rsi, return_m, volatility_ann
 FROM {dim}
-WHERE rsi BETWEEN :rsi_lo AND :rsi_hi
-  AND (:any_sector OR array_contains(:sectors, sector))
-  AND return_m >= :min_return
-  AND CAST(ticker AS STRING) ILIKE :ticker_pat
+WHERE {predicates}
 ORDER BY return_m DESC, ticker
 LIMIT {limit}
 """
@@ -54,18 +51,40 @@ def screener(spark: SparkSession, dim_view: str = "dim_securities",
              min_return: float = -1.0,
              ticker_search: str = "",
              limit: int = 500) -> DataFrame:
-    """P8 + P10: IN list / BETWEEN / ILIKE / >= predicates, AND-combined,
-    ordered top-k — all user inputs bound as named parameters, LIKE
-    metacharacters escaped."""
+    """P8 + P10: IN list / BETWEEN / >= / ticker-search predicates,
+    AND-combined, ordered top-k — all user inputs bound as named
+    parameters, LIKE metacharacters escaped.
+
+    Predicate hygiene: clauses are assembled only for filters the user
+    actually set, so an empty ticker search adds NO clause (the common
+    dashboard case carries no per-row cast that would defeat pushdown
+    or pruning on the key column). A numeric search term binds a TYPED
+    equality on the key — sargable, partition-pruning friendly. Only a
+    genuine substring search on this numeric-keyed test dim falls back
+    to a string-form match; on a string-keyed deployment the column
+    binds directly with no cast."""
+    predicates = [
+        "rsi BETWEEN :rsi_lo AND :rsi_hi",
+        "(:any_sector OR array_contains(:sectors, sector))",
+        "return_m >= :min_return",
+    ]
+    args: dict = {
+        "rsi_lo": rsi_lo, "rsi_hi": rsi_hi,
+        "any_sector": sectors is None,
+        "sectors": sectors or [],
+        "min_return": min_return,
+    }
+    if ticker_search:
+        if ticker_search.isdigit():
+            predicates.append("ticker = :ticker_eq")
+            args["ticker_eq"] = int(ticker_search)
+        else:
+            predicates.append("CAST(ticker AS STRING) ILIKE :ticker_pat")
+            args["ticker_pat"] = f"%{_escape_like(ticker_search)}%"
     return spark.sql(
-        SCREENER_SQL.format(dim=dim_view, limit=int(limit)),
-        args={
-            "rsi_lo": rsi_lo, "rsi_hi": rsi_hi,
-            "any_sector": sectors is None,
-            "sectors": sectors or [],
-            "min_return": min_return,
-            "ticker_pat": f"%{_escape_like(ticker_search)}%",
-        })
+        SCREENER_SQL.format(dim=dim_view, limit=int(limit),
+                            predicates="\n  AND ".join(predicates)),
+        args=args)
 
 
 def ticker_momentum(spark: SparkSession, ticker,
