@@ -152,10 +152,18 @@ def accepted_range(df: DataFrame, col: str, lo=None, hi=None,
 # ------------------------------------------------- runner
 
 def run_all(fct: DataFrame, breadth: DataFrame,
-            dim: DataFrame) -> dict[str, int]:
+            dim: DataFrame, as_of=None) -> dict[str, int]:
     """dbt-test analog: every check's violation count (all must be 0).
     Mirrors the DAG position of `dbt test` after the marts build
     (daily_stock_pipeline_dag.py:48-55).
+
+    ``as_of`` anchors the freshness checks. Pass the pipeline's
+    external notion of "now" — the ingest ledger's max completed date,
+    or the trading calendar's last session (``ingest/calendar.py``).
+    Default: the max trade_date ACROSS the three tables, so a table
+    lagging behind its siblings is detected. (A per-table max — each
+    table judged against itself — can only fail on an empty table;
+    that tautology is exactly what an external anchor removes.)
 
     Inputs are cached for the duration: the suite fires ~19 actions
     over them, and an uncached window-heavy fact would recompute per
@@ -166,6 +174,9 @@ def run_all(fct: DataFrame, breadth: DataFrame,
     dim = dim.cache()
     as_of_fct = _as_of(fct)
     as_of_b = _as_of(breadth)
+    if as_of is None:
+        as_of = max(d for d in (as_of_fct, as_of_b, _as_of(dim))
+                    if d is not None)
     out = {
         "breadth_reconciles": breadth_reconciles(breadth, as_of_b).count(),
         "record_high_pct_reasonable":
@@ -179,9 +190,9 @@ def run_all(fct: DataFrame, breadth: DataFrame,
             sma_population_monotonic(fct, as_of_fct).count(),
         "yesterday_close_is_lag":
             yesterday_close_is_lag(fct, as_of_fct).count(),
-        "freshness_fct": freshness(fct, as_of_fct).count(),
-        "freshness_breadth": freshness(breadth, as_of_b).count(),
-        "freshness_dim": freshness(dim).count(),
+        "freshness_fct": freshness(fct, as_of).count(),
+        "freshness_breadth": freshness(breadth, as_of).count(),
+        "freshness_dim": freshness(dim, as_of).count(),
         # generic schema tests (marts/_schema.yml:33-143)
         "fct_unique_key": unique_key(fct, ["ticker", "trade_date"]).count(),
         "fct_not_null": not_null(fct, ["ticker", "trade_date",

@@ -89,3 +89,22 @@ def test_checks_catch_injected_violations(marts, spark):
     # unique-key dup
     dup = fct.limit(1).unionByName(fct.limit(1))
     assert checks.unique_key(dup, ["ticker", "trade_date"]).count() == 1
+
+
+def test_freshness_anchor_is_external(marts):
+    """run_all's freshness anchor is cross-table (or caller-supplied),
+    so a table lagging its siblings FAILS — the per-table anchor could
+    only ever fail on an empty table (ADVICE r2: tautological)."""
+    from stock_market_data_pipeline_spark import checks
+
+    fct, breadth, dim = marts
+    as_of = breadth.agg(F.max("trade_date")).first()[0]
+    stale_fct = fct.where(
+        F.col("trade_date") < F.date_sub(F.lit(as_of), 30))
+
+    results = checks.run_all(stale_fct, breadth, dim)
+    assert results["freshness_fct"] == 1      # lags the cross-table max
+    assert results["freshness_breadth"] == 0  # breadth itself is fresh
+
+    # explicit external anchor (ledger/calendar analog) also detects it
+    assert checks.freshness(stale_fct, as_of=as_of).count() == 1
