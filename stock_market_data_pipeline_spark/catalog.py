@@ -1415,15 +1415,23 @@ _DRIVER_WINDOW_FIRST = [
     "pivot_priority_year", "cube_order_stats", "unpivot_dim_metrics",
     "histogram_prices", "band_range_join", "quantiles_by_brand",
     "except_intersect_keys", "bucketed_join_revenue",
-    # -- entries modified in round 3 (must be re-proven by the driver) --
+    "serving_freshness",        # new in round 3 (dashboard metadata)
+    # -- entries modified in round 3 (must be re-proven by the driver).
+    # The 4-way constituents stack changes the VALUES of the whole
+    # momentum chain, so its central entries re-enter the window; the
+    # remaining chain consumers (topk/conditional/median/etc.) are
+    # covered by the tools/sweep.py gate replica.
     "constituents_snapshots",   # 4-way snapshot stack (was 2-way)
+    "universe_daily",           # downstream of the 4-way stack
+    "fct_trading_momentum",     # downstream of the 4-way stack
+    "fct_trading_momentum_valid",
+    "agg_daily_market_breadth",
     "dim_securities_current",   # count(*) under key-grain invariant
     "fct_momentum_incremental", # partition-scoped incremental write
     "dedup_minhash_lsh",        # bounded shingle cache / spill path
-    # -- representative core to fill the window --
-    "fct_trading_momentum", "agg_daily_market_breadth", "universe_daily",
-    "bars_ohlcv", "stg_projection_flags", "tpch_q1_pricing_summary",
-    "scd2_constituents", "dedup_exact",
+    "screener_filter",          # downstream of the 4-way stack
+    # -- representative core to fill the window to exactly 50 --
+    "bars_ohlcv", "conditional_agg_daily",
 ]
 
 

@@ -266,6 +266,32 @@ LIMIT 30
 """.strip()
 
 
+def _serving_freshness_sql() -> str:
+    from . import oracles
+    from .models.marts import SMALL
+    return f"""
+WITH breadth AS ({oracles.breadth_sql(SMALL)}),
+dim AS ({oracles.securities_dim_sql(SMALL)})
+SELECT (SELECT MAX(trade_date) FROM breadth) AS data_through,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM dim) AS ticker_count
+""".strip()
+
+
+@q("serving_freshness", _serving_freshness_sql())
+def serving_freshness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 metadata: the dashboard freshness caption — breadth
+    data-through date + dim ticker coverage as one row
+    (dashboard_helpers.py:75-95). A7-shaped scalar aggregates only."""
+    from .catalog import QUERIES
+    from .serve import data_freshness
+
+    b = QUERIES["agg_daily_market_breadth"](spark, sf_dir)
+    b.createOrReplaceTempView("market_breadth")
+    dim = QUERIES["dim_securities_current"](spark, sf_dir)
+    dim.createOrReplaceTempView("dim_securities")
+    return data_freshness(spark)
+
+
 @q("serving_breadth", _serving_breadth_sql())
 def serving_breadth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S12 + O2: the Market Breadth page query — recency top-30 over

@@ -72,14 +72,27 @@ def universe_daily_from_tpch(spark: SparkSession, sf_dir: str,
     )
 
 
-def constituents_from_part(part: DataFrame) -> DataFrame:
-    """Two deterministic membership snapshots with validity intervals.
+#: the four membership snapshots: (valid_from, valid_to, excluded
+#: p_partkey residue mod 10).  Four snapshots with three churn
+#: boundaries (~10% of tickers each) mirror the reference's four
+#: Russell seed files with their contiguous validity intervals
+#: (stg_russell3000__constituents.sql:18-52), so the as-of join (J1)
+#: and is_new_to_index flag (W10) have observable effects at every
+#: boundary.
+SNAPSHOT_SPECS: list[tuple[date, date | None, int]] = [
+    (date(1992, 1, 1), date(1993, 12, 31), 0),
+    (date(1994, 1, 1), date(1995, 12, 31), 1),
+    (date(1996, 1, 1), date(1997, 6, 30), 2),
+    (date(1997, 7, 1), None, 3),
+]
 
-    Snapshot 1 (1992-01-01 .. 1995-12-31): parts with p_partkey % 10 != 0.
-    Snapshot 2 (1996-01-01 .. open):       parts with p_partkey % 10 != 1.
-    So ~10% of tickers churn at the boundary — the as-of join (J1) and
-    is_new_to_index flag (W10) have observable effects, like the
-    reference's 4 Russell snapshots.
+
+def constituents_from_part(part: DataFrame) -> DataFrame:
+    """Four deterministic membership snapshots with validity intervals
+    (see :data:`SNAPSHOT_SPECS`): snapshot k covers parts with
+    p_partkey % 10 != k, so each boundary drops one residue class and
+    re-admits the previous one — the 4-way UNION ALL stack of
+    stg_russell3000__constituents.sql:18-52.
     """
     base = part.select(
         F.col("p_partkey").alias("ticker"),
@@ -87,9 +100,7 @@ def constituents_from_part(part: DataFrame) -> DataFrame:
         F.col("p_brand").alias("sector"),
         ((F.col("p_partkey") % 97) / F.lit(10.0)).alias("index_weight"),
     )
-    snap1 = base.where(F.col("ticker") % 10 != 0)
-    snap2 = base.where(F.col("ticker") % 10 != 1)
     return stack_constituent_snapshots([
-        (snap1, date(1992, 1, 1), date(1995, 12, 31)),
-        (snap2, date(1996, 1, 1), None),
+        (base.where(F.col("ticker") % 10 != excluded), valid_from, valid_to)
+        for valid_from, valid_to, excluded in SNAPSHOT_SPECS
     ])

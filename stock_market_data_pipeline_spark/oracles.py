@@ -22,6 +22,9 @@ Cross-engine determinism rules used throughout (SURVEY.md §8.6):
 
 from __future__ import annotations
 
+from datetime import date
+
+from .models.mapping import SNAPSHOT_SPECS
 from .models.marts import IndicatorParams
 
 # ---------------------------------------------------------------- bases
@@ -44,17 +47,25 @@ FROM (
 )
 """.strip()
 
-CONSTITUENTS_SQL = """
-SELECT p_partkey AS ticker, p_name AS company, p_brand AS sector,
-       (p_partkey % 97) / CAST(10 AS DOUBLE) AS index_weight,
-       DATE '1992-01-01' AS valid_from, DATE '1995-12-31' AS valid_to
-FROM part WHERE p_partkey % 10 != 0
-UNION ALL
-SELECT p_partkey, p_name, p_brand,
-       (p_partkey % 97) / CAST(10 AS DOUBLE),
-       DATE '1996-01-01', DATE '9999-12-31'
-FROM part WHERE p_partkey % 10 != 1
-""".strip()
+def _constituents_sql() -> str:
+    """4-way UNION ALL snapshot stack, generated from the SAME
+    ``SNAPSHOT_SPECS`` the Spark side uses (models/mapping.py) — one
+    source of truth for the membership rule and validity intervals
+    (stg_russell3000__constituents.sql:18-52 analog)."""
+    branches = []
+    for valid_from, valid_to, excluded in SNAPSHOT_SPECS:
+        vt = valid_to or date(9999, 12, 31)
+        branches.append(
+            "SELECT p_partkey AS ticker, p_name AS company,"
+            " p_brand AS sector,\n"
+            "       (p_partkey % 97) / CAST(10 AS DOUBLE) AS index_weight,\n"
+            f"       DATE '{valid_from}' AS valid_from,"
+            f" DATE '{vt}' AS valid_to\n"
+            f"FROM part WHERE p_partkey % 10 != {excluded}")
+    return "\nUNION ALL\n".join(branches)
+
+
+CONSTITUENTS_SQL = _constituents_sql()
 
 UNIVERSE_SQL = f"""
 WITH bars AS ({BARS_SQL}),

@@ -36,6 +36,11 @@ ORDER BY trade_date DESC
 LIMIT {limit}
 """
 
+FRESHNESS_SQL = """
+SELECT (SELECT MAX(trade_date) FROM {breadth}) AS data_through,
+       (SELECT COUNT(*) FROM {dim}) AS ticker_count
+"""
+
 
 def _escape_like(term: str) -> str:
     """Neutralize LIKE metacharacters in user input — parameter binding
@@ -101,3 +106,15 @@ def breadth_recent(spark: SparkSession, limit: int = 30,
     """O2: recency top-k over the breadth table."""
     return spark.sql(BREADTH_RECENT_SQL.format(
         breadth=breadth_view, limit=int(limit)))
+
+
+def data_freshness(spark: SparkSession,
+                   breadth_view: str = "market_breadth",
+                   dim_view: str = "dim_securities") -> DataFrame:
+    """The dashboard's freshness caption: data-through date from the
+    breadth mart + ticker coverage from the dim
+    (data-viz/utilities/dashboard_helpers.py:75-95). Two scalar
+    subqueries — each a partial-agg MAX/COUNT, no join, no shuffle of
+    table rows — returned as ONE row the caption renders."""
+    return spark.sql(FRESHNESS_SQL.format(breadth=breadth_view,
+                                          dim=dim_view))
