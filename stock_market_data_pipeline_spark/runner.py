@@ -5,9 +5,24 @@ orders models by declared dependencies and materializes each:
 
   view         createOrReplaceTempView        (staging layer,
                                                dbt_project.yml:57-59)
-  table        overwrite parquet + temp view  (marts, :63-65)
+  table        overwrite into the model's catalog namespace
+               (saveAsTable) or parquet path   (marts, :63-65)
   incremental  MERGE on unique_key with the trailing-lookback
-               reprocess (int + fct configs; incremental.py)
+               reprocess (int + fct configs; incremental.py); on a
+               date-partitioned target only the touched partitions
+               are rewritten (dynamic partition overwrite)
+
+NAMESPACES (S11): the reference materializes each layer into its own
+schema — ``raw_staging`` / ``raw_intermediate`` / ``raw_marts``
+(dbt_project.yml:55-65).  A model with ``schema=`` set lands as a
+catalog table ``schema.name`` (``CREATE DATABASE IF NOT EXISTS`` +
+``saveAsTable``); an unqualified temp-view alias is kept so
+downstream models and ad-hoc SQL resolve the bare name either way.
+Staging views stay session-scoped temp views: Spark persistent views
+require SQL text and may not reference temp state, and dbt's staging
+views are likewise ephemeral contracts rather than data.  Models
+without ``schema`` keep the path-based parquet warehouse (useful for
+scratch runs with no metastore).
 
 Layer ordering matches the reference DAG: staging -> intermediate ->
 marts -> checks (daily_stock_pipeline_dag.py:30-55); independent
@@ -22,6 +37,14 @@ from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: layer -> schema mapping, the dbt_project.yml:55-65 analog
+LAYER_SCHEMAS = {
+    "staging": "raw_staging",
+    "intermediate": "raw_intermediate",
+    "marts": "raw_marts",
+}
 
 
 @dataclass
@@ -36,6 +59,9 @@ class Model:
     #: Spark analog of cluster_by=['ticker'] + date micro-partitions
     #: (fct_trading_momentum.sql:5; SURVEY §1.4)
     partition_by: list[str] = field(default_factory=list)
+    #: catalog namespace (e.g. LAYER_SCHEMAS["marts"]); None keeps the
+    #: path-based parquet warehouse
+    schema: str | None = None
 
 
 class Runner:
@@ -70,10 +96,86 @@ class Runner:
     def _table_path(self, name: str) -> str:
         return os.path.join(self.warehouse, name)
 
+    # ------------------------------------------ catalog-table sinks
+
+    def _materialize_catalog(self, model: Model,
+                             df: DataFrame) -> DataFrame:
+        """saveAsTable into the model's namespace (S11 proper): the
+        dbt ``schema: raw_marts`` analog.  Incremental runs against a
+        partitioned target rewrite ONLY the touched partitions
+        (writer-level dynamic partition overwrite through
+        ``insertInto`` — partition columns are last in a saved table's
+        schema, so rows are re-ordered to match before the positional
+        insert)."""
+        spark = self.spark
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {model.schema}")
+        qualified = f"{model.schema}.{model.name}"
+
+        def create(frame: DataFrame) -> None:
+            w = frame.write.mode("overwrite").format("parquet")
+            if model.partition_by:
+                w = w.partitionBy(*model.partition_by)
+            w.saveAsTable(qualified)
+
+        exists = spark.catalog.tableExists(qualified)
+        if model.materialization == "table" or not exists:
+            create(df)
+        else:  # incremental into an existing table
+            from .incremental import merge_upsert
+            keys = model.unique_key or ["id"]
+            if model.partition_by:
+                parts = model.partition_by
+                touched = df.select(*parts).distinct().collect()
+                # ONE flat In expression (never a chained OR — a deep
+                # boolean tree overflows the analyzer on wide backfills)
+                if len(parts) == 1:
+                    # plain column isin: statically partition-prunable
+                    pred = F.col(parts[0]).isin(
+                        [row[0] for row in touched])
+                else:
+                    pred = F.struct(*parts).isin(*[
+                        F.struct(*[F.lit(row[c]) for c in parts])
+                        for row in touched])
+                # partition-pruned read of only the touched slice
+                current = spark.table(qualified).where(pred)
+                merged = merge_upsert(current, df, keys)
+                # cut lineage: the insert overwrites partitions the
+                # merge plan reads
+                merged = merged.localCheckpoint(eager=True)
+                # dynamic partition overwrite into a v1 catalog table:
+                # the writer-level partitionOverwriteMode option is
+                # silently IGNORED by insertInto, and the v2 writer
+                # (writeTo().overwritePartitions()) rejects v1 tables —
+                # the session conf is the only working API, so set it
+                # save/restore-scoped to this one insert
+                key = "spark.sql.sources.partitionOverwriteMode"
+                prior = spark.conf.get(key)
+                spark.conf.set(key, "dynamic")
+                try:
+                    (merged.select(*spark.table(qualified).columns)
+                     .write.mode("overwrite").insertInto(qualified))
+                finally:
+                    spark.conf.set(key, prior)
+            else:
+                merged = merge_upsert(spark.table(qualified), df, keys)
+                merged = merged.localCheckpoint(eager=True)
+                create(merged)
+        out = spark.table(qualified)
+        # unqualified alias so downstream models / ad-hoc SQL resolve
+        # the bare name too
+        out.createOrReplaceTempView(model.name)
+        return out
+
+    # ------------------------------------------ path-based sinks
+
     def _materialize(self, model: Model, df: DataFrame) -> DataFrame:
+        if model.materialization not in ("view", "table", "incremental"):
+            raise ValueError(model.materialization)
         if model.materialization == "view":
             df.createOrReplaceTempView(model.name)
             return df
+        if model.schema:
+            return self._materialize_catalog(model, df)
         path = self._table_path(model.name)
 
         def write(frame: DataFrame, target: str) -> None:

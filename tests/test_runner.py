@@ -70,6 +70,103 @@ def test_runner_detects_cycles(spark):
         r.run()
 
 
+def test_runner_namespaces(spark):
+    """S11 proper: models with schema= land as catalog tables in the
+    reference's raw_* namespaces (dbt_project.yml:55-65), incremental
+    second runs merge partition-scoped, and untouched trade_date
+    partitions' files are byte-identical after the second run."""
+    import glob
+    import os
+
+    from stock_market_data_pipeline_spark.models.mapping import (
+        universe_daily_from_tpch,
+    )
+    from stock_market_data_pipeline_spark.models.marts import (
+        SMALL, agg_daily_market_breadth, fct_trading_momentum,
+    )
+    from stock_market_data_pipeline_spark.runner import (
+        LAYER_SCHEMAS, Model, Runner,
+    )
+
+    def pipeline(universe_filter=None):
+        r = Runner(spark, tempfile.mkdtemp(prefix="ns_wh_"))
+
+        def build_universe(s, built):
+            u = universe_daily_from_tpch(s, SF_SMALL)
+            if universe_filter is not None:
+                u = u.where(universe_filter)
+            return u
+
+        r.register(Model("int_universe_ns", build_universe,
+                         materialization="view"))
+        r.register(Model(
+            "fct_momentum_ns",
+            lambda s, built: fct_trading_momentum(built["int_universe_ns"],
+                                                  SMALL),
+            materialization="incremental",
+            depends_on=["int_universe_ns"],
+            unique_key=["ticker", "trade_date"],
+            partition_by=["trade_date"],
+            schema=LAYER_SCHEMAS["intermediate"]))
+        r.register(Model(
+            "agg_breadth_ns",
+            lambda s, built: agg_daily_market_breadth(built["fct_momentum_ns"],
+                                                      SMALL),
+            materialization="table",
+            depends_on=["fct_momentum_ns"],
+            schema=LAYER_SCHEMAS["marts"]))
+        return r
+
+    # drop both the metastore entries AND the physical locations — a
+    # fresh Derby metastore over a persisted spark-warehouse dir knows
+    # nothing of last session's managed tables, so DROP alone leaves a
+    # LOCATION_ALREADY_EXISTS landmine
+    import shutil
+
+    wh_root = spark.conf.get(
+        "spark.sql.warehouse.dir").removeprefix("file:")
+    for db in ("raw_intermediate", "raw_marts"):
+        for tbl in ("fct_momentum_ns", "agg_breadth_ns"):
+            spark.sql(f"DROP TABLE IF EXISTS {db}.{tbl}")
+            shutil.rmtree(os.path.join(wh_root, f"{db}.db", tbl),
+                          ignore_errors=True)
+
+    # run 1 on a date prefix
+    split = F.col("trade_date") <= F.lit("1996-12-31")
+    n_prefix = pipeline(split).run()["fct_momentum_ns"].count()
+
+    # namespace placement
+    assert spark.catalog.tableExists("raw_intermediate.fct_momentum_ns")
+    assert spark.catalog.tableExists("raw_marts.agg_breadth_ns")
+    tbls = [t.name for t in spark.catalog.listTables("raw_marts")]
+    assert "agg_breadth_ns" in tbls
+
+    # snapshot the physical files of an early (untouched) partition
+    loc = (spark.sql(
+        "DESCRIBE TABLE EXTENDED raw_intermediate.fct_momentum_ns")
+        .where("col_name = 'Location'").first()["data_type"])
+    loc_path = loc.removeprefix("file:")
+    early = sorted(glob.glob(
+        os.path.join(loc_path, "trade_date=1995-*", "*.parquet")))
+    assert early, loc_path
+    before = {f: (os.path.getmtime(f), os.path.getsize(f)) for f in early}
+
+    # run 2 on the trailing slice only (the daily-run shape),
+    # overlapping H2-1996 so matched keys take the update path: the
+    # merge must land prefix + slice == a from-scratch build's keyset
+    trailing = F.col("trade_date") >= F.lit("1996-07-01")
+    merged = pipeline(trailing).run()["fct_momentum_ns"]
+    full_src = universe_daily_from_tpch(spark, SF_SMALL)
+    full = fct_trading_momentum(full_src, SMALL)
+    assert n_prefix < merged.count() == full.count()
+    assert merged.select("ticker", "trade_date", "close").exceptAll(
+        full.select("ticker", "trade_date", "close")).count() == 0
+
+    # untouched partitions were not rewritten
+    after = {f: (os.path.getmtime(f), os.path.getsize(f)) for f in early}
+    assert before == after
+
+
 def test_runner_incremental_second_run_merges(spark):
     """Run 1 on a date-prefix, run 2 on the full source: the
     incremental model's second run must equal a from-scratch build."""
