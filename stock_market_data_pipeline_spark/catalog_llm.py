@@ -572,6 +572,87 @@ def rolling_hash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.rolling_hash(_t(spark, sf_dir, "documents"))
 
 
+REPETITION_SQL = """
+WITH t AS (
+  SELECT doc_id, str_split(text, ' ') AS w,
+         len(str_split(text, ' ')) AS nw
+  FROM documents
+),
+g AS (
+  SELECT doc_id, nw,
+         CASE WHEN nw >= 3 THEN
+           list_transform(generate_series(1, nw - 2),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         ELSE [] END AS grams
+  FROM t
+)
+SELECT doc_id,
+       CAST(nw AS BIGINT) AS n_words,
+       CAST(len(grams) AS BIGINT) AS n_ngrams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_ngrams,
+       CASE WHEN len(grams) > 0 THEN
+         CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+         / len(grams)
+       END AS rep_ratio
+FROM g
+""".strip()
+
+
+@q("text_repetition_ratio", REPETITION_SQL)
+def repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicate-3-gram fraction per document — the
+    intra-doc repetition quality gate. Pure higher-order-function
+    scan+map, zero shuffles."""
+    return textops.repetition_ratio(_t(spark, sf_dir, "documents"), n=3)
+
+
+BOILERPLATE_SQL = """
+WITH t AS (
+  SELECT doc_id, str_split(text, ' ') AS w,
+         len(str_split(text, ' ')) // 2 AS nc
+  FROM documents
+),
+seg AS (
+  SELECT doc_id,
+         unnest(CASE WHEN nc >= 1 THEN
+           list_transform(generate_series(0, nc - 1),
+             c -> array_to_string(list_slice(w, c*2 + 1, c*2 + 2), ' '))
+         ELSE [] END) AS segment
+  FROM t
+),
+seg_h AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(segment), 1, 15) AS BIGINT) AS seg_id
+  FROM seg
+),
+df AS (
+  SELECT seg_id, COUNT(*) AS seg_df
+  FROM (SELECT DISTINCT seg_id, doc_id FROM seg_h) GROUP BY 1
+),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(CASE WHEN CAST(seg_df AS DOUBLE) >= 0.04 * n_docs
+                     THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boilerplate_segments,
+       CAST(SUM(CASE WHEN CAST(seg_df AS DOUBLE) >= 0.04 * n_docs
+                     THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS boilerplate_ratio
+FROM seg_h JOIN df USING (seg_id) CROSS JOIN nd
+GROUP BY doc_id, n_docs
+""".strip()
+
+
+@q("text_boilerplate_segments", BOILERPLATE_SQL)
+def boilerplate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/C4-style corpus-frequent segment detection: aligned
+    2-word segments whose document frequency reaches 4% of the corpus
+    are boilerplate; doc-grain ratio output. Relative threshold keeps
+    behavior identical across scale factors."""
+    return textops.boilerplate_segments(
+        _t(spark, sf_dir, "documents"), chunk_words=2, df_frac=0.04)
+
+
 @q("text_tfidf_top_terms", TFIDF_SQL)
 def tfidf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per doc: explode -> (doc,word) grain ->
