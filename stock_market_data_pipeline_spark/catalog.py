@@ -1399,39 +1399,23 @@ from . import catalog_rel  # noqa: E402,F401  (pivot/cube/unpivot/histogram)
 # observes the same ordering.
 
 _DRIVER_WINDOW_FIRST = [
-    # -- the 37 entries with no driver-green CORRECTNESS row (r02 cap) --
-    "dedup_clusters", "sample_hash_split", "text_bpe_tokens",
-    "text_rolling_hash", "text_tfidf_top_terms", "embedding_centroids",
-    "ann_cosine_topk", "ann_ivf_topk", "mm_payload_features",
-    "mm_payload_grid",          # new in round 3 (grid oracle)
-    "dedup_embedding_cosine", "seed_csv_constituents",
-    "stream_hourly_rollup", "stream_upsert_rollup", "serving_screener",
-    "serving_ticker_range", "stream_stateful_user_totals",
-    "ingest_pending_dates", "ingest_daily_bars",
-    "datasource_grouped_daily", "serving_breadth", "sessionize_events",
-    "events_hopping_counts", "events_json_props", "stream_dedup_events",
-    "asof_prior_view", "cumulative_distinct_users", "session_funnel",
-    "session_window_native", "stream_session_windows",
-    "pivot_priority_year", "cube_order_stats", "unpivot_dim_metrics",
-    "histogram_prices", "band_range_join", "quantiles_by_brand",
-    "except_intersect_keys", "bucketed_join_revenue",
-    "serving_freshness",        # new in round 3 (dashboard metadata)
-    # -- entries modified in round 3 (must be re-proven by the driver).
-    # The 4-way constituents stack changes the VALUES of the whole
-    # momentum chain, so its central entries re-enter the window; the
-    # remaining chain consumers (topk/conditional/median/etc.) are
-    # covered by the tools/sweep.py gate replica.
-    "constituents_snapshots",   # 4-way snapshot stack (was 2-way)
-    "universe_daily",           # downstream of the 4-way stack
-    "fct_trading_momentum",     # downstream of the 4-way stack
-    "fct_trading_momentum_valid",
-    "agg_daily_market_breadth",
-    "dim_securities_current",   # count(*) under key-grain invariant
-    "fct_momentum_incremental", # partition-scoped incremental write
-    "dedup_minhash_lsh",        # bounded shingle cache / spill path
-    "screener_filter",          # downstream of the 4-way stack
-    # -- representative core to fill the window to exactly 50 --
-    "bars_ohlcv", "conditional_agg_daily",
+    # -- round 4: the only entries with NO driver-green row anywhere
+    # in r02 ∪ r03 (they registered past index 49 in round 3) --
+    "text_repetition_ratio", "text_boilerplate_segments",
+    # -- entries whose surface was touched in round 4 and must be
+    # re-proven by the driver --
+    "serving_screener",         # substring-always ticker search
+    "stream_upsert_rollup",     # merge_into_partitioned precondition
+    "fct_momentum_incremental",
+    # -- representative core + heaviest plans, re-proven each round --
+    "fct_trading_momentum", "fct_trading_momentum_valid",
+    "agg_daily_market_breadth", "dim_securities_current",
+    "universe_daily", "constituents_snapshots", "screener_filter",
+    "dedup_minhash_lsh", "dedup_clusters", "dedup_exact",
+    "ann_cosine_topk", "ann_ivf_topk", "embedding_centroids",
+    "text_tfidf_top_terms", "text_bpe_tokens",
+    "sessionize_events", "cube_order_stats", "bucketed_join_revenue",
+    "asof_prior_view", "bars_ohlcv", "conditional_agg_daily",
 ]
 
 

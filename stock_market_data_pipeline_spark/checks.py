@@ -175,8 +175,13 @@ def run_all(fct: DataFrame, breadth: DataFrame,
     as_of_fct = _as_of(fct)
     as_of_b = _as_of(breadth)
     if as_of is None:
-        as_of = max(d for d in (as_of_fct, as_of_b, _as_of(dim))
-                    if d is not None)
+        candidates = [d for d in (as_of_fct, as_of_b, _as_of(dim))
+                      if d is not None]
+        # All three tables empty: leave as_of None. The freshness
+        # checks then window on a NULL date, match zero recent rows,
+        # and report a violation for each table — "everything stale"
+        # rather than ValueError on max() of an empty sequence.
+        as_of = max(candidates) if candidates else None
     out = {
         "breadth_reconciles": breadth_reconciles(breadth, as_of_b).count(),
         "record_high_pct_reasonable":

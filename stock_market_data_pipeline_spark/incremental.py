@@ -108,18 +108,53 @@ def overwrite_trailing(updates: DataFrame, target_path: str,
 
 def merge_into_partitioned(spark: SparkSession, target_path: str,
                            updates: DataFrame, keys: list[str],
-                           ts: str = "trade_date") -> None:
+                           ts: str = "trade_date",
+                           validate_partition_stability: bool = False,
+                           ) -> None:
     """Partition-scoped keyed MERGE into a date-partitioned parquet
     target: prune the read to the touched partitions, merge within
     that slice, rewrite just those partitions.  This is the plain-
     parquet expression of Delta/Iceberg ``MERGE INTO`` with partition
     pruning; on a transactional format the localCheckpoint staging hop
     disappears (the format's snapshot isolation handles read-own-
-    target)."""
+    target).
+
+    PRECONDITION (the partition-pruning contract): a key NEVER moves
+    between ``ts`` partitions — every update row's ``ts`` equals the
+    ``ts`` of the existing row for that key, if one exists.  Touched
+    partitions are derived from ``updates`` alone, so if an update
+    re-dated a key, the stale row in the old partition would survive
+    and the target would hold the key twice.  This matches the
+    pipeline's keys: (ticker, trade_date) *contains* the partition
+    column, and the streaming replay's event_id -> ts mapping is
+    stable (streaming/events.py upsert_replay), so the precondition
+    holds by construction there.  Full Delta/Iceberg ``MERGE INTO``
+    does not need this precondition only because it scans the whole
+    target for key matches — the exact full-table read this function
+    exists to avoid.
+
+    ``validate_partition_stability=True`` (debug/test builds) verifies
+    the precondition with one full-target anti-scan: it raises if any
+    updated key exists outside the touched partitions.  Leave it off
+    in production — the check costs the full-table read the pruning
+    saves."""
     touched = [r[0] for r in updates.select(ts).distinct().collect()]
     if not touched:
         return
-    current = spark.read.parquet(target_path).where(F.col(ts).isin(touched))
+    target = spark.read.parquet(target_path)
+    if validate_partition_stability:
+        key_cols = [k for k in keys if k != ts]
+        strays = (target.where(~F.col(ts).isin(touched))
+                  .join(updates.select(*key_cols).distinct(),
+                        key_cols, "left_semi"))
+        n = strays.count()
+        if n:
+            raise ValueError(
+                f"merge_into_partitioned precondition violated: {n} "
+                f"row(s) carry an updated key in a partition outside "
+                f"the update's {ts} set {sorted(touched)} — a key moved "
+                f"partitions; use a full-table merge_upsert instead")
+    current = target.where(F.col(ts).isin(touched))
     merged = merge_upsert(current, updates, keys)
     # cut lineage: Spark refuses to overwrite a path its plan reads
     merged = merged.localCheckpoint(eager=True)

@@ -55,19 +55,26 @@ def screener(spark: SparkSession, dim_view: str = "dim_securities",
              sectors: list[str] | None = None,
              min_return: float = -1.0,
              ticker_search: str = "",
+             ticker_exact=None,
              limit: int = 500) -> DataFrame:
     """P8 + P10: IN list / BETWEEN / >= / ticker-search predicates,
     AND-combined, ordered top-k — all user inputs bound as named
     parameters, LIKE metacharacters escaped.
 
+    ``ticker_search`` is ALWAYS a substring match — the reference
+    dashboard's "Ticker Contains" filter is an unconditional ILIKE
+    '%term%' (data-viz/pages/2_Universe_Screener.py:73-75), so
+    searching "12" must match ticker 1234 even when the term is all
+    digits. ``ticker_exact`` is the separate, documented exact-lookup
+    API: it binds a TYPED equality on the key (sargable, partition-
+    pruning friendly) and never does substring work.
+
     Predicate hygiene: clauses are assembled only for filters the user
     actually set, so an empty ticker search adds NO clause (the common
     dashboard case carries no per-row cast that would defeat pushdown
-    or pruning on the key column). A numeric search term binds a TYPED
-    equality on the key — sargable, partition-pruning friendly. Only a
-    genuine substring search on this numeric-keyed test dim falls back
-    to a string-form match; on a string-keyed deployment the column
-    binds directly with no cast."""
+    or pruning on the key column). The substring path casts through a
+    string form because this test dim is numeric-keyed; on a
+    string-keyed deployment the column binds directly with no cast."""
     predicates = [
         "rsi BETWEEN :rsi_lo AND :rsi_hi",
         "(:any_sector OR array_contains(:sectors, sector))",
@@ -79,13 +86,12 @@ def screener(spark: SparkSession, dim_view: str = "dim_securities",
         "sectors": sectors or [],
         "min_return": min_return,
     }
-    if ticker_search:
-        if ticker_search.isdigit():
-            predicates.append("ticker = :ticker_eq")
-            args["ticker_eq"] = int(ticker_search)
-        else:
-            predicates.append("CAST(ticker AS STRING) ILIKE :ticker_pat")
-            args["ticker_pat"] = f"%{_escape_like(ticker_search)}%"
+    if ticker_exact is not None:
+        predicates.append("ticker = :ticker_eq")
+        args["ticker_eq"] = ticker_exact
+    elif ticker_search:
+        predicates.append("CAST(ticker AS STRING) ILIKE :ticker_pat")
+        args["ticker_pat"] = f"%{_escape_like(ticker_search)}%"
     return spark.sql(
         SCREENER_SQL.format(dim=dim_view, limit=int(limit),
                             predicates="\n  AND ".join(predicates)),

@@ -152,7 +152,11 @@ def upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         if os.path.isdir(target_path):
             # partition-scoped MERGE: prune the read to the event_date
             # partitions this batch touches and rewrite only those —
-            # never the whole target (MERGE INTO on Delta/Iceberg)
+            # never the whole target (MERGE INTO on Delta/Iceberg).
+            # Precondition (merge_into_partitioned docstring): a key
+            # never moves partitions — holds here because event_date
+            # is derived from the event's own immutable ts, so every
+            # re-delivery of an event_id carries the same event_date.
             merge_into_partitioned(spark, target_path, updates,
                                    ["event_id"], ts="event_date")
         else:

@@ -108,3 +108,20 @@ def test_freshness_anchor_is_external(marts):
 
     # explicit external anchor (ledger/calendar analog) also detects it
     assert checks.freshness(stale_fct, as_of=as_of).count() == 1
+
+
+def test_run_all_on_empty_tables_reports_stale_not_crash(marts, spark):
+    """ADVICE r3 (low): with every input empty and no explicit as_of,
+    run_all used to raise ValueError on max() of an empty sequence.
+    Now it reports all three freshness checks as FAILING (everything
+    is stale when there is no data) instead of crashing."""
+    from stock_market_data_pipeline_spark import checks
+
+    fct, breadth, dim = marts
+    empty = (fct.limit(0), breadth.limit(0), dim.limit(0))
+    out = checks.run_all(*empty)
+    assert out["freshness_fct"] == 1
+    assert out["freshness_breadth"] == 1
+    assert out["freshness_dim"] == 1
+    # non-freshness checks are vacuous on empty inputs, not crashes
+    assert out["fct_unique_key"] == 0

@@ -114,3 +114,40 @@ def test_merge_into_partitioned_scopes_to_touched_partitions(
                       .select("ticker", "v").collect()))
     assert rows == [("A", 1.0), ("A", 3.0), ("A", 50.0),
                     ("B", 2.0), ("B", 4.0), ("C", 6.0)]
+
+
+def test_merge_validate_catches_key_that_moved_partitions(
+        spark, tmp_path_factory):
+    """ADVICE r3 (medium): if an update re-dates a key — its partition
+    value differs from the existing row's — the partition-pruned MERGE
+    would leave the stale row behind.  The debug validator must refuse;
+    without it the documented precondition is on the caller."""
+    target = str(tmp_path_factory.mktemp("mv") / "t")
+    base = spark.createDataFrame(
+        [("E1", "2020-01-01", 1.0), ("E2", "2020-01-02", 2.0)],
+        "event_id string, event_date string, v double",
+    ).withColumn("event_date", F.col("event_date").cast("date"))
+    write_partitioned(base, target, ts="event_date")
+
+    # E1 re-delivered with a DIFFERENT date -> key moves partitions
+    moved = spark.createDataFrame(
+        [("E1", "2020-01-02", 9.0)],
+        "event_id string, event_date string, v double",
+    ).withColumn("event_date", F.col("event_date").cast("date"))
+
+    with pytest.raises(ValueError, match="precondition violated"):
+        merge_into_partitioned(spark, target, moved, keys=["event_id"],
+                               ts="event_date",
+                               validate_partition_stability=True)
+
+    # stable re-delivery (same date) passes validation and merges
+    stable = spark.createDataFrame(
+        [("E2", "2020-01-02", 20.0)],
+        "event_id string, event_date string, v double",
+    ).withColumn("event_date", F.col("event_date").cast("date"))
+    merge_into_partitioned(spark, target, stable, keys=["event_id"],
+                           ts="event_date",
+                           validate_partition_stability=True)
+    rows = sorted(map(tuple, spark.read.parquet(target)
+                      .select("event_id", "v").collect()))
+    assert rows == [("E1", 1.0), ("E2", 20.0)]
