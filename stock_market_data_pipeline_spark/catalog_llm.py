@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import _t, q
-from .llm import dedup, multimodal, similarity, textops
+from .llm import curation, dedup, multimodal, similarity, textops
 from .llm.dedup import MINHASH_AB, MINHASH_P
 from .llm.textops import FINGERPRINT_P
 
@@ -785,3 +785,105 @@ def emb_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (>= 0.3), IVF-cell bucketed."""
     return similarity.embedding_near_dup(
         _t(spark, sf_dir, "embeddings"), tau=0.3)
+
+
+# -------------------------------------------------------------- round 4
+# corpus-assembly / curation operators (llm/curation.py)
+
+PACK_CTX = 256
+PACK_SHARDS = 8
+
+PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard_id,
+         CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard_id ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, CAST(shard_id AS BIGINT) AS shard_id, n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       CAST((cum_tokens - n_tokens) // {PACK_CTX} AS BIGINT) AS start_pack,
+       CAST((cum_tokens - n_tokens) % {PACK_CTX} AS BIGINT) AS start_offset,
+       CAST((cum_tokens - 1) // {PACK_CTX} AS BIGINT) AS end_pack
+FROM c
+""".strip()
+
+
+@q("docs_pack_sequences", PACK_SQL)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing into fixed context windows,
+    per-shard so the running sum never serializes on one partition."""
+    return curation.pack_sequences(
+        _t(spark, sf_dir, "documents"),
+        ctx_len=PACK_CTX, n_shards=PACK_SHARDS)
+
+
+CONTAM_N = 8
+CONTAM_MOD = 10
+
+CONTAM_SQL = f"""
+WITH t AS (
+  SELECT doc_id, str_split(text, ' ') AS w,
+         len(str_split(text, ' ')) AS nw
+  FROM documents
+),
+g AS (
+  SELECT doc_id, doc_id % {CONTAM_MOD} = 0 AS is_bench,
+         unnest(list_distinct(CASE WHEN nw >= {CONTAM_N} THEN
+           list_transform(generate_series(1, nw - {CONTAM_N - 1}),
+                          i -> array_to_string(w[i:i+{CONTAM_N - 1}], ' '))
+         ELSE [] END)) AS gram
+  FROM t
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE is_bench),
+train AS (SELECT doc_id, gram FROM g WHERE NOT is_bench),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams
+        FROM train GROUP BY 1),
+hit AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+        FROM train t JOIN bench b USING (gram) GROUP BY 1)
+SELECT tot.doc_id, tot.n_ngrams,
+       COALESCE(hit.n_contaminated, 0) AS n_contaminated,
+       CAST(COALESCE(hit.n_contaminated, 0) AS DOUBLE) / tot.n_ngrams
+         AS contamination_ratio
+FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+""".strip()
+
+
+@q("benchmark_contamination", CONTAM_SQL)
+def contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-leak scan: distinct 8-gram overlap of the training split
+    against the benchmark split (doc_id % 10 == 0), inverted-index
+    equi-join — never doc x doc."""
+    return curation.benchmark_contamination(
+        _t(spark, sf_dir, "documents"), n=CONTAM_N, bench_mod=CONTAM_MOD)
+
+
+STRATIFIED_SQL = """
+WITH sizes AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+k AS (SELECT MIN(n) AS k FROM sizes),
+r AS (
+  SELECT doc_id, lang,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+           AS pick_rank
+  FROM documents
+)
+SELECT doc_id, lang, pick_rank
+FROM r CROSS JOIN k
+WHERE pick_rank <= k
+""".strip()
+
+
+@q("stratified_balance_lang", STRATIFIED_SQL)
+def stratified_balance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced deterministic downsample: keep min(stratum
+    sizes) docs per lang, chosen by md5 order (engine-portable
+    seedless shuffle)."""
+    return curation.stratified_balance(
+        _t(spark, sf_dir, "documents"), stratum="lang")

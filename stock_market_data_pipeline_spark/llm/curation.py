@@ -1,0 +1,151 @@
+"""Training-data curation operators: sequence packing, benchmark
+contamination, and stratified class balancing.
+
+These are the corpus-assembly steps that sit between dedup/quality
+filtering (llm/dedup.py, llm/textops.py) and the training job itself:
+
+- pack_sequences    concat-then-chunk document packing into fixed
+                    context windows (the GPT-style pretraining layout)
+- benchmark_contamination
+                    n-gram overlap of the training split against a
+                    held-out benchmark split (eval-leak detection)
+- stratified_balance
+                    per-stratum deterministic downsampling to the
+                    smallest class (language balancing)
+
+Determinism contract (SURVEY.md §8.6): every ratio is a single IEEE
+division of exact integers; ordering ties are broken by md5 hex text
+(identical lexicographic order on both engines); no floats are
+aggregated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import words_col
+
+
+def pack_sequences(docs: DataFrame, ctx_len: int = 256,
+                   n_shards: int = 8) -> DataFrame:
+    """Concat-then-chunk sequence packing: lay documents end-to-end in
+    doc_id order and cut the token stream into ``ctx_len``-token
+    context windows, reporting for each document the pack it starts
+    in, the offset within that pack, and the pack it ends in (a doc
+    whose span crosses a boundary contributes to two or more packs —
+    exactly the standard pretraining layout, where attention masks
+    handle the seam).
+
+    Scale: a GLOBAL running sum would serialize on one partition, so
+    packing is per-shard — ``shard = doc_id % n_shards`` (at 100 TB:
+    one shard per output file, thousands of shards) and the running
+    sum is a window PARTITIONED by shard. Each shard's token stream
+    is independent, which is also what a multi-file training layout
+    wants: readers consume shards in parallel with no cross-file
+    offsets. ONE hash shuffle to shard grain; the window sort is
+    per-shard, bounded by shard size, never global.
+    """
+    n_tokens = F.size(words_col()).cast("long")
+    w = (Window.partitionBy("shard_id").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        docs.select(
+            "doc_id",
+            (F.col("doc_id") % n_shards).cast("long").alias("shard_id"),
+            n_tokens.alias("n_tokens"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id", "shard_id", "n_tokens", "cum_tokens",
+            F.floor((F.col("cum_tokens") - F.col("n_tokens"))
+                    / ctx_len).cast("long").alias("start_pack"),
+            ((F.col("cum_tokens") - F.col("n_tokens")) % ctx_len)
+            .cast("long").alias("start_offset"),
+            F.floor((F.col("cum_tokens") - 1) / ctx_len).cast("long")
+            .alias("end_pack"),
+        )
+    )
+
+
+def benchmark_contamination(docs: DataFrame, n: int = 8,
+                            bench_mod: int = 10) -> DataFrame:
+    """Eval-contamination scan: flag training documents sharing any
+    word ``n``-gram with the benchmark split (here: every
+    ``bench_mod``-th doc_id — the deterministic stand-in for a real
+    benchmark table, which would be a second DataFrame input).
+
+    The industry-standard leak check (GPT-3 appendix C / PaLM §7 use
+    8-13-gram overlap): a training doc that reproduces a benchmark
+    n-gram verbatim inflates eval scores and must be dropped.
+
+    Scale: n-grams explode map-side on BOTH sides; the join is an
+    equi-join on the n-gram string via its distinct benchmark set —
+    an inverted-index probe, never doc × doc. The benchmark side is
+    the small side by construction (one distinct row per benchmark
+    n-gram type), so AQE broadcasts it when it fits. Output is
+    train-doc grain with exact integer hit counts.
+    """
+    n_words = F.size(words_col())
+    grams = F.when(
+        n_words >= n,
+        F.transform(
+            F.sequence(F.lit(1), n_words - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words_col(), i + j)
+                       for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    is_bench = (F.col("doc_id") % bench_mod) == 0
+    # inner explode: a doc shorter than n words has no n-grams and
+    # cannot be contaminated, so it carries no output row (grain =
+    # train docs with >= 1 distinct n-gram)
+    exploded = docs.select(
+        "doc_id", is_bench.alias("is_bench"),
+        F.explode(F.array_distinct(grams)).alias("gram"))
+    bench_grams = (exploded.where("is_bench")
+                   .select("gram").distinct())
+    train = exploded.where(~F.col("is_bench"))
+    hits = (train.join(bench_grams, "gram", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_contaminated")))
+    totals = (train.groupBy("doc_id")
+              .agg(F.count("*").cast("long").alias("n_ngrams")))
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id", "n_ngrams",
+            F.coalesce("n_contaminated", F.lit(0)).cast("long")
+            .alias("n_contaminated"),
+            (F.coalesce("n_contaminated", F.lit(0)).cast("double")
+             / F.col("n_ngrams")).alias("contamination_ratio"),
+        )
+    )
+
+
+def stratified_balance(docs: DataFrame,
+                       stratum: str = "lang") -> DataFrame:
+    """Class-balanced deterministic downsample: keep exactly
+    ``min(stratum sizes)`` documents per stratum, selected by md5
+    order of the doc id (a seedless, engine-portable shuffle), so
+    every class ends up the same size — the language-balancing step
+    of multilingual corpus assembly.
+
+    Scale: stratum sizes are ONE tiny aggregate (stratum-grain,
+    broadcast back); ranking is a window per stratum — the same
+    single hash shuffle the grouped count needs. The md5 sort key is
+    computed map-side; nothing is driver-side and no stage depends on
+    corpus-order.
+    """
+    sizes = docs.groupBy(stratum).agg(F.count("*").alias("n_stratum"))
+    k = sizes.agg(F.min("n_stratum").alias("k"))
+    rank_w = (Window.partitionBy(stratum)
+              .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id"))
+    return (
+        docs.select("doc_id", stratum)
+        .withColumn("pick_rank",
+                    F.row_number().over(rank_w).cast("long"))
+        .join(F.broadcast(k))
+        .where(F.col("pick_rank") <= F.col("k"))
+        .select("doc_id", stratum, "pick_rank")
+    )
