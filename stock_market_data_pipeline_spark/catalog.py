@@ -1399,14 +1399,10 @@ from . import catalog_rel  # noqa: E402,F401  (pivot/cube/unpivot/histogram)
 # observes the same ordering.
 
 _DRIVER_WINDOW_FIRST = [
-    # -- round 4: the only entries with NO driver-green row anywhere
-    # in r02 ∪ r03 (they registered past index 49 in round 3) --
-    "text_repetition_ratio", "text_boilerplate_segments",
-    # -- entries whose surface was touched in round 4 and must be
-    # re-proven by the driver --
-    "serving_screener",         # substring-always ticker search
-    "stream_upsert_rollup",     # merge_into_partitioned precondition
-    "fct_momentum_incremental",
+    # -- round 5: the only entries with NO driver-green row anywhere
+    # in r02 ∪ r03 ∪ r04 (they registered past index 49 in round 4) --
+    "docs_pack_sequences", "benchmark_contamination",
+    "stratified_balance_lang",
     # -- representative core + heaviest plans, re-proven each round --
     "fct_trading_momentum", "fct_trading_momentum_valid",
     "agg_daily_market_breadth", "dim_securities_current",
