@@ -1399,19 +1399,43 @@ from . import catalog_rel  # noqa: E402,F401  (pivot/cube/unpivot/histogram)
 # observes the same ordering.
 
 _DRIVER_WINDOW_FIRST = [
-    # -- round 5: the only entries with NO driver-green row anywhere
-    # in r02 ∪ r03 ∪ r04 (they registered past index 49 in round 4) --
-    "docs_pack_sequences", "benchmark_contamination",
-    "stratified_balance_lang",
-    # -- representative core + heaviest plans, re-proven each round --
-    "fct_trading_momentum", "fct_trading_momentum_valid",
-    "agg_daily_market_breadth", "dim_securities_current",
-    "universe_daily", "constituents_snapshots", "screener_filter",
-    "dedup_minhash_lsh", "dedup_clusters", "dedup_exact",
-    "ann_cosine_topk", "ann_ivf_topk", "embedding_centroids",
-    "text_tfidf_top_terms", "text_bpe_tokens",
-    "sessionize_events", "cube_order_stats", "bucketed_join_revenue",
-    "asof_prior_view", "bars_ohlcv", "conditional_agg_daily",
+    # -- round 6, group 1: the 10 events/streaming entries broken by
+    # the testdata regeneration (TIMESTAMP(NANOS) -> MICROS) and
+    # repaired this round (physical.py layout sniffing) — the driver
+    # itself must re-prove the fix (VERDICT r5 "Next round" #1/#3) --
+    "sessionize_events", "asof_prior_view", "events_hopping_counts",
+    "cumulative_distinct_users", "session_funnel",
+    "session_window_native", "stream_hourly_rollup",
+    "stream_dedup_events", "stream_session_windows",
+    "stream_stateful_user_totals",
+    # -- group 2: staleness rotation (ADVICE r5: cycle previously-green
+    # entries so every entry is periodically re-proven on CURRENT
+    # data). These 36 are every entry last driver-verified in r2-r4;
+    # with the r5 window having re-proven the rest, after r6 every
+    # catalog entry has a green row on post-regeneration testdata. --
+    # last verified r2:
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_survivors_by_quality",
+    "pairwise_correlation", "rollup_revenue", "text_fingerprint",
+    "text_lang_id", "text_quality_score", "text_stats",
+    "tpch_q1_pricing_summary", "tpch_q3_topk_revenue",
+    "tpch_q5_local_supplier", "trend_slope_by_key",
+    # last verified r3:
+    "band_range_join", "datasource_grouped_daily",
+    "dedup_embedding_cosine", "events_json_props",
+    "except_intersect_keys", "histogram_prices", "ingest_daily_bars",
+    "ingest_pending_dates", "mm_payload_features", "mm_payload_grid",
+    "pivot_priority_year", "quantiles_by_brand", "sample_hash_split",
+    "seed_csv_constituents", "serving_breadth", "serving_freshness",
+    "serving_ticker_range", "text_rolling_hash", "unpivot_dim_metrics",
+    # last verified r4:
+    "serving_screener", "stream_upsert_rollup",
+    "text_boilerplate_segments", "text_repetition_ratio",
+    # -- group 3: new this round — the Airflow-DAG composition entry
+    # (VERDICT r5 "What's missing" #3) --
+    "daily_pipeline_run",
+    # -- group 4: heaviest representative plans, re-proven each round --
+    "fct_trading_momentum", "agg_daily_market_breadth",
+    "dim_securities_current",
 ]
 
 

@@ -3,9 +3,12 @@ sessionization, hopping windows, JSON property extraction, streaming
 dedup, and the backward as-of join.
 
 Cross-engine determinism notes (SURVEY.md §8.6): timestamps compare at
-microsecond precision on both engines (parquet TIMESTAMP(NANOS) is
-floor-truncated identically); value sums go through DECIMAL(18,2);
-session/window numbering is integer arithmetic.
+microsecond precision on both engines — the readers sniff the parquet
+footer and normalize ``ts`` to micros whatever the physical layout
+(TIMESTAMP(NANOS) floor-truncates identically to DuckDB;
+TIMESTAMP(MICROS) reads bit-identical; see ``physical.py``); value
+sums go through DECIMAL(18,2); session/window numbering is integer
+arithmetic.
 """
 
 from __future__ import annotations

@@ -304,3 +304,123 @@ def serving_breadth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = QUERIES["agg_daily_market_breadth"](spark, sf_dir)
     b.createOrReplaceTempView("market_breadth")
     return breadth_recent(spark, limit=30)
+
+
+# ---------------------------------------------------------------------
+# the daily Airflow DAG composed as ONE catalog entry
+# ---------------------------------------------------------------------
+
+DAILY_START, DAILY_END = date(1998, 2, 2), date(1998, 2, 27)  # 20 weekdays
+
+#: the synthetic-ingest universe reproduced in DuckDB SQL: generator
+#: arithmetic (same formulas as INGEST_BARS_SQL) -> staging casts ->
+#: all-ticker constituents dim -> prev_close/streak window — the
+#: ingest-side replacement for the sf-table universe CTE
+_DAILY_UNIVERSE_SQL = f"""
+WITH days AS (
+  SELECT CAST(unnest(generate_series(DATE '{DAILY_START}', DATE '{DAILY_END}',
+                                     INTERVAL 1 DAY)) AS DATE) AS dt
+),
+trading AS (SELECT dt FROM days WHERE isodow(dt) <= 5),
+ids AS (SELECT unnest(generate_series(0, 49)) AS i),
+calc AS (
+  SELECT 'TK' || lpad(CAST(i AS VARCHAR), 4, '0') AS ticker, dt,
+         CAST((i * 131 + day(dt) * 977) % 100000 + 1 AS BIGINT) AS volume,
+         ((i * 31 + day(dt) * 7) % 1000) / 10.0 + 1.0 AS close,
+         CAST((i + day(dt)) % 500 + 1 AS BIGINT) AS n_trades
+  FROM ids CROSS JOIN trading
+),
+uni AS (
+  SELECT ticker, dt AS trade_date, close, volume, n_trades,
+         ticker AS company, 'Synthetic' AS sector,
+         CAST(1.0 AS DOUBLE) AS index_weight
+  FROM calc
+)
+SELECT u.*,
+       LAG(close) OVER w AS prev_close,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS consecutive_trading_days,
+       CASE WHEN LAG(ticker) OVER w IS NULL THEN 1 ELSE 0
+       END AS is_new_to_index
+FROM uni u
+WINDOW w AS (PARTITION BY ticker ORDER BY trade_date)
+""".strip()
+
+
+def _daily_pipeline_sql() -> str:
+    from . import oracles
+    from .models.marts import IndicatorParams
+
+    p = IndicatorParams(sma_s=3, sma_m=5, sma_l=8, high_low=8,
+                        rsi_n=3, rel_vol=3)
+    core = oracles.momentum_core_sql(p, universe_sql=_DAILY_UNIVERSE_SQL)
+    return f"{core}\n{oracles.MOMENTUM_PROJECTION}"
+
+
+@q("daily_pipeline_run", _daily_pipeline_sql())
+def daily_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's daily Airflow DAG as ONE catalog entry
+    (airflow/dags/daily_stock_pipeline_dag.py:30-60 task order):
+    extract/load (S1-S8) -> staging (P1-P4) -> intermediate membership
+    join -> momentum mart (W1-W8) -> data-quality checks (the
+    ``dbt test`` stage). A second extract/load pass proves ledger
+    idempotency (0 loads, all skips), the checks must report ZERO
+    violations before the mart is returned, and freshness is anchored
+    to the ledger: the mart's data-through date must equal the max
+    completed ingest date. The oracle replays the generator arithmetic
+    + staging casts + the shared momentum SQL in DuckDB."""
+    import os
+
+    from .checks import (
+        golden_death_exclusive,
+        rsi_range_or_null,
+        yesterday_close_is_lag,
+    )
+    from .ingest.ledger import Ledger
+    from .ingest.loader import extract_load_range
+    from .models.intermediate import int_universe_daily
+    from .models.marts import IndicatorParams, fct_trading_momentum
+    from .models.staging import (
+        stage_daily_stocks,
+        stack_constituent_snapshots,
+    )
+
+    warehouse = scratch_dir("daily_wh_")
+    r1 = extract_load_range(spark, warehouse, DAILY_START, DAILY_END)
+    r2 = extract_load_range(spark, warehouse, DAILY_START, DAILY_END)
+    assert r1["loaded"] == 20 and r2["loaded"] == 0 \
+        and r2["skipped"] == 20, (r1, r2)
+
+    staged = stage_daily_stocks(spark.read.parquet(r1["bars_path"]))
+    dim = stack_constituent_snapshots([(
+        staged.select("ticker").distinct()
+        .withColumn("company", F.col("ticker"))
+        .withColumn("sector", F.lit("Synthetic"))
+        .withColumn("index_weight", F.lit(1.0)),
+        date(1998, 1, 1), None)])
+    p = IndicatorParams(sma_s=3, sma_m=5, sma_l=8, high_low=8,
+                        rsi_n=3, rel_vol=3)
+    universe = (
+        int_universe_daily(
+            staged.withColumnRenamed("num_transactions", "n_trades"), dim)
+        .select("ticker", "trade_date", "close", "volume", "n_trades",
+                "company", "sector", "index_weight", "prev_close",
+                "consecutive_trading_days", "is_new_to_index"))
+    # cache: the checks re-derive lag/flag columns over the fact; the
+    # uncached 8-window DAG trips a Catalyst column-pruning bug (see
+    # tests/test_daily_e2e.py) — and the mart is 1000 rows here
+    fct = fct_trading_momentum(universe, p).cache()
+
+    # the `dbt test` stage: domain invariants gate the mart
+    for check in (yesterday_close_is_lag, rsi_range_or_null,
+                  golden_death_exclusive):
+        bad = check(fct).count()
+        assert bad == 0, f"{check.__name__}: {bad} violations"
+
+    # freshness anchors to the ledger (S7/S8), not to the data itself
+    ledger = Ledger(spark, os.path.join(warehouse,
+                                        "ingestion_checkpoints"))
+    data_through = fct.agg(F.max("trade_date")).first()[0]
+    assert data_through.isoformat() == max(ledger.completed_dates())
+
+    from .catalog import _momentum_projection
+    return _momentum_projection(fct)

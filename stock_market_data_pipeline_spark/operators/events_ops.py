@@ -32,21 +32,26 @@ _DEC = "decimal(18,2)"
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch events reader. The parquet stores ``ts`` as
-    TIMESTAMP(NANOS); reading it under an EXPLICIT ``ts BIGINT`` schema
-    yields raw nanos (no session conf required), truncated here to
-    micros exactly like DuckDB's nanos->micros read (floor division)."""
+    """Batch events reader, robust to the generator's physical ``ts``
+    layout: the parquet footer is sniffed once (driver-side, no Spark
+    job) and the reader branches — TIMESTAMP(NANOS) is read under an
+    EXPLICIT ``ts BIGINT`` schema (raw nanos, no session conf) and
+    floor-truncated to micros exactly like DuckDB's nanos->micros
+    read; TIMESTAMP(MICROS) is read as TIMESTAMP directly. Any other
+    layout raises :class:`~..physical.SchemaDriftError` instead of
+    silently mis-scaling (the round-5 failure mode)."""
+    from ..physical import EVENTS_DDL, events_ts_unit, normalize_event_ts
+
+    path = os.path.join(sf_dir, "events.parquet")
+    unit = events_ts_unit(path)
     # timestamps compare as UTC-naive against DuckDB: date casts and
     # time windows must not depend on the host/session zone. Session
     # time zone has no reader-level equivalent and is consumed at
     # ACTION time, so save/restore around this lazy read would restore
     # too early — set it for the session (documented exception).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.schema(
-        "event_id BIGINT, ts BIGINT, user_id BIGINT, "
-        "event_type STRING, value DOUBLE, props STRING"
-    ).parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    df = spark.read.schema(EVENTS_DDL[unit]).parquet(path)
+    return normalize_event_ts(df, unit)
 
 
 def sessionize(df: DataFrame, key: str = "user_id", ts: str = "ts",

@@ -87,18 +87,24 @@ WINDOW w AS (PARTITION BY ticker ORDER BY trade_date)
 """.strip()
 
 
-def momentum_core_sql(p: IndicatorParams, valid_only: bool = False) -> str:
+def momentum_core_sql(p: IndicatorParams, valid_only: bool = False,
+                      universe_sql: str | None = None) -> str:
     """CTE chain ending in unrounded momentum columns (table ``t3``).
 
     ``valid_only`` mirrors the reference's incremental-run filter
     ``is_valid_record = 1`` (fct_trading_momentum.sql:213): applied to
     the fact source BEFORE the indicator windows, so warmup counts run
     over valid rows only — exactly what the Spark model does.
+
+    ``universe_sql`` overrides the universe CTE (default: the sf-table
+    universe) — the daily-pipeline entry feeds the synthetic-ingest
+    universe through the SAME indicator SQL, one source of truth for
+    the momentum math whatever the fact source.
     """
     src = ("(SELECT * FROM universe WHERE is_valid_record = 1)"
            if valid_only else "universe")
     return f"""
-WITH universe AS ({UNIVERSE_SQL}),
+WITH universe AS ({universe_sql or UNIVERSE_SQL}),
 t2 AS (
   SELECT *,
     LAG(close) OVER ord AS yesterday_close,

@@ -17,15 +17,17 @@ import os
 import shutil
 import tempfile
 
+from ..physical import EVENTS_DDL, events_ts_unit, normalize_event_ts
 from ..scratch import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: physical schema: ts is TIMESTAMP(NANOS) in the parquet -> read as
-#: BIGINT (nanosAsLong) and truncate to micros exactly like DuckDB does
-EVENTS_SCHEMA = ("event_id BIGINT, ts BIGINT, user_id BIGINT, "
-                 "event_type STRING, value DOUBLE, props STRING")
+#: the NANOS-layout reader DDL (ts as raw BIGINT). Kept as a named
+#: constant for tests that fabricate nanos-layout event files; the
+#: production readers below sniff the actual footer via
+#: ``physical.events_ts_unit`` and pick the right DDL per layout.
+EVENTS_SCHEMA = EVENTS_DDL["ns"]
 
 
 def _staged_events_dir(sf_dir: str, copies: int = 1) -> str:
@@ -42,22 +44,23 @@ def _staged_events_dir(sf_dir: str, copies: int = 1) -> str:
 
 def _events_stream(spark: SparkSession, src_dir: str,
                    max_files: int | None = None) -> DataFrame:
-    # the EXPLICIT reader schema (ts BIGINT) is what lets Spark accept
-    # the TIMESTAMP(NANOS) column — no nanosAsLong session conf needed.
+    # sniff the staged files' physical ts layout from one footer (the
+    # stream schema must be fixed before the query starts, so the
+    # branch happens here, not per-batch; staged dirs are homogeneous
+    # by construction). NANOS -> explicit BIGINT schema + floor to
+    # micros; MICROS -> TIMESTAMP directly; anything else raises
+    # SchemaDriftError instead of mis-scaling.
+    unit = events_ts_unit(src_dir)
     # Session time zone has no reader-level equivalent and is consumed
     # at ACTION time (a save/restore around this lazy read would
     # restore before the scan runs), so it is set here; date casts and
     # tumbling windows must not depend on the host zone.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    reader = (spark.readStream.schema(EVENTS_SCHEMA)
+    reader = (spark.readStream.schema(EVENTS_DDL[unit])
               .format("parquet"))
     if max_files is not None:
         reader = reader.option("maxFilesPerTrigger", max_files)
-    df = reader.load(src_dir)
-    # nanos -> micros by integer division (floor), the same truncation
-    # DuckDB applies when reading TIMESTAMP(NANOS)
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(reader.load(src_dir), unit)
 
 
 def hourly_rollup(spark: SparkSession, sf_dir: str,
@@ -187,26 +190,36 @@ def _staged_events_chunks(spark: SparkSession, sf_dir: str,
     DIFFERENT micro-batches."""
     import time as _time
 
+    from ..operators.events_ops import read_events
+
     d = scratch_dir("events_chunks_")
-    # explicit ts BIGINT schema accepts TIMESTAMP(NANOS) without the
-    # nanosAsLong session conf
-    df = spark.read.schema(EVENTS_SCHEMA).parquet(
-        os.path.join(sf_dir, "events.parquet"))
-    lo, hi = df.agg(F.min("ts"), F.max("ts")).first()
+    # layout-agnostic: read through the normalizing batch reader (ts is
+    # TimestampType micros whatever the source layout) and split on
+    # unix_micros; the chunks are written pinned to TIMESTAMP_MICROS so
+    # the stream reader's footer sniff sees a layout it knows.
+    df = read_events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    lo, hi = df.agg(F.min(us), F.max(us)).first()
     span = (hi - lo) + 1
-    for k in range(n_chunks):
-        a = lo + span * k // n_chunks
-        b = lo + span * (k + 1) // n_chunks
-        chunk_dir = os.path.join(d, f"__w{k}")
-        (df.where((F.col("ts") >= a) & (F.col("ts") < b))
-         .coalesce(1).write.mode("overwrite").parquet(chunk_dir))
-        part = [f for f in os.listdir(chunk_dir)
-                if f.endswith(".parquet")][0]
-        tgt = os.path.join(d, f"chunk_{k}.parquet")
-        os.rename(os.path.join(chunk_dir, part), tgt)
-        shutil.rmtree(chunk_dir, ignore_errors=True)
-        mtime = _time.time() - (n_chunks - k) * 10
-        os.utime(tgt, (mtime, mtime))
+    prev_out = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+                   "TIMESTAMP_MICROS")
+    try:
+        for k in range(n_chunks):
+            a = lo + span * k // n_chunks
+            b = lo + span * (k + 1) // n_chunks
+            chunk_dir = os.path.join(d, f"__w{k}")
+            (df.where((us >= a) & (us < b))
+             .coalesce(1).write.mode("overwrite").parquet(chunk_dir))
+            part = [f for f in os.listdir(chunk_dir)
+                    if f.endswith(".parquet")][0]
+            tgt = os.path.join(d, f"chunk_{k}.parquet")
+            os.rename(os.path.join(chunk_dir, part), tgt)
+            shutil.rmtree(chunk_dir, ignore_errors=True)
+            mtime = _time.time() - (n_chunks - k) * 10
+            os.utime(tgt, (mtime, mtime))
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev_out)
     return d
 
 

@@ -76,19 +76,26 @@ def user_running_totals(spark: SparkSession, sf_dir: str,
     """Run the stateful operator over the events stream split into
     multiple micro-batches (so state genuinely crosses batches) and
     return the terminal per-user aggregates."""
-    from .events import EVENTS_SCHEMA, _events_stream, _staged_events_dir
+    from ..operators.events_ops import read_events
+    from .events import _events_stream
 
-    # two half-files -> at least two micro-batches with maxFiles=1
-    src = _staged_events_dir(sf_dir, copies=1)
-    # split the single file into per-half files for multi-batch replay
-    # (explicit ts BIGINT schema accepts TIMESTAMP(NANOS) without any
-    # session conf)
-    whole = spark.read.schema(EVENTS_SCHEMA).parquet(src)
+    # split the table into per-half files for multi-batch replay.
+    # Layout-agnostic: read through the normalizing batch reader (ts is
+    # TimestampType micros whatever the source layout) and pin the
+    # staged halves to TIMESTAMP_MICROS so the stream reader's footer
+    # sniff sees a layout it knows.
+    whole = read_events(spark, sf_dir)
     half = scratch_dir("events_halves_")
-    whole.where("event_id % 2 = 0").write.mode("overwrite") \
-        .parquet(os.path.join(half, "h0"))
-    whole.where("event_id % 2 = 1").write.mode("overwrite") \
-        .parquet(os.path.join(half, "h1"))
+    prev_out = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+                   "TIMESTAMP_MICROS")
+    try:
+        whole.where("event_id % 2 = 0").write.mode("overwrite") \
+            .parquet(os.path.join(half, "h0"))
+        whole.where("event_id % 2 = 1").write.mode("overwrite") \
+            .parquet(os.path.join(half, "h1"))
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev_out)
     flat = scratch_dir("events_flat_")
     i = 0
     for sub in ("h0", "h1"):
