@@ -137,7 +137,28 @@ def merge_into_partitioned(spark: SparkSession, target_path: str,
     the precondition with one full-target anti-scan: it raises if any
     updated key exists outside the touched partitions.  Leave it off
     in production — the check costs the full-table read the pruning
-    saves."""
+    saves.
+
+    ATOMICITY CONTRACT (design boundary, stated not hidden): on plain
+    parquet this MERGE is atomic only *per partition directory* — the
+    dynamic overwrite stages files then swaps each touched partition's
+    directory contents, so a reader sees each partition either whole-
+    old or whole-new, but a query spanning several touched partitions
+    can observe a mix of old and new mid-write, and a crash between
+    partition swaps leaves a partially-applied merge (re-running the
+    same merge heals it — the operation is idempotent on its inputs).
+    There is no table-level transaction and no snapshot isolation
+    against a CONCURRENT writer.  The reference gets the stronger
+    contract from Snowflake's transactional MERGE
+    (dbt/stock_analytics/models/marts/fct_trading_momentum.sql:2-7,
+    snapshots/russell3000_constituents_snapshot.sql:4-12).  On a real
+    deployment, pointing this same call shape at Delta/Iceberg adds
+    exactly the missing pieces — an atomic multi-partition commit via
+    the table log/snapshot, serializable writer conflict detection,
+    and time-travel reads — with no change to the merge logic here,
+    which is why the partition-pruned write granularity (the part a
+    format does NOT give you for free) is what this function
+    implements."""
     touched = [r[0] for r in updates.select(ts).distinct().collect()]
     if not touched:
         return

@@ -6,11 +6,17 @@ an arbitrary scale-factor directory (default sf0.01 — the driver's
 gate scale), comparing row count, column names, and order-insensitive
 exact values. Prints one status line per query and a final summary.
 
-Usage:  python tools/sweep.py [SF_DIR] [name ...]
+Usage:  python tools/sweep.py [--json OUT.json] [SF_DIR] [name ...]
+
+``--json OUT.json`` additionally writes a per-entry result artifact
+(the per-round ``SWEEP_r{N}.json``) — the round-5 lesson was that the
+driver's 50-entry window can miss regressions in the other entries, so
+every round now records a FULL catalog sweep.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -22,6 +28,11 @@ from tests.test_oracle_parity import compare  # noqa: E402
 
 def main() -> int:
     args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     names = args[1:] if args and os.path.isdir(args[0]) else args
 
@@ -31,19 +42,35 @@ def main() -> int:
     spark = get_spark("sweep")
     todo = names or sorted(ORACLES)
     bad = []
+    results: dict[str, dict] = {}
     for name in todo:
         t0 = time.perf_counter()
         try:
             compare(spark, name, QUERIES[name], ORACLES[name], sf_dir)
-            print(f"  ok    {name:35s} {time.perf_counter() - t0:6.1f}s")
+            secs = round(time.perf_counter() - t0, 1)
+            results[name] = {"ok": True, "secs": secs, "err": None}
+            print(f"  ok    {name:35s} {secs:6.1f}s")
         except AssertionError as exc:
             bad.append(name)
+            results[name] = {"ok": False,
+                             "secs": round(time.perf_counter() - t0, 1),
+                             "err": str(exc)[:300]}
             print(f"  FAIL  {name:35s} {str(exc)[:160]}")
         except Exception as exc:  # noqa: BLE001
             bad.append(name)
+            results[name] = {"ok": False,
+                             "secs": round(time.perf_counter() - t0, 1),
+                             "err": repr(exc)[:300]}
             print(f"  ERR   {name:35s} {exc!r:.160}")
         sys.stdout.flush()
-    print(f"sweep: {len(todo) - len(bad)}/{len(todo)} green at {sf_dir}"
+    summary = {"sf_dir": sf_dir, "green": len(todo) - len(bad),
+               "total": len(todo), "failed": bad}
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"summary": summary, "entries": results}, f,
+                      indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
+    print(f"sweep: {summary['green']}/{summary['total']} green at {sf_dir}"
           + (f"; failed: {bad}" if bad else ""))
     return 1 if bad else 0
 
