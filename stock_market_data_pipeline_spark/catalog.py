@@ -1431,11 +1431,14 @@ _DRIVER_WINDOW_FIRST = [
     "serving_screener", "stream_upsert_rollup",
     "text_boilerplate_segments", "text_repetition_ratio",
     # -- group 3: new this round — the Airflow-DAG composition entry
-    # (VERDICT r5 "What's missing" #3) --
-    "daily_pipeline_run",
-    # -- group 4: heaviest representative plans, re-proven each round --
-    "fct_trading_momentum", "agg_daily_market_breadth",
-    "dim_securities_current",
+    # (VERDICT r5 "What's missing" #3) and two quality-filtering
+    # curation operators (length band, unigram-LM log-prob); entries
+    # with NO prior green row take priority over re-checking r5-green
+    # core plans, which SWEEP_r06.json covers at sf0.01 instead --
+    "daily_pipeline_run", "docs_length_band_filter",
+    "docs_unigram_logprob",
+    # -- group 4: heaviest representative plan, re-proven each round --
+    "fct_trading_momentum",
 ]
 
 

@@ -887,3 +887,56 @@ def stratified_balance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     seedless shuffle)."""
     return curation.stratified_balance(
         _t(spark, sf_dir, "documents"), stratum="lang")
+
+
+# -------------------------------------------------------------- round 6
+# quality-filtering curation operators (llm/curation.py)
+
+LENGTH_BAND_SQL = """
+WITH b AS (
+  SELECT lang, quantile_cont(n_chars, 0.1) AS lo_chars,
+         quantile_cont(n_chars, 0.9) AS hi_chars
+  FROM documents GROUP BY 1
+)
+SELECT doc_id, d.lang, n_chars, lo_chars, hi_chars
+FROM documents d JOIN b USING (lang)
+WHERE n_chars BETWEEN lo_chars AND hi_chars
+""".strip()
+
+
+@q("docs_length_band_filter", LENGTH_BAND_SQL)
+def length_band_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language [p10, p90] length-band filter: the curation step
+    that drops stubs and runaway concatenations per stratum; bounds
+    are one lang-grain aggregate broadcast back onto a single fact
+    scan."""
+    return curation.length_band_filter(
+        _t(spark, sf_dir, "documents"), lo=0.1, hi=0.9)
+
+
+UNIGRAM_LOGPROB_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents
+),
+t2 AS (SELECT doc_id, tok FROM toks WHERE tok != ''),
+freq AS (SELECT tok, COUNT(*) AS cnt FROM t2 GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n_total FROM t2),
+scored AS (
+  SELECT doc_id,
+         CAST(ROUND(LN(CAST(cnt AS DOUBLE) / n_total), 9)
+              AS DECIMAL(18,9)) AS logp
+  FROM t2 JOIN freq USING (tok) CROSS JOIN tot
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+FROM scored GROUP BY doc_id
+""".strip()
+
+
+@q("docs_unigram_logprob", UNIGRAM_LOGPROB_SQL)
+def unigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM average log-prob per doc (the CCNet-style perplexity
+    proxy for quality filtering): vocabulary-grain frequency agg +
+    token-keyed inverted-index join; per-token log-probs rounded once
+    and summed as exact decimals."""
+    return curation.unigram_logprob(_t(spark, sf_dir, "documents"))

@@ -149,3 +149,74 @@ def stratified_balance(docs: DataFrame,
         .where(F.col("pick_rank") <= F.col("k"))
         .select("doc_id", stratum, "pick_rank")
     )
+
+
+def length_band_filter(docs: DataFrame, lo: float = 0.1,
+                       hi: float = 0.9,
+                       length_col: str = "n_chars",
+                       stratum: str = "lang") -> DataFrame:
+    """Per-stratum length-band filter: keep documents whose length sits
+    inside the stratum's [p_lo, p_hi] percentile band — the standard
+    corpus-curation step that drops boilerplate stubs and runaway
+    concatenations per LANGUAGE (a length that is normal in German is
+    an outlier in Chinese, so global cutoffs misfilter).
+
+    Scale: the bounds are ONE stratum-grain aggregate (map-side
+    partials, stratum cardinality ~ languages) broadcast back onto
+    the fact, which scans once — no second pass, no window over the
+    corpus. Exact interpolated percentile needs the per-stratum value
+    multiset; at extreme per-stratum cardinality switch to
+    ``approx_percentile`` (t-digest, mergeable map-side) with the
+    same call shape.
+    """
+    bounds = docs.groupBy(stratum).agg(
+        F.percentile(length_col, lo).alias("lo_chars"),
+        F.percentile(length_col, hi).alias("hi_chars"))
+    return (
+        docs.join(F.broadcast(bounds), stratum)
+        .where(F.col(length_col).between(F.col("lo_chars"),
+                                         F.col("hi_chars")))
+        .select("doc_id", stratum, length_col, "lo_chars", "hi_chars")
+    )
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """Unigram-LM average log-probability per document — the cheap
+    perplexity proxy used for corpus quality filtering (the CCNet /
+    Gopher recipe scores documents with a small LM and drops the
+    worst tail; a unigram model over the corpus itself is its
+    degenerate, fully-SQL-expressible form). Low avg_logprob = the
+    document is built from corpus-rare tokens (gibberish, encoding
+    noise); implausibly high = degenerate repetition of the most
+    common tokens.
+
+    Determinism: each token's log-probability is ROUND()ed to 9 dp
+    and summed as DECIMAL(18,9) — association-order-free, so the
+    per-doc mean is bit-identical across engines and partitionings
+    (SURVEY §8.6 rule 2: round the genuinely inexact scalar once,
+    identically, on both sides; never sum raw doubles).
+
+    Scale: token frequencies are one keyed aggregate at vocabulary
+    grain (multiple orders smaller than the corpus); the score join
+    is token-keyed — the inverted-index shape — and AQE broadcasts
+    the frequency side when it fits. The grand total rides along as
+    a broadcast 1-row frame. Nothing is driver-side.
+    """
+    toks = (docs.select("doc_id", F.explode(words_col()).alias("tok"))
+            .where(F.col("tok") != ""))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    scored = (
+        toks.join(freq, "tok")
+        .join(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("cnt").cast("double") / F.col("n_total")),
+                    9).cast("decimal(18,9)").alias("logp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"),
+             F.round(F.sum("logp").cast("double") / F.count(F.lit(1)),
+                     6).alias("avg_logprob"))
+    )
