@@ -160,3 +160,27 @@ def test_pairwise_correlation_equi_join_on_date(spark):
     p = plan_str(_q("pairwise_correlation")(spark, SF_SMALL))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_length_band_broadcasts_bounds(spark):
+    """The per-lang percentile bounds must broadcast back onto the
+    fact: one lang-grain exchange for the aggregate, no fact-side
+    shuffle, no sort-merge join."""
+    p = plan_str(_q("docs_length_band_filter")(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", p)
+    assert set(keys) == {"lang"}, keys
+
+
+def test_unigram_logprob_broadcast_freq_partial_aggs(spark):
+    """The vocabulary-grain frequency table and the 1-row grand total
+    must broadcast onto the token stream (inverted-index shape), and
+    both keyed aggregates must have map-side partials — the invariants
+    that keep the score join linear in corpus size."""
+    p = plan_str(_q("docs_unigram_logprob")(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "partial_count" in p and "partial_sum" in p
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", p)
+    assert set(keys) == {"tok", "doc_id"}, keys
