@@ -15,7 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from . import oracles
+from . import oracles, physical
 from .functions.indicators import flag
 from .models.mapping import (
     bars_from_lineitem,
@@ -47,7 +47,12 @@ def q(name: str, oracle: str | None = None):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    # loud SchemaDriftError on a semantically-loaded re-type (the
+    # round-5 lesson, generalized past the events table): one cheap
+    # driver-side footer read, no Spark job
+    physical.assert_table(path, name)
+    return spark.read.parquet(path)
 
 
 def _r(col, n=6):

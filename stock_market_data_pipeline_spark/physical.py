@@ -100,6 +100,39 @@ EVENTS_DDL = {
 }
 
 
+#: semantically-loaded physical types of the other generator tables:
+#: a silent re-type here would change results without an error —
+#: embeddings to float64 would shift every cosine hash, a re-typed
+#: length column would shift the percentile filters — so the loader
+#: asserts these footers like the events reader asserts its own.
+#: Integer-width and string-width relaxations that Spark reads with
+#: identical VALUES are allowed; payload-precision changes are not.
+TABLE_EXPECTED = {
+    "documents": {
+        "doc_id": {"int64"},
+        "text": {"string", "large_string"},
+        "lang": {"string", "large_string"},
+        "source": {"string", "large_string"},
+        "n_chars": {"int32", "int64"},
+    },
+    "embeddings": {
+        "vec_id": {"int64"},
+        "embedding": {"list<element: float>", "list<item: float>",
+                      "large_list<element: float>"},
+        "label": {"int32", "int64"},
+    },
+    "events": EVENTS_EXPECTED,
+}
+
+
+def assert_table(path: str, name: str) -> None:
+    """Footer-assert a generator table's physical layout if it is one
+    whose semantics depend on physical types (no-op otherwise)."""
+    expected = TABLE_EXPECTED.get(name)
+    if expected:
+        assert_columns(path, expected)
+
+
 def events_ts_unit(events_path: str) -> str:
     """``'ns'`` or ``'us'``: the events table's physical ``ts`` layout
     (asserting the full expected column set as a side effect)."""

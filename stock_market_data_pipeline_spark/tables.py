@@ -22,7 +22,13 @@ TABLE_NAMES = [
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    from .physical import assert_table
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    # loud SchemaDriftError if a semantically-loaded table was
+    # re-typed by a testdata regeneration (one footer read, no job)
+    assert_table(path, name)
+    return spark.read.parquet(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -95,3 +95,32 @@ def test_assert_columns_passes_and_returns_observed(tmp_path):
                       pa.array([1, 2], pa.timestamp("us")))
     obs = assert_columns(p, {"event_id": {"int64"}})
     assert obs["ts"] == "timestamp[us]"
+
+
+def test_assert_table_guards_embeddings_precision(tmp_path):
+    # embeddings re-typed float32 -> float64 would silently shift every
+    # cosine hash — the guard must refuse the read instead
+    from stock_market_data_pipeline_spark.physical import assert_table
+
+    table = pa.table({
+        "vec_id": pa.array([1], pa.int64()),
+        "embedding": pa.array([[1.0, 2.0]], pa.list_(pa.float64())),
+        "label": pa.array([0], pa.int32()),
+    })
+    p = str(tmp_path / "embeddings.parquet")
+    pq.write_table(table, p)
+    with pytest.raises(SchemaDriftError, match="'embedding'"):
+        assert_table(p, "embeddings")
+
+
+def test_assert_table_accepts_current_testdata():
+    from stock_market_data_pipeline_spark.physical import assert_table
+
+    for name in ("documents", "embeddings", "events"):
+        assert_table(f"/root/testdata/sf0.001/{name}.parquet", name)
+
+
+def test_assert_table_noop_for_unregistered_tables(tmp_path):
+    from stock_market_data_pipeline_spark.physical import assert_table
+
+    assert_table(str(tmp_path / "does_not_exist.parquet"), "lineitem")
