@@ -1436,14 +1436,13 @@ _DRIVER_WINDOW_FIRST = [
     "serving_screener", "stream_upsert_rollup",
     "text_boilerplate_segments", "text_repetition_ratio",
     # -- group 3: new this round — the Airflow-DAG composition entry
-    # (VERDICT r5 "What's missing" #3) and two quality-filtering
-    # curation operators (length band, unigram-LM log-prob); entries
-    # with NO prior green row take priority over re-checking r5-green
-    # core plans, which SWEEP_r06.json covers at sf0.01 instead --
+    # (VERDICT r5 "What's missing" #3), two quality-filtering curation
+    # operators (length band, unigram-LM log-prob), and the
+    # watermarked stream-stream interval join; entries with NO prior
+    # green row take priority over re-checking r5-green core plans,
+    # which SWEEP_r06.json covers at sf0.01 instead --
     "daily_pipeline_run", "docs_length_band_filter",
-    "docs_unigram_logprob",
-    # -- group 4: heaviest representative plan, re-proven each round --
-    "fct_trading_momentum",
+    "docs_unigram_logprob", "stream_interval_join",
 ]
 
 

@@ -424,3 +424,23 @@ def daily_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .catalog import _momentum_projection
     return _momentum_projection(fct)
+
+
+STREAM_INTERVAL_JOIN_SQL = """
+SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+       c.ts AS click_ts, v.ts AS view_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND v.ts <= c.ts
+ AND c.ts < v.ts + INTERVAL 1 HOUR
+""".strip()
+
+
+@q("stream_interval_join", STREAM_INTERVAL_JOIN_SQL)
+def stream_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join: clicks matched to
+    same-user views in the trailing hour across 3 chronological
+    micro-batches; watermarks + the range predicate bound the join
+    state; terminal output equals the batch interval join."""
+    from .streaming.events import interval_join_replay
+    return interval_join_replay(spark, sf_dir)

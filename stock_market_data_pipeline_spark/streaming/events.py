@@ -254,3 +254,55 @@ def session_replay(spark: SparkSession, sf_dir: str,
     return spark.table(name).select(
         "user_id", "session_start", "session_end", "n_events",
         "total_value")
+
+
+def interval_join_replay(spark: SparkSession, sf_dir: str,
+                         max_age: str = "1 hour") -> DataFrame:
+    """Watermarked STREAM-STREAM interval join (the one §2.9 concept
+    beyond the reference's batch surface): each click joins every view
+    by the same user in the trailing ``max_age`` window, with BOTH
+    sides watermarked so the join state is evictable — the canonical
+    attribution-join shape.
+
+    Scale contract: the time-range predicate plus the two watermarks
+    bound the state store to ``max_age`` of events per side per key —
+    without them a stream-stream join buffers both streams forever.
+    State is hash-partitioned by user_id across executors, exactly the
+    partitioning the equi-half of the join needs.
+
+    Replay: the input is split into 3 chronological chunks, one per
+    micro-batch (both sources advance one file per trigger), so a
+    click can match a view delivered in an EARLIER micro-batch only
+    via the state store; the terminal append-mode output must equal
+    the batch interval join (the DuckDB oracle).
+    """
+    src = _staged_events_chunks(spark, sf_dir, 3)
+    clicks = (
+        _events_stream(spark, src, max_files=1)
+        .where(F.col("event_type") == "click")
+        .selectExpr("event_id AS click_id", "user_id AS click_user",
+                    "ts AS click_ts")
+        .withWatermark("click_ts", max_age))
+    views = (
+        _events_stream(spark, src, max_files=1)
+        .where(F.col("event_type") == "view")
+        .selectExpr("event_id AS view_id", "user_id AS view_user",
+                    "ts AS view_ts")
+        .withWatermark("view_ts", max_age))
+    joined = (
+        clicks.join(
+            views,
+            F.expr(f"click_user = view_user AND view_ts <= click_ts "
+                   f"AND click_ts < view_ts + interval {max_age}"),
+            "inner")
+        .select("click_id", "view_id",
+                F.col("click_user").alias("user_id"),
+                "click_ts", "view_ts"))
+    name = "interval_join_sink"
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        q = (joined.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    return spark.table(name)
