@@ -1418,9 +1418,11 @@ _DRIVER_WINDOW_FIRST = [
     # data). These 36 are every entry last driver-verified in r2-r4;
     # with the r5 window having re-proven the rest, after r6 every
     # catalog entry has a green row on post-regeneration testdata. --
-    # last verified r2:
+    # last verified r2 (rollup_revenue yields its slot to the new
+    # source-quality entry below — never-driver-checked beats a
+    # re-proof; its r2-green row plus SWEEP_r06.json cover it):
     "dedup_ngram_jaccard", "dedup_simhash", "dedup_survivors_by_quality",
-    "pairwise_correlation", "rollup_revenue", "text_fingerprint",
+    "pairwise_correlation", "text_fingerprint",
     "text_lang_id", "text_quality_score", "text_stats",
     "tpch_q1_pricing_summary", "tpch_q3_topk_revenue",
     "tpch_q5_local_supplier", "trend_slope_by_key",
@@ -1443,6 +1445,7 @@ _DRIVER_WINDOW_FIRST = [
     # which SWEEP_r06.json covers at sf0.01 instead --
     "daily_pipeline_run", "docs_length_band_filter",
     "docs_unigram_logprob", "stream_interval_join",
+    "docs_source_quality_filter",
 ]
 
 

@@ -940,3 +940,34 @@ def unigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-keyed inverted-index join; per-token log-probs rounded once
     and summed as exact decimals."""
     return curation.unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+SOURCE_QUALITY_SQL = """
+WITH per_doc AS (
+  SELECT doc_id, source,
+         CAST(ROUND(CAST(len(list_distinct(str_split(text, ' ')))
+                         AS DOUBLE)
+                    / len(str_split(text, ' ')), 9)
+              AS DECIMAL(18,9)) AS ttr
+  FROM documents
+),
+per_source AS (
+  SELECT source, CAST(SUM(ttr) AS DOUBLE) / COUNT(*) AS source_mean_ttr
+  FROM per_doc GROUP BY 1
+),
+cut AS (SELECT quantile_cont(source_mean_ttr, 0.5) AS cutoff
+        FROM per_source)
+SELECT d.doc_id, d.source, ROUND(s.source_mean_ttr, 6) AS source_mean_ttr
+FROM documents d JOIN per_source s USING (source) CROSS JOIN cut
+WHERE s.source_mean_ttr >= cutoff
+""".strip()
+
+
+@q("docs_source_quality_filter", SOURCE_QUALITY_SQL)
+def source_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-source (domain-grain) quality filter: drop every doc of
+    the sources whose mean type-token ratio falls below the corpus
+    median — removal decided at source grain, map-side TTR, tiny
+    broadcast aggregates."""
+    return curation.source_quality_filter(
+        _t(spark, sf_dir, "documents"), quantile=0.5)

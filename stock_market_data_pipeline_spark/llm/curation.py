@@ -220,3 +220,41 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
              F.round(F.sum("logp").cast("double") / F.count(F.lit(1)),
                      6).alias("avg_logprob"))
     )
+
+
+def source_quality_filter(docs: DataFrame,
+                          quantile: float = 0.5) -> DataFrame:
+    """Whole-SOURCE quality filter: score every source (domain) by the
+    mean lexical diversity (type-token ratio) of its documents and
+    drop every document of the sources below the corpus ``quantile``
+    cutoff — the C4/RefinedWeb-style curation step where the REMOVAL
+    decision is made at domain grain, not document grain (a boiler-
+    plate farm's individually-plausible pages all go at once).
+
+    Determinism: each doc's TTR is one IEEE division of exact integers
+    ROUND()ed once to 9 dp and summed as DECIMAL(18,9); the source
+    mean is one further division; the cutoff is the exact interpolated
+    percentile over source-grain means (bit-identical to DuckDB's
+    quantile_cont — same guarantee quantiles_by_brand pins).
+
+    Scale: per-doc TTR is pure map-side column math (``array_distinct``
+    on the token array — no explode, no shuffle); sources are ONE tiny
+    aggregate (domain grain) and the cutoff ONE scalar over it, both
+    broadcast back onto a single fact scan.
+    """
+    toks = words_col()
+    ttr = (F.round(F.size(F.array_distinct(toks)).cast("double")
+                   / F.size(toks), 9).cast("decimal(18,9)"))
+    per_source = (
+        docs.select("source", ttr.alias("ttr"))
+        .groupBy("source")
+        .agg((F.sum("ttr").cast("double") / F.count(F.lit(1)))
+             .alias("source_mean_ttr")))
+    cutoff = per_source.agg(
+        F.percentile("source_mean_ttr", quantile).alias("cutoff"))
+    return (
+        docs.join(F.broadcast(per_source), "source")
+        .join(F.broadcast(cutoff))
+        .where(F.col("source_mean_ttr") >= F.col("cutoff"))
+        .select("doc_id", "source",
+                F.round("source_mean_ttr", 6).alias("source_mean_ttr")))

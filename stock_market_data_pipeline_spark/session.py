@@ -31,9 +31,13 @@ _LOCAL_DEFAULTS = {
     # 100 MB+ files) should override back to the default.
     "spark.sql.files.maxPartitionBytes": os.environ.get(
         "SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"),
-    # the synthetic events table stores ts as TIMESTAMP(NANOS), which
-    # Spark rejects by default; read as long and convert explicitly
-    # (streaming/events.py does `ts div 1000` -> timestamp_micros)
+    # backstop for TIMESTAMP(NANOS) parquet, which Spark rejects by
+    # default on INFERRED reads: surface nanos as long instead of
+    # erroring. The events readers don't depend on this — they sniff
+    # the footer and read under an explicit per-layout schema
+    # (physical.py) — but schema-inferred reads (temp views, ad-hoc
+    # spark.read.parquet) stay usable if the generator ever reverts
+    # the table to nanos.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
     # NOTE: only effective when THIS builder launches the JVM; a later
