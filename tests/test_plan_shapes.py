@@ -184,3 +184,15 @@ def test_unigram_logprob_broadcast_freq_partial_aggs(spark):
     assert "partial_count" in p and "partial_sum" in p
     keys = re.findall(r"Exchange hashpartitioning\((\w+)", p)
     assert set(keys) == {"tok", "doc_id"}, keys
+
+
+def test_source_quality_filter_map_side_scoring(spark):
+    """Per-doc TTR must be map-side column math (array_distinct on the
+    token array — NO explode / generator), with only the tiny
+    source-grain aggregate shuffling, broadcast back onto the fact."""
+    p = plan_str(_q("docs_source_quality_filter")(spark, SF_SMALL))
+    assert "Generate" not in p, "token explode crept into TTR scoring"
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", p)
+    assert set(keys) == {"source"}, keys
