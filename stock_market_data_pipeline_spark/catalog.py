@@ -15,7 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from . import oracles, physical
+from . import oracles, tables
 from .functions.indicators import flag
 from .models.mapping import (
     bars_from_lineitem,
@@ -47,12 +47,9 @@ def q(name: str, oracle: str | None = None):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    # loud SchemaDriftError on a semantically-loaded re-type (the
-    # round-5 lesson, generalized past the events table): one cheap
-    # driver-side footer read, no Spark job
-    physical.assert_table(path, name)
-    return spark.read.parquet(path)
+    # tables.load footer-asserts semantically-loaded layouts (the
+    # round-5 lesson) — ONE read boundary, not two diverging copies
+    return tables.load(spark, sf_dir, name)
 
 
 def _r(col, n=6):

@@ -423,7 +423,13 @@ def daily_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert data_through.isoformat() == max(ledger.completed_dates())
 
     from .catalog import _momentum_projection
-    return _momentum_projection(fct)
+
+    # materialize the 1000-row result and release the cache: cached
+    # plans are never auto-evicted from a long-lived session, so
+    # repeated invocations would otherwise accumulate blocks forever
+    out = _momentum_projection(fct).localCheckpoint(eager=True)
+    fct.unpersist()
+    return out
 
 
 STREAM_INTERVAL_JOIN_SQL = """

@@ -205,7 +205,9 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     toks = (docs.select("doc_id", F.explode(words_col()).alias("tok"))
             .where(F.col("tok") != ""))
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    # grand total from the vocabulary-grain table, NOT a third corpus
+    # explode — same exact BIGINT, orders of magnitude fewer rows
+    total = freq.agg(F.sum("cnt").alias("n_total"))
     scored = (
         toks.join(freq, "tok")
         .join(F.broadcast(total))
@@ -250,11 +252,16 @@ def source_quality_filter(docs: DataFrame,
         .groupBy("source")
         .agg((F.sum("ttr").cast("double") / F.count(F.lit(1)))
              .alias("source_mean_ttr")))
-    cutoff = per_source.agg(
-        F.percentile("source_mean_ttr", quantile).alias("cutoff"))
-    return (
-        docs.join(F.broadcast(per_source), "source")
-        .join(F.broadcast(cutoff))
+    # cutoff via an unpartitioned window over the SOURCE-GRAIN rows
+    # (~#domains, scale-safe) so the heavy corpus-wide TTR lineage
+    # appears exactly once — a separate .agg() would re-run it
+    surviving = (
+        per_source
+        .withColumn("cutoff",
+                    F.percentile("source_mean_ttr", quantile)
+                    .over(Window.partitionBy()))
         .where(F.col("source_mean_ttr") >= F.col("cutoff"))
-        .select("doc_id", "source",
+        .select("source",
                 F.round("source_mean_ttr", 6).alias("source_mean_ttr")))
+    return (docs.join(F.broadcast(surviving), "source")
+            .select("doc_id", "source", "source_mean_ttr"))

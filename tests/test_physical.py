@@ -115,9 +115,10 @@ def test_assert_table_guards_embeddings_precision(tmp_path):
 
 def test_assert_table_accepts_current_testdata():
     from stock_market_data_pipeline_spark.physical import assert_table
+    from tests.conftest import SF_SMALL
 
     for name in ("documents", "embeddings", "events"):
-        assert_table(f"/root/testdata/sf0.001/{name}.parquet", name)
+        assert_table(f"{SF_SMALL}/{name}.parquet", name)
 
 
 def test_assert_table_noop_for_unregistered_tables(tmp_path):

@@ -31,6 +31,9 @@ def main() -> int:
     json_out = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args) or not args[i + 1].endswith(".json"):
+            print("usage: sweep.py [--json OUT.json] [SF_DIR] [name ...]")
+            return 2
         json_out = args[i + 1]
         args = args[:i] + args[i + 2:]
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
