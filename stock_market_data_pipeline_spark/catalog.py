@@ -9,7 +9,6 @@ header for the cross-engine determinism rules).
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -581,6 +580,38 @@ def momentum_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         universe.where(F.col("trade_date") <= F.lit(split)), SMALL)
     merged = incremental_momentum(universe, prior, SMALL, lookback_days=4)
     return _momentum_projection(merged)
+
+
+@q("manifest_momentum_merge", oracles.momentum_sql(SMALL))
+def manifest_momentum_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional incremental MERGE (§2.9) through the manifest-
+    commit layer (manifest.py): the pre-split fact is materialized as
+    a ManifestTable, the trailing slice is recomputed with warmup and
+    MERGEd with one atomic multi-partition commit — the plain-parquet
+    analog of the reference's transactional Snowflake MERGE
+    (fct_trading_momentum.sql:2-7). The oracle is the FULL REBUILD, so
+    hash equality proves manifest-merge == rebuild; the crash-safety
+    half of the contract is pinned by tests/test_manifest.py."""
+    from .incremental import trailing_slice
+    from .manifest import ManifestTable
+    from .scratch import scratch_dir
+
+    universe = universe_daily_from_tpch(spark, sf_dir)
+    split = "1997-06-30"
+    prior = fct_trading_momentum(
+        universe.where(F.col("trade_date") <= F.lit(split)), SMALL)
+    table = ManifestTable.create(
+        prior, scratch_dir("manifest_momentum_"), ts="trade_date")
+    as_of = prior.agg(F.max("trade_date")).first()[0]
+    warmup_rows = max(SMALL.sma_l, SMALL.high_low, SMALL.ret_year) + 1
+    slice_df, warmup, cutoff = trailing_slice(
+        universe, as_of, 4, warmup_rows)
+    recomputed = (
+        fct_trading_momentum(warmup.unionByName(slice_df), SMALL)
+        .where(F.col("trade_date") >= cutoff)
+    )
+    table.merge(spark, recomputed, ["ticker", "trade_date"])
+    return _momentum_projection(table.read(spark))
 
 
 @q("agg_daily_market_breadth", oracles.breadth_sql(SMALL))

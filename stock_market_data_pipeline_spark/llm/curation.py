@@ -224,6 +224,23 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     )
 
 
+def source_ttr_means(docs: DataFrame) -> DataFrame:
+    """Source-grain mean type-token ratio: per-doc TTR as map-side
+    column math (``array_distinct`` on the token array — no explode,
+    no generator) feeding one tiny domain-grain aggregate.  Split out
+    so the plan-shape tests can assert the scoring stage's invariants
+    directly (the caller checkpoints this frame, which hides its
+    lineage from the final plan)."""
+    toks = words_col()
+    ttr = (F.round(F.size(F.array_distinct(toks)).cast("double")
+                   / F.size(toks), 9).cast("decimal(18,9)"))
+    return (
+        docs.select("source", ttr.alias("ttr"))
+        .groupBy("source")
+        .agg((F.sum("ttr").cast("double") / F.count(F.lit(1)))
+             .alias("source_mean_ttr")))
+
+
 def source_quality_filter(docs: DataFrame,
                           quantile: float = 0.5) -> DataFrame:
     """Whole-SOURCE quality filter: score every source (domain) by the
@@ -241,25 +258,24 @@ def source_quality_filter(docs: DataFrame,
 
     Scale: per-doc TTR is pure map-side column math (``array_distinct``
     on the token array — no explode, no shuffle); sources are ONE tiny
-    aggregate (domain grain) and the cutoff ONE scalar over it, both
-    broadcast back onto a single fact scan.
+    aggregate (domain grain).  The cutoff is a SCALAR aggregate over
+    the source-grain rows, cross-joined back as a broadcast 1-row
+    frame — never an unpartitioned window, which would force every
+    source row through a single-partition sort (at web scale #domains
+    is 10^7+).  ``per_source`` is localCheckpoint-ed first so the
+    corpus-wide TTR lineage runs exactly once even though two
+    consumers (the cutoff aggregate and the survivor filter) read it;
+    at extreme domain cardinality swap ``F.percentile`` for
+    ``F.approx_percentile`` (sketch-mergeable, no single-reducer
+    gather) at the cost of oracle bit-exactness — the same documented
+    switch as length_band_filter.
     """
-    toks = words_col()
-    ttr = (F.round(F.size(F.array_distinct(toks)).cast("double")
-                   / F.size(toks), 9).cast("decimal(18,9)"))
-    per_source = (
-        docs.select("source", ttr.alias("ttr"))
-        .groupBy("source")
-        .agg((F.sum("ttr").cast("double") / F.count(F.lit(1)))
-             .alias("source_mean_ttr")))
-    # cutoff via an unpartitioned window over the SOURCE-GRAIN rows
-    # (~#domains, scale-safe) so the heavy corpus-wide TTR lineage
-    # appears exactly once — a separate .agg() would re-run it
+    per_source = source_ttr_means(docs).localCheckpoint(eager=True)
+    cutoff = per_source.agg(
+        F.percentile("source_mean_ttr", quantile).alias("cutoff"))
     surviving = (
         per_source
-        .withColumn("cutoff",
-                    F.percentile("source_mean_ttr", quantile)
-                    .over(Window.partitionBy()))
+        .join(F.broadcast(cutoff))
         .where(F.col("source_mean_ttr") >= F.col("cutoff"))
         .select("source",
                 F.round("source_mean_ttr", 6).alias("source_mean_ttr")))

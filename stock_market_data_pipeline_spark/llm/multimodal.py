@@ -76,18 +76,138 @@ def payload_table(docs: DataFrame) -> DataFrame:
     )
 
 
+def ppm_payload_table(docs: DataFrame) -> DataFrame:
+    """Documents -> REAL binary-PPM (P6) payloads, built entirely with
+    JVM-side column functions: header ``P6\\n{w} {h}\\n255\\n`` +
+    exactly w*h*3 pixel bytes cycled from the doc text (``rpad`` with
+    the string itself as pad = truncated infinite repeat — the same
+    v(j) = text[j % len] stream the DuckDB oracle enumerates).
+    Dimensions derive from doc_id so every header differs."""
+    w = (F.col("doc_id") % 8 + 4).cast("int")
+    h = (F.col("doc_id") % 6 + 4).cast("int")
+    npix = (w * h * 3).cast("int")
+    header = F.concat(F.lit("P6\n"), w.cast("string"), F.lit(" "),
+                      h.cast("string"), F.lit("\n255\n"))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.lit("image").alias("modality"),
+        F.encode(F.concat(header, F.rpad(F.col("text"), npix,
+                                         F.col("text"))),
+                 "UTF-8").alias("payload"),
+        w.alias("meta_width"), h.alias("meta_height"),
+        F.lit(3).cast("int").alias("meta_channels"),
+    )
+
+
+def wav_payload_table(docs: DataFrame) -> DataFrame:
+    """Documents -> REAL 16-bit PCM WAV payloads (stdlib ``wave``
+    writer inside an Arrow-batched mapInPandas — container formats
+    with binary length fields can't be built with string functions).
+    Sample j is the little-endian int16 from text-byte pair
+    (b(2j), b(2j+1)) cycled — SQL-expressible, so the decode path has
+    a per-sample oracle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                n_samples = int(doc_id) % 64 + 32
+                idx = np.arange(n_samples * 2) % len(raw)
+                pcm = np.frombuffer(raw, dtype=np.uint8)[idx] \
+                    .astype(np.uint8).tobytes()
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(8000)
+                    wf.writeframes(pcm)
+                rows.append({"doc_id": int(doc_id), "modality": "audio",
+                             "payload": buf.getvalue(),
+                             "meta_width": n_samples, "meta_height": 1,
+                             "meta_channels": 1})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PAYLOAD_SCHEMA])
+
+    return (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        "text")
+            .mapInPandas(batches, schema=PAYLOAD_SCHEMA))
+
+
+def _decode_ppm(payload: bytes) -> "object":
+    """REAL image decode for binary PPM (P6) — stdlib-only, no PIL.
+
+    Parses the three whitespace-delimited header tokens (magic, dims,
+    maxval) byte-wise, validates the pixel section length against the
+    declared dimensions, and returns the raw RGB samples. Any header
+    off-by-one would shift every returned byte, so the per-byte oracle
+    (mm_decode_ppm) proves the parser consumed EXACTLY the header."""
+    import numpy as np
+
+    if payload[:2] != b"P6":
+        raise ValueError(f"not a P6 PPM: magic {payload[:2]!r}")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":          # comment line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1                                      # single ws after maxval
+    width, height, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported, maxval={maxval}")
+    pixels = payload[pos:]
+    if len(pixels) != width * height * 3:
+        raise ValueError(
+            f"PPM pixel section {len(pixels)}B != {width}x{height}x3")
+    return np.frombuffer(pixels, dtype=np.uint8)
+
+
+def _decode_wav(payload: bytes) -> "object":
+    """REAL audio decode for 16-bit PCM WAV via the stdlib ``wave``
+    module: returns the sample stream as int64 (features are computed
+    over SAMPLES, not container bytes — byte-level stats would count
+    the RIFF header)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError(f"only 16-bit PCM, got {w.getsampwidth()*8}")
+        frames = w.readframes(w.getnframes())
+    return np.frombuffer(frames, dtype="<i2").astype(np.int64)
+
+
 def _decode(payload: bytes, codec: str = "fake") -> "object":
-    """Decode a payload to a 1-D uint8 sample array.
+    """Decode a payload to a 1-D sample array.
 
     ``fake`` treats the raw bytes as pixels/samples — deterministic and
-    codec-free. Real codecs are intentionally unimplemented in this
-    container (no PIL/ffmpeg); the call site and batch plumbing are
-    identical when they exist.
+    codec-free. ``ppm`` and ``wav`` are REAL stdlib-only decoders
+    (binary PPM header parse; RIFF/wave 16-bit PCM). Codecs needing
+    non-stdlib libs (JPEG/PNG/MP3 — no PIL/ffmpeg in this container)
+    stay intentionally unimplemented; their call site and Arrow batch
+    plumbing are identical.
     """
     import numpy as np
 
     if codec == "fake":
         return np.frombuffer(payload, dtype=np.uint8)
+    if codec == "ppm":
+        return _decode_ppm(payload)
+    if codec == "wav":
+        return _decode_wav(payload)
     raise NotImplementedError(
         f"codec {codec!r}: real media decoding needs image/audio libs "
         "not present in this environment; plug a decoder in here")

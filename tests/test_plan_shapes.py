@@ -189,10 +189,27 @@ def test_unigram_logprob_broadcast_freq_partial_aggs(spark):
 def test_source_quality_filter_map_side_scoring(spark):
     """Per-doc TTR must be map-side column math (array_distinct on the
     token array — NO explode / generator), with only the tiny
-    source-grain aggregate shuffling, broadcast back onto the fact."""
-    p = plan_str(_q("docs_source_quality_filter")(spark, SF_SMALL))
+    source-grain aggregate shuffling.  Asserted on the scoring stage
+    directly: the entry checkpoints this frame, which hides its
+    lineage from the final plan."""
+    from stock_market_data_pipeline_spark import tables
+    from stock_market_data_pipeline_spark.llm.curation import (
+        source_ttr_means,
+    )
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    p = plan_str(source_ttr_means(docs))
     assert "Generate" not in p, "token explode crept into TTR scoring"
-    assert "BroadcastHashJoin" in p
-    assert "SortMergeJoin" not in p
     keys = re.findall(r"Exchange hashpartitioning\((\w+)", p)
     assert set(keys) == {"source"}, keys
+
+
+def test_source_quality_filter_scalar_cutoff_no_global_window(spark):
+    """The percentile cutoff must be a scalar aggregate cross-joined
+    back as a broadcast 1-row frame — NEVER an unpartitioned window,
+    which would single-partition-sort every source row (10^7+ domains
+    at web scale). Survivors broadcast onto the fact scan."""
+    p = plan_str(_q("docs_source_quality_filter")(spark, SF_SMALL))
+    assert "Window" not in p, "global window crept into the cutoff"
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
