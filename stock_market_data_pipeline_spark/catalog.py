@@ -1431,49 +1431,51 @@ from . import catalog_rel  # noqa: E402,F401  (pivot/cube/unpivot/histogram)
 # registration order) so every `from .catalog import QUERIES` alias
 # observes the same ordering.
 
+# ROTATION POLICY (tested by tests/test_registration_order.py): the
+# window is rebuilt every round as (1) entries with NO driver-green
+# row yet, (2) entries whose semantics/plan changed this round, (3)
+# the stalest previously-green entries, oldest round first, until the
+# 50 slots fill.  Invariant the test asserts: any entry LEFT OUT must
+# have a green row within the last two driver rounds — so no entry's
+# driver check ever ages past 2 rounds (VERDICT r6 "Next round" #4).
 _DRIVER_WINDOW_FIRST = [
-    # -- round 6, group 1: the 10 events/streaming entries broken by
-    # the testdata regeneration (TIMESTAMP(NANOS) -> MICROS) and
-    # repaired this round (physical.py layout sniffing) — the driver
-    # itself must re-prove the fix (VERDICT r5 "Next round" #1/#3) --
-    "sessionize_events", "asof_prior_view", "events_hopping_counts",
-    "cumulative_distinct_users", "session_funnel",
-    "session_window_native", "stream_hourly_rollup",
-    "stream_dedup_events", "stream_session_windows",
-    "stream_stateful_user_totals",
-    # -- group 2: staleness rotation (ADVICE r5: cycle previously-green
-    # entries so every entry is periodically re-proven on CURRENT
-    # data). These 36 are every entry last driver-verified in r2-r4;
-    # with the r5 window having re-proven the rest, after r6 every
-    # catalog entry has a green row on post-regeneration testdata. --
-    # last verified r2 (rollup_revenue yields its slot to the new
-    # source-quality entry below — never-driver-checked beats a
-    # re-proof; its r2-green row plus SWEEP_r06.json cover it):
-    "dedup_ngram_jaccard", "dedup_simhash", "dedup_survivors_by_quality",
-    "pairwise_correlation", "text_fingerprint",
-    "text_lang_id", "text_quality_score", "text_stats",
-    "tpch_q1_pricing_summary", "tpch_q3_topk_revenue",
-    "tpch_q5_local_supplier", "trend_slope_by_key",
-    # last verified r3:
-    "band_range_join", "datasource_grouped_daily",
-    "dedup_embedding_cosine", "events_json_props",
-    "except_intersect_keys", "histogram_prices", "ingest_daily_bars",
-    "ingest_pending_dates", "mm_payload_features", "mm_payload_grid",
-    "pivot_priority_year", "quantiles_by_brand", "sample_hash_split",
-    "seed_csv_constituents", "serving_breadth", "serving_freshness",
-    "serving_ticker_range", "text_rolling_hash", "unpivot_dim_metrics",
-    # last verified r4:
-    "serving_screener", "stream_upsert_rollup",
-    "text_boilerplate_segments", "text_repetition_ratio",
-    # -- group 3: new this round — the Airflow-DAG composition entry
-    # (VERDICT r5 "What's missing" #3), two quality-filtering curation
-    # operators (length band, unigram-LM log-prob), and the
-    # watermarked stream-stream interval join; entries with NO prior
-    # green row take priority over re-checking r5-green core plans,
-    # which SWEEP_r06.json covers at sf0.01 instead --
-    "daily_pipeline_run", "docs_length_band_filter",
-    "docs_unigram_logprob", "stream_interval_join",
-    "docs_source_quality_filter",
+    # -- round 7, group 1: never driver-checked (new this round) —
+    # the manifest-commit MERGE and the two real-codec decode paths --
+    "manifest_momentum_merge", "mm_decode_ppm", "mm_decode_wav",
+    # -- group 2: changed this round: daily_pipeline_run lost its
+    # r6 .cache() workaround (gates now run uncached + raise real
+    # exceptions), docs_source_quality_filter's cutoff became a
+    # scalar agg + broadcast (was an unpartitioned window) --
+    "daily_pipeline_run", "docs_source_quality_filter",
+    # -- group 3: stalest first: rollup_revenue's last driver check
+    # was r2 (VERDICT r6 flagged it) --
+    "rollup_revenue",
+    # -- group 4: the r5-checked cohort (age 2 this round), in
+    # registration order; 44 fit. The 4 deferred to r8 —
+    # fct_trading_momentum_small (its exact plan feeds the r6-green
+    # serving_ticker_range), screener_filter (plan shared with
+    # r6-green serving_screener), self_lag_join, scalar_max_filter
+    # (both single-operator entries, pytest-parity-covered) — sit at
+    # the policy's age bound and MUST front the r8 window: the
+    # staleness test fails the build otherwise. --
+    "stg_projection_flags", "bars_ohlcv", "constituents_snapshots",
+    "universe_daily", "fct_trading_momentum", "gap_fill_daily",
+    "resample_weekly_ohlc", "scd2_constituents", "updown_streaks",
+    "ranking_functions", "vwap_rolling", "bollinger_bands",
+    "constituents_diff", "scd2_asof_snapshot",
+    "fct_trading_momentum_valid", "fct_momentum_incremental",
+    "agg_daily_market_breadth", "dim_securities_current",
+    "agg_alignment_join", "multiway_dim_join",
+    "qualify_latest_per_key", "topk_by_metric", "distinct_ordered",
+    "running_total", "smoothed_daily_index",
+    "percent_rank_null_segregated", "partition_window_avg",
+    "conditional_agg_daily", "volatility_by_key",
+    "conditional_signal_dates", "median_summary", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_clusters", "text_bpe_tokens",
+    "text_tfidf_top_terms", "embedding_centroids", "ann_cosine_topk",
+    "ann_ivf_topk", "docs_pack_sequences", "benchmark_contamination",
+    "stratified_balance_lang", "cube_order_stats",
+    "bucketed_join_revenue",
 ]
 
 

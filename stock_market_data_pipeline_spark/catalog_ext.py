@@ -387,8 +387,10 @@ def daily_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     warehouse = scratch_dir("daily_wh_")
     r1 = extract_load_range(spark, warehouse, DAILY_START, DAILY_END)
     r2 = extract_load_range(spark, warehouse, DAILY_START, DAILY_END)
-    assert r1["loaded"] == 20 and r2["loaded"] == 0 \
-        and r2["skipped"] == 20, (r1, r2)
+    if not (r1["loaded"] == 20 and r2["loaded"] == 0
+            and r2["skipped"] == 20):
+        raise RuntimeError(
+            f"ledger idempotency gate: run1 {r1} run2 {r2}")
 
     staged = stage_daily_stocks(spark.read.parquet(r1["bars_path"]))
     dim = stack_constituent_snapshots([(
@@ -405,31 +407,34 @@ def daily_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ticker", "trade_date", "close", "volume", "n_trades",
                 "company", "sector", "index_weight", "prev_close",
                 "consecutive_trading_days", "is_new_to_index"))
-    # cache: the checks re-derive lag/flag columns over the fact; the
-    # uncached 8-window DAG trips a Catalyst column-pruning bug (see
-    # tests/test_daily_e2e.py) — and the mart is 1000 rows here
-    fct = fct_trading_momentum(universe, p).cache()
+    fct = fct_trading_momentum(universe, p)
 
-    # the `dbt test` stage: domain invariants gate the mart
+    # the `dbt test` stage: domain invariants gate the mart.  Real
+    # exceptions, not `assert` — gates must survive `python -O`
+    # (a stripped assert would silently turn the dbt-test stage into
+    # a no-op).  No .cache(): the r6-era "Catalyst column-pruning
+    # bug" workaround no longer reproduces on the uncached 8-window
+    # DAG — tests/test_daily_e2e.py pins the uncached path.
     for check in (yesterday_close_is_lag, rsi_range_or_null,
                   golden_death_exclusive):
         bad = check(fct).count()
-        assert bad == 0, f"{check.__name__}: {bad} violations"
+        if bad:
+            raise RuntimeError(f"{check.__name__}: {bad} violations")
 
     # freshness anchors to the ledger (S7/S8), not to the data itself
     ledger = Ledger(spark, os.path.join(warehouse,
                                         "ingestion_checkpoints"))
     data_through = fct.agg(F.max("trade_date")).first()[0]
-    assert data_through.isoformat() == max(ledger.completed_dates())
+    if data_through.isoformat() != max(ledger.completed_dates()):
+        raise RuntimeError(
+            f"freshness gate: mart data-through {data_through} != "
+            f"ledger max completed date {max(ledger.completed_dates())}")
 
     from .catalog import _momentum_projection
 
-    # materialize the 1000-row result and release the cache: cached
-    # plans are never auto-evicted from a long-lived session, so
-    # repeated invocations would otherwise accumulate blocks forever
-    out = _momentum_projection(fct).localCheckpoint(eager=True)
-    fct.unpersist()
-    return out
+    # materialize the 1000-row result so repeated invocations (parity
+    # sweeps, bench reps) don't re-run the ingest lineage
+    return _momentum_projection(fct).localCheckpoint(eager=True)
 
 
 STREAM_INTERVAL_JOIN_SQL = """

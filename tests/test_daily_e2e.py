@@ -65,11 +65,12 @@ def test_daily_pipeline_end_to_end(spark, tmp_path):
                  "consecutive_trading_days", "is_new_to_index")
         return fct_trading_momentum(universe, p)
 
-    # cache: the checks re-derive lag/flag columns over the fact, and
-    # the uncached 8-window DAG trips a Catalyst column-pruning bug
-    # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on close) — same reason
-    # tests/test_checks.py caches its inputs
-    fct = build_fct(raw).cache()
+    # deliberately UNCACHED: the checks re-derive lag/flag columns
+    # over the full 8-window DAG. An earlier round cached here to dodge
+    # a Catalyst column-pruning failure (INTERNAL_ERROR_ATTRIBUTE_NOT_
+    # FOUND on close); that no longer reproduces, and this test now
+    # pins the uncached path so any regression surfaces here first.
+    fct = build_fct(raw)
 
     n_rows = fct.count()
     assert n_rows == 10 * 50
@@ -89,5 +90,10 @@ def test_daily_pipeline_end_to_end(spark, tmp_path):
                             date(1998, 2, 2), date(1998, 2, 13))
     assert r2["loaded"] == 0 and r2["skipped"] == 10
     fct2 = build_fct(spark.read.parquet(r2["bars_path"]))
-    assert fct.exceptAll(fct2).count() == 0
-    assert fct2.exceptAll(fct).count() == 0
+    # exceptAll directly over these lineages trips a Spark optimizer
+    # bug (dropDuplicates(subset)+filter under RewriteExceptAll — see
+    # tests/test_exceptall_pruning_bug.py); cut lineage first.
+    a = fct.localCheckpoint(eager=True)
+    b = fct2.localCheckpoint(eager=True)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0

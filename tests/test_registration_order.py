@@ -16,16 +16,26 @@ from stock_market_data_pipeline_spark.catalog import (
 REPO = pathlib.Path(__file__).resolve().parents[1]
 
 
-def _driver_green() -> set[str]:
-    """Union of entry names with a fully-green row across every
-    CORRECTNESS_r*.json the driver has produced so far."""
-    green: set[str] = set()
+def _last_green_round() -> dict[str, int]:
+    """Per-entry newest driver round with a fully-green row, from the
+    CORRECTNESS_r*.json artifacts (they ARE the persisted per-entry
+    last-checked metadata — no second bookkeeping file to drift)."""
+    import re
+
+    last: dict[str, int] = {}
     for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", path.name).group(1))
         for name, row in json.loads(path.read_text()).items():
             if (row.get("rows_match") and row.get("schema_match")
                     and row.get("hash_match") and not row.get("err")):
-                green.add(name)
-    return green
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+def _driver_green() -> set[str]:
+    """Union of entry names with a fully-green row across every
+    CORRECTNESS_r*.json the driver has produced so far."""
+    return set(_last_green_round())
 
 
 def test_unchecked_entries_inside_driver_window():
@@ -39,6 +49,29 @@ def test_unchecked_entries_inside_driver_window():
     # the explicit priority list actually landed in front
     for name in _DRIVER_WINDOW_FIRST:
         assert name in window, f"{name} not in driver window"
+
+
+def test_driver_window_staleness_bound():
+    """THE ROTATION POLICY (VERDICT r6 "Next round" #4), asserted, not
+    assumed: every entry OUTSIDE the upcoming driver window must have
+    been driver-green within the last two completed rounds.  With a
+    50-slot window over ~100 entries, perfect alternation gives age
+    0/1; the bound of 2 absorbs window churn from new entries, but an
+    entry can never quietly age out the way rollup_revenue did
+    (green r2, unchecked r3-r6)."""
+    last = _last_green_round()
+    if not last:
+        return  # round 1: no artifacts yet
+    current_round = max(last.values()) + 1
+    window = set(list(QUERIES)[:50])
+    offenders = {
+        n: last.get(n) for n in QUERIES
+        if n not in window and last.get(n, 0) < current_round - 2
+    }
+    assert offenders == {}, (
+        f"entries outside the round-{current_round} driver window with "
+        f"no green row since round {current_round - 2}: {offenders} — "
+        f"front them in _DRIVER_WINDOW_FIRST")
 
 
 def test_oracle_registry_order_mirrors_queries():
