@@ -45,9 +45,29 @@ def _one_parquet_file(path: str) -> str:
 
 
 def arrow_types(path: str) -> dict[str, str]:
-    """Column name -> arrow type string, from one parquet footer.
-    For a directory source the first file stands for all of them (our
-    staged streaming dirs are homogeneous by construction)."""
+    """Column name -> arrow type string from the parquet footer(s).
+    A directory source (staged streaming dir) is checked for footer
+    HOMOGENEITY rather than assumed: footer reads are driver-side and
+    cheap, and a mixed-layout dir read under one file's DDL would be
+    exactly the silent mis-read this module exists to prevent."""
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if f.endswith(".parquet"))
+        if not files:
+            raise SchemaDriftError(f"no parquet file found at {path!r}")
+        first = {f.name: str(f.type) for f in pq.read_schema(files[0])}
+        for other in files[1:]:
+            got = {f.name: str(f.type) for f in pq.read_schema(other)}
+            if got != first:
+                drift = {k: (first.get(k), got.get(k))
+                         for k in set(first) | set(got)
+                         if first.get(k) != got.get(k)}
+                raise SchemaDriftError(
+                    f"{path}: mixed physical layouts within one "
+                    f"directory source — {os.path.basename(files[0])} "
+                    f"vs {os.path.basename(other)} differ on {drift}")
+        return first
     schema = pq.read_schema(_one_parquet_file(path))
     return {field.name: str(field.type) for field in schema}
 

@@ -24,6 +24,15 @@ TABLE_NAMES = [
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from .physical import assert_table
 
+    if name == "events":
+        # events MUST go through the layout-branching reader: a plain
+        # inferred read of a TIMESTAMP(NANOS) regeneration would (with
+        # the session's nanosAsLong backstop) surface ts as raw BIGINT
+        # nanos to every generic consumer — the silent-mis-scale class
+        # physical.py exists to eliminate.
+        from .operators.events_ops import read_events
+        return read_events(spark, sf_dir)
+
     path = os.path.join(sf_dir, f"{name}.parquet")
     # loud SchemaDriftError if a semantically-loaded table was
     # re-typed by a testdata regeneration (one footer read, no job)

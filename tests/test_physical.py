@@ -53,6 +53,29 @@ def test_directory_source_uses_first_file(tmp_path):
     assert events_ts_unit(str(d)) == "us"
 
 
+def test_directory_source_homogeneous_ok(tmp_path):
+    d = tmp_path / "staged"
+    d.mkdir()
+    for i in range(3):
+        _write_events(d / f"chunk_{i}.parquet",
+                      pa.array([1, 2], pa.timestamp("us")))
+    assert events_ts_unit(str(d)) == "us"
+
+
+def test_directory_source_mixed_layout_fails_loudly(tmp_path):
+    """A staged dir mixing ts layouts must refuse, not read every file
+    under the first file's DDL (which would mis-scale the others by
+    1000x — the exact silent failure class this module eliminates)."""
+    d = tmp_path / "staged"
+    d.mkdir()
+    _write_events(d / "chunk_0.parquet",
+                  pa.array([1, 2], pa.timestamp("us")))
+    _write_events(d / "chunk_1.parquet",
+                  pa.array([1, 2], pa.timestamp("ns")))
+    with pytest.raises(SchemaDriftError, match="mixed physical layouts"):
+        events_ts_unit(str(d))
+
+
 @pytest.mark.parametrize("ts_array, fragment", [
     # a future regeneration to millis must NOT silently hit either
     # branch (the round-5 failure mode was exactly a silent re-scale)
