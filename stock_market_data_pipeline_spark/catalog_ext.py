@@ -421,6 +421,37 @@ def daily_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         if bad:
             raise RuntimeError(f"{check.__name__}: {bad} violations")
 
+    # the generic schema tests at this DAG stage (the dbt suite runs
+    # them alongside the singular tests): fact-grain uniqueness +
+    # not-null (marts/_schema.yml:23-31,136-139), strictly-positive
+    # volume (:36-38), intermediate index_weight range
+    # (intermediate/_schema.yml:114-117), and mart-vs-intermediate
+    # row-count parity (marts/_schema.yml:142-143)
+    from .checks import (
+        accepted_range,
+        not_null,
+        row_count_parity,
+        unique_key,
+    )
+    generic = {
+        "fct_unique_key": unique_key(fct, ["ticker", "trade_date"]),
+        "fct_not_null": not_null(fct, ["ticker", "trade_date",
+                                       "close", "volume"]),
+        "fct_volume_positive": accepted_range(fct, "volume", lo=0,
+                                              inclusive=False),
+        "universe_index_weight_range": accepted_range(
+            universe, "index_weight", 0, 10),
+    }
+    for gname, viol in generic.items():
+        bad = viol.count()
+        if bad:
+            raise RuntimeError(f"{gname}: {bad} violations")
+    parity = row_count_parity(fct, universe)
+    if parity:
+        raise RuntimeError(
+            f"fct_rowcount_parity: mart and intermediate row counts "
+            f"differ by {parity}")
+
     # freshness anchors to the ledger (S7/S8), not to the data itself
     ledger = Ledger(spark, os.path.join(warehouse,
                                         "ingestion_checkpoints"))

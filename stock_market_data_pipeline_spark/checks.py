@@ -134,14 +134,17 @@ def not_null(df: DataFrame, cols: list[str]) -> DataFrame:
 
 
 def accepted_range(df: DataFrame, col: str, lo=None, hi=None,
-                   allow_null: bool = True) -> DataFrame:
-    """dbt_utils.accepted_range / dbt_expectations between tests."""
+                   allow_null: bool = True,
+                   inclusive: bool = True) -> DataFrame:
+    """dbt_utils.accepted_range / dbt_expectations between tests.
+    ``inclusive=False`` excludes the bounds themselves
+    (marts/_schema.yml:36-38 ``inclusive: false`` on volume)."""
     c: Column = F.col(col)
     viol = F.lit(False)
     if lo is not None:
-        viol = viol | (c < lo)
+        viol = viol | ((c < lo) if inclusive else (c <= lo))
     if hi is not None:
-        viol = viol | (c > hi)
+        viol = viol | ((c > hi) if inclusive else (c >= hi))
     if not allow_null:
         viol = viol | c.isNull()
     else:
@@ -149,10 +152,20 @@ def accepted_range(df: DataFrame, col: str, lo=None, hi=None,
     return df.where(viol)
 
 
+def row_count_parity(a: DataFrame, b: DataFrame) -> int:
+    """dbt_expectations.expect_table_row_count_to_equal_other_table
+    (marts/_schema.yml:142-143: fct must not drop/duplicate rows vs
+    int_russell3000__daily). Returns |count(a) - count(b)| so a zero
+    means parity — same violations-==-0 contract as the DataFrame
+    checks, driver-side scalars only."""
+    return abs(a.count() - b.count())
+
+
 # ------------------------------------------------- runner
 
 def run_all(fct: DataFrame, breadth: DataFrame,
-            dim: DataFrame, as_of=None) -> dict[str, int]:
+            dim: DataFrame, as_of=None,
+            universe: DataFrame | None = None) -> dict[str, int]:
     """dbt-test analog: every check's violation count (all must be 0).
     Mirrors the DAG position of `dbt test` after the marts build
     (daily_stock_pipeline_dag.py:48-55).
@@ -169,6 +182,9 @@ def run_all(fct: DataFrame, breadth: DataFrame,
     over them, and an uncached window-heavy fact would recompute per
     check. (Unpersisted at the end; materialized pipeline tables are
     already cheap re-reads, so the cache is harmless there too.)"""
+    # remember which frames WE cache, so the end-of-run unpersist
+    # never evicts a cache the caller installed (and still relies on)
+    own = [df for df in (fct, breadth, dim) if not df.is_cached]
     fct = fct.cache()
     breadth = breadth.cache()
     dim = dim.cache()
@@ -206,7 +222,52 @@ def run_all(fct: DataFrame, breadth: DataFrame,
         "fct_rel_volume_positive":
             accepted_range(fct, "rel_volume", lo=0).count(),
         "fct_avg_gain_nonneg": accepted_range(fct, "avg_gain", lo=0).count(),
+        # volume strictly positive (marts/_schema.yml:36-38,
+        # inclusive: false)
+        "fct_volume_positive":
+            accepted_range(fct, "volume", lo=0, inclusive=False).count(),
+        # avg_loss within float epsilon of nonnegative
+        # (marts/_schema.yml:117-120, min_value: -1e-8)
+        "fct_avg_loss_bound":
+            accepted_range(fct, "avg_loss", lo=-1e-8).count(),
         "breadth_unique_day": unique_key(breadth, ["trade_date"]).count(),
+        "breadth_not_null":
+            not_null(breadth, ["trade_date", "stocks_traded"]).count(),
+        # breadth ranges (marts/_schema.yml:180-225 analogs; the
+        # pct/ratio/rsi bounds are INCLUSIVE here where the reference
+        # excludes them — exclusivity encodes real-market
+        # impossibility (3,000 stocks never ALL advance, market RSI
+        # never exactly 0/100), but a small synthetic universe
+        # legitimately saturates the bounds on thin days)
+        "breadth_pct_sma_nonneg":
+            accepted_range(breadth, "pct_above_sma_s", lo=0).count(),
+        "breadth_market_rsi_range":
+            accepted_range(breadth, "market_rsi", 0, 100).count(),
+        "breadth_ad_pct_range":
+            accepted_range(breadth, "ad_percentage", -1, 1).count(),
+        "breadth_ad_ratio_nonneg":
+            accepted_range(breadth, "ad_ratio", lo=0).count(),
+        "breadth_hl_index_range":
+            accepted_range(breadth, "high_low_index_smoothed",
+                           0, 1).count(),
         "dim_unique_ticker": unique_key(dim, ["ticker"]).count(),
+        "dim_ticker_not_null": not_null(dim, ["ticker"]).count(),
     }
+    if universe is not None:
+        universe_own = not universe.is_cached
+        universe = universe.cache()
+        # intermediate-grain tests (intermediate/_schema.yml:106-117)
+        out["universe_unique_key"] = unique_key(
+            universe, ["ticker", "trade_date"]).count()
+        out["universe_not_null"] = not_null(
+            universe, ["ticker", "trade_date"]).count()
+        out["universe_index_weight_range"] = accepted_range(
+            universe, "index_weight", 0, 10).count()
+        # mart row-count parity with the intermediate
+        # (marts/_schema.yml:142-143)
+        out["fct_rowcount_parity"] = row_count_parity(fct, universe)
+        if universe_own:
+            universe.unpersist()
+    for df in own:
+        df.unpersist()
     return out

@@ -125,3 +125,52 @@ def test_run_all_on_empty_tables_reports_stale_not_crash(marts, spark):
     assert out["freshness_dim"] == 1
     # non-freshness checks are vacuous on empty inputs, not crashes
     assert out["fct_unique_key"] == 0
+
+
+def test_run_all_with_universe_generic_gates(marts, spark):
+    """The round-7 generic-test ports (intermediate/_schema.yml:106-117
+    uniqueness/range, marts/_schema.yml:36-38 strict volume,
+    :117-120 avg_loss bound, :142-143 row-count parity, breadth range
+    analogs): all green on the engine's own marts, and each able to
+    fail on an injected violation."""
+    from stock_market_data_pipeline_spark import checks
+    from stock_market_data_pipeline_spark.models.mapping import (
+        universe_daily_from_tpch,
+    )
+
+    fct, breadth, dim = marts
+    universe = universe_daily_from_tpch(spark, SF_SMALL)
+    out = checks.run_all(fct, breadth, dim, universe=universe)
+    bad = {k: v for k, v in out.items() if v != 0}
+    assert not bad, f"generic-test violations: {bad}"
+    for key in ("fct_volume_positive", "fct_avg_loss_bound",
+                "breadth_market_rsi_range", "breadth_ad_pct_range",
+                "universe_unique_key", "universe_index_weight_range",
+                "fct_rowcount_parity"):
+        assert key in out, key
+
+    # each new gate can fail
+    assert checks.accepted_range(
+        fct.withColumn("volume", F.lit(0).cast("long")),
+        "volume", lo=0, inclusive=False).count() > 0
+    assert checks.accepted_range(
+        fct.withColumn("avg_loss", F.lit(-1.0)),
+        "avg_loss", lo=-1e-8).count() > 0
+    assert checks.accepted_range(
+        breadth.withColumn("market_rsi", F.lit(101.0)),
+        "market_rsi", 0, 100).count() > 0
+    assert checks.accepted_range(
+        universe.withColumn("index_weight", F.lit(11.0)),
+        "index_weight", 0, 10).count() > 0
+    assert checks.row_count_parity(fct.limit(5), universe) != 0
+
+
+def test_run_all_preserves_caller_cache(marts):
+    """run_all unpersists only the caches IT installs — the module
+    fixture's cached marts must stay cached across run_all calls."""
+    from stock_market_data_pipeline_spark import checks
+
+    fct, breadth, dim = marts
+    assert fct.is_cached and breadth.is_cached and dim.is_cached
+    checks.run_all(fct, breadth, dim)
+    assert fct.is_cached and breadth.is_cached and dim.is_cached
