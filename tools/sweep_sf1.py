@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""sf1 stress sweep (VERDICT r6 "Next round" #7): run the heavy entry
+families at 10x bench scale — 6M lineitem rows / 200k tickers / 1M
+events / 50k docs — with FULL oracle parity, not just completion.
+
+Inputs come from tools/gen_sf1.py (deterministic 10x replication of
+the read-only driver sf0.1 — see that file's header for construction);
+DuckDB runs each entry's oracle SQL against the SAME parquet files, so
+hash parity is available at this scale.  The compare is vectorized
+(pandas column-wise exact equality after a full sort) because the
+pytest-path multiset compare is Python-tuple-speed and two entries
+return ~6M rows.
+
+Usage: python tools/sweep_sf1.py [--json OUT.json] [SF1_DIR]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+#: the heavy families the verdict names (momentum chain, dedup family,
+#: packing, contamination) plus one representative per other
+#: scale-sensitive family (scan+agg, top-k join, sessionization,
+#: tf-idf, streaming replay, similarity, source-grain curation, the
+#: manifest MERGE). Light dim/serving entries are excluded ON PURPOSE
+#: — they are sf-invariant; naming the exclusion here is the "no
+#: silent caps" rule.
+ENTRIES = [
+    # momentum chain (6M-row fact, 200k-ticker windows)
+    "universe_daily", "fct_trading_momentum", "agg_daily_market_breadth",
+    "dim_securities_current", "manifest_momentum_merge",
+    # dedup family
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_ngram_jaccard", "dedup_clusters", "dedup_survivors_by_quality",
+    "dedup_embedding_cosine",
+    # curation / packing / contamination
+    "docs_pack_sequences", "benchmark_contamination",
+    "docs_source_quality_filter",
+    # representatives
+    "tpch_q1_pricing_summary", "tpch_q3_topk_revenue",
+    "sessionize_events", "text_tfidf_top_terms",
+    "stream_hourly_rollup", "stream_dedup_events",
+]
+
+
+def compare_frames(sk, dk) -> tuple[bool, str | None]:
+    import pandas as pd  # noqa: F401
+
+    sk = sk.sort_index(axis=1)
+    dk = dk.sort_index(axis=1)
+    if list(sk.columns) != list(dk.columns):
+        return False, f"columns {list(sk.columns)} != {list(dk.columns)}"
+    if len(sk) != len(dk):
+        return False, f"rows {len(sk)} != {len(dk)}"
+    cols = list(sk.columns)
+    sk = sk.sort_values(cols).reset_index(drop=True)
+    dk = dk.sort_values(cols).reset_index(drop=True)
+    for c in cols:
+        a, b = sk[c], dk[c]
+        bad = ~((a == b) | (a.isna() & b.isna()))
+        if bad.any():
+            i = int(bad.idxmax())
+            return False, (f"col {c}: {int(bad.sum())} diffs, first at "
+                           f"row {i}: {a[i]!r} vs {b[i]!r}")
+    return True, None
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/repo/sf1data"
+
+    from stock_market_data_pipeline_spark.catalog import ORACLES, QUERIES
+    from stock_market_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("sweep_sf1")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+
+    results: dict[str, dict] = {}
+    for name in ENTRIES:
+        t0 = time.perf_counter()
+        try:
+            sdf = QUERIES[name](spark, sf_dir)
+            sk = sdf.toPandas()
+            t_spark = time.perf_counter() - t0
+            t1 = time.perf_counter()
+            dk = con.execute(ORACLES[name]).df()
+            t_duck = time.perf_counter() - t1
+            ok, err = compare_frames(sk, dk)
+            results[name] = {
+                "ok": ok, "err": err, "rows": len(sk),
+                "spark_secs": round(t_spark, 1),
+                "duckdb_secs": round(t_duck, 1),
+            }
+        except Exception as exc:
+            results[name] = {
+                "ok": False, "err": f"{type(exc).__name__}: {exc}"[:400],
+                "rows": None,
+                "spark_secs": round(time.perf_counter() - t0, 1),
+                "duckdb_secs": None,
+            }
+        r = results[name]
+        print(f"{name}: {'OK' if r['ok'] else 'FAIL'} rows={r['rows']} "
+              f"spark={r['spark_secs']}s duck={r['duckdb_secs']}s"
+              + (f" err={r['err']}" if r["err"] else ""),
+              file=sys.stderr, flush=True)
+
+    failed = [n for n, r in results.items() if not r["ok"]]
+    out = {
+        "entries": results,
+        "summary": {
+            "sf_dir": sf_dir, "sf": 1.0,
+            "total": len(results), "green": len(results) - len(failed),
+            "failed": failed,
+            "note": ("sf1 = deterministic 10x replication of driver "
+                     "sf0.1 (tools/gen_sf1.py); heavy families with "
+                     "full DuckDB oracle parity at 6M lineitem / 1M "
+                     "events / 50k docs. Light dim/serving entries "
+                     "excluded as sf-invariant (run at sf0.1 in "
+                     "SWEEP artifacts)."),
+        },
+    }
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+    print(json.dumps(out["summary"]))
+    return 0 if not failed else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
