@@ -128,10 +128,20 @@ class ManifestTable:
 
     def _stage(self, df: DataFrame) -> dict[str, str]:
         """Stage a txn directory; returns {partition value -> relpath}.
-        Nothing staged is reader-visible until _commit."""
+        Nothing staged is reader-visible until _commit.
+
+        The repartition on the partition column is load-bearing at
+        scale: without it every shuffle task writes a sliver into
+        every partition directory (2,500 dates x 32 tasks = 80k files
+        for a 10-year daily table — the sf1 sweep hit exactly this),
+        and the read side pays one task per sliver.  Hash-clustering
+        by partition value first yields ONE file per partition
+        directory; a production variant adds maxRecordsPerFile to cap
+        file size for fat partitions."""
         txn = f"txn-{uuid.uuid4().hex[:12]}"
         txn_dir = os.path.join(self.root, "data", txn)
         (df.withColumn(_PT, F.col(self.ts).cast("string"))
+         .repartition(F.col(_PT))
          .write.partitionBy(_PT).parquet(txn_dir))
         out: dict[str, str] = {}
         for d in os.listdir(txn_dir):
