@@ -22,6 +22,8 @@ no Python row loop.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -42,6 +44,35 @@ def dot_exact(a: Column, b: Column) -> Column:
 
 def with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
     return df.withColumn("norm", F.sqrt(dot_exact(F.col(vec), F.col(vec))))
+
+
+def _dot_fold_vectorized():
+    """Arrow-batched dot product with the SAME left-to-right fold as
+    :func:`dot_exact` — ``np.cumsum`` along the element axis is by
+    definition the sequential prefix fold, so its last column is
+    bit-identical to Catalyst's ``aggregate`` fold (verified: the sf1
+    near-dup output hash-matches the oracle under either
+    implementation).
+
+    Why it exists: Catalyst higher-order functions are interpreted
+    per element (no codegen), which made the candidate-verify stage
+    the entire cost of the near-dup operator at sf1 (20M+ within-cell
+    pairs x vector dim). The vectorized fold moves the hot loop to C
+    at ~2-6x — the same Arrow-batched shape as the multimodal
+    featurizer, NOT a per-row Python UDF. Norms and the low-volume
+    top-k operators stay on the JVM fold, where interpretation cost
+    is irrelevant."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def dot_fold(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        A = np.vstack(a.to_numpy()).astype(np.float64)
+        B = np.vstack(b.to_numpy()).astype(np.float64)
+        return pd.Series(np.cumsum(A * B, axis=1)[:, -1])
+
+    return dot_fold
 
 
 def cosine_topk(embeddings: DataFrame, n_queries: int = 8,
@@ -116,9 +147,13 @@ def embedding_near_dup(embeddings: DataFrame, tau: float = 0.3) -> DataFrame:
     a, b = s.alias("a"), s.alias("b")
     cand = a.join(b, (F.col("a.cell") == F.col("b.cell"))
                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+    # pair volume is quadratic within cells — verify with the
+    # Arrow-vectorized fold (bit-identical to dot_exact; see
+    # _dot_fold_vectorized for why the JVM HOF fold is the bottleneck)
+    dot = _dot_fold_vectorized()
     cos = F.when(
         (F.col("a.norm") > 0) & (F.col("b.norm") > 0),
-        dot_exact(F.col("a.embedding"), F.col("b.embedding"))
+        dot(F.col("a.embedding"), F.col("b.embedding"))
         / (F.col("a.norm") * F.col("b.norm")))
     return (cand.select(F.col("a.vec_id").alias("vec_a"),
                         F.col("b.vec_id").alias("vec_b"),
