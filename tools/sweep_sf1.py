@@ -11,7 +11,12 @@ hash parity is available at this scale.  The compare is vectorized
 pytest-path multiset compare is Python-tuple-speed and two entries
 return ~6M rows.
 
-Usage: python tools/sweep_sf1.py [--json OUT.json] [SF1_DIR]
+Usage: python tools/sweep_sf1.py [--json OUT.json] [SF1_DIR] [name ...]
+
+Naming entries re-runs ONLY those; with --json pointing at an existing
+artifact their rows are updated in place (the refresh path after an
+entry-targeted fix — e.g. re-timing one entry on new code without
+re-paying the full sweep).
 """
 
 from __future__ import annotations
@@ -82,7 +87,10 @@ def main() -> int:
         i = args.index("--json")
         json_out = args[i + 1]
         args = args[:i] + args[i + 2:]
-    sf_dir = args[0] if args else "/root/repo/sf1data"
+    sf_dir = "/root/repo/sf1data"
+    if args and os.path.isdir(args[0]):
+        sf_dir, args = args[0], args[1:]
+    selected = args or ENTRIES
 
     from stock_market_data_pipeline_spark.catalog import ORACLES, QUERIES
     from stock_market_data_pipeline_spark.session import get_spark
@@ -94,7 +102,9 @@ def main() -> int:
                     f"read_parquet('{sf_dir}/{t}.parquet')")
 
     results: dict[str, dict] = {}
-    for name in ENTRIES:
+    if json_out and os.path.exists(json_out) and set(selected) < set(ENTRIES):
+        results = json.load(open(json_out))["entries"]  # refresh in place
+    for name in selected:
         t0 = time.perf_counter()
         try:
             sdf = QUERIES[name](spark, sf_dir)
