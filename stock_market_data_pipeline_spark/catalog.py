@@ -614,6 +614,48 @@ def manifest_momentum_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _momentum_projection(table.read(spark))
 
 
+MANIFEST_SCAN_SQL = f"""
+SELECT * FROM ({oracles.BARS_SQL}) b
+WHERE trade_date BETWEEN DATE '1997-04-01' AND DATE '1997-06-30'
+""".strip()
+
+
+@q("manifest_pruned_scan", MANIFEST_SCAN_SQL)
+def manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-pruned snapshot read through the manifest layer
+    (manifest.py): the bars fact is laid out the way a 100 TB table
+    would be — MONTH-grain partitions (bounded partition count), with
+    DATE-grain zone maps carried as per-file footer min/max in the
+    manifest — and a one-quarter read resolves only the files whose
+    partition value or stats can intersect the range, no directory
+    listing, no footer round-trips at plan time.  The entry RAISES if
+    the manifest failed to prune (so green == skipping actually
+    happened), then applies the exact predicate; the oracle is the
+    full bar build filtered in SQL, so hash equality proves the
+    file-granular superset + residual filter loses nothing.  Plays the
+    warehouse's partition pruning on RAW.DAILY_STOCKS date filters
+    (fct_trading_momentum.sql:209-214 incremental WHERE)."""
+    from .manifest import ManifestTable
+    from .scratch import scratch_dir
+
+    lo, hi = "1997-04-01", "1997-06-30"
+    bars = bars_from_lineitem(_t(spark, sf_dir, "lineitem")).withColumn(
+        "trade_month", F.date_format("trade_date", "yyyy-MM"))
+    table = ManifestTable.create(
+        bars, scratch_dir("manifest_scan_"), ts="trade_month")
+    where = {"trade_month": ("1997-04", "1997-06"),
+             "trade_date": (lo, hi)}
+    plan = table.scan_plan(where)
+    if not (plan["partitions_pruned"] > 0 and plan["skipped"] > 0
+            and plan["files"]):
+        raise RuntimeError(f"manifest pruning ineffective: "
+                           f"{plan['partitions_pruned']} partitions / "
+                           f"{plan['skipped']} files skipped")
+    return (table.read(spark, where=where)
+            .where(F.col("trade_date").between(lo, hi))
+            .drop("trade_month"))
+
+
 @q("agg_daily_market_breadth", oracles.breadth_sql(SMALL))
 def breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """agg_daily_market_breadth: A1-A3 conditional aggs, W12 running
@@ -1440,8 +1482,10 @@ from . import catalog_rel  # noqa: E402,F401  (pivot/cube/unpivot/histogram)
 # driver check ever ages past 2 rounds (VERDICT r6 "Next round" #4).
 _DRIVER_WINDOW_FIRST = [
     # -- round 7, group 1: never driver-checked (new this round) —
-    # the manifest-commit MERGE and the two real-codec decode paths --
-    "manifest_momentum_merge", "mm_decode_ppm", "mm_decode_wav",
+    # the manifest-commit MERGE, its stats-pruned scan, and the two
+    # real-codec decode paths --
+    "manifest_momentum_merge", "manifest_pruned_scan",
+    "mm_decode_ppm", "mm_decode_wav",
     # -- group 2: changed this round: daily_pipeline_run lost its
     # r6 .cache() workaround (gates now run uncached + raise real
     # exceptions), docs_source_quality_filter's cutoff became a
@@ -1451,13 +1495,14 @@ _DRIVER_WINDOW_FIRST = [
     # was r2 (VERDICT r6 flagged it) --
     "rollup_revenue",
     # -- group 4: the r5-checked cohort (age 2 this round), in
-    # registration order; 44 fit. The 4 deferred to r8 —
+    # registration order; 43 fit. The 5 deferred to r8 —
     # fct_trading_momentum_small (its exact plan feeds the r6-green
     # serving_ticker_range), screener_filter (plan shared with
     # r6-green serving_screener), self_lag_join, scalar_max_filter
-    # (both single-operator entries, pytest-parity-covered) — sit at
-    # the policy's age bound and MUST front the r8 window: the
-    # staleness test fails the build otherwise. --
+    # (both single-operator entries, pytest-parity-covered), and
+    # bucketed_join_revenue (single-operator, pytest-parity-covered)
+    # — sit at the policy's age bound and MUST front the r8 window:
+    # the staleness test fails the build otherwise. --
     "stg_projection_flags", "bars_ohlcv", "constituents_snapshots",
     "universe_daily", "fct_trading_momentum", "gap_fill_daily",
     "resample_weekly_ohlc", "scd2_constituents", "updown_streaks",
@@ -1475,7 +1520,6 @@ _DRIVER_WINDOW_FIRST = [
     "text_tfidf_top_terms", "embedding_centroids", "ann_cosine_topk",
     "ann_ivf_topk", "docs_pack_sequences", "benchmark_contamination",
     "stratified_balance_lang", "cube_order_stats",
-    "bucketed_join_revenue",
 ]
 
 

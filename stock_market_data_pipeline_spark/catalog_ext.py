@@ -233,8 +233,9 @@ def ingest_bars_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                             date(1998, 2, 2), date(1998, 2, 4))
     r2 = extract_load_range(spark, warehouse,
                             date(1998, 2, 2), date(1998, 2, 4))
-    assert r1["loaded"] == 3 and r2["loaded"] == 0 and r2["skipped"] == 3, \
-        (r1, r2)
+    if not (r1["loaded"] == 3 and r2["loaded"] == 0
+            and r2["skipped"] == 3):     # survives `python -O`
+        raise RuntimeError(f"ledger idempotency violated: {r1} {r2}")
     bars = spark.read.parquet(r1["bars_path"])
     return bars.select("T", "V", "VW", "O", "C", "H", "L", "N", "DATE")
 

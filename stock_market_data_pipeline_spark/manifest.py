@@ -1,5 +1,5 @@
 """Manifest-committed partitioned table: ATOMIC multi-partition MERGE
-on plain parquet.
+on plain parquet, with file-level stats, data skipping and compaction.
 
 Closes the atomicity gap that :func:`incremental.merge_into_partitioned`
 documents (incremental.py:142-161): dynamic partition overwrite is
@@ -15,48 +15,71 @@ Layout::
 
     <root>/
       _manifests/
-        manifest-00000001.json   # immutable: {partition value -> data dir}
-        manifest-00000002.json
-        CURRENT                  # text: name of the live manifest
+        manifest-00000001.json   # immutable snapshot: per-partition
+        manifest-00000002.json   #   FILE list + footer stats
+                                 # (live = highest committed version)
       data/
         txn-<uuid>/              # one dir per write transaction
           __pt=<value>/part-*.parquet
 
-Protocol:
+Protocol (the live snapshot is the HIGHEST-numbered manifest; there is
+no mutable pointer file):
 
-1. A writer stages ALL new partition directories under a fresh
-   ``data/txn-<uuid>/`` — nothing it writes is visible to readers.
-2. It writes the next ``manifest-N.json`` (old mapping, with the
-   touched partitions re-pointed at the new txn dirs).  Still invisible.
-3. THE COMMIT POINT: it replaces ``_manifests/CURRENT`` with the new
-   manifest's name via write-to-temp + ``os.replace`` — a single atomic
-   rename on POSIX.  Readers resolve ``CURRENT`` first, so they see
-   either the entire old snapshot or the entire new one; a crash at any
-   earlier step leaves only orphan files that ``vacuum()`` reclaims.
+1. A writer stages ALL new files under a fresh ``data/txn-<uuid>/`` —
+   nothing it writes is visible to readers.
+2. It writes the complete next manifest body to a hidden temp file in
+   ``_manifests/`` and fsyncs it.  Still invisible.
+3. THE COMMIT POINT: one ``os.link(tmp, manifest-N.json)`` — an atomic
+   compare-and-swap on POSIX.  The link both *claims* version N (a
+   second writer racing from the same base version gets
+   ``FileExistsError`` → :class:`CommitConflict`, so lost updates are
+   impossible) and *publishes* the already-complete body (readers can
+   never observe a partial manifest).  A crash at any earlier step
+   leaves only orphan temp/data files that ``vacuum()`` reclaims — no
+   in-between state exists.  On an object store without atomic link
+   semantics, this one operation is what you'd delegate to a catalog
+   CAS (Iceberg catalogs, Delta's LogStore); everything else ports
+   unchanged.
 
-Two deliberate simplifications vs a full table format, stated not
-hidden: (a) ``CURRENT`` is last-writer-wins — two concurrent committers
-don't corrupt the table (each manifest is self-contained) but one
-overwrites the other's commit; real deployments want Delta/Iceberg's
-optimistic conflict check.  (b) the manifest maps partition VALUES to
-directories rather than listing files — file-level listing, stats and
-data-skipping belong to the real formats.  Everything else — snapshot
-isolation for readers, atomic multi-partition commit, time travel via
-old manifests — works, and ``tests/test_manifest.py`` crash-injects
-between stage and commit to prove the reader contract.
+The manifest maps each partition VALUE to a list of FILE entries, each
+carrying row count, byte size, and per-column min/max lifted from the
+parquet footer at stage time (driver-side pyarrow reads — no extra
+Spark job).  That buys, on plain parquet, the three things a naive
+directory listing can't do at 100 TB:
+
+* **Partition pruning without listing** — ``read(where=...)`` on the
+  partition column touches only matching entries; no S3 LIST over
+  thousands of date dirs.
+* **File-level data skipping** — a predicate on ANY stats-bearing
+  column drops whole files whose [min, max] can't intersect it, before
+  Spark ever opens a footer. ``scan_plan()`` exposes kept/skipped for
+  tests to pin.
+* **Compaction with snapshot isolation** — ``append()`` accumulates
+  small files per partition (the classic streaming-ingest pathology);
+  ``compact()`` rewrites multi-file partitions into one file and
+  commits the swap atomically, invisible to concurrent readers.
+
+Deliberate simplification vs a full table format, stated not hidden:
+the manifest is one JSON document, O(#files) driver-side — fine to
+~10^5 files; real formats shard it (Iceberg's manifest list / Delta's
+checkpoint parquet).  The per-partition grouping here is exactly the
+shard boundary such an upgrade would cut along.  Snapshot isolation for
+readers, atomic multi-partition commit, optimistic concurrency, time
+travel via old manifests, stats skipping and compaction all work, and
+``tests/test_manifest.py`` crash-injects between every pair of protocol
+steps to prove the reader contract.
 
 Partition-column handling: the staging write partitions by a STRING
 duplicate ``__pt`` of the partition column, so the parquet files keep
 the original typed column and readers need no partition-value parsing
-— ``read()`` is a plain ``spark.read.parquet(*live_dirs)``.  The
+— ``read()`` is a plain ``spark.read.parquet(*live_files)``.  The
 duplicate costs nothing on disk (dictionary/RLE-encoded constant).
 
-Scale: the manifest is O(#partitions) driver-side JSON (2,500 entries
-for a 10-year daily table — trivial); data movement is identical to
-``merge_into_partitioned`` (partition-pruned read, touched-partition
-write).  The same key-stability precondition applies: a key never
-moves between partition values (keys contain the partition column
-here, so it holds by construction).
+Scale: data movement is identical to ``merge_into_partitioned``
+(partition-pruned read, touched-partition write).  The same
+key-stability precondition applies: a key never moves between partition
+values (keys contain the partition column here, so it holds by
+construction).
 """
 
 from __future__ import annotations
@@ -70,16 +93,86 @@ from pyspark.sql import functions as F
 
 _PT = "__pt"
 _MANIFEST_DIR = "_manifests"
-_CURRENT = "CURRENT"
 
 
 class CrashInjected(RuntimeError):
-    """Raised by test hooks to simulate a writer dying pre-commit."""
+    """Raised by test hooks to simulate a writer dying mid-protocol."""
+
+
+class CommitConflict(RuntimeError):
+    """A competing writer committed after this writer's read snapshot.
+
+    The table is NOT torn: the competing commit is fully live, this
+    writer's staged files are invisible orphans (vacuum reclaims them).
+    The caller re-runs its merge against the new snapshot."""
+
+
+def _norm(v):
+    """JSON-safe, order-preserving normalization for footer stats.
+    Numbers stay numeric; everything else compares as its string form
+    (ISO dates/timestamps are lexicographically ordered, which is the
+    only property skipping needs)."""
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, (int, float)):
+        return float(v)
+    return str(v)
+
+
+def _file_entry(abs_path: str, rel_path: str) -> dict:
+    """One manifest entry from a parquet footer: rows, bytes, and
+    per-column [min, max] aggregated across row groups.  Driver-side
+    pyarrow metadata read — a few KB per file, no data pages."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(abs_path).metadata
+    stats: dict[str, list] = {}
+    complete = set()
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if "." in name or name == _PT:      # nested / partition dup
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            if isinstance(st.min, bytes) or isinstance(st.max, bytes):
+                continue                         # undecoded binary: skip
+            lo, hi = _norm(st.min), _norm(st.max)
+            if name in stats:
+                stats[name] = [min(stats[name][0], lo),
+                               max(stats[name][1], hi)]
+            else:
+                stats[name] = [lo, hi]
+            complete.add(name)
+    # a column missing stats in ANY row group has an unknown true range:
+    # drop it rather than skip on a partial (= wrong-answer) range
+    for name in [n for n in stats if n not in complete]:
+        del stats[name]
+    return {"path": rel_path, "rows": md.num_rows,
+            "bytes": os.path.getsize(abs_path), "stats": stats}
+
+
+def _ranges_disjoint(stat: list, lo, hi) -> bool:
+    """True iff [stat_lo, stat_hi] cannot intersect [lo, hi] (None =
+    open bound).  Mixed numeric/string stats (schema drift) compare
+    conservatively: never skip."""
+    slo, shi = stat
+    try:
+        if lo is not None and shi < _norm(lo):
+            return True
+        if hi is not None and slo > _norm(hi):
+            return True
+    except TypeError:
+        return False
+    return False
 
 
 class ManifestTable:
     """A partitioned parquet table whose live files are resolved
-    through an atomically-swapped manifest."""
+    through an atomically-swapped, stats-bearing manifest."""
 
     def __init__(self, root: str, ts: str):
         self.root = root
@@ -91,8 +184,14 @@ class ManifestTable:
         return os.path.join(self.root, _MANIFEST_DIR)
 
     def _current_name(self) -> str:
-        with open(os.path.join(self._mdir(), _CURRENT)) as f:
-            return f.read().strip()
+        """The live manifest = the highest committed version.  One
+        driver-side listing of ``_manifests/`` (a handful of small
+        files between vacuums)."""
+        names = [m for m in os.listdir(self._mdir())
+                 if m.startswith("manifest-") and m.endswith(".json")]
+        if not names:
+            raise FileNotFoundError(f"no committed manifest in {self.root}")
+        return max(names)
 
     def manifest(self, name: str | None = None) -> dict:
         """The live manifest (or a named historical one — time travel)."""
@@ -103,32 +202,41 @@ class ManifestTable:
     def version(self) -> int:
         return self.manifest()["version"]
 
-    def _commit(self, partitions: dict[str, str], version: int) -> None:
-        """Steps 2+3 of the protocol. The os.replace of CURRENT is the
-        single atomic commit point."""
+    def _commit(self, partitions: dict[str, list],
+                base_version: int) -> None:
+        """Steps 2+3 of the protocol: write the complete manifest body
+        to a hidden temp file, then ``os.link`` it to
+        ``manifest-{base+1}.json``.  The link is the single atomic
+        commit point AND the optimistic-concurrency gate: a competing
+        writer that committed from the same base already owns that
+        name, so our link raises and we surface
+        :class:`CommitConflict` — the competing snapshot stays fully
+        live, nothing of ours is visible."""
         mdir = self._mdir()
         os.makedirs(mdir, exist_ok=True)
+        version = base_version + 1
         name = f"manifest-{version:08d}.json"
-        body = {"version": version, "ts": self.ts, "partitions": partitions}
-        path = os.path.join(mdir, name)
-        tmp = path + ".tmp"
+        body = {"version": version, "ts": self.ts, "format": 2,
+                "partitions": partitions}
+        tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex[:12]}")
         with open(tmp, "w") as f:
             f.write(json.dumps(body, sort_keys=True))
             f.flush()
             os.fsync(f.fileno())
-        os.replace(tmp, path)           # manifest file in place, not live
-        cur_tmp = os.path.join(mdir, _CURRENT + ".tmp")
-        with open(cur_tmp, "w") as f:
-            f.write(name)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(cur_tmp, os.path.join(mdir, _CURRENT))   # COMMIT
+        try:
+            os.link(tmp, os.path.join(mdir, name))          # COMMIT
+        except FileExistsError:
+            raise CommitConflict(
+                f"version {version} already committed by a competing "
+                "writer; restage against the new snapshot") from None
+        finally:
+            os.remove(tmp)
 
     # -- data staging ------------------------------------------------
 
-    def _stage(self, df: DataFrame) -> dict[str, str]:
-        """Stage a txn directory; returns {partition value -> relpath}.
-        Nothing staged is reader-visible until _commit.
+    def _stage(self, df: DataFrame) -> dict[str, list]:
+        """Stage a txn directory; returns {partition value -> [file
+        entries]}.  Nothing staged is reader-visible until _commit.
 
         The repartition on the partition column is load-bearing at
         scale: without it every shuffle task writes a sliver into
@@ -143,40 +251,89 @@ class ManifestTable:
         (df.withColumn(_PT, F.col(self.ts).cast("string"))
          .repartition(F.col(_PT))
          .write.partitionBy(_PT).parquet(txn_dir))
-        out: dict[str, str] = {}
-        for d in os.listdir(txn_dir):
-            if d.startswith(_PT + "="):
-                value = d[len(_PT) + 1:]
-                out[value] = os.path.join("data", txn, d)
+        out: dict[str, list] = {}
+        for d in sorted(os.listdir(txn_dir)):
+            if not d.startswith(_PT + "="):
+                continue
+            value = d[len(_PT) + 1:]
+            leaf = os.path.join(txn_dir, d)
+            entries = []
+            for fn in sorted(os.listdir(leaf)):
+                if fn.endswith(".parquet"):
+                    rel = os.path.join("data", txn, d, fn)
+                    entries.append(
+                        _file_entry(os.path.join(leaf, fn), rel))
+            out[value] = entries
         return out
 
-    # -- public API --------------------------------------------------
+    # -- read path ---------------------------------------------------
+
+    def scan_plan(self, where: dict | None = None,
+                  manifest_name: str | None = None) -> dict:
+        """Resolve the file set for a read, applying partition pruning
+        (partition-value bounds when ``where`` constrains the partition
+        column) then footer-stats skipping for every other constrained
+        column.  ``where`` maps column -> (lo, hi), either bound None
+        for open.  Skipping is conservative: the kept set is a superset
+        of the matching rows' files; callers still apply the exact
+        predicate.  Returns {"files": [...], "skipped": n,
+        "partitions_pruned": n} so tests can pin the I/O plan."""
+        where = where or {}
+        mf = self.manifest(manifest_name)
+        kept: list[str] = []
+        skipped = 0
+        pruned_parts = 0
+        ts_bounds = where.get(mf["ts"])
+        for value, entries in mf["partitions"].items():
+            if ts_bounds is not None:
+                lo, hi = ts_bounds
+                if ((lo is not None and value < str(lo))
+                        or (hi is not None and value > str(hi))):
+                    pruned_parts += 1
+                    skipped += len(entries)
+                    continue
+            for e in entries:
+                drop = any(
+                    col in e["stats"]
+                    and _ranges_disjoint(e["stats"][col], lo, hi)
+                    for col, (lo, hi) in where.items())
+                if drop:
+                    skipped += 1
+                else:
+                    kept.append(os.path.join(self.root, e["path"]))
+        return {"files": kept, "skipped": skipped,
+                "partitions_pruned": pruned_parts}
+
+    def read(self, spark: SparkSession,
+             manifest_name: str | None = None,
+             where: dict | None = None) -> DataFrame:
+        """Snapshot read through the manifest.  With ``where``, the
+        file list is pruned via partition values + footer stats before
+        Spark sees it; the result is still a SUPERSET of the matching
+        rows (skipping is file-granular) — callers apply the exact
+        filter, exactly as an engine applies residual predicates after
+        zone-map skipping."""
+        plan = self.scan_plan(where, manifest_name)
+        return spark.read.parquet(*plan["files"])
+
+    # -- write paths -------------------------------------------------
 
     @classmethod
     def create(cls, df: DataFrame, root: str, ts: str) -> "ManifestTable":
         """Initial materialization: stage everything, commit v1."""
         t = cls(root, ts)
         parts = t._stage(df)
-        t._commit(parts, version=1)
+        t._commit(parts, base_version=0)
         return t
-
-    def read(self, spark: SparkSession,
-             manifest_name: str | None = None) -> DataFrame:
-        """Snapshot read through the manifest. Every listed dir is a
-        leaf (part files only), so this is plain parquet with the typed
-        partition column already in the files."""
-        mf = self.manifest(manifest_name)
-        dirs = [os.path.join(self.root, rel)
-                for rel in mf["partitions"].values()]
-        return spark.read.parquet(*dirs)
 
     def merge(self, spark: SparkSession, updates: DataFrame,
               keys: list[str],
-              _crash_before_commit: bool = False) -> None:
+              _crash_before_commit: bool = False,
+              _pre_commit_hook=None) -> None:
         """Keyed MERGE (WHEN MATCHED UPDATE / NOT MATCHED INSERT),
         partition-pruned exactly like merge_into_partitioned, but
         committed atomically across ALL touched partitions: stage every
-        rewritten partition, then one CURRENT swap.  A reader never
+        rewritten partition, then one atomic manifest link.  A reader never
         observes a mix of old and new partitions, and a crash anywhere
         before the swap leaves the old snapshot fully live."""
         from .incremental import merge_upsert
@@ -188,28 +345,67 @@ class ManifestTable:
             return
         mf = self.manifest()
         live = mf["partitions"]
-        prior_dirs = [os.path.join(self.root, live[v])
-                      for v in touched if v in live]
-        if prior_dirs:
-            current = spark.read.parquet(*prior_dirs)
+        prior_files = [os.path.join(self.root, e["path"])
+                       for v in touched if v in live
+                       for e in live[v]]
+        if prior_files:
+            current = spark.read.parquet(*prior_files)
             merged = merge_upsert(current, updates, keys)
         else:
             merged = updates
         staged = self._stage(merged)
         if _crash_before_commit:
             raise CrashInjected("writer died after staging, before commit")
-        self._commit({**live, **staged}, version=mf["version"] + 1)
+        if _pre_commit_hook is not None:
+            _pre_commit_hook()
+        self._commit({**live, **staged}, base_version=mf["version"])
+
+    def append(self, df: DataFrame) -> None:
+        """Blind append (the streaming-ingest write shape): stage new
+        files and ADD them to each touched partition's file list — no
+        read-side merge, no rewrite of existing files.  Repeated small
+        appends accumulate files per partition; ``compact()`` is the
+        antidote."""
+        mf = self.manifest()
+        live = {v: list(es) for v, es in mf["partitions"].items()}
+        for value, entries in self._stage(df).items():
+            live.setdefault(value, [])
+            live[value] = live[value] + entries
+        self._commit(live, base_version=mf["version"])
+
+    def compact(self, spark: SparkSession,
+                min_files: int = 2) -> dict:
+        """Rewrite every partition holding >= ``min_files`` files into
+        a single file and commit the swap atomically — concurrent
+        readers keep the old snapshot until the commit link, and time
+        travel to pre-compaction manifests still works until vacuum.
+        Row-preserving by construction (read live files, write them
+        back); returns {"partitions": n, "files_before": n,
+        "files_after": n} for observability."""
+        mf = self.manifest()
+        live = mf["partitions"]
+        todo = {v: es for v, es in live.items() if len(es) >= min_files}
+        if not todo:
+            return {"partitions": 0, "files_before": 0, "files_after": 0}
+        paths = [os.path.join(self.root, e["path"])
+                 for es in todo.values() for e in es]
+        staged = self._stage(spark.read.parquet(*paths))
+        self._commit({**live, **staged}, base_version=mf["version"])
+        return {"partitions": len(todo),
+                "files_before": sum(len(es) for es in todo.values()),
+                "files_after": sum(len(es) for es in staged.values())}
 
     def vacuum(self) -> list[str]:
-        """Remove data directories not referenced by the LIVE manifest
-        (orphans from crashed writers, partitions replaced by later
-        merges) and historical manifest files.  Returns removed paths.
-        Safe any time no writer is mid-stage; reclaim unit is the leaf
-        partition dir because one txn's partitions can be superseded
-        independently."""
+        """Remove data files not referenced by the LIVE manifest
+        (orphans from crashed writers, files replaced by later merges
+        or compactions) and historical manifest files.  Returns removed
+        paths.  Safe any time no writer is mid-stage; reclaim unit is
+        the file, then empty leaf/txn dirs."""
         import shutil
 
-        live_rel = set(self.manifest()["partitions"].values())
+        live_rel = {e["path"]
+                    for es in self.manifest()["partitions"].values()
+                    for e in es}
         removed: list[str] = []
         data_dir = os.path.join(self.root, "data")
         for txn in sorted(os.listdir(data_dir)):
@@ -220,18 +416,29 @@ class ManifestTable:
                 if not (os.path.isdir(full)
                         and leaf.startswith(_PT + "=")):
                     continue  # _SUCCESS / .crc markers ride with the txn
-                rel = os.path.join("data", txn, leaf)
-                if rel in live_rel:
+                leaf_live = False
+                for fn in sorted(os.listdir(full)):
+                    if not fn.endswith(".parquet"):
+                        continue
+                    rel = os.path.join("data", txn, leaf, fn)
+                    if rel in live_rel:
+                        leaf_live = True
+                    else:
+                        os.remove(os.path.join(full, fn))
+                        removed.append(rel)
+                if leaf_live:
                     any_live = True
                 else:
                     shutil.rmtree(full)
-                    removed.append(rel)
+                    removed.append(os.path.join("data", txn, leaf))
             if not any_live:
                 shutil.rmtree(txn_dir)
                 removed.append(os.path.join("data", txn))
         current = self._current_name()
         for m in sorted(os.listdir(self._mdir())):
-            if m.startswith("manifest-") and m != current:
+            stale_manifest = m.startswith("manifest-") and m != current
+            crash_tmp = m.startswith(".tmp-")
+            if stale_manifest or crash_tmp:
                 os.remove(os.path.join(self._mdir(), m))
                 removed.append(os.path.join(_MANIFEST_DIR, m))
         return removed

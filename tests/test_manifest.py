@@ -129,3 +129,107 @@ def test_untouched_partition_dirs_not_rewritten(spark, table):
     assert live_after["2024-01-02"] == live_before["2024-01-02"]
     for v in ("2024-01-03", "2024-01-04", "2024-01-05"):
         assert live_after[v] != live_before.get(v)
+
+
+# -- round 7: file-level stats, skipping, compaction, concurrency ----
+
+
+def test_manifest_records_file_stats(spark, table):
+    """Every file entry carries rows/bytes and footer min-max for the
+    scalar columns; per-partition row sums reconcile with the data."""
+    parts = table.manifest()["partitions"]
+    assert set(parts) == {"2024-01-02", "2024-01-03", "2024-01-04"}
+    for value, entries in parts.items():
+        assert entries, value
+        for e in entries:
+            assert e["rows"] > 0 and e["bytes"] > 0
+            assert "close" in e["stats"] and "ticker" in e["stats"]
+            lo, hi = e["stats"]["close"]
+            assert lo <= hi
+        assert sum(e["rows"] for e in entries) == 2  # AAA + BBB per day
+    total = sum(e["rows"] for es in parts.values() for e in es)
+    assert total == table.read(spark).count()
+
+
+def test_partition_pruned_read(spark, table):
+    """A range on the partition column resolves only matching files —
+    the manifest prunes without any directory listing — and the pruned
+    read plus the exact filter equals the full-scan answer."""
+    where = {"trade_date": ("2024-01-03", "2024-01-04")}
+    plan = table.scan_plan(where)
+    assert plan["partitions_pruned"] == 1        # 2024-01-02 dropped
+    assert plan["skipped"] >= 1
+    pruned = (table.read(spark, where=where)
+              .where(F.col("trade_date").between("2024-01-03",
+                                                 "2024-01-04")))
+    full = (table.read(spark)
+            .where(F.col("trade_date").between("2024-01-03",
+                                               "2024-01-04")))
+    assert _snap(pruned) == _snap(full)
+
+
+def test_stats_skipping_on_value_column(spark, table):
+    """A predicate on a NON-partition column skips files whose footer
+    [min, max] cannot intersect it (zone-map semantics), and the kept
+    superset + exact filter is still correct."""
+    # close >= 100 matches nothing; every file's max close is < 100
+    plan = table.scan_plan({"close": (100.0, None)})
+    assert plan["files"] == []
+    assert plan["skipped"] == 3
+    # a selective-but-nonempty bound keeps only intersecting files
+    where = {"close": (21.5, None)}
+    plan = table.scan_plan(where)
+    assert 0 < len(plan["files"]) < 3
+    got = (table.read(spark, where=where)
+           .where(F.col("close") >= 21.5))
+    assert _snap(got) == _snap(table.read(spark)
+                               .where(F.col("close") >= 21.5))
+
+
+def test_append_and_compact(spark, table):
+    """Blind appends accumulate files per partition; compact() folds
+    each multi-file partition to one file atomically, preserving rows
+    exactly and keeping the pre-compaction snapshot time-travelable."""
+    table.append(_mkdf(spark, [("CCC", "2024-01-02", 30.0)]))
+    table.append(_mkdf(spark, [("DDD", "2024-01-02", 40.0)]))
+    parts = table.manifest()["partitions"]
+    assert len(parts["2024-01-02"]) == 3
+    before = _snap(table.read(spark))
+    pre_name = f"manifest-{table.version():08d}.json"
+    out = table.compact(spark)
+    assert out["partitions"] == 1
+    assert out["files_before"] == 3 and out["files_after"] == 1
+    assert len(table.manifest()["partitions"]["2024-01-02"]) == 1
+    assert _snap(table.read(spark)) == before            # row-preserving
+    assert _snap(table.read(spark, pre_name)) == before  # time travel
+    # idempotent: nothing left to compact
+    assert table.compact(spark)["partitions"] == 0
+
+
+def test_commit_conflict_detected_not_torn(spark, table):
+    """Optimistic concurrency: writer B commits between writer A's
+    read snapshot and A's commit link.  A must raise CommitConflict;
+    B's commit stays fully live (no lost update, no torn mix); A's
+    retry against the new snapshot lands both writes."""
+    from stock_market_data_pipeline_spark.manifest import CommitConflict
+
+    b_updates = _mkdf(spark, [("BBB", "2024-01-03", 77.0)])
+
+    def competing_commit():
+        ManifestTable(table.root, table.ts).merge(spark, b_updates, KEYS)
+
+    with pytest.raises(CommitConflict):
+        table.merge(spark, _mkdf(spark, UPDATES), KEYS,
+                    _pre_commit_hook=competing_commit)
+    got = {(r.ticker, str(r.trade_date)): r.close
+           for r in table.read(spark).collect()}
+    expect = {(t, d): c for (t, d, c) in BASE}
+    expect[("BBB", "2024-01-03")] = 77.0      # B won; A fully invisible
+    assert got == expect
+    table.merge(spark, _mkdf(spark, UPDATES), KEYS)  # A retries cleanly
+    expect.update({(t, d): c for (t, d, c) in UPDATES})
+    got = {(r.ticker, str(r.trade_date)): r.close
+           for r in table.read(spark).collect()}
+    assert got == expect
+    # vacuum reclaims A's first-attempt orphan files
+    assert any(r.startswith("data/") for r in table.vacuum())
