@@ -130,6 +130,19 @@ def stream_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return upsert_replay(spark, sf_dir)
 
 
+@q("stream_manifest_append", STREAM_UPSERT_SQL)
+def stream_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming file sink (§2.9): foreachBatch appends
+    into a ManifestTable whose batch ledger commits ATOMICALLY with
+    the data (one manifest CAS link covers both), then the last batch
+    is re-delivered as a crash recovery would and must be refused with
+    the version unchanged — the entry raises otherwise, so green means
+    the exactly-once contract actually held, not just that counts
+    matched."""
+    from .streaming.events import manifest_append_replay
+    return manifest_append_replay(spark, sf_dir)
+
+
 #: 20 of the 25 possible p_brand sectors — the IN-list filter excludes
 #: Brand#*5 so it observably filters, while keeping rows at all scales
 SCREENER_SECTORS = [f"Brand#{i}{j}" for i in range(1, 6)

@@ -203,7 +203,8 @@ class ManifestTable:
         return self.manifest()["version"]
 
     def _commit(self, partitions: dict[str, list],
-                base_version: int) -> None:
+                base_version: int,
+                streams: dict[str, int] | None = None) -> None:
         """Steps 2+3 of the protocol: write the complete manifest body
         to a hidden temp file, then ``os.link`` it to
         ``manifest-{base+1}.json``.  The link is the single atomic
@@ -217,7 +218,7 @@ class ManifestTable:
         version = base_version + 1
         name = f"manifest-{version:08d}.json"
         body = {"version": version, "ts": self.ts, "format": 2,
-                "partitions": partitions}
+                "partitions": partitions, "streams": streams or {}}
         tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex[:12]}")
         with open(tmp, "w") as f:
             f.write(json.dumps(body, sort_keys=True))
@@ -358,7 +359,8 @@ class ManifestTable:
             raise CrashInjected("writer died after staging, before commit")
         if _pre_commit_hook is not None:
             _pre_commit_hook()
-        self._commit({**live, **staged}, base_version=mf["version"])
+        self._commit({**live, **staged}, base_version=mf["version"],
+                     streams=mf.get("streams", {}))
 
     def append(self, df: DataFrame) -> None:
         """Blind append (the streaming-ingest write shape): stage new
@@ -371,7 +373,46 @@ class ManifestTable:
         for value, entries in self._stage(df).items():
             live.setdefault(value, [])
             live[value] = live[value] + entries
-        self._commit(live, base_version=mf["version"])
+        self._commit(live, base_version=mf["version"],
+                     streams=mf.get("streams", {}))
+
+    def append_batch(self, df: DataFrame, stream_id: str,
+                     batch_id: int) -> bool:
+        """Exactly-once streaming append (the ``foreachBatch`` sink
+        shape): the per-stream high-water batch id lives IN the
+        manifest, so recording the batch and publishing its files is
+        ONE atomic commit — there is no crash window between "data
+        written" and "batch remembered", which is the hole an external
+        ledger file always leaves.  A replayed batch (restart from
+        checkpoint re-delivers the last uncommitted micro-batch) is
+        recognized from the live manifest and dropped without staging
+        a byte.  Returns True if the batch committed, False if it was
+        a replay.
+
+        Batch ids must be monotonically increasing per ``stream_id`` —
+        exactly Structured Streaming's contract for foreachBatch.  A
+        :class:`CommitConflict` from a concurrent writer (another
+        stream, a compaction) re-reads the new snapshot and retries;
+        the replay check re-runs each attempt, so a competing commit
+        of THIS batch is also caught."""
+        staged: dict[str, list] | None = None
+        while True:
+            mf = self.manifest()
+            streams = dict(mf.get("streams", {}))
+            if streams.get(stream_id, -1) >= batch_id:
+                return False                      # replay: already in
+            if staged is None:                    # stage once per call
+                staged = self._stage(df)
+            live = {v: list(es) for v, es in mf["partitions"].items()}
+            for value, entries in staged.items():
+                live[value] = live.get(value, []) + entries
+            streams[stream_id] = batch_id
+            try:
+                self._commit(live, base_version=mf["version"],
+                             streams=streams)
+                return True
+            except CommitConflict:
+                continue        # someone else committed; re-evaluate
 
     def compact(self, spark: SparkSession,
                 min_files: int = 2) -> dict:
@@ -390,7 +431,8 @@ class ManifestTable:
         paths = [os.path.join(self.root, e["path"])
                  for es in todo.values() for e in es]
         staged = self._stage(spark.read.parquet(*paths))
-        self._commit({**live, **staged}, base_version=mf["version"])
+        self._commit({**live, **staged}, base_version=mf["version"],
+                     streams=mf.get("streams", {}))
         return {"partitions": len(todo),
                 "files_before": sum(len(es) for es in todo.values()),
                 "files_after": sum(len(es) for es in staged.values())}

@@ -306,3 +306,67 @@ def interval_join_replay(spark: SparkSession, sf_dir: str,
              .trigger(availableNow=True).start())
         q.awaitTermination()
     return spark.table(name)
+
+
+def manifest_append_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch append into a ManifestTable with the batch ledger
+    INSIDE the table (SURVEY §2.9 exactly-once, upgraded): each
+    micro-batch's files and the stream's high-water batch id commit in
+    ONE atomic manifest link, so there is no crash window between
+    "data published" and "batch remembered" — the hole
+    :func:`upsert_replay`'s in-process ledger (and any external ledger
+    file) leaves open.  Structured Streaming re-delivers the last
+    micro-batch on checkpoint recovery; ``append_batch`` recognizes it
+    from the live manifest and drops it without staging a byte.
+
+    The replay half is exercised in-line, not just claimed: after the
+    AvailableNow run terminates, the final micro-batch is re-delivered
+    by hand (exactly what a post-commit crash recovery does) and the
+    function RAISES unless the sink refuses it with the table version
+    unchanged.  Terminal per-type rollup must equal the single-copy
+    batch oracle.
+    """
+    import tempfile
+
+    from ..manifest import ManifestTable
+
+    src = _staged_events_chunks(spark, sf_dir, 3)
+    stream = _events_stream(spark, src, max_files=1)
+    root = scratch_dir("stream_manifest_")
+
+    # v1: an empty table (schema from the stream, no partitions yet) so
+    # that EVERY data batch — including the first — flows through the
+    # ledgered append_batch path.
+    empty = (spark.createDataFrame([], stream.schema)
+             .withColumn("event_date", F.to_date("ts")))
+    table = ManifestTable.create(empty, root, ts="event_date")
+    seen: list[int] = []
+
+    def do_batch(batch_df: DataFrame, batch_id: int) -> None:
+        updates = batch_df.withColumn("event_date", F.to_date("ts"))
+        if table.append_batch(updates, "events_ingest", batch_id):
+            seen.append(batch_id)
+
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        q = (stream.writeStream.foreachBatch(do_batch)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    if not seen:
+        raise RuntimeError("stream delivered no batches")
+    # crash-recovery replay of the last committed batch: must be a
+    # no-op — refused from the manifest ledger, version unchanged
+    v_before = table.version()
+    replayed = table.append_batch(empty, "events_ingest", seen[-1])
+    if replayed or table.version() != v_before:
+        raise RuntimeError(
+            f"replayed batch {seen[-1]} was not refused "
+            f"(committed={replayed}, {v_before} -> {table.version()})")
+
+    final = table.read(spark).drop("event_date")
+    return (final.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                 .alias("total_value")))

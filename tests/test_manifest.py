@@ -233,3 +233,52 @@ def test_commit_conflict_detected_not_torn(spark, table):
     assert got == expect
     # vacuum reclaims A's first-attempt orphan files
     assert any(r.startswith("data/") for r in table.vacuum())
+
+
+def test_append_batch_exactly_once_and_ledger_survives_compact(spark, table):
+    """The streaming sink contract: (a) a batch commits data + ledger
+    atomically, (b) a replayed batch id is refused without staging,
+    (c) maintenance commits (compact) CARRY the ledger — losing it
+    would silently re-admit replayed batches after a compaction."""
+    b0 = _mkdf(spark, [("EEE", "2024-01-02", 50.0)])
+    b1 = _mkdf(spark, [("FFF", "2024-01-02", 60.0)])
+    assert table.append_batch(b0, "s1", 0) is True
+    assert table.append_batch(b1, "s1", 1) is True
+    assert table.manifest()["streams"] == {"s1": 1}
+    rows = _snap(table.read(spark))
+    v = table.version()
+    # replay of batch 1 (and a stale batch 0): refused, nothing staged
+    assert table.append_batch(b1, "s1", 1) is False
+    assert table.append_batch(b0, "s1", 0) is False
+    assert table.version() == v and _snap(table.read(spark)) == rows
+    # an independent stream has its own high-water mark
+    assert table.append_batch(b0, "s2", 0) is True
+    # compaction folds the multi-file partition and KEEPS the ledger
+    out = table.compact(spark)
+    assert out["partitions"] >= 1
+    assert table.manifest()["streams"] == {"s1": 1, "s2": 0}
+    assert table.append_batch(b1, "s1", 1) is False
+
+
+def test_append_batch_retries_through_conflict(spark, table, monkeypatch):
+    """A CommitConflict mid-append (another writer committed first)
+    must re-read the snapshot and retry, landing BOTH writes."""
+    from stock_market_data_pipeline_spark import manifest as M
+
+    b = _mkdf(spark, [("GGG", "2024-01-05", 70.0)])
+    competing = _mkdf(spark, [("HHH", "2024-01-05", 80.0)])
+    fired = {"done": False}
+    orig = M.ManifestTable._commit
+
+    def racy_commit(self, partitions, base_version, streams=None):
+        if not fired["done"]:
+            fired["done"] = True
+            ManifestTable(table.root, table.ts).append(competing)
+        return orig(self, partitions, base_version, streams)
+
+    monkeypatch.setattr(M.ManifestTable, "_commit", racy_commit)
+    assert table.append_batch(b, "s1", 0) is True
+    got = _snap(table.read(spark))
+    vals = {(r[0], str(r[1])) for r in got}
+    assert ("GGG", "2024-01-05") in vals and ("HHH", "2024-01-05") in vals
+    assert table.manifest()["streams"] == {"s1": 0}
