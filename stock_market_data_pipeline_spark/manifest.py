@@ -235,7 +235,10 @@ class ManifestTable:
 
     # -- data staging ------------------------------------------------
 
-    def _stage(self, df: DataFrame) -> dict[str, list]:
+    def _stage(self, df: DataFrame,
+               cluster_by: list[str] | None = None,
+               max_records_per_file: int | None = None
+               ) -> dict[str, list]:
         """Stage a txn directory; returns {partition value -> [file
         entries]}.  Nothing staged is reader-visible until _commit.
 
@@ -245,13 +248,28 @@ class ManifestTable:
         for a 10-year daily table — the sf1 sweep hit exactly this),
         and the read side pays one task per sliver.  Hash-clustering
         by partition value first yields ONE file per partition
-        directory; a production variant adds maxRecordsPerFile to cap
-        file size for fat partitions."""
+        directory (``max_records_per_file`` caps file size for fat
+        partitions).
+
+        ``cluster_by`` sorts rows on the named columns WITHIN each
+        partition before writing; combined with ``max_records_per_file``
+        a fat partition splits into consecutive sorted chunks, so each
+        file's footer [min, max] on the cluster columns is a tight,
+        near-disjoint range — that is what turns ``scan_plan``'s stats
+        skipping from "partition-grade" into "file-grade" on a second
+        dimension (the Delta OPTIMIZE ZORDER / Iceberg sort-order
+        effect, one dimension, zero new machinery)."""
         txn = f"txn-{uuid.uuid4().hex[:12]}"
         txn_dir = os.path.join(self.root, "data", txn)
-        (df.withColumn(_PT, F.col(self.ts).cast("string"))
-         .repartition(F.col(_PT))
-         .write.partitionBy(_PT).parquet(txn_dir))
+        staged = (df.withColumn(_PT, F.col(self.ts).cast("string"))
+                  .repartition(F.col(_PT)))
+        if cluster_by:
+            staged = staged.sortWithinPartitions(_PT, *cluster_by)
+        writer = staged.write.partitionBy(_PT)
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile",
+                                   str(max_records_per_file))
+        writer.parquet(txn_dir)
         out: dict[str, list] = {}
         for d in sorted(os.listdir(txn_dir)):
             if not d.startswith(_PT + "="):
@@ -415,22 +433,35 @@ class ManifestTable:
                 continue        # someone else committed; re-evaluate
 
     def compact(self, spark: SparkSession,
-                min_files: int = 2) -> dict:
+                min_files: int = 2,
+                cluster_by: list[str] | None = None,
+                max_records_per_file: int | None = None) -> dict:
         """Rewrite every partition holding >= ``min_files`` files into
-        a single file and commit the swap atomically — concurrent
+        compacted form and commit the swap atomically — concurrent
         readers keep the old snapshot until the commit link, and time
         travel to pre-compaction manifests still works until vacuum.
         Row-preserving by construction (read live files, write them
         back); returns {"partitions": n, "files_before": n,
-        "files_after": n} for observability."""
+        "files_after": n} for observability.
+
+        With ``cluster_by``, EVERY partition is rewritten sorted on
+        those columns (chunked by ``max_records_per_file``), so the
+        post-compaction manifest carries tight per-file ranges and
+        ``scan_plan`` skips file-granularly on the cluster columns —
+        run it as periodic maintenance exactly like Delta's
+        OPTIMIZE ZORDER."""
         mf = self.manifest()
         live = mf["partitions"]
-        todo = {v: es for v, es in live.items() if len(es) >= min_files}
+        todo = (dict(live) if cluster_by
+                else {v: es for v, es in live.items()
+                      if len(es) >= min_files})
         if not todo:
             return {"partitions": 0, "files_before": 0, "files_after": 0}
         paths = [os.path.join(self.root, e["path"])
                  for es in todo.values() for e in es]
-        staged = self._stage(spark.read.parquet(*paths))
+        staged = self._stage(spark.read.parquet(*paths),
+                             cluster_by=cluster_by,
+                             max_records_per_file=max_records_per_file)
         self._commit({**live, **staged}, base_version=mf["version"],
                      streams=mf.get("streams", {}))
         return {"partitions": len(todo),

@@ -282,3 +282,34 @@ def test_append_batch_retries_through_conflict(spark, table, monkeypatch):
     vals = {(r[0], str(r[1])) for r in got}
     assert ("GGG", "2024-01-05") in vals and ("HHH", "2024-01-05") in vals
     assert table.manifest()["streams"] == {"s1": 0}
+
+
+def test_clustered_compaction_enables_file_skipping(spark, tmp_path):
+    """Sort-within-partition + maxRecordsPerFile = the ZORDER-lite
+    maintenance op: after `compact(cluster_by=["close"])` each file's
+    footer [min, max] on close is a tight chunk, so a selective close
+    predicate skips most files of the partition — and the rewrite is
+    row-preserving with the ledger intact."""
+    rows = [("T%03d" % (i % 7), "2024-02-0%d" % (1 + i % 2),
+             float((i * 37) % 1000)) for i in range(1000)]
+    t = ManifestTable.create(_mkdf(spark, rows), str(tmp_path / "zt"),
+                             ts="trade_date")
+    t.append_batch(_mkdf(spark, [("ZZZ", "2024-02-01", 1000.0)]),
+                   "s", 0)
+    before = _snap(t.read(spark))
+    out = t.compact(spark, cluster_by=["close"],
+                    max_records_per_file=100)
+    assert out["partitions"] == 2
+    assert out["files_after"] > out["partitions"]  # chunked output
+    # tight per-file ranges: a 5%-wide predicate keeps few files
+    plan_all = t.scan_plan()
+    plan_sel = t.scan_plan({"close": (0.0, 50.0)})
+    assert plan_sel["skipped"] > 0
+    assert len(plan_sel["files"]) <= len(plan_all["files"]) // 2
+    # row-preserving + exact residual filter still correct
+    assert _snap(t.read(spark)) == before
+    got = (t.read(spark, where={"close": (0.0, 50.0)})
+           .where(F.col("close") <= 50.0))
+    want = [r for r in before if r[2] <= 50.0]
+    assert _snap(got) == sorted(want)
+    assert t.manifest()["streams"] == {"s": 0}
