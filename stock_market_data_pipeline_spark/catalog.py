@@ -591,17 +591,30 @@ def manifest_momentum_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     analog of the reference's transactional Snowflake MERGE
     (fct_trading_momentum.sql:2-7). The oracle is the FULL REBUILD, so
     hash equality proves manifest-merge == rebuild; the crash-safety
-    half of the contract is pinned by tests/test_manifest.py."""
+    half of the contract is pinned by tests/test_manifest.py.
+
+    Layout: MONTH-grain partitions, not day — a daily fact's day dirs
+    are KB-scale at any realistic per-day volume ÷ partition count,
+    and the first cut of this entry measured exactly that pathology
+    (911 day dirs, one ~2 KB file each, per-partition overhead
+    dominating the run).  Month partitions bound the partition count
+    while day-grain pruning still comes from the per-file trade_date
+    zone maps; the merge prunes its read to the touched months.  The
+    trade_month duplicate is derived from the immutable trade_date, so
+    the key-stability precondition (a key never moves partitions)
+    holds by construction."""
     from .incremental import trailing_slice
     from .manifest import ManifestTable
     from .scratch import scratch_dir
 
+    month = F.date_format("trade_date", "yyyy-MM").alias("trade_month")
     universe = universe_daily_from_tpch(spark, sf_dir)
     split = "1997-06-30"
     prior = fct_trading_momentum(
-        universe.where(F.col("trade_date") <= F.lit(split)), SMALL)
+        universe.where(F.col("trade_date") <= F.lit(split)), SMALL
+    ).withColumn("trade_month", month)
     table = ManifestTable.create(
-        prior, scratch_dir("manifest_momentum_"), ts="trade_date")
+        prior, scratch_dir("manifest_momentum_"), ts="trade_month")
     as_of = prior.agg(F.max("trade_date")).first()[0]
     warmup_rows = max(SMALL.sma_l, SMALL.high_low, SMALL.ret_year) + 1
     slice_df, warmup, cutoff = trailing_slice(
@@ -609,9 +622,10 @@ def manifest_momentum_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputed = (
         fct_trading_momentum(warmup.unionByName(slice_df), SMALL)
         .where(F.col("trade_date") >= cutoff)
+        .withColumn("trade_month", month)
     )
     table.merge(spark, recomputed, ["ticker", "trade_date"])
-    return _momentum_projection(table.read(spark))
+    return _momentum_projection(table.read(spark).drop("trade_month"))
 
 
 MANIFEST_SCAN_SQL = f"""

@@ -57,7 +57,17 @@ directory listing can't do at 100 TB:
 * **Compaction with snapshot isolation** — ``append()`` accumulates
   small files per partition (the classic streaming-ingest pathology);
   ``compact()`` rewrites multi-file partitions into one file and
-  commits the swap atomically, invisible to concurrent readers.
+  commits the swap atomically, invisible to concurrent readers; with
+  ``cluster_by`` it also sorts + chunks partitions so per-file stats
+  turn selective on a second dimension (OPTIMIZE ZORDER-lite).
+
+Beyond the read path, the manifest carries two more pieces of table
+state that must move atomically with the data: the per-stream batch
+ledger (``append_batch`` — exactly-once foreachBatch sinks, no crash
+window between "data published" and "batch remembered") and the pinned
+schema (every write path raises :class:`SchemaMismatch` on drift,
+because a mergeSchema=false scan would otherwise silently drop a new
+column at read time).
 
 Deliberate simplification vs a full table format, stated not hidden:
 the manifest is one JSON document, O(#files) driver-side — fine to
@@ -105,6 +115,24 @@ class CommitConflict(RuntimeError):
     The table is NOT torn: the competing commit is fully live, this
     writer's staged files are invisible orphans (vacuum reclaims them).
     The caller re-runs its merge against the new snapshot."""
+
+
+class SchemaMismatch(RuntimeError):
+    """A write's schema differs from the schema pinned in the manifest.
+
+    With ``spark.sql.parquet.mergeSchema=false`` (this engine's
+    fixed-schema discipline, session.py) a drifted append would not
+    error at read time — the scan takes the first file's schema and a
+    new column silently VANISHES, the physical.py mis-scale class all
+    over again.  So the write boundary fails loudly instead; schema
+    evolution is an explicit deployment concern (Delta's mergeSchema /
+    Iceberg's schema evolution), not an accident."""
+
+
+def _schema_sig(df: DataFrame) -> list[list[str]]:
+    """Order-insensitive (name, type) signature pinned in the manifest."""
+    return sorted([f.name, f.dataType.simpleString()]
+                  for f in df.schema.fields)
 
 
 def _norm(v):
@@ -202,9 +230,22 @@ class ManifestTable:
     def version(self) -> int:
         return self.manifest()["version"]
 
+    def _check_schema(self, df: DataFrame, mf: dict) -> None:
+        want = mf.get("schema")
+        if not want:
+            return
+        got = _schema_sig(df)
+        if got != want:
+            extra = [tuple(c) for c in got if c not in want]
+            missing = [tuple(c) for c in want if c not in got]
+            raise SchemaMismatch(
+                f"write schema differs from the table's pinned schema: "
+                f"extra/retyped {extra}, missing {missing}")
+
     def _commit(self, partitions: dict[str, list],
                 base_version: int,
-                streams: dict[str, int] | None = None) -> None:
+                streams: dict[str, int] | None = None,
+                schema: list | None = None) -> None:
         """Steps 2+3 of the protocol: write the complete manifest body
         to a hidden temp file, then ``os.link`` it to
         ``manifest-{base+1}.json``.  The link is the single atomic
@@ -218,7 +259,8 @@ class ManifestTable:
         version = base_version + 1
         name = f"manifest-{version:08d}.json"
         body = {"version": version, "ts": self.ts, "format": 2,
-                "partitions": partitions, "streams": streams or {}}
+                "partitions": partitions, "streams": streams or {},
+                "schema": schema or []}
         tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex[:12]}")
         with open(tmp, "w") as f:
             f.write(json.dumps(body, sort_keys=True))
@@ -342,7 +384,7 @@ class ManifestTable:
         """Initial materialization: stage everything, commit v1."""
         t = cls(root, ts)
         parts = t._stage(df)
-        t._commit(parts, base_version=0)
+        t._commit(parts, base_version=0, schema=_schema_sig(df))
         return t
 
     def merge(self, spark: SparkSession, updates: DataFrame,
@@ -363,6 +405,7 @@ class ManifestTable:
         if not touched:
             return
         mf = self.manifest()
+        self._check_schema(updates, mf)
         live = mf["partitions"]
         prior_files = [os.path.join(self.root, e["path"])
                        for v in touched if v in live
@@ -378,7 +421,8 @@ class ManifestTable:
         if _pre_commit_hook is not None:
             _pre_commit_hook()
         self._commit({**live, **staged}, base_version=mf["version"],
-                     streams=mf.get("streams", {}))
+                     streams=mf.get("streams", {}),
+                     schema=mf.get("schema"))
 
     def append(self, df: DataFrame) -> None:
         """Blind append (the streaming-ingest write shape): stage new
@@ -387,12 +431,14 @@ class ManifestTable:
         appends accumulate files per partition; ``compact()`` is the
         antidote."""
         mf = self.manifest()
+        self._check_schema(df, mf)
         live = {v: list(es) for v, es in mf["partitions"].items()}
         for value, entries in self._stage(df).items():
             live.setdefault(value, [])
             live[value] = live[value] + entries
         self._commit(live, base_version=mf["version"],
-                     streams=mf.get("streams", {}))
+                     streams=mf.get("streams", {}),
+                     schema=mf.get("schema"))
 
     def append_batch(self, df: DataFrame, stream_id: str,
                      batch_id: int) -> bool:
@@ -420,6 +466,7 @@ class ManifestTable:
             if streams.get(stream_id, -1) >= batch_id:
                 return False                      # replay: already in
             if staged is None:                    # stage once per call
+                self._check_schema(df, mf)
                 staged = self._stage(df)
             live = {v: list(es) for v, es in mf["partitions"].items()}
             for value, entries in staged.items():
@@ -427,7 +474,7 @@ class ManifestTable:
             streams[stream_id] = batch_id
             try:
                 self._commit(live, base_version=mf["version"],
-                             streams=streams)
+                             streams=streams, schema=mf.get("schema"))
                 return True
             except CommitConflict:
                 continue        # someone else committed; re-evaluate
@@ -463,7 +510,8 @@ class ManifestTable:
                              cluster_by=cluster_by,
                              max_records_per_file=max_records_per_file)
         self._commit({**live, **staged}, base_version=mf["version"],
-                     streams=mf.get("streams", {}))
+                     streams=mf.get("streams", {}),
+                     schema=mf.get("schema"))
         return {"partitions": len(todo),
                 "files_before": sum(len(es) for es in todo.values()),
                 "files_after": sum(len(es) for es in staged.values())}

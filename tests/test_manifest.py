@@ -270,11 +270,13 @@ def test_append_batch_retries_through_conflict(spark, table, monkeypatch):
     fired = {"done": False}
     orig = M.ManifestTable._commit
 
-    def racy_commit(self, partitions, base_version, streams=None):
+    def racy_commit(self, partitions, base_version, streams=None,
+                    schema=None):
         if not fired["done"]:
             fired["done"] = True
             ManifestTable(table.root, table.ts).append(competing)
-        return orig(self, partitions, base_version, streams)
+        return orig(self, partitions, base_version, streams=streams,
+                    schema=schema)
 
     monkeypatch.setattr(M.ManifestTable, "_commit", racy_commit)
     assert table.append_batch(b, "s1", 0) is True
@@ -313,3 +315,31 @@ def test_clustered_compaction_enables_file_skipping(spark, tmp_path):
     want = [r for r in before if r[2] <= 50.0]
     assert _snap(got) == sorted(want)
     assert t.manifest()["streams"] == {"s": 0}
+
+
+def test_schema_drift_rejected_at_write_boundary(spark, table):
+    """With mergeSchema=false a drifted append would make the new
+    column silently vanish at read time; the manifest pins the schema
+    and every write path fails loudly instead."""
+    from stock_market_data_pipeline_spark.manifest import SchemaMismatch
+
+    extra_col = (_mkdf(spark, [("III", "2024-01-06", 1.0)])
+                 .withColumn("venue", F.lit("XNYS")))
+    retyped = spark.createDataFrame(
+        [("JJJ", "2024-01-06", 2)],
+        "ticker string, trade_date string, close int",
+    ).withColumn("trade_date", F.col("trade_date").cast("date"))
+    v = table.version()
+    for bad in (extra_col, retyped):
+        with pytest.raises(SchemaMismatch):
+            table.append(bad)
+        with pytest.raises(SchemaMismatch):
+            table.append_batch(bad, "s", 0)
+        with pytest.raises(SchemaMismatch):
+            table.merge(spark, bad, KEYS)
+    assert table.version() == v               # nothing committed
+    # matching schema (any column order) still flows
+    reordered = _mkdf(spark, [("KKK", "2024-01-06", 3.0)]) \
+        .select("close", "ticker", "trade_date")
+    table.append(reordered)
+    assert table.version() == v + 1

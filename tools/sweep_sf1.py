@@ -55,6 +55,9 @@ ENTRIES = [
     "tpch_q1_pricing_summary", "tpch_q3_topk_revenue",
     "sessionize_events", "text_tfidf_top_terms",
     "stream_hourly_rollup", "stream_dedup_events",
+    # round-7 manifest family: stats-pruned scan over ~6M bars,
+    # exactly-once streaming append over 1M events
+    "manifest_pruned_scan", "stream_manifest_append",
 ]
 
 
