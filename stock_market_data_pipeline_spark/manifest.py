@@ -155,7 +155,7 @@ def _file_entry(abs_path: str, rel_path: str) -> dict:
 
     md = pq.ParquetFile(abs_path).metadata
     stats: dict[str, list] = {}
-    complete = set()
+    rg_hits: dict[str, int] = {}
     for rg in range(md.num_row_groups):
         row_group = md.row_group(rg)
         for ci in range(row_group.num_columns):
@@ -174,10 +174,13 @@ def _file_entry(abs_path: str, rel_path: str) -> dict:
                                max(stats[name][1], hi)]
             else:
                 stats[name] = [lo, hi]
-            complete.add(name)
-    # a column missing stats in ANY row group has an unknown true range:
-    # drop it rather than skip on a partial (= wrong-answer) range
-    for name in [n for n in stats if n not in complete]:
+            rg_hits[name] = rg_hits.get(name, 0) + 1
+    # a column missing stats in ANY row group has an unknown true range
+    # (e.g. an all-NULL chunk writes no min/max): drop it rather than
+    # skip on a partial range — a partial range is the wrong-answer
+    # failure mode, an absent one merely reads more
+    for name in [n for n in stats
+                 if rg_hits.get(n, 0) != md.num_row_groups]:
         del stats[name]
     return {"path": rel_path, "rows": md.num_rows,
             "bytes": os.path.getsize(abs_path), "stats": stats}

@@ -343,3 +343,29 @@ def test_schema_drift_rejected_at_write_boundary(spark, table):
         .select("close", "ticker", "trade_date")
     table.append(reordered)
     assert table.version() == v + 1
+
+
+def test_file_entry_drops_partial_rowgroup_stats(tmp_path):
+    """A column with footer stats in only SOME row groups (an all-NULL
+    chunk writes no min/max) has an unknown true range: the manifest
+    must drop it entirely — keeping the partial range would let
+    scan_plan skip files that DO contain matching rows, the
+    wrong-answer failure mode."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stock_market_data_pipeline_spark.manifest import _file_entry
+
+    path = str(tmp_path / "two_rg.parquet")
+    schema = pa.schema([("a", pa.int64()), ("b", pa.float64())])
+    rg1 = pa.table({"a": [1, 2], "b": [1.5, 2.5]}, schema=schema)
+    rg2 = pa.table({"a": [3, 4],
+                    "b": pa.array([None, None], pa.float64())},
+                   schema=schema)
+    with pq.ParquetWriter(path, schema) as w:
+        w.write_table(rg1)          # row group 1: stats for a and b
+        w.write_table(rg2)          # row group 2: b is all-NULL
+    e = _file_entry(path, "rel/two_rg.parquet")
+    assert e["rows"] == 4
+    assert e["stats"]["a"] == [1.0, 4.0]     # complete in both groups
+    assert "b" not in e["stats"]             # partial range dropped
