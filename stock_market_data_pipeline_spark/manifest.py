@@ -376,8 +376,18 @@ class ManifestTable:
         Spark sees it; the result is still a SUPERSET of the matching
         rows (skipping is file-granular) — callers apply the exact
         filter, exactly as an engine applies residual predicates after
-        zone-map skipping."""
+        zone-map skipping.  A fully-pruned (or still-empty) snapshot
+        reads as an EMPTY frame with the pinned schema — never a
+        zero-path reader error."""
         plan = self.scan_plan(where, manifest_name)
+        if not plan["files"]:
+            schema = self.manifest(manifest_name).get("schema")
+            if not schema:
+                raise FileNotFoundError(
+                    f"{self.root}: nothing to read and no pinned schema "
+                    "to type an empty result")
+            ddl = ", ".join(f"`{n}` {t}" for n, t in schema)
+            return spark.createDataFrame([], ddl)
         return spark.read.parquet(*plan["files"])
 
     # -- write paths -------------------------------------------------

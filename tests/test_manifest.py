@@ -369,3 +369,14 @@ def test_file_entry_drops_partial_rowgroup_stats(tmp_path):
     assert e["rows"] == 4
     assert e["stats"]["a"] == [1.0, 4.0]     # complete in both groups
     assert "b" not in e["stats"]             # partial range dropped
+
+
+def test_fully_pruned_read_is_typed_empty_frame(spark, table):
+    """When every file is skipped the read must come back as an empty
+    frame with the pinned schema (column names AND types), not a
+    zero-path reader error — the same contract an engine gives a
+    partition-pruned-to-nothing scan."""
+    df = table.read(spark, where={"close": (10_000.0, None)})
+    assert df.count() == 0
+    assert dict(df.dtypes) == {"ticker": "string",
+                               "trade_date": "date", "close": "double"}
