@@ -615,7 +615,16 @@ def manifest_momentum_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("trade_month", month)
     table = ManifestTable.create(
         prior, scratch_dir("manifest_momentum_"), ts="trade_month")
-    as_of = prior.agg(F.max("trade_date")).first()[0]
+    # incremental cutoff from the manifest's zone maps — a driver-side
+    # fold over footer stats; the .agg(MAX) fallback would recompute
+    # the entire momentum lineage a second time just for one scalar
+    # (measured: ~35 s of the entry's sf1 time before this)
+    bounds = table.stat_bounds("trade_date")
+    if bounds is not None:
+        from datetime import date as _date
+        as_of = _date.fromisoformat(bounds[1])
+    else:
+        as_of = prior.agg(F.max("trade_date")).first()[0]
     warmup_rows = max(SMALL.sma_l, SMALL.high_low, SMALL.ret_year) + 1
     slice_df, warmup, cutoff = trailing_slice(
         universe, as_of, 4, warmup_rows)

@@ -368,6 +368,24 @@ class ManifestTable:
         return {"files": kept, "skipped": skipped,
                 "partitions_pruned": pruned_parts}
 
+    def stat_bounds(self, col: str,
+                    manifest_name: str | None = None) -> tuple | None:
+        """Table-wide [min, max] of ``col`` folded from the per-file
+        footer stats — a driver-side dict scan, no Spark job.  This is
+        the zone-map answer to the warehouse freshness probe
+        (``SELECT MAX(ts)``, serve.py's A7 shape) and to incremental
+        cutoff discovery: exact because every file carries complete
+        stats for the column, None when any live file lacks them (the
+        caller falls back to a real scan — absent stats degrade to
+        more I/O, never to a wrong bound)."""
+        entries = [e for es in
+                   self.manifest(manifest_name)["partitions"].values()
+                   for e in es]
+        if not entries or any(col not in e["stats"] for e in entries):
+            return None
+        return (min(e["stats"][col][0] for e in entries),
+                max(e["stats"][col][1] for e in entries))
+
     def read(self, spark: SparkSession,
              manifest_name: str | None = None,
              where: dict | None = None) -> DataFrame:

@@ -380,3 +380,13 @@ def test_fully_pruned_read_is_typed_empty_frame(spark, table):
     assert df.count() == 0
     assert dict(df.dtypes) == {"ticker": "string",
                                "trade_date": "date", "close": "double"}
+
+
+def test_stat_bounds_answers_minmax_without_scan(spark, table):
+    """Table-wide MIN/MAX folded from footer stats (the freshness /
+    incremental-cutoff probe) — exact vs a real scan, and None (never
+    a wrong bound) when a live file lacks stats for the column."""
+    assert table.stat_bounds("trade_date") == ("2024-01-02",
+                                               "2024-01-04")
+    assert table.stat_bounds("close") == (10.0, 22.0)
+    assert table.stat_bounds("no_such_column") is None
