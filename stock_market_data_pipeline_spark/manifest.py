@@ -368,6 +368,25 @@ class ManifestTable:
         return {"files": kept, "skipped": skipped,
                 "partitions_pruned": pruned_parts}
 
+    def history(self) -> list[dict]:
+        """All committed snapshots, oldest first (DESCRIBE HISTORY
+        analog): version, manifest name, partition/file/row counts,
+        stream high-water marks.  Driver-side reads of the immutable
+        manifest files still on disk (vacuum trims history to the live
+        snapshot)."""
+        out = []
+        for m in sorted(os.listdir(self._mdir())):
+            if not (m.startswith("manifest-") and m.endswith(".json")):
+                continue
+            mf = self.manifest(m)
+            entries = [e for es in mf["partitions"].values() for e in es]
+            out.append({"version": mf["version"], "manifest": m,
+                        "partitions": len(mf["partitions"]),
+                        "files": len(entries),
+                        "rows": sum(e["rows"] for e in entries),
+                        "streams": mf.get("streams", {})})
+        return out
+
     def stat_bounds(self, col: str,
                     manifest_name: str | None = None) -> tuple | None:
         """Table-wide [min, max] of ``col`` folded from the per-file

@@ -390,3 +390,19 @@ def test_stat_bounds_answers_minmax_without_scan(spark, table):
                                                "2024-01-04")
     assert table.stat_bounds("close") == (10.0, 22.0)
     assert table.stat_bounds("no_such_column") is None
+
+
+def test_history_tracks_snapshots(spark, table):
+    """history() lists every committed snapshot oldest-first with its
+    physical footprint; vacuum trims it to the live one."""
+    table.merge(spark, _mkdf(spark, UPDATES), KEYS)
+    table.append_batch(_mkdf(spark, [("LLL", "2024-01-06", 9.0)]),
+                       "s", 3)
+    h = table.history()
+    assert [x["version"] for x in h] == [1, 2, 3]
+    assert h[0]["rows"] == 6          # base snapshot
+    assert h[-1]["rows"] == 9         # 6 base + 2 merge inserts + 1 append
+    assert h[-1]["streams"] == {"s": 3}
+    assert h[-1]["files"] > h[0]["files"]
+    table.vacuum()
+    assert [x["version"] for x in table.history()] == [3]
