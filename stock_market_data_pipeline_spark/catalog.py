@@ -603,7 +603,7 @@ def manifest_momentum_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     trade_month duplicate is derived from the immutable trade_date, so
     the key-stability precondition (a key never moves partitions)
     holds by construction."""
-    from .incremental import trailing_slice
+    from .incremental import recompute_trailing
     from .manifest import ManifestTable
     from .scratch import scratch_dir
 
@@ -625,14 +625,9 @@ def manifest_momentum_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_of = _date.fromisoformat(bounds[1])
     else:
         as_of = prior.agg(F.max("trade_date")).first()[0]
-    warmup_rows = max(SMALL.sma_l, SMALL.high_low, SMALL.ret_year) + 1
-    slice_df, warmup, cutoff = trailing_slice(
-        universe, as_of, 4, warmup_rows)
-    recomputed = (
-        fct_trading_momentum(warmup.unionByName(slice_df), SMALL)
-        .where(F.col("trade_date") >= cutoff)
-        .withColumn("trade_month", month)
-    )
+    recomputed = (recompute_trailing(universe, as_of, SMALL,
+                                     lookback_days=4)
+                  .withColumn("trade_month", month))
     table.merge(spark, recomputed, ["ticker", "trade_date"])
     return _momentum_projection(table.read(spark).drop("trade_month"))
 

@@ -420,43 +420,38 @@ def daily_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             staged.withColumnRenamed("num_transactions", "n_trades"), dim)
         .select("ticker", "trade_date", "close", "volume", "n_trades",
                 "company", "sector", "index_weight", "prev_close",
-                "consecutive_trading_days", "is_new_to_index"))
+                "consecutive_trading_days", "is_new_to_index")
+        .localCheckpoint(eager=True))
     fct = fct_trading_momentum(universe, p)
+    # materialize ONCE before the gate fan-out: the dbt-test stage
+    # fires ~10 independent actions, each of which would otherwise
+    # re-run the ingest + 8-window lineage from scratch.  This is a
+    # throughput materialization, NOT the r6-era correctness cache —
+    # the uncached check path (the Catalyst column-pruning repro
+    # surface) stays pinned by tests/test_daily_e2e.py.
+    fct = fct.localCheckpoint(eager=True)
 
     # the `dbt test` stage: domain invariants gate the mart.  Real
     # exceptions, not `assert` — gates must survive `python -O`
     # (a stripped assert would silently turn the dbt-test stage into
-    # a no-op).  No .cache(): the r6-era "Catalyst column-pruning
-    # bug" workaround no longer reproduces on the uncached 8-window
-    # DAG — tests/test_daily_e2e.py pins the uncached path.
-    for check in (yesterday_close_is_lag, rsi_range_or_null,
-                  golden_death_exclusive):
-        bad = check(fct).count()
-        if bad:
-            raise RuntimeError(f"{check.__name__}: {bad} violations")
-
-    # the generic schema tests at this DAG stage (the dbt suite runs
-    # them alongside the singular tests): fact-grain uniqueness +
-    # not-null (marts/_schema.yml:23-31,136-139), strictly-positive
-    # volume (:36-38), intermediate index_weight range
-    # (intermediate/_schema.yml:114-117), and mart-vs-intermediate
-    # row-count parity (marts/_schema.yml:142-143)
+    # a no-op).  The generic schema tests come from the SAME builders
+    # checks.run_all uses (fact_schema_checks / universe_schema_checks
+    # + row-count parity, marts/_schema.yml:23-38,136-143,
+    # intermediate/_schema.yml:106-117) — one definition, two
+    # consumers, no drift.
     from .checks import (
-        accepted_range,
-        not_null,
+        fact_schema_checks,
         row_count_parity,
-        unique_key,
+        universe_schema_checks,
     )
-    generic = {
-        "fct_unique_key": unique_key(fct, ["ticker", "trade_date"]),
-        "fct_not_null": not_null(fct, ["ticker", "trade_date",
-                                       "close", "volume"]),
-        "fct_volume_positive": accepted_range(fct, "volume", lo=0,
-                                              inclusive=False),
-        "universe_index_weight_range": accepted_range(
-            universe, "index_weight", 0, 10),
+    gates = {
+        check.__name__: check(fct)
+        for check in (yesterday_close_is_lag, rsi_range_or_null,
+                      golden_death_exclusive)
     }
-    for gname, viol in generic.items():
+    gates.update(fact_schema_checks(fct))
+    gates.update(universe_schema_checks(universe))
+    for gname, viol in gates.items():
         bad = viol.count()
         if bad:
             raise RuntimeError(f"{gname}: {bad} violations")

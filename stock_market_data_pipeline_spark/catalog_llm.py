@@ -980,7 +980,11 @@ def source_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MM_DECODE_PPM_SQL = """
 WITH dims AS (
-  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+  -- non-ASCII chars -> '?' on BOTH engines: the Spark builder cycles
+  -- BYTES while substr/ascii walk CHARACTERS, identical only when
+  -- every char is one byte
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         regexp_replace(text, '[^\\x00-\\x7f]', '?', 'g') AS text,
          CAST(doc_id % 8 + 4 AS BIGINT) AS w,
          CAST(doc_id % 6 + 4 AS BIGINT) AS h
   FROM documents
@@ -1032,7 +1036,9 @@ def mm_decode_ppm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MM_DECODE_WAV_SQL = """
 WITH base AS (
-  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+  -- same ASCII sanitization as the WAV builder (bytes == chars)
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         regexp_replace(text, '[^\\x00-\\x7f]', '?', 'g') AS text,
          CAST(doc_id % 64 + 32 AS BIGINT) AS ns
   FROM documents
 ), pos AS (

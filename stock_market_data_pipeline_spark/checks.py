@@ -163,6 +163,36 @@ def row_count_parity(a: DataFrame, b: DataFrame) -> int:
 
 # ------------------------------------------------- runner
 
+def fact_schema_checks(fct: DataFrame) -> dict[str, DataFrame]:
+    """Mart-grain generic tests shared by :func:`run_all` and the
+    daily-pipeline gate (marts/_schema.yml:23-38,136-139) — ONE source
+    for names, columns and bounds, so the external gate and the check
+    suite cannot drift apart."""
+    return {
+        "fct_unique_key": unique_key(fct, ["ticker", "trade_date"]),
+        "fct_not_null": not_null(fct, ["ticker", "trade_date",
+                                       "close", "volume"]),
+        # volume strictly positive (marts/_schema.yml:36-38,
+        # inclusive: false)
+        "fct_volume_positive": accepted_range(fct, "volume", lo=0,
+                                              inclusive=False),
+    }
+
+
+def universe_schema_checks(universe: DataFrame) -> dict[str, DataFrame]:
+    """Intermediate-grain generic tests
+    (intermediate/_schema.yml:106-117), shared like
+    :func:`fact_schema_checks`."""
+    return {
+        "universe_unique_key": unique_key(universe,
+                                          ["ticker", "trade_date"]),
+        "universe_not_null": not_null(universe,
+                                      ["ticker", "trade_date"]),
+        "universe_index_weight_range": accepted_range(
+            universe, "index_weight", 0, 10),
+    }
+
+
 def run_all(fct: DataFrame, breadth: DataFrame,
             dim: DataFrame, as_of=None,
             universe: DataFrame | None = None) -> dict[str, int]:
@@ -214,18 +244,15 @@ def run_all(fct: DataFrame, breadth: DataFrame,
         "freshness_fct": freshness(fct, as_of).count(),
         "freshness_breadth": freshness(breadth, as_of).count(),
         "freshness_dim": freshness(dim, as_of).count(),
-        # generic schema tests (marts/_schema.yml:33-143)
-        "fct_unique_key": unique_key(fct, ["ticker", "trade_date"]).count(),
-        "fct_not_null": not_null(fct, ["ticker", "trade_date",
-                                       "close", "volume"]).count(),
+        # generic schema tests (marts/_schema.yml:33-143); the shared
+        # trio comes from fact_schema_checks so the pipeline gate and
+        # this suite stay one definition
+        **{name: viol.count()
+           for name, viol in fact_schema_checks(fct).items()},
         "fct_rsi_range": accepted_range(fct, "rsi", 0, 100).count(),
         "fct_rel_volume_positive":
             accepted_range(fct, "rel_volume", lo=0).count(),
         "fct_avg_gain_nonneg": accepted_range(fct, "avg_gain", lo=0).count(),
-        # volume strictly positive (marts/_schema.yml:36-38,
-        # inclusive: false)
-        "fct_volume_positive":
-            accepted_range(fct, "volume", lo=0, inclusive=False).count(),
         # avg_loss within float epsilon of nonnegative
         # (marts/_schema.yml:117-120, min_value: -1e-8)
         "fct_avg_loss_bound":
@@ -256,13 +283,10 @@ def run_all(fct: DataFrame, breadth: DataFrame,
     if universe is not None:
         universe_own = not universe.is_cached
         universe = universe.cache()
-        # intermediate-grain tests (intermediate/_schema.yml:106-117)
-        out["universe_unique_key"] = unique_key(
-            universe, ["ticker", "trade_date"]).count()
-        out["universe_not_null"] = not_null(
-            universe, ["ticker", "trade_date"]).count()
-        out["universe_index_weight_range"] = accepted_range(
-            universe, "index_weight", 0, 10).count()
+        # intermediate-grain tests (intermediate/_schema.yml:106-117),
+        # shared with the pipeline gate via universe_schema_checks
+        for name, viol in universe_schema_checks(universe).items():
+            out[name] = viol.count()
         # mart row-count parity with the intermediate
         # (marts/_schema.yml:142-143)
         out["fct_rowcount_parity"] = row_count_parity(fct, universe)

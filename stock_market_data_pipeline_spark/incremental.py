@@ -182,6 +182,26 @@ def merge_into_partitioned(spark: SparkSession, target_path: str,
     overwrite_trailing(merged, target_path, ts)
 
 
+def recompute_trailing(universe: DataFrame, as_of, params,
+                       lookback_days: int = 4) -> DataFrame:
+    """The trailing-slice recompute every incremental momentum path
+    shares (imperative run, MERGE-on-frame, manifest MERGE): slice the
+    last ``lookback_days`` sessions at/after ``as_of`` plus a
+    window-sufficient warmup, rebuild the indicators over warmup+slice,
+    and return only the slice rows.  ONE home for the warmup math —
+    longest frame plus one, because crossover columns LAG an
+    already-windowed SMA, so the first recomputed row needs its
+    predecessor's full frame too (an off-by-one that a
+    frame-length-only warmup misses)."""
+    from .models.marts import fct_trading_momentum
+
+    warmup_rows = max(params.sma_l, params.high_low, params.ret_year) + 1
+    slice_df, warmup, cutoff = trailing_slice(
+        universe, as_of, lookback_days, warmup_rows)
+    return (fct_trading_momentum(warmup.unionByName(slice_df), params)
+            .where(F.col("trade_date") >= cutoff))
+
+
 def incremental_momentum_run(spark: SparkSession, universe: DataFrame,
                              target_path: str, params,
                              lookback_days: int = 4) -> DataFrame:
@@ -190,17 +210,10 @@ def incremental_momentum_run(spark: SparkSession, universe: DataFrame,
     then dynamic-overwrite only the trailing ``trade_date`` partitions.
     Only the scalar ``as_of`` is read from the target before the write,
     so the write plan never reads its own output path."""
-    from .models.marts import fct_trading_momentum
-
     prior = spark.read.parquet(target_path)
     as_of = prior.agg(F.max("trade_date")).first()[0]
-    warmup_rows = max(params.sma_l, params.high_low, params.ret_year) + 1
-    slice_df, warmup, cutoff = trailing_slice(
-        universe, as_of, lookback_days, warmup_rows)
-    recomputed = (
-        fct_trading_momentum(warmup.unionByName(slice_df), params)
-        .where(F.col("trade_date") >= cutoff)
-    )
+    recomputed = recompute_trailing(universe, as_of, params,
+                                    lookback_days)
     overwrite_trailing(recomputed, target_path)
     return spark.read.parquet(target_path)
 
@@ -214,18 +227,7 @@ def incremental_momentum(universe: DataFrame, prior_fct: DataFrame,
     Output: prior_fct MERGEd with the recomputed trailing slice —
     bit-identical to a full rebuild given window-sufficient warmup.
     """
-    from .models.marts import fct_trading_momentum
-
     as_of = prior_fct.agg(F.max("trade_date")).first()[0]
-    # longest frame, plus one: crossover columns LAG an already-windowed
-    # SMA, so the first recomputed row needs its predecessor's full
-    # frame too (off-by-one that a frame-length-only warmup misses)
-    warmup_rows = max(params.sma_l, params.high_low, params.ret_year) + 1
-    slice_df, warmup, cutoff = trailing_slice(
-        universe, as_of, lookback_days, warmup_rows)
-    recompute_src = warmup.unionByName(slice_df)
-    recomputed = (
-        fct_trading_momentum(recompute_src, params)
-        .where(F.col("trade_date") >= cutoff)
-    )
+    recomputed = recompute_trailing(universe, as_of, params,
+                                    lookback_days)
     return merge_upsert(prior_fct, recomputed, ["ticker", "trade_date"])

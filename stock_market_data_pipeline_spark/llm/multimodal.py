@@ -88,11 +88,16 @@ def ppm_payload_table(docs: DataFrame) -> DataFrame:
     npix = (w * h * 3).cast("int")
     header = F.concat(F.lit("P6\n"), w.cast("string"), F.lit(" "),
                       h.cast("string"), F.lit("\n255\n"))
+    # non-ASCII -> '?' so one char == one payload byte: rpad counts
+    # CHARACTERS and the oracle walks substr/ascii, while the decoder
+    # validates BYTE length — a multi-byte char would diverge the two
+    # (the oracle mirrors this replace)
+    ascii_text = F.regexp_replace("text", "[^\\x00-\\x7f]", "?")
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.lit("image").alias("modality"),
-        F.encode(F.concat(header, F.rpad(F.col("text"), npix,
-                                         F.col("text"))),
+        F.encode(F.concat(header, F.rpad(ascii_text, npix,
+                                         ascii_text)),
                  "UTF-8").alias("payload"),
         w.alias("meta_width"), h.alias("meta_height"),
         F.lit(3).cast("int").alias("meta_channels"),
@@ -116,7 +121,9 @@ def wav_payload_table(docs: DataFrame) -> DataFrame:
         for pdf in it:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                raw = text.encode("utf-8")
+                # one char -> one byte, mirroring the oracle's
+                # char-walk (non-ASCII becomes '?' on both sides)
+                raw = text.encode("ascii", errors="replace")
                 n_samples = int(doc_id) % 64 + 32
                 idx = np.arange(n_samples * 2) % len(raw)
                 pcm = np.frombuffer(raw, dtype=np.uint8)[idx] \

@@ -130,20 +130,24 @@ class SchemaMismatch(RuntimeError):
 
 
 def _schema_sig(df: DataFrame) -> list[list[str]]:
-    """Order-insensitive (name, type) signature pinned in the manifest."""
-    return sorted([f.name, f.dataType.simpleString()]
-                  for f in df.schema.fields)
+    """(name, type) signature pinned in the manifest, kept in the
+    frame's FIELD ORDER so empty reads reproduce the real column
+    order; comparisons sort it (order-insensitive)."""
+    return [[f.name, f.dataType.simpleString()]
+            for f in df.schema.fields]
 
 
 def _norm(v):
     """JSON-safe, order-preserving normalization for footer stats.
-    Numbers stay numeric; everything else compares as its string form
-    (ISO dates/timestamps are lexicographically ordered, which is the
-    only property skipping needs)."""
+    Ints stay ints (floats above 2^53 would round a true bound and
+    wrong-skip), floats stay floats; Decimals are excluded upstream;
+    everything else compares as its string form (ISO dates/timestamps
+    are lexicographically ordered, which is the only property skipping
+    needs)."""
     if isinstance(v, bool):
         return str(v)
     if isinstance(v, (int, float)):
-        return float(v)
+        return v
     return str(v)
 
 
@@ -151,6 +155,8 @@ def _file_entry(abs_path: str, rel_path: str) -> dict:
     """One manifest entry from a parquet footer: rows, bytes, and
     per-column [min, max] aggregated across row groups.  Driver-side
     pyarrow metadata read — a few KB per file, no data pages."""
+    import decimal
+
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(abs_path).metadata
@@ -166,8 +172,14 @@ def _file_entry(abs_path: str, rel_path: str) -> dict:
             st = col.statistics
             if st is None or not st.has_min_max:
                 continue
-            if isinstance(st.min, bytes) or isinstance(st.max, bytes):
-                continue                         # undecoded binary: skip
+            if isinstance(st.min, (bytes, decimal.Decimal)) \
+                    or isinstance(st.max, (bytes, decimal.Decimal)):
+                # binary: undecoded. Decimal: a float coercion could
+                # round a true bound and wrong-skip, a str() one
+                # compares lexicographically — neither is safe, so the
+                # column simply carries no zone map (more I/O, never a
+                # missing row)
+                continue
             lo, hi = _norm(st.min), _norm(st.max)
             if name in stats:
                 stats[name] = [min(stats[name][0], lo),
@@ -184,6 +196,33 @@ def _file_entry(abs_path: str, rel_path: str) -> dict:
         del stats[name]
     return {"path": rel_path, "rows": md.num_rows,
             "bytes": os.path.getsize(abs_path), "stats": stats}
+
+
+def _pt_out_of_range(value: str, lo, hi) -> bool:
+    """Partition-value pruning predicate.  Values are directory-name
+    strings; when BOTH the value and a bound parse as numbers the
+    comparison is numeric (a lexicographic '99' > '100' would wrongly
+    prune an integer-keyed partition), otherwise string vs string
+    (ISO dates/months).  A value/bound pair that parses on only one
+    side is incomparable → never pruned (conservative)."""
+    def cmp_pair(bound):
+        try:
+            return float(value), float(bound)
+        except (TypeError, ValueError):
+            return value, str(bound)
+
+    try:
+        if lo is not None:
+            v, b = cmp_pair(lo)
+            if v < b:
+                return True
+        if hi is not None:
+            v, b = cmp_pair(hi)
+            if v > b:
+                return True
+    except TypeError:
+        return False
+    return False
 
 
 def _ranges_disjoint(stat: list, lo, hi) -> bool:
@@ -238,7 +277,7 @@ class ManifestTable:
         if not want:
             return
         got = _schema_sig(df)
-        if got != want:
+        if sorted(got) != sorted(want):     # column order is free
             extra = [tuple(c) for c in got if c not in want]
             missing = [tuple(c) for c in want if c not in got]
             raise SchemaMismatch(
@@ -320,6 +359,19 @@ class ManifestTable:
             if not d.startswith(_PT + "="):
                 continue
             value = d[len(_PT) + 1:]
+            # the manifest keys partitions by the RAW string value
+            # (merge/scan compare against it), but the writer names
+            # directories with Hive ESCAPING and a NULL sentinel — a
+            # key that went through either would silently miss every
+            # raw-value lookup (merge would then replace, not merge,
+            # the partition: data loss).  Fail loudly at the write
+            # boundary instead; partition values must be
+            # filesystem-plain, non-NULL strings (dates, months, ids).
+            if "%" in value or value == "__HIVE_DEFAULT_PARTITION__":
+                raise SchemaMismatch(
+                    f"unsupported partition value {value!r}: NULL or "
+                    f"characters the writer escapes; derive a plain "
+                    f"partition column (date/month/id) instead")
             leaf = os.path.join(txn_dir, d)
             entries = []
             for fn in sorted(os.listdir(leaf)):
@@ -351,8 +403,7 @@ class ManifestTable:
         for value, entries in mf["partitions"].items():
             if ts_bounds is not None:
                 lo, hi = ts_bounds
-                if ((lo is not None and value < str(lo))
-                        or (hi is not None and value > str(hi))):
+                if _pt_out_of_range(value, lo, hi):
                     pruned_parts += 1
                     skipped += len(entries)
                     continue

@@ -143,3 +143,32 @@ def test_simhash_candidates_complete_for_threshold(spark):
                 for o, b in zip(offsets, SIMHASH_CHUNK_BITS)]
     shared = [i for i in range(5) if chunks_a[i] == chunks_b[i]]
     assert shared, "a 4-bit-diff pair must share at least one chunk"
+
+
+def test_codec_payloads_survive_non_ascii_text(spark):
+    """The PPM/WAV builders count CHARACTERS (rpad, the oracle's
+    substr/ascii walk) while the decoders validate BYTES; both sides
+    sanitize non-ASCII to '?' so one char is one byte by construction.
+    Pre-sanitization, a multi-byte char made the PPM pixel section
+    overflow its declared w*h*3 and the WAV sample stream diverge
+    from the oracle."""
+    from stock_market_data_pipeline_spark.llm.multimodal import (
+        _decode_ppm,
+        _decode_wav,
+        ppm_payload_table,
+        wav_payload_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(9, "café au lait — 50¢ déjà"), (10, "plain ascii")],
+        "doc_id long, text string")
+    for row in ppm_payload_table(docs).collect():
+        pixels = _decode_ppm(bytes(row.payload))     # raises on overflow
+        assert len(pixels) == row.meta_width * row.meta_height * 3
+        assert max(pixels) <= 127                    # pure ASCII bytes
+    for row in wav_payload_table(docs).collect():
+        samples = _decode_wav(bytes(row.payload))
+        assert len(samples) == row.meta_width
+        # every sample is a little-endian pair of ASCII bytes
+        assert all(0 <= (s & 0xFF) <= 127 and
+                   0 <= ((s >> 8) & 0xFF) <= 127 for s in samples)

@@ -406,3 +406,57 @@ def test_history_tracks_snapshots(spark, table):
     assert h[-1]["files"] > h[0]["files"]
     table.vacuum()
     assert [x["version"] for x in table.history()] == [3]
+
+
+def test_numeric_partition_values_prune_numerically(spark, tmp_path):
+    """Integer partition keys must compare numerically during pruning:
+    lexicographic '99' > '100' would wrongly drop a matching
+    partition (a missing-rows wrong answer, not an error)."""
+    df = spark.createDataFrame(
+        [(b, float(b)) for b in (7, 99, 100, 300)], "bucket int, v double")
+    t = ManifestTable.create(df, str(tmp_path / "nt"), ts="bucket")
+    plan = t.scan_plan({"bucket": (50, 150)})
+    kept_rows = _snap(t.read(spark, where={"bucket": (50, 150)})
+                      .where(F.col("bucket").between(50, 150)))
+    assert [r[0] for r in kept_rows] == [99, 100]
+    assert plan["partitions_pruned"] == 2        # 7 and 300 only
+
+
+def test_escaped_or_null_partition_values_rejected(spark, tmp_path):
+    """Values the writer would Hive-escape (or NULL) break the raw-key
+    lookup the manifest depends on; the write boundary fails loudly
+    instead of letting a later merge silently replace the partition."""
+    from stock_market_data_pipeline_spark.manifest import SchemaMismatch
+
+    ts_df = spark.createDataFrame(
+        [("2024-01-02 10:30:00", 1.0)], "t string, v double"
+    ).withColumn("t", F.col("t").cast("timestamp"))
+    with pytest.raises(SchemaMismatch):
+        ManifestTable.create(ts_df, str(tmp_path / "et"), ts="t")
+    null_df = spark.createDataFrame([(None, 1.0)], "d string, v double")
+    with pytest.raises(SchemaMismatch):
+        ManifestTable.create(null_df, str(tmp_path / "nt2"), ts="d")
+
+
+def test_empty_read_preserves_column_order(spark, table):
+    """The typed empty frame must carry the SAME column order as a
+    non-empty read, or unions/positional access break depending on
+    which side happened to prune to zero."""
+    empty = table.read(spark, where={"close": (10_000.0, None)})
+    full = table.read(spark)
+    assert empty.columns == full.columns
+    assert empty.unionAll(full).count() == full.count()
+
+
+def test_bigint_stats_do_not_round(spark, tmp_path):
+    """int64 stats above 2^53 must stay exact in the manifest — a
+    float-rounded bound can wrong-skip a file whose true max matches
+    the predicate."""
+    big = 9007199254740993                      # 2**53 + 1
+    df = spark.createDataFrame(
+        [("a", big), ("a", 5)], "g string, id long")
+    t = ManifestTable.create(df, str(tmp_path / "bt"), ts="g")
+    lo, hi = t.stat_bounds("id")
+    assert hi == big and isinstance(hi, int)
+    plan = t.scan_plan({"id": (big, None)})
+    assert len(plan["files"]) == 1               # kept, not skipped

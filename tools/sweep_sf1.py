@@ -105,8 +105,12 @@ def main() -> int:
                     f"read_parquet('{sf_dir}/{t}.parquet')")
 
     results: dict[str, dict] = {}
-    if json_out and os.path.exists(json_out) and set(selected) < set(ENTRIES):
-        results = json.load(open(json_out))["entries"]  # refresh in place
+    if json_out and os.path.exists(json_out):
+        # refresh in place: always start from the existing rows — a
+        # subset-only guard here silently DISCARDED prior rows when a
+        # name outside ENTRIES (or the full list, spelled out) was
+        # selected
+        results = json.load(open(json_out))["entries"]
     for name in selected:
         t0 = time.perf_counter()
         try:
