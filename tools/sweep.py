@@ -46,6 +46,11 @@ def main() -> int:
     todo = names or sorted(ORACLES)
     bad = []
     results: dict[str, dict] = {}
+    if json_out and os.path.exists(json_out):
+        # refresh in place: keep prior rows when only a subset is
+        # re-run (overwriting with the subset silently DISCARDED a
+        # full-catalog artifact once — round-7 lesson)
+        results = json.load(open(json_out)).get("entries", {})
     for name in todo:
         t0 = time.perf_counter()
         try:
@@ -66,8 +71,9 @@ def main() -> int:
                              "err": repr(exc)[:300]}
             print(f"  ERR   {name:35s} {exc!r:.160}")
         sys.stdout.flush()
-    summary = {"sf_dir": sf_dir, "green": len(todo) - len(bad),
-               "total": len(todo), "failed": bad}
+    all_bad = [n for n, r in results.items() if not r.get("ok")]
+    summary = {"sf_dir": sf_dir, "green": len(results) - len(all_bad),
+               "total": len(results), "failed": all_bad}
     if json_out:
         with open(json_out, "w") as f:
             json.dump({"summary": summary, "entries": results}, f,
