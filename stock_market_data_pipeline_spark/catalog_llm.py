@@ -347,6 +347,55 @@ def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.lang_id(_t(spark, sf_dir, "documents"))
 
 
+PII_SCRUB_SQL = """
+WITH injected AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CASE
+           WHEN doc_id % 3 = 0 THEN
+             text || ' reach user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 415-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' today'
+           WHEN doc_id % 3 = 1 THEN
+             text || ' server 10.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.0.1 logged'
+           ELSE text
+         END AS raw
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(regexp_extract_all(raw,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+            AS INTEGER) AS n_emails,
+       CAST(length(regexp_extract_all(raw,
+            '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phones,
+       CAST(length(regexp_extract_all(raw,
+            '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}'))
+            AS INTEGER) AS n_ips,
+       regexp_replace(regexp_replace(regexp_replace(raw,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+            '[EMAIL]', 'g'),
+            '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+            '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}',
+            '[IP]', 'g') AS scrubbed_text
+FROM injected
+""".strip()
+
+
+@q("docs_pii_scrub", PII_SCRUB_SQL)
+def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (the compliance pass before tokenization): count
+    and mask emails / phone numbers / IPv4 addresses with JVM-side
+    regex column functions — map-side scan, no shuffle, no UDF.
+    Deterministic PII is injected into 2/3 of the docs first (the
+    corpus is word-salad) with arithmetic the oracle reproduces, so
+    the counts are observably nonzero and the full scrubbed text
+    hash-checks. Patterns are dialect-neutral (no lookaround, no \\b)
+    so Java regex and RE2 agree; one definition in
+    llm/textops.py:PII_*_RE."""
+    return textops.pii_scrub(_t(spark, sf_dir, "documents"))
+
+
 @q("text_fingerprint", FINGERPRINT_SQL)
 def fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-independent bag-of-words fingerprint mod p."""

@@ -274,3 +274,54 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
             .withColumn("term_rank", F.row_number().over(w))
             .where(F.col("term_rank") <= k)
             .select("doc_id", "term_rank", "word", "tf", "df", "tfidf"))
+
+
+#: PII patterns shared by the scrubber and its oracle twin: simple
+#: character-class regexes chosen to mean the SAME thing in Java
+#: regex (Spark) and RE2 (DuckDB) — no lookaround, no \b, no
+#: dialect-specific escapes.
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+PII_IPV4_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """PII redaction — the compliance pass every pre-training corpus
+    goes through before the tokenizer sees it: count and mask emails,
+    phone numbers, and IPv4 addresses, entirely with JVM-side regex
+    column functions (map-side, no shuffle, no UDF — scales to any
+    corpus size as a pure scan).
+
+    The synthetic corpus is word-salad with no PII, so the entry
+    INJECTS deterministic PII into two thirds of the docs first (an
+    email+phone tail on doc_id%3==0, an IP tail on doc_id%3==1) with
+    arithmetic the DuckDB oracle reproduces — counts are then
+    observably nonzero and the scrubbed text hash-checks end-to-end.
+    Replacement order matters only in that the patterns are disjoint
+    by construction (phones use dashes, IPs use dots)."""
+    did = F.col("doc_id").cast("long")
+    injected = (
+        F.when(did % 3 == 0,
+               F.concat(F.col("text"), F.lit(" reach user"),
+                        did.cast("string"), F.lit("@example.com or 415-555-"),
+                        F.lpad((did % 10000).cast("string"), 4, "0"),
+                        F.lit(" today")))
+        .when(did % 3 == 1,
+              F.concat(F.col("text"), F.lit(" server 10."),
+                       (did % 256).cast("string"), F.lit(".0.1 logged")))
+        .otherwise(F.col("text")))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(injected, PII_EMAIL_RE, "[EMAIL]"),
+            PII_PHONE_RE, "[PHONE]"),
+        PII_IPV4_RE, "[IP]")
+    return docs.select(
+        did.alias("doc_id"),
+        F.regexp_count(injected, F.lit(PII_EMAIL_RE)).cast("int")
+        .alias("n_emails"),
+        F.regexp_count(injected, F.lit(PII_PHONE_RE)).cast("int")
+        .alias("n_phones"),
+        F.regexp_count(injected, F.lit(PII_IPV4_RE)).cast("int")
+        .alias("n_ips"),
+        scrubbed.alias("scrubbed_text"),
+    )
