@@ -58,6 +58,8 @@ ENTRIES = [
     # round-7 manifest family: stats-pruned scan over ~6M bars,
     # exactly-once streaming append over 1M events
     "manifest_pruned_scan", "stream_manifest_append",
+    # round-7 text family addition (50k docs, map-side regex scan)
+    "docs_pii_scrub",
 ]
 
 
