@@ -213,3 +213,12 @@ def test_source_quality_filter_scalar_cutoff_no_global_window(spark):
     assert "Window" not in p, "global window crept into the cutoff"
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_pii_scrub_is_pure_map_side(spark):
+    """PII redaction is a single projection over the scan: any
+    Exchange in its plan means a join/agg crept into what must stay a
+    map-side regex pass (at 100 TB this op IS the corpus scan)."""
+    p = plan_str(_q("docs_pii_scrub")(spark, SF_SMALL))
+    assert "Exchange" not in p, "shuffle crept into the PII scrub"
+    assert "Join" not in p
