@@ -1502,10 +1502,11 @@ _DRIVER_WINDOW_FIRST = [
     # -- round 7, group 1: never driver-checked (new this round) —
     # the manifest-commit MERGE, its stats-pruned scan, the
     # exactly-once streaming manifest sink, the two real-codec
-    # decode paths, and the PII scrubber --
+    # decode paths, the PII scrubber, and the JSONL source round
+    # trip --
     "manifest_momentum_merge", "manifest_pruned_scan",
     "stream_manifest_append", "mm_decode_ppm", "mm_decode_wav",
-    "docs_pii_scrub",
+    "docs_pii_scrub", "source_jsonl_roundtrip",
     # -- group 2: changed this round: daily_pipeline_run lost its
     # r6 .cache() workaround (gates now run uncached + raise real
     # exceptions), docs_source_quality_filter's cutoff became a
@@ -1515,15 +1516,15 @@ _DRIVER_WINDOW_FIRST = [
     # was r2 (VERDICT r6 flagged it) --
     "rollup_revenue",
     # -- group 4: the r5-checked cohort (age 2 this round), in
-    # registration order; 41 fit. The 7 deferred to r8 —
+    # registration order; 40 fit. The 8 deferred to r8 —
     # fct_trading_momentum_small (its exact plan feeds the r6-green
     # serving_ticker_range), screener_filter (plan shared with
     # r6-green serving_screener), self_lag_join, scalar_max_filter,
     # bucketed_join_revenue, cube_order_stats,
-    # stratified_balance_lang (all single-operator entries,
-    # pytest-parity-covered) — sit at the policy's age bound and MUST
-    # front the r8 window: the staleness test fails the build
-    # otherwise. --
+    # stratified_balance_lang, benchmark_contamination (all
+    # single-operator entries, pytest-parity-covered) — sit at the
+    # policy's age bound and MUST front the r8 window: the staleness
+    # test fails the build otherwise. --
     "stg_projection_flags", "bars_ohlcv", "constituents_snapshots",
     "universe_daily", "fct_trading_momentum", "gap_fill_daily",
     "resample_weekly_ohlc", "scd2_constituents", "updown_streaks",
@@ -1539,7 +1540,7 @@ _DRIVER_WINDOW_FIRST = [
     "conditional_signal_dates", "median_summary", "dedup_exact",
     "dedup_minhash_lsh", "dedup_clusters", "text_bpe_tokens",
     "text_tfidf_top_terms", "embedding_centroids", "ann_cosine_topk",
-    "ann_ivf_topk", "docs_pack_sequences", "benchmark_contamination",
+    "ann_ivf_topk", "docs_pack_sequences",
 ]
 
 

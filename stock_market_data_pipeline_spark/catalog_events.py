@@ -126,6 +126,50 @@ def events_json_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return json_props_stats(read_events(spark, sf_dir))
 
 
+JSONL_ROUNDTRIP_SQL = """
+SELECT event_id, ts, user_id, event_type,
+       CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+""".strip()
+
+
+@q("source_jsonl_roundtrip", JSONL_ROUNDTRIP_SQL)
+def source_jsonl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines as a first-class SINK + SOURCE (S-family beyond the
+    reference's parquet/CSV): the events table is written out as
+    JSONL and read back under an EXPLICIT schema (schema'd
+    ``spark.read.json`` — never inference, which would re-type per
+    file at scale), then the nested props field is projected with
+    ``get_json_object``.  Value-exactness across the text format is
+    engineered, not hoped for: timestamps travel as ``unix_micros``
+    integers (ISO text would re-parse through the session zone) and
+    the 2-dp values travel as DECIMAL(18,2) strings (a raw double
+    would depend on the writer's shortest-repr emitting enough
+    digits).  Hash parity against the parquet-direct oracle proves
+    the round trip loses nothing."""
+    from .operators.events_ops import read_events
+    from .scratch import scratch_dir
+
+    jdir = scratch_dir("events_jsonl_")
+    (read_events(spark, sf_dir)
+     .select("event_id", F.unix_micros("ts").alias("ts_us"),
+             "user_id", "event_type",
+             F.col("value").cast("decimal(18,2)").cast("string")
+             .alias("value_s"),
+             "props")
+     .write.mode("overwrite").json(jdir))
+    back = spark.read.schema(
+        "event_id long, ts_us long, user_id long, "
+        "event_type string, value_s string, props string").json(jdir)
+    return back.select(
+        "event_id",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        "user_id", "event_type",
+        F.col("value_s").cast("double").alias("value"),
+        F.get_json_object("props", "$.k").cast("long").alias("k"))
+
+
 @q("stream_dedup_events", STREAM_DEDUP_SQL)
 def stream_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dropDuplicates under duplicate delivery (the same
