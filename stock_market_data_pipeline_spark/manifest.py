@@ -103,6 +103,10 @@ from pyspark.sql import functions as F
 
 _PT = "__pt"
 _MANIFEST_DIR = "_manifests"
+#: on-disk layout version this reader/writer speaks.  2 = single JSON
+#: document mapping partition value -> file-entry list.  Bumped on any
+#: incompatible layout change; ``manifest()`` refuses other versions.
+_FORMAT = 2
 
 
 class CrashInjected(RuntimeError):
@@ -138,17 +142,32 @@ def _schema_sig(df: DataFrame) -> list[list[str]]:
 
 
 def _norm(v):
-    """JSON-safe, order-preserving normalization for footer stats.
-    Ints stay ints (floats above 2^53 would round a true bound and
-    wrong-skip), floats stay floats; Decimals are excluded upstream;
-    everything else compares as its string form (ISO dates/timestamps
-    are lexicographically ordered, which is the only property skipping
-    needs)."""
+    """JSON-safe, order-preserving normalization for footer stats AND
+    caller-supplied bounds (both sides of every range comparison go
+    through here, so they normalize identically).  Ints stay ints
+    (floats above 2^53 would round a true bound and wrong-skip),
+    floats stay floats; Decimals are excluded upstream;
+    date/datetime values become ``isoformat()`` — the 'T'-separated
+    ISO-8601 form, NOT ``str(datetime)``'s space-separated form:
+    ' ' < 'T' lexicographically, so mixing the two forms would
+    wrong-skip files (r7 ADVICE item 2).  A string that *looks* like
+    the space-separated form ('YYYY-MM-DD HH:...') is canonicalized to
+    the 'T' form for the same reason.  Everything else compares as its
+    string form (ISO dates are lexicographically ordered, which is the
+    only property skipping needs)."""
+    import datetime as _dt
+    import re as _re
+
     if isinstance(v, bool):
         return str(v)
     if isinstance(v, (int, float)):
         return v
-    return str(v)
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    s = str(v)
+    if _re.match(r"^\d{4}-\d{2}-\d{2} \d", s):
+        s = s.replace(" ", "T", 1)
+    return s
 
 
 def _file_entry(abs_path: str, rel_path: str) -> dict:
@@ -198,30 +217,51 @@ def _file_entry(abs_path: str, rel_path: str) -> dict:
             "bytes": os.path.getsize(abs_path), "stats": stats}
 
 
+def _as_number(v):
+    """Exact numeric parse: int stays int (no float rounding above
+    2^53), numeric strings parse to int first then float.  Returns
+    None when the value is not a number."""
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, (int, float)):
+        return v
+    try:
+        return int(str(v))
+    except (TypeError, ValueError):
+        try:
+            return float(str(v))
+        except (TypeError, ValueError):
+            return None
+
+
 def _pt_out_of_range(value: str, lo, hi) -> bool:
     """Partition-value pruning predicate.  Values are directory-name
     strings; when BOTH the value and a bound parse as numbers the
-    comparison is numeric (a lexicographic '99' > '100' would wrongly
-    prune an integer-keyed partition), otherwise string vs string
-    (ISO dates/months).  A value/bound pair that parses on only one
-    side is incomparable → never pruned (conservative)."""
+    comparison is numeric and EXACT — ints compare as ints, never
+    through float (a lexicographic '99' > '100' would wrongly prune an
+    integer-keyed partition; a float round-trip would corrupt bounds
+    above 2^53).  When NEITHER side parses, string vs string (ISO
+    dates/months, both normalized by :func:`_norm`).  A value/bound
+    pair that parses as a number on only ONE side is incomparable →
+    never pruned (conservative; r7 ADVICE item 1 — the prior fallback
+    compared e.g. month '2024-01' against numeric 2024
+    lexicographically and could silently prune matching rows)."""
     def cmp_pair(bound):
-        try:
-            return float(value), float(bound)
-        except (TypeError, ValueError):
-            return value, str(bound)
+        vn, bn = _as_number(value), _as_number(bound)
+        if vn is not None and bn is not None:
+            return vn, bn
+        if vn is None and bn is None:
+            return _norm(value), _norm(bound)
+        return None                         # one-sided parse: incomparable
 
-    try:
-        if lo is not None:
-            v, b = cmp_pair(lo)
-            if v < b:
-                return True
-        if hi is not None:
-            v, b = cmp_pair(hi)
-            if v > b:
-                return True
-    except TypeError:
-        return False
+    if lo is not None:
+        pair = cmp_pair(lo)
+        if pair is not None and pair[0] < pair[1]:
+            return True
+    if hi is not None:
+        pair = cmp_pair(hi)
+        if pair is not None and pair[0] > pair[1]:
+            return True
     return False
 
 
@@ -264,10 +304,25 @@ class ManifestTable:
         return max(names)
 
     def manifest(self, name: str | None = None) -> dict:
-        """The live manifest (or a named historical one — time travel)."""
+        """The live manifest (or a named historical one — time travel).
+
+        Validates the on-disk format version before anything touches
+        the body: a manifest written by an older/newer layout would
+        otherwise fail deep inside iteration (or, worse, let vacuum
+        compute an empty live set and delete live data — r7 ADVICE
+        item 3).  Unsupported formats raise a clear error naming the
+        version found."""
         name = name or self._current_name()
         with open(os.path.join(self._mdir(), name)) as f:
-            return json.load(f)
+            mf = json.load(f)
+        fmt = mf.get("format")
+        if fmt != _FORMAT:
+            raise RuntimeError(
+                f"{self.root}/{_MANIFEST_DIR}/{name}: manifest format "
+                f"{fmt!r} is not supported by this reader (wants "
+                f"{_FORMAT}); upgrade/downgrade the table explicitly "
+                f"instead of guessing at the layout")
+        return mf
 
     def version(self) -> int:
         return self.manifest()["version"]
@@ -300,7 +355,7 @@ class ManifestTable:
         os.makedirs(mdir, exist_ok=True)
         version = base_version + 1
         name = f"manifest-{version:08d}.json"
-        body = {"version": version, "ts": self.ts, "format": 2,
+        body = {"version": version, "ts": self.ts, "format": _FORMAT,
                 "partitions": partitions, "streams": streams or {},
                 "schema": schema or []}
         tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex[:12]}")

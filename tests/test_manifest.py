@@ -448,6 +448,83 @@ def test_empty_read_preserves_column_order(spark, table):
     assert empty.unionAll(full).count() == full.count()
 
 
+def test_one_sided_numeric_bound_never_prunes(spark, tmp_path):
+    """A numeric bound against a NON-numeric partition value (month
+    strings vs an int year) is incomparable: the partition must be
+    KEPT, not compared lexicographically ('2024-01' vs '2024' would
+    wrong-prune — silent missing rows, r7 ADVICE item 1)."""
+    df = spark.createDataFrame(
+        [("2024-0%d" % m, float(m)) for m in (1, 2, 3)],
+        "month string, v double")
+    t = ManifestTable.create(df, str(tmp_path / "mt"), ts="month")
+    plan = t.scan_plan({"month": (2024, 2024)})
+    assert plan["partitions_pruned"] == 0
+    assert len(plan["files"]) == 3
+    # string bounds on the same table still prune exactly
+    plan = t.scan_plan({"month": ("2024-02", "2024-02")})
+    assert plan["partitions_pruned"] == 2
+
+
+def test_bigint_partition_values_prune_exactly(spark, tmp_path):
+    """Partition values above 2^53 must compare as ints during pruning
+    — a float round-trip would conflate adjacent ids and wrong-prune
+    (r7 ADVICE item 1, second half)."""
+    big = 9007199254740993                       # 2**53 + 1
+    df = spark.createDataFrame(
+        [(big, 1.0), (big - 2, 2.0)], "id long, v double")
+    t = ManifestTable.create(df, str(tmp_path / "bp"), ts="id")
+    plan = t.scan_plan({"id": (big, big)})
+    assert plan["partitions_pruned"] == 1        # big-2 out, big kept
+    assert len(plan["files"]) == 1
+
+
+def test_timestamp_stats_normalize_to_iso_t_form(tmp_path):
+    """Footer datetime stats and caller bounds both normalize to the
+    ISO-8601 'T' form; a space-separated caller string canonicalizes
+    the same way, so ' ' < 'T' lexicography can never wrong-skip a
+    file (r7 ADVICE item 2)."""
+    import datetime as dt
+
+    from stock_market_data_pipeline_spark.manifest import (
+        _norm,
+        _ranges_disjoint,
+    )
+
+    d = dt.datetime(2024, 1, 2, 23, 59, 59)
+    assert _norm(d) == "2024-01-02T23:59:59"
+    assert _norm("2024-01-02 23:59:59") == "2024-01-02T23:59:59"
+    stat = [_norm(dt.datetime(2024, 1, 2, 0, 0)), _norm(d)]
+    # the r7 failure mode: lo='2024-01-02T00:00:00' vs str(datetime)
+    # stats skipped this file; both forms must now keep it
+    assert not _ranges_disjoint(stat, "2024-01-02T12:00:00", None)
+    assert not _ranges_disjoint(stat, "2024-01-02 12:00:00", None)
+    assert _ranges_disjoint(stat, "2024-01-03T00:00:00", None)
+
+
+def test_unsupported_manifest_format_rejected(spark, tmp_path, table):
+    """A manifest whose format version this reader does not speak must
+    raise a clear error up front — not a deep TypeError mid-iteration,
+    and never a vacuum that computes an empty live set (r7 ADVICE
+    item 3)."""
+    import json
+
+    mdir = os.path.join(table.root, "_manifests")
+    name = sorted(os.listdir(mdir))[-1]
+    path = os.path.join(mdir, name)
+    body = json.load(open(path))
+    body["format"] = 1
+    body["partitions"] = {v: "some/dir/string"
+                          for v in body["partitions"]}
+    os.remove(path)
+    json.dump(body, open(path, "w"))
+    with pytest.raises(RuntimeError, match="format 1"):
+        table.manifest()
+    with pytest.raises(RuntimeError, match="format"):
+        table.vacuum()
+    with pytest.raises(RuntimeError, match="format"):
+        table.scan_plan()
+
+
 def test_bigint_stats_do_not_round(spark, tmp_path):
     """int64 stats above 2^53 must stay exact in the manifest — a
     float-rounded bound can wrong-skip a file whose true max matches

@@ -49,8 +49,21 @@ def main() -> int:
     if json_out and os.path.exists(json_out):
         # refresh in place: keep prior rows when only a subset is
         # re-run (overwriting with the subset silently DISCARDED a
-        # full-catalog artifact once — round-7 lesson)
-        results = json.load(open(json_out)).get("entries", {})
+        # full-catalog artifact once — round-7 lesson).  Merged rows
+        # must still DESCRIBE this artifact: drop names no longer in
+        # the catalog (renamed/removed entries would otherwise persist
+        # forever and inflate green/total), and refuse to mix scale
+        # factors — a row measured at another sf_dir under a summary
+        # claiming one sf is a lie (r7 ADVICE item 4).
+        prior = json.load(open(json_out))
+        prior_sf = prior.get("summary", {}).get("sf_dir")
+        if prior_sf not in (None, sf_dir):
+            print(f"refusing to merge into {json_out}: it was swept at "
+                  f"{prior_sf}, this run is {sf_dir}; use a fresh "
+                  f"--json path")
+            return 2
+        results = {n: r for n, r in prior.get("entries", {}).items()
+                   if n in ORACLES}
     for name in todo:
         t0 = time.perf_counter()
         try:
