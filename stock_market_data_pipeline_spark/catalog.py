@@ -1499,48 +1499,42 @@ from . import catalog_rel  # noqa: E402,F401  (pivot/cube/unpivot/histogram)
 # have a green row within the last two driver rounds — so no entry's
 # driver check ever ages past 2 rounds (VERDICT r6 "Next round" #4).
 _DRIVER_WINDOW_FIRST = [
-    # -- round 7, group 1: never driver-checked (new this round) —
-    # the manifest-commit MERGE, its stats-pruned scan, the
-    # exactly-once streaming manifest sink, the two real-codec
-    # decode paths, the PII scrubber, and the JSONL source round
-    # trip --
-    "manifest_momentum_merge", "manifest_pruned_scan",
-    "stream_manifest_append", "mm_decode_ppm", "mm_decode_wav",
-    "docs_pii_scrub", "source_jsonl_roundtrip",
-    # -- group 2: changed this round: daily_pipeline_run lost its
-    # r6 .cache() workaround (gates now run uncached + raise real
-    # exceptions), docs_source_quality_filter's cutoff became a
-    # scalar agg + broadcast (was an unpartitioned window) --
-    "daily_pipeline_run", "docs_source_quality_filter",
-    # -- group 3: stalest first: rollup_revenue's last driver check
-    # was r2 (VERDICT r6 flagged it) --
-    "rollup_revenue",
-    # -- group 4: the r5-checked cohort (age 2 this round), in
-    # registration order; 40 fit. The 8 deferred to r8 —
-    # fct_trading_momentum_small (its exact plan feeds the r6-green
-    # serving_ticker_range), screener_filter (plan shared with
-    # r6-green serving_screener), self_lag_join, scalar_max_filter,
-    # bucketed_join_revenue, cube_order_stats,
-    # stratified_balance_lang, benchmark_contamination (all
-    # single-operator entries, pytest-parity-covered) — sit at the
-    # policy's age bound and MUST front the r8 window: the staleness
-    # test fails the build otherwise. --
-    "stg_projection_flags", "bars_ohlcv", "constituents_snapshots",
-    "universe_daily", "fct_trading_momentum", "gap_fill_daily",
-    "resample_weekly_ohlc", "scd2_constituents", "updown_streaks",
-    "ranking_functions", "vwap_rolling", "bollinger_bands",
-    "constituents_diff", "scd2_asof_snapshot",
-    "fct_trading_momentum_valid", "fct_momentum_incremental",
-    "agg_daily_market_breadth", "dim_securities_current",
-    "agg_alignment_join", "multiway_dim_join",
-    "qualify_latest_per_key", "topk_by_metric", "distinct_ordered",
-    "running_total", "smoothed_daily_index",
-    "percent_rank_null_segregated", "partition_window_avg",
-    "conditional_agg_daily", "volatility_by_key",
-    "conditional_signal_dates", "median_summary", "dedup_exact",
-    "dedup_minhash_lsh", "dedup_clusters", "text_bpe_tokens",
-    "text_tfidf_top_terms", "embedding_centroids", "ann_cosine_topk",
-    "ann_ivf_topk", "docs_pack_sequences",
+    # -- round 8, group 1: the 8 entries last driver-green in r5 that
+    # sat out the r7 window — at the policy's age bound, the staleness
+    # test (tests/test_registration_order.py) fails the build unless
+    # they front this window (VERDICT r7 "Next round" #2) --
+    "fct_trading_momentum_small", "self_lag_join",
+    "scalar_max_filter", "screener_filter", "benchmark_contamination",
+    "stratified_balance_lang", "cube_order_stats",
+    "bucketed_join_revenue",
+    # -- group 2: changed this round: the streaming upsert and the
+    # incremental momentum run now route through the ManifestTable
+    # transactional write path (VERDICT r7 "Next round" #1);
+    # stream_upsert_rollup also belongs to the r6 cohort below --
+    "stream_upsert_rollup", "fct_momentum_incremental",
+    # -- group 3: the r6-checked cohort (age 2 this round); 40 of 47
+    # remaining fit. The 7 deferred to r9 — the four serving_* entries
+    # (plans shared with the r7-green serve-path tests) and the three
+    # ingest/seed entries (single-operator, pytest-parity-covered) —
+    # are exactly at the age bound next round and must front the r9
+    # window. --
+    "asof_prior_view", "band_range_join", "cumulative_distinct_users",
+    "datasource_grouped_daily", "dedup_embedding_cosine",
+    "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_survivors_by_quality", "docs_length_band_filter",
+    "docs_unigram_logprob", "events_hopping_counts",
+    "events_json_props", "except_intersect_keys", "histogram_prices",
+    "mm_payload_features", "mm_payload_grid", "pairwise_correlation",
+    "pivot_priority_year", "quantiles_by_brand", "sample_hash_split",
+    "session_funnel", "session_window_native", "sessionize_events",
+    "stream_dedup_events", "stream_hourly_rollup",
+    "stream_interval_join", "stream_session_windows",
+    "stream_stateful_user_totals", "text_boilerplate_segments",
+    "text_fingerprint", "text_lang_id", "text_quality_score",
+    "text_repetition_ratio", "text_rolling_hash", "text_stats",
+    "tpch_q1_pricing_summary", "tpch_q3_topk_revenue",
+    "tpch_q5_local_supplier", "trend_slope_by_key",
+    "unpivot_dim_metrics",
 ]
 
 
