@@ -1,15 +1,16 @@
 """Manifest-committed partitioned table: ATOMIC multi-partition MERGE
 on plain parquet, with file-level stats, data skipping and compaction.
 
-Closes the atomicity gap that :func:`incremental.merge_into_partitioned`
-documents (incremental.py:142-161): dynamic partition overwrite is
-atomic only per partition directory, so a crash between partition swaps
-leaves a torn table.  The reference gets table-level transactionality
-from Snowflake's MERGE (dbt/stock_analytics/models/marts/
-fct_trading_momentum.sql:2-7, snapshots/
-russell3000_constituents_snapshot.sql:4-12); this module supplies the
-same contract on plain files with a Delta/Iceberg-style (but minimal)
-manifest commit:
+This is the engine's DEFAULT transactional write path (round 8 —
+previously the production-shaped code paths still wrote through
+dynamic partition overwrite, which is atomic only per partition
+directory, so a crash between partition swaps left a torn table; that
+mechanism is gone from incremental.py and streaming/events.py).  The
+reference gets table-level transactionality from Snowflake's MERGE
+(dbt/stock_analytics/models/marts/fct_trading_momentum.sql:2-7,
+snapshots/russell3000_constituents_snapshot.sql:4-12); this module
+supplies the same contract on plain files with a Delta/Iceberg-style
+(but minimal) manifest commit:
 
 Layout::
 
@@ -85,11 +86,11 @@ the original typed column and readers need no partition-value parsing
 — ``read()`` is a plain ``spark.read.parquet(*live_files)``.  The
 duplicate costs nothing on disk (dictionary/RLE-encoded constant).
 
-Scale: data movement is identical to ``merge_into_partitioned``
-(partition-pruned read, touched-partition write).  The same
-key-stability precondition applies: a key never moves between partition
-values (keys contain the partition column here, so it holds by
-construction).
+Scale: merge data movement is partition-pruned read + touched-partition
+write.  The key-stability precondition applies: a key never moves
+between partition values (keys contain or determine the partition
+column here, so it holds by construction; ``merge(...,
+validate_key_stability=True)`` enforces it in debug/test builds).
 """
 
 from __future__ import annotations
@@ -543,26 +544,51 @@ class ManifestTable:
         t._commit(parts, base_version=0, schema=_schema_sig(df))
         return t
 
-    def merge(self, spark: SparkSession, updates: DataFrame,
-              keys: list[str],
-              _crash_before_commit: bool = False,
-              _pre_commit_hook=None) -> None:
-        """Keyed MERGE (WHEN MATCHED UPDATE / NOT MATCHED INSERT),
-        partition-pruned exactly like merge_into_partitioned, but
-        committed atomically across ALL touched partitions: stage every
-        rewritten partition, then one atomic manifest link.  A reader never
-        observes a mix of old and new partitions, and a crash anywhere
-        before the swap leaves the old snapshot fully live."""
+    def _stage_merge(self, spark: SparkSession, mf: dict,
+                     updates: DataFrame, keys: list[str],
+                     validate_key_stability: bool = False
+                     ) -> dict[str, list]:
+        """Shared MERGE staging against the snapshot ``mf``: read back
+        only the partitions the update touches, upsert within that
+        slice, stage the rewritten partitions.  Returns the staged
+        {value -> entries} map (empty when the update is empty);
+        nothing becomes visible until the caller commits.
+
+        PRECONDITION (the partition-pruning contract): a key never
+        moves between partition values — every update row's partition
+        value equals that of the existing row for its key, if one
+        exists.  Touched partitions come from ``updates`` alone, so a
+        re-dated key would leave its stale row alive in the old
+        partition.  Holds by construction when keys contain (or
+        determine) the partition column, as every caller here does.
+        ``validate_key_stability=True`` (debug/test builds) enforces it
+        with one anti-scan over the NON-touched live files and raises
+        on violation — leave it off in production, the check reads the
+        data the pruning exists to skip."""
         from .incremental import merge_upsert
 
         touched = [str(r[0]) for r in
                    updates.select(F.col(self.ts).cast("string"))
                    .distinct().collect()]
         if not touched:
-            return
-        mf = self.manifest()
-        self._check_schema(updates, mf)
+            return {}
         live = mf["partitions"]
+        if validate_key_stability:
+            key_cols = [k for k in keys if k != self.ts]
+            outside = [os.path.join(self.root, e["path"])
+                       for v, es in live.items()
+                       if v not in touched for e in es]
+            if outside and key_cols:
+                strays = (spark.read.parquet(*outside)
+                          .join(updates.select(*key_cols).distinct(),
+                                key_cols, "left_semi"))
+                n = strays.count()
+                if n:
+                    raise ValueError(
+                        f"merge precondition violated: {n} row(s) "
+                        f"carry an updated key in a partition outside "
+                        f"the update's {self.ts} set {sorted(touched)}"
+                        f" — a key moved partitions")
         prior_files = [os.path.join(self.root, e["path"])
                        for v in touched if v in live
                        for e in live[v]]
@@ -571,14 +597,72 @@ class ManifestTable:
             merged = merge_upsert(current, updates, keys)
         else:
             merged = updates
-        staged = self._stage(merged)
+        return self._stage(merged)
+
+    def merge(self, spark: SparkSession, updates: DataFrame,
+              keys: list[str],
+              validate_key_stability: bool = False,
+              _crash_before_commit: bool = False,
+              _pre_commit_hook=None) -> None:
+        """Keyed MERGE (WHEN MATCHED UPDATE / NOT MATCHED INSERT),
+        partition-pruned, committed atomically across ALL touched
+        partitions: stage every rewritten partition, then one atomic
+        manifest link.  A reader never observes a mix of old and new
+        partitions, and a crash anywhere before the swap leaves the
+        old snapshot fully live."""
+        mf = self.manifest()
+        self._check_schema(updates, mf)
+        staged = self._stage_merge(spark, mf, updates, keys,
+                                   validate_key_stability)
+        if not staged:
+            return
         if _crash_before_commit:
             raise CrashInjected("writer died after staging, before commit")
         if _pre_commit_hook is not None:
             _pre_commit_hook()
-        self._commit({**live, **staged}, base_version=mf["version"],
+        self._commit({**mf["partitions"], **staged},
+                     base_version=mf["version"],
                      streams=mf.get("streams", {}),
                      schema=mf.get("schema"))
+
+    def merge_batch(self, spark: SparkSession, updates: DataFrame,
+                    keys: list[str], stream_id: str, batch_id: int,
+                    _crash_before_commit: bool = False) -> bool:
+        """Exactly-once streaming MERGE (the ``foreachBatch`` upsert
+        sink shape): the keyed merge's rewritten partitions and the
+        stream's high-water batch id commit in ONE atomic manifest
+        link — the table-level-transactional upgrade of the external
+        ledger + dynamic-partition-overwrite pattern this engine used
+        before (there is no crash window between "data merged" and
+        "batch remembered", and a crash mid-merge leaves the old
+        snapshot fully live).  A replayed batch id (checkpoint
+        recovery re-delivers the last uncommitted micro-batch) is
+        refused from the manifest ledger without staging a byte.
+        Returns True if the batch committed, False on replay.
+
+        Unlike :meth:`append_batch`, a :class:`CommitConflict` retry
+        must RE-STAGE: the merge read the pre-conflict snapshot, so
+        its staged output may miss the competing writer's rows.  The
+        abandoned attempt's files are invisible orphans for
+        ``vacuum()``."""
+        while True:
+            mf = self.manifest()
+            streams = dict(mf.get("streams", {}))
+            if streams.get(stream_id, -1) >= batch_id:
+                return False                      # replay: already in
+            self._check_schema(updates, mf)
+            staged = self._stage_merge(spark, mf, updates, keys)
+            streams[stream_id] = batch_id
+            if _crash_before_commit:
+                raise CrashInjected(
+                    "writer died after staging, before commit")
+            try:
+                self._commit({**mf["partitions"], **staged},
+                             base_version=mf["version"],
+                             streams=streams, schema=mf.get("schema"))
+                return True
+            except CommitConflict:
+                continue        # merged against a stale snapshot: redo
 
     def append(self, df: DataFrame) -> None:
         """Blind append (the streaming-ingest write shape): stage new

@@ -124,47 +124,49 @@ def dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """foreachBatch MERGE upsert with ledger idempotency: the stream is
-    replayed in multiple micro-batches; every batch MERGEs on event_id
-    into a parquet target and records its batch id — re-delivery of an
-    already-recorded batch is a no-op (exactly-once effect on at-least-
-    once delivery, SURVEY §2.9 row 1).
+    """foreachBatch MERGE upsert through the engine's default
+    transactional write path (manifest.ManifestTable.merge_batch): the
+    stream is replayed in multiple micro-batches; every batch MERGEs
+    on event_id into a manifest-committed table, and the batch ledger
+    commits atomically WITH the merged data — re-delivery of an
+    already-recorded batch is refused from the manifest without
+    staging a byte (exactly-once effect on at-least-once delivery,
+    SURVEY §2.9 row 1), and a crash mid-merge leaves the table
+    readable at the prior snapshot (the reference's transactional
+    Snowflake MERGE contract, fct_trading_momentum.sql:2-7 — the
+    round-7 version of this path used an in-process ledger plus
+    per-partition dynamic overwrite, which left both a ledger/data
+    crash window and torn multi-partition states).
 
     The SAME file is also delivered a second time (a duplicate-source
     union), so the upsert path is observably exercised: without the
-    MERGE the target would double-count.
+    MERGE the target would double-count.  Key stability for the
+    partition-pruned merge holds by construction: event_date derives
+    from the event's own immutable ts, so every re-delivery of an
+    event_id carries the same event_date.
 
     Returns the terminal per-type rollup of the target table.
     """
-    from ..incremental import merge_into_partitioned, write_partitioned
+    from ..manifest import ManifestTable
 
     tmp = scratch_dir("stream_upsert_")
-    target_path = os.path.join(tmp, "events_current")
-    seen_batches: set[int] = set()  # ledger: processed batch ids
+    root = os.path.join(tmp, "events_current")
 
     # duplicate delivery: the same payload staged twice; one file per
     # micro-batch, so batch 2 re-delivers batch 1's rows
     stream = _events_stream(spark, _staged_events_dir(sf_dir, copies=2),
                             max_files=1)
+    # v1: an empty table pinning the schema, so EVERY data batch —
+    # including the first — flows through the ledgered merge path
+    empty = (spark.createDataFrame([], stream.schema)
+             .withColumn("event_date", F.to_date("ts")))
+    table = ManifestTable.create(empty, root, ts="event_date")
 
     def do_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in seen_batches:      # ledger skip (S8 semantics)
-            return
         updates = (batch_df.dropDuplicates(["event_id"])
                    .withColumn("event_date", F.to_date("ts")))
-        if os.path.isdir(target_path):
-            # partition-scoped MERGE: prune the read to the event_date
-            # partitions this batch touches and rewrite only those —
-            # never the whole target (MERGE INTO on Delta/Iceberg).
-            # Precondition (merge_into_partitioned docstring): a key
-            # never moves partitions — holds here because event_date
-            # is derived from the event's own immutable ts, so every
-            # re-delivery of an event_id carries the same event_date.
-            merge_into_partitioned(spark, target_path, updates,
-                                   ["event_id"], ts="event_date")
-        else:
-            write_partitioned(updates, target_path, ts="event_date")
-        seen_batches.add(batch_id)
+        table.merge_batch(spark, updates, ["event_id"],
+                          "events_upsert", batch_id)
 
     with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
         q = (stream.writeStream.foreachBatch(do_batch)
@@ -172,7 +174,7 @@ def upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
              .trigger(availableNow=True).start())
         q.awaitTermination()
 
-    final = spark.read.parquet(target_path)
+    final = table.read(spark)
     return (final.groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.countDistinct("user_id").alias("n_users"),
@@ -313,9 +315,10 @@ def manifest_append_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     INSIDE the table (SURVEY §2.9 exactly-once, upgraded): each
     micro-batch's files and the stream's high-water batch id commit in
     ONE atomic manifest link, so there is no crash window between
-    "data published" and "batch remembered" — the hole
-    :func:`upsert_replay`'s in-process ledger (and any external ledger
-    file) leaves open.  Structured Streaming re-delivers the last
+    "data published" and "batch remembered" — the hole any EXTERNAL
+    ledger file leaves open (:func:`upsert_replay` is the keyed-MERGE
+    sibling of this append-only sink, on the same atomic-ledger
+    contract).  Structured Streaming re-delivers the last
     micro-batch on checkpoint recovery; ``append_batch`` recognizes it
     from the live manifest and drops it without staging a byte.
 

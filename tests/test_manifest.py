@@ -260,6 +260,70 @@ def test_append_batch_exactly_once_and_ledger_survives_compact(spark, table):
     assert table.append_batch(b1, "s1", 1) is False
 
 
+def test_merge_batch_crash_mid_upsert_preserves_old_snapshot(spark, table):
+    """VERDICT r7 #1's done-criterion: a crash mid-streaming-upsert
+    (after the merge staged its rewritten partitions, before the
+    commit link) leaves the streaming target readable at the OLD
+    snapshot with the ledger unadvanced; re-delivering the batch heals
+    to the merged state; a second delivery is refused."""
+    b0 = _mkdf(spark, [("AAA", "2024-01-03", 55.0)])
+    assert table.merge_batch(spark, b0, KEYS, "s", 0) is True
+    rows_after_b0 = _snap(table.read(spark))
+    v = table.version()
+    b1 = _mkdf(spark, [("MMM", "2024-01-03", 66.0)])
+    with pytest.raises(CrashInjected):
+        table.merge_batch(spark, b1, KEYS, "s", 1,
+                          _crash_before_commit=True)
+    # old snapshot fully live, ledger unadvanced
+    assert table.version() == v
+    assert table.manifest()["streams"] == {"s": 0}
+    assert _snap(table.read(spark)) == rows_after_b0
+    # checkpoint recovery re-delivers batch 1: heals atomically
+    assert table.merge_batch(spark, b1, KEYS, "s", 1) is True
+    vals = {(r[0], str(r[1]), r[2]) for r in table.read(spark).collect()}
+    assert ("MMM", "2024-01-03", 66.0) in vals
+    assert ("AAA", "2024-01-03", 55.0) in vals      # b0 merge survived
+    # a replay of the committed batch is refused without staging
+    v2 = table.version()
+    assert table.merge_batch(spark, b1, KEYS, "s", 1) is False
+    assert table.version() == v2
+    # the crashed attempt's staged orphans are vacuum-reclaimable
+    assert any(r.startswith("data/") for r in table.vacuum())
+    assert ("MMM", "2024-01-03", 66.0) in {
+        (r[0], str(r[1]), r[2]) for r in table.read(spark).collect()}
+
+
+def test_merge_batch_restages_through_conflict(spark, table, monkeypatch):
+    """A CommitConflict mid-merge must RE-STAGE against the new
+    snapshot (unlike append_batch's stage-once retry): the competing
+    writer may have rewritten the very partitions this merge read.
+    Both writes must land; the merge must not resurrect the
+    pre-conflict version of the partition it merged."""
+    from stock_market_data_pipeline_spark import manifest as M
+
+    mine = _mkdf(spark, [("NNN", "2024-01-02", 1.0)])
+    competing = _mkdf(spark, [("AAA", "2024-01-02", 88.0)])
+    fired = {"done": False}
+    orig = M.ManifestTable._commit
+
+    def racy_commit(self, partitions, base_version, streams=None,
+                    schema=None):
+        if not fired["done"]:
+            fired["done"] = True
+            ManifestTable(table.root, table.ts).merge(
+                spark, competing, KEYS)
+        return orig(self, partitions, base_version, streams=streams,
+                    schema=schema)
+
+    monkeypatch.setattr(M.ManifestTable, "_commit", racy_commit)
+    assert table.merge_batch(spark, mine, KEYS, "s", 0) is True
+    got = {(r.ticker, str(r.trade_date)): r.close
+           for r in table.read(spark).collect()}
+    assert got[("NNN", "2024-01-02")] == 1.0
+    assert got[("AAA", "2024-01-02")] == 88.0   # competitor's row kept
+    assert table.manifest()["streams"] == {"s": 0}
+
+
 def test_append_batch_retries_through_conflict(spark, table, monkeypatch):
     """A CommitConflict mid-append (another writer committed first)
     must re-read the snapshot and retry, landing BOTH writes."""
