@@ -113,11 +113,63 @@ def test_vacuum_reclaims_crash_orphans(spark, table):
         table.merge(spark, _mkdf(spark, UPDATES), KEYS,
                     _crash_before_commit=True)
     before = _snap(table.read(spark))
-    removed = table.vacuum()
+    assert table.vacuum() == []          # grace window: orphan is young
+    removed = table.vacuum(retention_seconds=0)
     assert removed  # the orphaned txn went away
     data = os.path.join(table.root, "data")
     assert len(os.listdir(data)) == 1
     assert _snap(table.read(spark)) == before
+
+
+def test_vacuum_skips_inflight_stager(spark, table, monkeypatch):
+    """VERDICT r7 #3: vacuum() running CONCURRENTLY with a writer that
+    is between ``_stage`` and ``_commit`` must not delete the staged
+    files — the writer's subsequent commit must read back intact.  The
+    default retention gives every young, uncommitted txn dir a grace
+    window; only aged orphans are reclaimed."""
+    from stock_market_data_pipeline_spark import manifest as M
+
+    orig_stage = M.ManifestTable._stage
+
+    def stage_then_vacuum(self, df, **kw):
+        staged = orig_stage(self, df, **kw)
+        # a maintenance job fires vacuum exactly in the crash window
+        ManifestTable(table.root, table.ts).vacuum()
+        return staged
+
+    monkeypatch.setattr(M.ManifestTable, "_stage", stage_then_vacuum)
+    table.merge(spark, _mkdf(spark, UPDATES), KEYS)
+    monkeypatch.setattr(M.ManifestTable, "_stage", orig_stage)
+    expect = {(t, d): c for (t, d, c) in BASE}
+    expect.update({(t, d): c for (t, d, c) in UPDATES})
+    got = {(r.ticker, str(r.trade_date)): r.close
+           for r in table.read(spark).collect()}
+    assert got == expect                 # commit reads back intact
+
+
+def test_vacuum_reclaims_aged_orphans_under_default_retention(
+        spark, table):
+    """The grace window is an AGE bound, not amnesty: an orphan txn
+    whose files are older than the retention is reclaimed by the
+    default-parameter vacuum."""
+    import time
+
+    with pytest.raises(CrashInjected):
+        table.merge(spark, _mkdf(spark, UPDATES), KEYS,
+                    _crash_before_commit=True)
+    live = {e["path"] for es in table.manifest()["partitions"].values()
+            for e in es}
+    data = os.path.join(table.root, "data")
+    old = time.time() - 7 * 86400
+    for dp, _, fs in os.walk(data):
+        for f in fs:
+            p = os.path.join(dp, f)
+            if os.path.relpath(p, table.root) not in live:
+                os.utime(p, (old, old))
+        os.utime(dp, (old, old))
+    removed = table.vacuum()             # default retention
+    assert any(r.startswith("data/") for r in removed)
+    assert len(os.listdir(data)) == 1    # only the live txn remains
 
 
 def test_untouched_partition_dirs_not_rewritten(spark, table):
@@ -231,8 +283,9 @@ def test_commit_conflict_detected_not_torn(spark, table):
     got = {(r.ticker, str(r.trade_date)): r.close
            for r in table.read(spark).collect()}
     assert got == expect
-    # vacuum reclaims A's first-attempt orphan files
-    assert any(r.startswith("data/") for r in table.vacuum())
+    # vacuum reclaims A's first-attempt orphan files (aged out)
+    assert any(r.startswith("data/")
+               for r in table.vacuum(retention_seconds=0))
 
 
 def test_append_batch_exactly_once_and_ledger_survives_compact(spark, table):
@@ -288,7 +341,8 @@ def test_merge_batch_crash_mid_upsert_preserves_old_snapshot(spark, table):
     assert table.merge_batch(spark, b1, KEYS, "s", 1) is False
     assert table.version() == v2
     # the crashed attempt's staged orphans are vacuum-reclaimable
-    assert any(r.startswith("data/") for r in table.vacuum())
+    assert any(r.startswith("data/")
+               for r in table.vacuum(retention_seconds=0))
     assert ("MMM", "2024-01-03", 66.0) in {
         (r[0], str(r[1]), r[2]) for r in table.read(spark).collect()}
 
