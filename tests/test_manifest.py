@@ -566,6 +566,85 @@ def test_empty_read_preserves_column_order(spark, table):
     assert empty.unionAll(full).count() == full.count()
 
 
+# -- round 8: sharded metadata (format 3) ---------------------------
+
+
+def test_commit_rewrites_only_touched_shards(spark, table):
+    """The commit object carries one small REF per partition; a merge
+    must write shards ONLY for partitions it changed and carry every
+    other partition's shard by reference — the O(changed) metadata
+    write that makes commits scale past the single-JSON ceiling."""
+    before = {v: r["shard"]
+              for v, r in table._raw()["partitions"].items()}
+    table.merge(spark, _mkdf(spark, UPDATES), KEYS)
+    after = {v: r["shard"]
+             for v, r in table._raw()["partitions"].items()}
+    assert after["2024-01-02"] == before["2024-01-02"]   # ref carried
+    for v in ("2024-01-03", "2024-01-04", "2024-01-05"):
+        assert after.get(v) != before.get(v)
+    # commit object holds refs only — never inline file entries
+    raw = table._raw()
+    for r in raw["partitions"].values():
+        assert isinstance(r, dict)
+        assert {"shard", "files", "rows", "bytes", "stats"} <= set(r)
+
+
+def test_sharded_scan_opens_only_matching_shards(
+        spark, tmp_path, monkeypatch):
+    """VERDICT r7 #4's done-criterion: ~10^3 partitions; a selective
+    scan must open ONLY the shards its predicate cannot exclude —
+    proven by spying shard loads, not just by the reported counter."""
+    from stock_market_data_pipeline_spark import manifest as M
+
+    df = spark.range(1000).select(
+        F.col("id").cast("int").alias("bucket"),
+        (F.col("id") * 2.0).alias("v"))
+    t = ManifestTable.create(df, str(tmp_path / "big"), ts="bucket")
+    assert len(t._raw()["partitions"]) == 1000
+
+    calls: list[str] = []
+    orig = M.ManifestTable._entries
+
+    def spy(self, mf, value):
+        calls.append(value)
+        return orig(self, mf, value)
+
+    monkeypatch.setattr(M.ManifestTable, "_entries", spy)
+    # partition-value pruning: 5 of 1000 partitions survive
+    plan = t.scan_plan({"bucket": (100, 104)})
+    assert plan["partitions_pruned"] == 995
+    assert plan["shards_opened"] == 5
+    assert sorted(calls) == ["100", "101", "102", "103", "104"]
+    assert len(plan["files"]) == 5
+    # partition-level zone maps exclude shards on a NON-partition
+    # column too, still without opening them (v = 2*bucket)
+    calls.clear()
+    plan = t.scan_plan({"v": (0.0, 10.0)})
+    assert plan["shards_opened"] == len(calls) == 6     # buckets 0..5
+    assert plan["partitions_pruned"] == 0               # stats, not pt
+    assert plan["skipped"] == 994
+    # the pruned read still answers exactly
+    got = sorted(r.bucket for r in
+                 t.read(spark, where={"v": (0.0, 10.0)})
+                 .where(F.col("v") <= 10.0).collect())
+    assert got == [0, 1, 2, 3, 4, 5]
+
+
+def test_stream_ledger_commit_is_o_changed_metadata(spark, table):
+    """append_batch on a many-partition table must not rewrite
+    unchanged partitions' shards: the exactly-once ledger rides the
+    same O(changed) commit object."""
+    before = {v: r["shard"]
+              for v, r in table._raw()["partitions"].items()}
+    b = _mkdf(spark, [("EEE", "2024-01-04", 50.0)])
+    assert table.append_batch(b, "s1", 0) is True
+    after = table._raw()["partitions"]
+    assert after["2024-01-02"]["shard"] == before["2024-01-02"]
+    assert after["2024-01-03"]["shard"] == before["2024-01-03"]
+    assert after["2024-01-04"]["shard"] != before["2024-01-04"]
+    assert after["2024-01-04"]["files"] == 2            # old + appended
+
+
 def test_one_sided_numeric_bound_never_prunes(spark, tmp_path):
     """A numeric bound against a NON-numeric partition value (month
     strings vs an int year) is incomparable: the partition must be
@@ -627,7 +706,8 @@ def test_unsupported_manifest_format_rejected(spark, tmp_path, table):
     import json
 
     mdir = os.path.join(table.root, "_manifests")
-    name = sorted(os.listdir(mdir))[-1]
+    name = sorted(m for m in os.listdir(mdir)
+                  if m.startswith("manifest-"))[-1]
     path = os.path.join(mdir, name)
     body = json.load(open(path))
     body["format"] = 1
