@@ -1504,7 +1504,11 @@ from . import catalog_rel  # noqa: E402,F401  (pivot/cube/unpivot/histogram)
 # have a green row within the last two driver rounds — so no entry's
 # driver check ever ages past 2 rounds (VERDICT r6 "Next round" #4).
 _DRIVER_WINDOW_FIRST = [
-    # -- round 8, group 1: the 8 entries last driver-green in r5 that
+    # -- round 8, group 0: never driver-checked (new this round) —
+    # the compressed-image (PNG: zlib + CRC chunks + scanline filter
+    # reversal) decode path --
+    "mm_decode_png",
+    # -- group 1: the 8 entries last driver-green in r5 that
     # sat out the r7 window — at the policy's age bound, the staleness
     # test (tests/test_registration_order.py) fails the build unless
     # they front this window (VERDICT r7 "Next round" #2) --
@@ -1517,12 +1521,12 @@ _DRIVER_WINDOW_FIRST = [
     # transactional write path (VERDICT r7 "Next round" #1);
     # stream_upsert_rollup also belongs to the r6 cohort below --
     "stream_upsert_rollup", "fct_momentum_incremental",
-    # -- group 3: the r6-checked cohort (age 2 this round); 40 of 47
-    # remaining fit. The 7 deferred to r9 — the four serving_* entries
-    # (plans shared with the r7-green serve-path tests) and the three
-    # ingest/seed entries (single-operator, pytest-parity-covered) —
-    # are exactly at the age bound next round and must front the r9
-    # window. --
+    # -- group 3: the r6-checked cohort (age 2 this round); 39 of 47
+    # remaining fit. The 8 deferred to r9 — the four serving_* entries
+    # (plans shared with the r7-green serve-path tests), the three
+    # ingest/seed entries, and unpivot_dim_metrics (all
+    # single-operator, pytest-parity-covered) — are exactly at the age
+    # bound next round and must front the r9 window. --
     "asof_prior_view", "band_range_join", "cumulative_distinct_users",
     "datasource_grouped_daily", "dedup_embedding_cosine",
     "dedup_ngram_jaccard", "dedup_simhash",
@@ -1539,7 +1543,6 @@ _DRIVER_WINDOW_FIRST = [
     "text_repetition_ratio", "text_rolling_hash", "text_stats",
     "tpch_q1_pricing_summary", "tpch_q3_topk_revenue",
     "tpch_q5_local_supplier", "trend_slope_by_key",
-    "unpivot_dim_metrics",
 ]
 
 

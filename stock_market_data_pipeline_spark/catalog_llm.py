@@ -1120,6 +1120,65 @@ FROM m
 """.strip()
 
 
+MM_DECODE_PNG_SQL = """
+WITH dims AS (
+  -- same ASCII sanitization as the PNG builder (bytes == chars)
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         regexp_replace(text, '[^\\x00-\\x7f]', '?', 'g') AS text,
+         CAST(doc_id % 8 + 4 AS BIGINT) AS w,
+         CAST(doc_id % 6 + 4 AS BIGINT) AS h
+  FROM documents
+), pos AS (
+  SELECT doc_id, text, w, h, unnest(range(0, w * h)) AS j
+  FROM dims
+), b AS (
+  SELECT doc_id, w, h,
+         CAST(ascii(substr(text,
+                    CAST(j % length(text) AS INTEGER) + 1, 1))
+              AS BIGINT) AS v
+  FROM pos
+), m AS (
+  SELECT doc_id, ANY_VALUE(w) AS w, ANY_VALUE(h) AS h,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS BIGINT) AS s, CAST(SUM(v * v) AS BIGINT) AS ssq,
+         MIN(v) AS mn, MAX(v) AS mx
+  FROM b GROUP BY doc_id
+)
+SELECT doc_id, 'image' AS modality,
+       CAST(w AS INTEGER) AS meta_width, CAST(h AS INTEGER) AS meta_height,
+       n AS n_pixels,
+       CAST(s AS DOUBLE) / n AS pixel_mean,
+       SQRT(CAST(n * ssq - s * s AS DOUBLE)) / n AS pixel_std,
+       CAST(mn AS INTEGER) AS pixel_min,
+       CAST(mx AS INTEGER) AS pixel_max
+FROM m
+""".strip()
+
+
+@q("mm_decode_png", MM_DECODE_PNG_SQL)
+def mm_decode_png_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode end-to-end (the codec path PPM
+    can't exercise: the pixel bytes pass through scanline filtering —
+    every row a different filter type, None/Sub/Up/Average/Paeth — a
+    zlib deflate stream, and CRC-framed chunks): stdlib-built
+    grayscale PNGs -> stdlib zlib/struct parser inside the
+    Arrow-batched featurizer -> pixel stats.  The oracle enumerates
+    the source pixel stream v(j) = text[j % len] per doc, so ANY
+    defect in chunk walking, inflate, or filter reversal perturbs
+    some pixel and hash-fails."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = multimodal.png_payload_table(docs)
+    feats = multimodal.extract_features(payloads, codec="png")
+    return (feats.join(payloads.select("doc_id", "meta_width",
+                                       "meta_height"), "doc_id")
+            .select("doc_id", "modality", "meta_width", "meta_height",
+                    F.col("n_bytes").alias("n_pixels"),
+                    F.col("byte_mean").alias("pixel_mean"),
+                    F.col("byte_std").alias("pixel_std"),
+                    F.col("byte_min").alias("pixel_min"),
+                    F.col("byte_max").alias("pixel_max")))
+
+
 @q("mm_decode_wav", MM_DECODE_WAV_SQL)
 def mm_decode_wav_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode end-to-end: stdlib wave-writer payloads

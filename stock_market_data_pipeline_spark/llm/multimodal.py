@@ -146,6 +146,142 @@ def wav_payload_table(docs: DataFrame) -> DataFrame:
             .mapInPandas(batches, schema=PAYLOAD_SCHEMA))
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): pick the neighbor (left,
+    up, up-left) closest to the linear estimate a + b - c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def png_payload_table(docs: DataFrame) -> DataFrame:
+    """Documents -> REAL 8-bit grayscale PNG payloads (stdlib only:
+    ``zlib`` for the IDAT deflate stream and the chunk CRCs,
+    ``struct`` for the big-endian chunk framing).  Pixel j is the
+    cycled text byte v(j) = text[j % len] — the SAME SQL-enumerable
+    stream as the PPM builder, so the decode path has a per-pixel
+    oracle — but unlike PPM the bytes pass through a COMPRESSED
+    container: scanline filtering (each row r uses filter type r % 5,
+    exercising None/Sub/Up/Average/Paeth), zlib, CRC-framed chunks.
+    Dimensions derive from doc_id so every IHDR differs."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        import numpy as np
+
+        def chunk(tag: bytes, data: bytes) -> bytes:
+            return (struct.pack(">I", len(data)) + tag + data
+                    + struct.pack(">I", zlib.crc32(tag + data)))
+
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("ascii", errors="replace")
+                w = int(doc_id) % 8 + 4
+                h = int(doc_id) % 6 + 4
+                idx = np.arange(w * h) % len(raw)
+                px = np.frombuffer(raw, dtype=np.uint8)[idx] \
+                    .reshape(h, w).astype(np.int64)
+                scanlines = bytearray()
+                for r in range(h):
+                    f = r % 5
+                    cur = px[r]
+                    up = px[r - 1] if r else np.zeros(w, dtype=np.int64)
+                    out = np.empty(w, dtype=np.int64)
+                    for i in range(w):
+                        left = cur[i - 1] if i else 0
+                        ul = up[i - 1] if i else 0
+                        pred = (0 if f == 0 else
+                                left if f == 1 else
+                                up[i] if f == 2 else
+                                (left + up[i]) // 2 if f == 3 else
+                                _paeth(int(left), int(up[i]), int(ul)))
+                        out[i] = (int(cur[i]) - int(pred)) & 0xFF
+                    scanlines.append(f)
+                    scanlines.extend(out.astype(np.uint8).tobytes())
+                ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+                payload = (b"\x89PNG\r\n\x1a\n"
+                           + chunk(b"IHDR", ihdr)
+                           + chunk(b"IDAT", zlib.compress(bytes(scanlines)))
+                           + chunk(b"IEND", b""))
+                rows.append({"doc_id": int(doc_id), "modality": "image",
+                             "payload": payload,
+                             "meta_width": w, "meta_height": h,
+                             "meta_channels": 1})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PAYLOAD_SCHEMA])
+
+    return (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        "text")
+            .mapInPandas(batches, schema=PAYLOAD_SCHEMA))
+
+
+def _decode_png(payload: bytes) -> "object":
+    """REAL image decode for 8-bit grayscale PNG — stdlib ``zlib``
+    only, no PIL.  Validates the signature, walks the CRC-framed
+    chunks (every CRC is VERIFIED — a corrupted container must fail
+    loudly, not decode garbage), reads IHDR, inflates the
+    concatenated IDAT stream, and reverses per-scanline filtering
+    (all five filter types).  Returns the pixel array; the per-pixel
+    oracle (mm_decode_png) proves filter reversal and inflate
+    reproduced the exact source byte stream."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError(f"not a PNG: signature {payload[:8]!r}")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        tag = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length:pos + 12 + length])
+        if zlib.crc32(tag + data) != crc:
+            raise ValueError(f"PNG chunk {tag!r}: CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.extend(data)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG without IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if (depth, color, comp, filt, interlace) != (8, 0, 0, 0, 0):
+        raise ValueError(
+            f"only 8-bit non-interlaced grayscale supported, got "
+            f"depth={depth} color={color} interlace={interlace}")
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (w + 1):
+        raise ValueError(
+            f"IDAT inflates to {len(raw)}B != {h}x({w}+1)")
+    out = np.zeros((h, w), dtype=np.int64)
+    for r in range(h):
+        line = raw[r * (w + 1):(r + 1) * (w + 1)]
+        f, data = line[0], line[1:]
+        prior = out[r - 1] if r else np.zeros(w, dtype=np.int64)
+        for i in range(w):
+            left = out[r, i - 1] if i else 0
+            ul = prior[i - 1] if i else 0
+            pred = (0 if f == 0 else
+                    left if f == 1 else
+                    prior[i] if f == 2 else
+                    (left + prior[i]) // 2 if f == 3 else
+                    _paeth(int(left), int(prior[i]), int(ul)))
+            out[r, i] = (data[i] + int(pred)) & 0xFF
+    return out.reshape(-1)
+
+
 def _decode_ppm(payload: bytes) -> "object":
     """REAL image decode for binary PPM (P6) — stdlib-only, no PIL.
 
@@ -201,9 +337,10 @@ def _decode(payload: bytes, codec: str = "fake") -> "object":
     """Decode a payload to a 1-D sample array.
 
     ``fake`` treats the raw bytes as pixels/samples — deterministic and
-    codec-free. ``ppm`` and ``wav`` are REAL stdlib-only decoders
-    (binary PPM header parse; RIFF/wave 16-bit PCM). Codecs needing
-    non-stdlib libs (JPEG/PNG/MP3 — no PIL/ffmpeg in this container)
+    codec-free. ``ppm``, ``png`` and ``wav`` are REAL stdlib-only
+    decoders (binary PPM header parse; zlib-inflated, CRC-checked,
+    unfiltered grayscale PNG; RIFF/wave 16-bit PCM). Codecs needing
+    non-stdlib libs (JPEG/MP3 — no PIL/ffmpeg in this container)
     stay intentionally unimplemented; their call site and Arrow batch
     plumbing are identical.
     """
@@ -213,6 +350,8 @@ def _decode(payload: bytes, codec: str = "fake") -> "object":
         return np.frombuffer(payload, dtype=np.uint8)
     if codec == "ppm":
         return _decode_ppm(payload)
+    if codec == "png":
+        return _decode_png(payload)
     if codec == "wav":
         return _decode_wav(payload)
     raise NotImplementedError(

@@ -172,3 +172,41 @@ def test_codec_payloads_survive_non_ascii_text(spark):
         # every sample is a little-endian pair of ASCII bytes
         assert all(0 <= (s & 0xFF) <= 127 and
                    0 <= ((s >> 8) & 0xFF) <= 127 for s in samples)
+
+
+def test_png_codec_roundtrip_filters_and_crc(spark):
+    """The PNG builder/decoder pair: every scanline filter type
+    (None/Sub/Up/Average/Paeth — row r uses r % 5, so any image with
+    h >= 5 exercises all five) must reverse to the exact source pixel
+    stream; a corrupted chunk must fail the CRC check loudly instead
+    of decoding garbage; non-ASCII text sanitizes to one-byte chars
+    exactly like the PPM/WAV builders."""
+    import numpy as np
+
+    from stock_market_data_pipeline_spark.llm.multimodal import (
+        _decode_png,
+        png_payload_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(9, "café au lait — 50¢ déjà"), (10, "plain ascii"),
+         (31, "The quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    rows = png_payload_table(docs).collect()
+    assert max(r.meta_height for r in rows) >= 5  # all 5 filters hit
+    for row in rows:
+        raw = None
+        for d, t in [(9, "café au lait — 50¢ déjà"), (10, "plain ascii"),
+                     (31, "The quick brown fox jumps over the lazy dog")]:
+            if d == row.doc_id:
+                raw = t.encode("ascii", errors="replace")
+        n = row.meta_width * row.meta_height
+        want = np.frombuffer(raw, dtype=np.uint8)[np.arange(n) % len(raw)]
+        got = _decode_png(bytes(row.payload))
+        assert np.array_equal(got, want.astype(np.int64)), row.doc_id
+        # container really is compressed + framed: flipping one IDAT
+        # byte must raise, not shift pixels
+        bad = bytearray(row.payload)
+        bad[45] ^= 0xFF
+        with pytest.raises(ValueError, match="CRC|PNG"):
+            _decode_png(bytes(bad))
