@@ -44,6 +44,9 @@ ENTRIES = [
     # momentum chain (6M-row fact, 200k-ticker windows)
     "universe_daily", "fct_trading_momentum", "agg_daily_market_breadth",
     "dim_securities_current", "manifest_momentum_merge",
+    # round-8: TWO successive transactional merges through the
+    # now-default manifest write path
+    "fct_momentum_incremental",
     # dedup family
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_clusters", "dedup_survivors_by_quality",
