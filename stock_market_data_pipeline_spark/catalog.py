@@ -679,6 +679,46 @@ def manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("trade_month"))
 
 
+MANIFEST_DELETE_SQL = f"""
+SELECT * FROM ({oracles.BARS_SQL}) b
+WHERE trade_date NOT BETWEEN DATE '1997-05-15' AND DATE '1997-07-15'
+""".strip()
+
+
+@q("manifest_delete_where", MANIFEST_DELETE_SQL)
+def manifest_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional DELETE through the manifest layer (§2.9's
+    remaining MERGE clause — WHEN MATCHED DELETE / ``DELETE FROM t
+    WHERE``, the op behind the reference's snapshot invalidation,
+    snapshots/russell3000_constituents_snapshot.sql:4-12): the bars
+    fact is materialized month-partitioned, then a date range
+    straddling month boundaries is deleted in ONE atomic
+    multi-partition commit.  The write plan is pinned in-entry: the
+    fully-covered month (1997-06) must be DROPPED without writing a
+    byte, the partially-covered boundary months REWRITTEN, everything
+    else carried by shard ref — the entry RAISES otherwise.  The
+    oracle is the bar build with the range filtered out in SQL, so
+    hash equality proves the rewrite dropped exactly the matching
+    rows.  Crash atomicity is pinned by tests/test_manifest.py."""
+    from .manifest import ManifestTable
+    from .scratch import scratch_dir
+
+    lo, hi = "1997-05-15", "1997-07-15"
+    bars = bars_from_lineitem(_t(spark, sf_dir, "lineitem")).withColumn(
+        "trade_month", F.date_format("trade_date", "yyyy-MM"))
+    table = ManifestTable.create(
+        bars, scratch_dir("manifest_delete_"), ts="trade_month")
+    out = table.delete_where(
+        spark, F.col("trade_date").between(lo, hi),
+        where={"trade_month": ("1997-05", "1997-07"),
+               "trade_date": (lo, hi)})
+    if not (out["partitions_dropped"] >= 1
+            and out["partitions_rewritten"] >= 1
+            and out["rows_deleted"] > 0):
+        raise RuntimeError(f"delete write plan not partition-shaped: {out}")
+    return table.read(spark).drop("trade_month")
+
+
 @q("agg_daily_market_breadth", oracles.breadth_sql(SMALL))
 def breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """agg_daily_market_breadth: A1-A3 conditional aggs, W12 running
@@ -1506,8 +1546,8 @@ from . import catalog_rel  # noqa: E402,F401  (pivot/cube/unpivot/histogram)
 _DRIVER_WINDOW_FIRST = [
     # -- round 8, group 0: never driver-checked (new this round) —
     # the compressed-image (PNG: zlib + CRC chunks + scanline filter
-    # reversal) decode path --
-    "mm_decode_png",
+    # reversal) decode path and the transactional DELETE --
+    "mm_decode_png", "manifest_delete_where",
     # -- group 1: the 8 entries last driver-green in r5 that
     # sat out the r7 window — at the policy's age bound, the staleness
     # test (tests/test_registration_order.py) fails the build unless
@@ -1521,12 +1561,12 @@ _DRIVER_WINDOW_FIRST = [
     # transactional write path (VERDICT r7 "Next round" #1);
     # stream_upsert_rollup also belongs to the r6 cohort below --
     "stream_upsert_rollup", "fct_momentum_incremental",
-    # -- group 3: the r6-checked cohort (age 2 this round); 39 of 47
-    # remaining fit. The 8 deferred to r9 — the four serving_* entries
+    # -- group 3: the r6-checked cohort (age 2 this round); 38 of 47
+    # remaining fit. The 9 deferred to r9 — the four serving_* entries
     # (plans shared with the r7-green serve-path tests), the three
-    # ingest/seed entries, and unpivot_dim_metrics (all
-    # single-operator, pytest-parity-covered) — are exactly at the age
-    # bound next round and must front the r9 window. --
+    # ingest/seed entries, unpivot_dim_metrics and trend_slope_by_key
+    # (all single-operator, pytest-parity-covered) — are exactly at
+    # the age bound next round and must front the r9 window. --
     "asof_prior_view", "band_range_join", "cumulative_distinct_users",
     "datasource_grouped_daily", "dedup_embedding_cosine",
     "dedup_ngram_jaccard", "dedup_simhash",
@@ -1542,7 +1582,7 @@ _DRIVER_WINDOW_FIRST = [
     "text_fingerprint", "text_lang_id", "text_quality_score",
     "text_repetition_ratio", "text_rolling_hash", "text_stats",
     "tpch_q1_pricing_summary", "tpch_q3_topk_revenue",
-    "tpch_q5_local_supplier", "trend_slope_by_key",
+    "tpch_q5_local_supplier",
 ]
 
 

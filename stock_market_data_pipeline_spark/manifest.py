@@ -826,6 +826,67 @@ class ManifestTable:
             except CommitConflict:
                 continue        # someone else committed; re-evaluate
 
+    def delete_where(self, spark: SparkSession, condition,
+                     where: dict | None = None,
+                     _crash_before_commit: bool = False) -> dict:
+        """Transactional DELETE (the ``DELETE FROM t WHERE ...`` /
+        MERGE WHEN MATCHED DELETE shape — the reference's snapshot
+        invalidation updates,
+        snapshots/russell3000_constituents_snapshot.sql:4-12, are this
+        op's keyed cousin): drop every row matching ``condition`` with
+        ONE atomic multi-partition commit.  A reader sees the table
+        entirely before or entirely after the delete; a crash leaves
+        the old snapshot fully live; pre-delete snapshots stay
+        time-travelable until vacuum.
+
+        ``condition`` is a Column (or SQL string) evaluated per row.
+        ``where`` optionally carries {col: (lo, hi)} bounds implied by
+        the condition, used EXACTLY like :meth:`scan_plan`'s pruning:
+        partitions/files the bounds exclude are never read.  Bounds
+        must be implied by (i.e. a superset of) the condition — rows
+        outside them are assumed non-matching.
+
+        Write granularity, scale-shaped: one counting aggregation over
+        the candidate files finds the partitions that actually contain
+        matches; only THOSE are rewritten (filtered read-back, one
+        staging job).  A partition whose rows all match is dropped
+        from the table without writing a byte; untouched and
+        match-free partitions are carried by shard ref.  Returns
+        {"rows_deleted", "partitions_rewritten", "partitions_dropped"}.
+        """
+        if isinstance(condition, str):
+            condition = F.expr(condition)
+        mf = self._raw()
+        plan = self.scan_plan(where)
+        if not plan["files"]:
+            return {"rows_deleted": 0, "partitions_rewritten": 0,
+                    "partitions_dropped": 0}
+        pt = F.col(self.ts).cast("string")
+        cand = spark.read.parquet(*plan["files"])
+        counts = {r["__v"]: r["n"] for r in
+                  (cand.where(condition).groupBy(pt.alias("__v"))
+                   .agg(F.count(F.lit(1)).alias("n")).collect())}
+        if not counts:
+            return {"rows_deleted": 0, "partitions_rewritten": 0,
+                    "partitions_dropped": 0}
+        live = mf["partitions"]
+        rewrite_files = [os.path.join(self.root, e["path"])
+                         for v in counts for e in self._entries(mf, v)]
+        kept = spark.read.parquet(*rewrite_files).where(~condition)
+        staged = self._stage(kept)
+        new_parts = dict(live)
+        for v in counts:
+            new_parts.pop(v, None)
+        new_parts.update(staged)
+        if _crash_before_commit:
+            raise CrashInjected("writer died after staging, before commit")
+        self._commit(new_parts, base_version=mf["version"],
+                     streams=mf.get("streams", {}),
+                     schema=mf.get("schema"))
+        return {"rows_deleted": sum(counts.values()),
+                "partitions_rewritten": len(staged),
+                "partitions_dropped": len(set(counts) - set(staged))}
+
     def compact(self, spark: SparkSession,
                 min_files: int = 2,
                 cluster_by: list[str] | None = None,

@@ -566,6 +566,54 @@ def test_empty_read_preserves_column_order(spark, table):
     assert empty.unionAll(full).count() == full.count()
 
 
+def test_delete_where_partition_shaped_and_atomic(spark, table):
+    """Transactional DELETE: rows matching the predicate disappear in
+    one atomic commit; a partition whose rows all match is DROPPED
+    without a write; match-free partitions are carried by shard ref;
+    the pre-delete snapshot stays time-travelable."""
+    # a partition entirely OUTSIDE the delete range: must be carried
+    # by shard ref, never read or rewritten
+    table.append(_mkdf(spark, [("ZZZ", "2024-01-06", 99.0)]))
+    pre_name = f"manifest-{table.version():08d}.json"
+    refs_before = {v: r["shard"]
+                   for v, r in table._raw()["partitions"].items()}
+    # close in [11,21] matches: 20 (01-02 BBB), 11+21 (ALL of 01-03),
+    # 12 (01-04 AAA) -> two partitions rewritten, one dropped whole
+    out = table.delete_where(
+        spark, (F.col("close") >= 11.0) & (F.col("close") <= 21.0),
+        where={"close": (11.0, 21.0)})
+    assert out == {"rows_deleted": 4, "partitions_rewritten": 2,
+                   "partitions_dropped": 1}
+    got = {(r.ticker, str(r.trade_date)) for r in
+           table.read(spark).collect()}
+    assert got == {("AAA", "2024-01-02"), ("BBB", "2024-01-04"),
+                   ("ZZZ", "2024-01-06")}
+    after = table._raw()["partitions"]
+    assert "2024-01-03" not in after                   # dropped whole
+    assert after["2024-01-06"]["shard"] == refs_before["2024-01-06"]
+    assert after["2024-01-02"]["shard"] != refs_before["2024-01-02"]
+    assert after["2024-01-04"]["shard"] != refs_before["2024-01-04"]
+    # pre-delete snapshot intact (time travel)
+    assert len(_snap(table.read(spark, pre_name))) == 7
+
+
+def test_delete_where_no_match_is_noop(spark, table):
+    v = table.version()
+    out = table.delete_where(spark, F.col("close") > 1000.0,
+                             where={"close": (1000.0, None)})
+    assert out["rows_deleted"] == 0
+    assert table.version() == v                        # no commit
+
+
+def test_delete_where_crash_preserves_old_snapshot(spark, table):
+    before = _snap(table.read(spark))
+    with pytest.raises(CrashInjected):
+        table.delete_where(spark, F.col("close") >= 11.0,
+                           _crash_before_commit=True)
+    assert table.version() == 1
+    assert _snap(table.read(spark)) == before
+
+
 # -- round 8: sharded metadata (format 3) ---------------------------
 
 
