@@ -719,6 +719,52 @@ def manifest_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark).drop("trade_month")
 
 
+MANIFEST_EVOLVE_SQL = f"""
+WITH b AS ({oracles.BARS_SQL})
+SELECT b.*, CAST(NULL AS VARCHAR) AS venue
+FROM b WHERE trade_date < DATE '1997-07-01'
+UNION ALL
+SELECT b.*, 'XNYS' AS venue
+FROM b WHERE trade_date >= DATE '1997-07-01'
+""".strip()
+
+
+@q("manifest_schema_evolution", MANIFEST_EVOLVE_SQL)
+def manifest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only schema evolution (Delta's ALTER TABLE ADD
+    COLUMNS; the reference's warehouse tables evolve the same way —
+    new dbt model columns appear without rewriting history): the bars
+    fact is materialized month-partitioned, a ``venue`` column is
+    added in ONE metadata commit (the entry RAISES if any shard was
+    rewritten — the evolution must not touch a data file), and the
+    post-split slice is appended WITH the column.  Reads reconcile old
+    and new files through the pinned schema, so pre-evolution rows
+    surface venue = NULL; the oracle builds the same union in SQL, so
+    hash equality proves the NULL-fill and the old/new reconciliation
+    are exact."""
+    from .manifest import ManifestTable
+    from .scratch import scratch_dir
+
+    split = "1997-07-01"
+    bars = bars_from_lineitem(_t(spark, sf_dir, "lineitem")).withColumn(
+        "trade_month", F.date_format("trade_date", "yyyy-MM"))
+    table = ManifestTable.create(
+        bars.where(F.col("trade_date") < F.lit(split)),
+        scratch_dir("manifest_evolve_"), ts="trade_month")
+    refs_before = {v: r["shard"]
+                   for v, r in table._raw()["partitions"].items()}
+    table.add_columns([("venue", "string")])
+    refs_after = {v: r["shard"]
+                  for v, r in table._raw()["partitions"].items()}
+    if refs_after != refs_before:
+        raise RuntimeError(
+            "schema evolution rewrote data shards — must be "
+            "metadata-only")
+    table.append(bars.where(F.col("trade_date") >= F.lit(split))
+                 .withColumn("venue", F.lit("XNYS")))
+    return table.read(spark).drop("trade_month")
+
+
 @q("agg_daily_market_breadth", oracles.breadth_sql(SMALL))
 def breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """agg_daily_market_breadth: A1-A3 conditional aggs, W12 running
@@ -1546,8 +1592,9 @@ from . import catalog_rel  # noqa: E402,F401  (pivot/cube/unpivot/histogram)
 _DRIVER_WINDOW_FIRST = [
     # -- round 8, group 0: never driver-checked (new this round) —
     # the compressed-image (PNG: zlib + CRC chunks + scanline filter
-    # reversal) decode path and the transactional DELETE --
-    "mm_decode_png", "manifest_delete_where",
+    # reversal) decode path, the transactional DELETE, and the
+    # metadata-only schema evolution --
+    "mm_decode_png", "manifest_delete_where", "manifest_schema_evolution",
     # -- group 1: the 8 entries last driver-green in r5 that
     # sat out the r7 window — at the policy's age bound, the staleness
     # test (tests/test_registration_order.py) fails the build unless
@@ -1561,12 +1608,13 @@ _DRIVER_WINDOW_FIRST = [
     # transactional write path (VERDICT r7 "Next round" #1);
     # stream_upsert_rollup also belongs to the r6 cohort below --
     "stream_upsert_rollup", "fct_momentum_incremental",
-    # -- group 3: the r6-checked cohort (age 2 this round); 38 of 47
-    # remaining fit. The 9 deferred to r9 — the four serving_* entries
-    # (plans shared with the r7-green serve-path tests), the three
-    # ingest/seed entries, unpivot_dim_metrics and trend_slope_by_key
-    # (all single-operator, pytest-parity-covered) — are exactly at
-    # the age bound next round and must front the r9 window. --
+    # -- group 3: the r6-checked cohort (age 2 this round); 37 of 47
+    # remaining fit. The 10 deferred to r9 — the four serving_*
+    # entries (plans shared with the r7-green serve-path tests), the
+    # three ingest/seed entries, unpivot_dim_metrics,
+    # trend_slope_by_key and text_stats (all single-operator,
+    # pytest-parity-covered) — are exactly at the age bound next round
+    # and must front the r9 window. --
     "asof_prior_view", "band_range_join", "cumulative_distinct_users",
     "datasource_grouped_daily", "dedup_embedding_cosine",
     "dedup_ngram_jaccard", "dedup_simhash",
@@ -1580,7 +1628,7 @@ _DRIVER_WINDOW_FIRST = [
     "stream_interval_join", "stream_session_windows",
     "stream_stateful_user_totals", "text_boilerplate_segments",
     "text_fingerprint", "text_lang_id", "text_quality_score",
-    "text_repetition_ratio", "text_rolling_hash", "text_stats",
+    "text_repetition_ratio", "text_rolling_hash",
     "tpch_q1_pricing_summary", "tpch_q3_topk_revenue",
     "tpch_q5_local_supplier",
 ]

@@ -100,8 +100,10 @@ steps to prove the reader contract.
 Partition-column handling: the staging write partitions by a STRING
 duplicate ``__pt`` of the partition column, so the parquet files keep
 the original typed column and readers need no partition-value parsing
-— ``read()`` is a plain ``spark.read.parquet(*live_files)``.  The
-duplicate costs nothing on disk (dictionary/RLE-encoded constant).
+— ``read()`` is the resolved live-file list read through the PINNED
+schema (which also makes metadata-only schema evolution work: see
+``add_columns``).  The duplicate costs nothing on disk
+(dictionary/RLE-encoded constant).
 
 Scale: merge data movement is partition-pruned read + touched-partition
 write.  The key-stability precondition applies: a key never moves
@@ -150,8 +152,8 @@ class SchemaMismatch(RuntimeError):
     error at read time — the scan takes the first file's schema and a
     new column silently VANISHES, the physical.py mis-scale class all
     over again.  So the write boundary fails loudly instead; schema
-    evolution is an explicit deployment concern (Delta's mergeSchema /
-    Iceberg's schema evolution), not an accident."""
+    evolution is an explicit operation (``add_columns`` — Delta's
+    ALTER TABLE ADD COLUMNS analog), never an accident."""
 
 
 def _schema_sig(df: DataFrame) -> list[list[str]]:
@@ -406,6 +408,30 @@ class ManifestTable:
                 f"write schema differs from the table's pinned schema: "
                 f"extra/retyped {extra}, missing {missing}")
 
+    def add_columns(self, new_cols: list[tuple[str, str]]) -> None:
+        """Metadata-only schema evolution (Delta's ``ALTER TABLE ADD
+        COLUMNS`` shape): append (name, simpleString type) pairs to
+        the pinned schema with ONE manifest commit — no data rewrite,
+        no file touched.  Files written before the evolution simply
+        lack the column; every read path supplies the pinned schema to
+        the parquet reader, which reconciles by name and yields NULL
+        there (:meth:`_read_files`).  Writes after the evolution must
+        carry the full evolved schema (the usual
+        :class:`SchemaMismatch` gate).  Dropping or retyping columns
+        is deliberately NOT offered: both would make existing footer
+        stats/zone maps lie about live data."""
+        mf = self._raw()
+        schema = [list(c) for c in (mf.get("schema") or [])]
+        have = {n for n, _ in schema}
+        for n, t in new_cols:
+            if n in have:
+                raise SchemaMismatch(
+                    f"column {n!r} already exists in the pinned schema")
+            schema.append([n, t])
+        self._commit(dict(mf["partitions"]),
+                     base_version=mf["version"],
+                     streams=mf.get("streams", {}), schema=schema)
+
     def _commit(self, partitions: dict[str, list | dict],
                 base_version: int,
                 streams: dict[str, int] | None = None,
@@ -617,6 +643,22 @@ class ManifestTable:
         return (min(r["stats"][col][0] for r in refs),
                 max(r["stats"][col][1] for r in refs))
 
+    def _read_files(self, spark: SparkSession, files: list[str],
+                    mf: dict) -> DataFrame:
+        """Read a resolved file list through the PINNED schema: the
+        parquet reader reconciles by name, so files written before a
+        schema evolution simply yield NULL for the added columns —
+        Delta's metadata-only ADD COLUMNS semantics.  Every internal
+        read (merge read-back, compaction, delete, snapshot read)
+        funnels through here so old and new files always surface the
+        same frame shape."""
+        schema = mf.get("schema")
+        reader = spark.read
+        if schema:
+            reader = reader.schema(
+                ", ".join(f"`{n}` {t}" for n, t in schema))
+        return reader.parquet(*files)
+
     def read(self, spark: SparkSession,
              manifest_name: str | None = None,
              where: dict | None = None) -> DataFrame:
@@ -629,15 +671,16 @@ class ManifestTable:
         reads as an EMPTY frame with the pinned schema — never a
         zero-path reader error."""
         plan = self.scan_plan(where, manifest_name)
+        mf = self._raw(manifest_name)
         if not plan["files"]:
-            schema = self._raw(manifest_name).get("schema")
+            schema = mf.get("schema")
             if not schema:
                 raise FileNotFoundError(
                     f"{self.root}: nothing to read and no pinned schema "
                     "to type an empty result")
             ddl = ", ".join(f"`{n}` {t}" for n, t in schema)
             return spark.createDataFrame([], ddl)
-        return spark.read.parquet(*plan["files"])
+        return self._read_files(spark, plan["files"], mf)
 
     # -- write paths -------------------------------------------------
 
@@ -684,7 +727,7 @@ class ManifestTable:
                        for v in live if v not in touched
                        for e in self._entries(mf, v)]
             if outside and key_cols:
-                strays = (spark.read.parquet(*outside)
+                strays = (self._read_files(spark, outside, mf)
                           .join(updates.select(*key_cols).distinct(),
                                 key_cols, "left_semi"))
                 n = strays.count()
@@ -698,7 +741,7 @@ class ManifestTable:
                        for v in touched if v in live
                        for e in self._entries(mf, v)]
         if prior_files:
-            current = spark.read.parquet(*prior_files)
+            current = self._read_files(spark, prior_files, mf)
             merged = merge_upsert(current, updates, keys)
         else:
             merged = updates
@@ -862,7 +905,7 @@ class ManifestTable:
             return {"rows_deleted": 0, "partitions_rewritten": 0,
                     "partitions_dropped": 0}
         pt = F.col(self.ts).cast("string")
-        cand = spark.read.parquet(*plan["files"])
+        cand = self._read_files(spark, plan["files"], mf)
         counts = {r["__v"]: r["n"] for r in
                   (cand.where(condition).groupBy(pt.alias("__v"))
                    .agg(F.count(F.lit(1)).alias("n")).collect())}
@@ -872,7 +915,7 @@ class ManifestTable:
         live = mf["partitions"]
         rewrite_files = [os.path.join(self.root, e["path"])
                          for v in counts for e in self._entries(mf, v)]
-        kept = spark.read.parquet(*rewrite_files).where(~condition)
+        kept = self._read_files(spark, rewrite_files, mf).where(~condition)
         staged = self._stage(kept)
         new_parts = dict(live)
         for v in counts:
@@ -915,7 +958,7 @@ class ManifestTable:
         files_before = sum(live[v]["files"] for v in todo_vals)
         paths = [os.path.join(self.root, e["path"])
                  for v in todo_vals for e in self._entries(mf, v)]
-        staged = self._stage(spark.read.parquet(*paths),
+        staged = self._stage(self._read_files(spark, paths, mf),
                              cluster_by=cluster_by,
                              max_records_per_file=max_records_per_file)
         self._commit({**live, **staged}, base_version=mf["version"],

@@ -614,6 +614,47 @@ def test_delete_where_crash_preserves_old_snapshot(spark, table):
     assert _snap(table.read(spark)) == before
 
 
+def test_add_columns_metadata_only_evolution(spark, table):
+    """ALTER TABLE ADD COLUMNS semantics: one metadata commit, zero
+    files touched; pre-evolution files read back with NULL in the new
+    column; post-evolution writes must carry it; merges spanning old
+    and new files reconcile through the pinned schema."""
+    refs_before = {v: r["shard"]
+                   for v, r in table._raw()["partitions"].items()}
+    v = table.version()
+    table.add_columns([("venue", "string")])
+    assert table.version() == v + 1
+    # metadata-only: every shard carried by ref
+    assert {v2: r["shard"]
+            for v2, r in table._raw()["partitions"].items()} == refs_before
+    df = table.read(spark)
+    assert df.columns == ["ticker", "trade_date", "close", "venue"]
+    assert df.where(F.col("venue").isNotNull()).count() == 0
+    # old-shape writes are now schema drift
+    from stock_market_data_pipeline_spark.manifest import SchemaMismatch
+    with pytest.raises(SchemaMismatch):
+        table.append(_mkdf(spark, [("NEW", "2024-01-05", 1.0)]))
+    # evolved-shape append lands; merge upserts ACROSS old/new files
+    evolved = _mkdf(spark, [("NEW", "2024-01-05", 1.0)]) \
+        .withColumn("venue", F.lit("XNYS"))
+    table.append(evolved)
+    table.merge(spark,
+                _mkdf(spark, [("AAA", "2024-01-03", 77.0)])
+                .withColumn("venue", F.lit("XNAS")), KEYS)
+    got = {(r.ticker, str(r.trade_date)): (r.close, r.venue)
+           for r in table.read(spark).collect()}
+    assert got[("NEW", "2024-01-05")] == (1.0, "XNYS")
+    assert got[("AAA", "2024-01-03")] == (77.0, "XNAS")
+    assert got[("BBB", "2024-01-03")] == (21.0, None)  # old row, rewritten
+    assert got[("AAA", "2024-01-02")] == (10.0, None)  # old file, untouched
+    # duplicate add refused
+    with pytest.raises(SchemaMismatch):
+        table.add_columns([("venue", "string")])
+    # time travel BEFORE the evolution shows the old shape
+    pre = table.read(spark, f"manifest-{v:08d}.json")
+    assert pre.columns == ["ticker", "trade_date", "close"]
+
+
 # -- round 8: sharded metadata (format 3) ---------------------------
 
 
