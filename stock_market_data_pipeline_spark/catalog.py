@@ -719,6 +719,45 @@ def manifest_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark).drop("trade_month")
 
 
+MANIFEST_RESTORE_SQL = f"""
+{oracles.BARS_SQL}
+""".strip()
+
+
+@q("manifest_restore", MANIFEST_RESTORE_SQL)
+def manifest_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot RESTORE (Delta's RESTORE TABLE ... TO VERSION; the
+    operational answer to a bad backfill — the reference's recovery
+    story is re-running the dbt build, which rewrites everything):
+    the bars fact is materialized, a quarter is transactionally
+    DELETED, then the table is restored to v1 with one METADATA-ONLY
+    commit (the entry RAISES if the restore wrote any new data shard
+    or failed to drop rows first).  The oracle is the untouched full
+    bar build, so hash equality proves the restore resurrected
+    exactly the original snapshot — no byte moved, history preserved
+    (the restore itself is a new version)."""
+    from .manifest import ManifestTable
+    from .scratch import scratch_dir
+
+    bars = bars_from_lineitem(_t(spark, sf_dir, "lineitem")).withColumn(
+        "trade_month", F.date_format("trade_date", "yyyy-MM"))
+    table = ManifestTable.create(
+        bars, scratch_dir("manifest_restore_"), ts="trade_month")
+    v1_refs = {v: r["shard"]
+               for v, r in table._raw()["partitions"].items()}
+    out = table.delete_where(
+        spark, F.col("trade_date").between("1997-04-01", "1997-06-30"),
+        where={"trade_month": ("1997-04", "1997-06"),
+               "trade_date": ("1997-04-01", "1997-06-30")})
+    if out["rows_deleted"] == 0:
+        raise RuntimeError("delete removed nothing; restore untested")
+    table.restore(1)
+    if {v: r["shard"] for v, r in
+            table._raw()["partitions"].items()} != v1_refs:
+        raise RuntimeError("restore must re-point v1's shards exactly")
+    return table.read(spark).drop("trade_month")
+
+
 MANIFEST_EVOLVE_SQL = f"""
 WITH b AS ({oracles.BARS_SQL})
 SELECT b.*, CAST(NULL AS VARCHAR) AS venue
@@ -1592,9 +1631,10 @@ from . import catalog_rel  # noqa: E402,F401  (pivot/cube/unpivot/histogram)
 _DRIVER_WINDOW_FIRST = [
     # -- round 8, group 0: never driver-checked (new this round) —
     # the compressed-image (PNG: zlib + CRC chunks + scanline filter
-    # reversal) decode path, the transactional DELETE, and the
-    # metadata-only schema evolution --
+    # reversal) decode path, the transactional DELETE, the
+    # metadata-only schema evolution, and snapshot RESTORE --
     "mm_decode_png", "manifest_delete_where", "manifest_schema_evolution",
+    "manifest_restore",
     # -- group 1: the 8 entries last driver-green in r5 that
     # sat out the r7 window — at the policy's age bound, the staleness
     # test (tests/test_registration_order.py) fails the build unless
@@ -1608,13 +1648,13 @@ _DRIVER_WINDOW_FIRST = [
     # transactional write path (VERDICT r7 "Next round" #1);
     # stream_upsert_rollup also belongs to the r6 cohort below --
     "stream_upsert_rollup", "fct_momentum_incremental",
-    # -- group 3: the r6-checked cohort (age 2 this round); 37 of 47
-    # remaining fit. The 10 deferred to r9 — the four serving_*
+    # -- group 3: the r6-checked cohort (age 2 this round); 36 of 47
+    # remaining fit. The 11 deferred to r9 — the four serving_*
     # entries (plans shared with the r7-green serve-path tests), the
     # three ingest/seed entries, unpivot_dim_metrics,
-    # trend_slope_by_key and text_stats (all single-operator,
-    # pytest-parity-covered) — are exactly at the age bound next round
-    # and must front the r9 window. --
+    # trend_slope_by_key, text_stats and text_rolling_hash (all
+    # single-operator, pytest-parity-covered) — are exactly at the age
+    # bound next round and must front the r9 window. --
     "asof_prior_view", "band_range_join", "cumulative_distinct_users",
     "datasource_grouped_daily", "dedup_embedding_cosine",
     "dedup_ngram_jaccard", "dedup_simhash",
@@ -1628,7 +1668,7 @@ _DRIVER_WINDOW_FIRST = [
     "stream_interval_join", "stream_session_windows",
     "stream_stateful_user_totals", "text_boilerplate_segments",
     "text_fingerprint", "text_lang_id", "text_quality_score",
-    "text_repetition_ratio", "text_rolling_hash",
+    "text_repetition_ratio",
     "tpch_q1_pricing_summary", "tpch_q3_topk_revenue",
     "tpch_q5_local_supplier",
 ]

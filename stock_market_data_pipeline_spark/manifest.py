@@ -869,6 +869,31 @@ class ManifestTable:
             except CommitConflict:
                 continue        # someone else committed; re-evaluate
 
+    def restore(self, version: int) -> None:
+        """Delta's ``RESTORE TABLE ... TO VERSION`` analog: commit a
+        NEW snapshot whose partitions, schema AND stream ledger are
+        those of an older one — metadata-only (shards and data files
+        are immutable, so re-pointing refs restores the data without
+        moving a byte), and history-preserving (the restore is itself
+        a new version; nothing is erased, so a restore can itself be
+        rolled back).  The whole old snapshot is restored, ledger
+        included, because it is self-consistent by construction:
+        restoring data to before batch N while remembering batch N
+        would lose those events forever.
+
+        Safe against vacuum by invariant: vacuum removes historical
+        manifest files in the same pass that reclaims their
+        unreferenced shards/data, so any manifest still on disk has
+        its whole file set intact; a vacuumed-away version fails here
+        with FileNotFoundError instead of resurrecting dangling
+        refs."""
+        mf = self._raw()
+        old = self._raw(f"manifest-{version:08d}.json")
+        self._commit(dict(old["partitions"]),
+                     base_version=mf["version"],
+                     streams=old.get("streams", {}),
+                     schema=old.get("schema"))
+
     def delete_where(self, spark: SparkSession, condition,
                      where: dict | None = None,
                      _crash_before_commit: bool = False) -> dict:

@@ -614,6 +614,41 @@ def test_delete_where_crash_preserves_old_snapshot(spark, table):
     assert _snap(table.read(spark)) == before
 
 
+def test_restore_rolls_back_metadata_only(spark, table):
+    """RESTORE: after a merge and a delete, restoring to v1 brings
+    back the original rows without moving a byte (all refs carried),
+    history keeps every version (the restore is itself a commit and
+    can be rolled back), and the stream ledger travels with the
+    restored snapshot."""
+    base_rows = _snap(table.read(spark))
+    table.append_batch(_mkdf(spark, [("EEE", "2024-01-02", 50.0)]),
+                       "s", 0)
+    table.merge(spark, _mkdf(spark, UPDATES), KEYS)
+    table.delete_where(spark, F.col("close") >= 20.0,
+                       where={"close": (20.0, None)})
+    assert _snap(table.read(spark)) != base_rows
+    table.restore(1)
+    assert table.version() == 5               # restore is a new commit
+    assert _snap(table.read(spark)) == base_rows
+    # ledger travels with the snapshot: v1 predates batch 0, so the
+    # batch is re-admittable (its data no longer exists)
+    assert table._raw()["streams"] == {}
+    assert table.append_batch(_mkdf(spark, [("EEE", "2024-01-02", 50.0)]),
+                              "s", 0) is True
+    # the restore itself can be rolled back (to the post-delete v4)
+    table.restore(4)
+    got = {r.close for r in table.read(spark).collect()}
+    assert got and all(c < 20.0 for c in got)  # the delete state is back
+    # a vacuumed-away version cannot be restored: clear failure, no
+    # dangling refs
+    table.vacuum(retention_seconds=0)
+    with pytest.raises(FileNotFoundError):
+        table.restore(2)
+    # live snapshot unaffected by the failed restore
+    assert all(c < 20.0 for c in
+               {r.close for r in table.read(spark).collect()})
+
+
 def test_add_columns_metadata_only_evolution(spark, table):
     """ALTER TABLE ADD COLUMNS semantics: one metadata commit, zero
     files touched; pre-evolution files read back with NULL in the new

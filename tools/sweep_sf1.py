@@ -61,6 +61,13 @@ ENTRIES = [
     # round-7 manifest family: stats-pruned scan over ~6M bars,
     # exactly-once streaming append over 1M events
     "manifest_pruned_scan", "stream_manifest_append",
+    # round-8 manifest family: partition-shaped transactional DELETE
+    # and metadata-only schema evolution, both over ~6M bars
+    "manifest_delete_where", "manifest_schema_evolution",
+    "manifest_restore",
+    # round-8: the streaming MERGE upsert through the default
+    # transactional path (merge_batch), 1M events x duplicate delivery
+    "stream_upsert_rollup",
     # round-7 text family addition (50k docs, map-side regex scan)
     "docs_pii_scrub",
 ]
