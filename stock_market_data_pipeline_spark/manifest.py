@@ -330,7 +330,11 @@ class ManifestTable:
     """A partitioned parquet table whose live files are resolved
     through an atomically-swapped, stats-bearing manifest."""
 
-    def __init__(self, root: str, ts: str):
+    def __init__(self, root: str, ts: str | None):
+        #: partition column name, or None for an UNPARTITIONED table
+        #: (small dims, key-only marts): all rows live in one pseudo-
+        #: partition "__all"; every op keeps its contract, partition
+        #: pruning simply never applies.
         self.root = root
         self.ts = ts
 
@@ -513,8 +517,9 @@ class ManifestTable:
         effect, one dimension, zero new machinery)."""
         txn = f"txn-{uuid.uuid4().hex[:12]}"
         txn_dir = os.path.join(self.root, "data", txn)
-        staged = (df.withColumn(_PT, F.col(self.ts).cast("string"))
-                  .repartition(F.col(_PT)))
+        pt = (F.lit("__all") if self.ts is None
+              else F.col(self.ts).cast("string"))
+        staged = df.withColumn(_PT, pt).repartition(F.col(_PT))
         if cluster_by:
             staged = staged.sortWithinPartitions(_PT, *cluster_by)
         writer = staged.write.partitionBy(_PT)
@@ -572,7 +577,7 @@ class ManifestTable:
         skipped = 0
         pruned_parts = 0
         shards_opened = 0
-        ts_bounds = where.get(mf["ts"])
+        ts_bounds = None if mf["ts"] is None else where.get(mf["ts"])
         for value, ref in mf["partitions"].items():
             nfiles = ref["files"]
             if ts_bounds is not None:
@@ -685,7 +690,8 @@ class ManifestTable:
     # -- write paths -------------------------------------------------
 
     @classmethod
-    def create(cls, df: DataFrame, root: str, ts: str) -> "ManifestTable":
+    def create(cls, df: DataFrame, root: str,
+               ts: str | None) -> "ManifestTable":
         """Initial materialization: stage everything, commit v1."""
         t = cls(root, ts)
         parts = t._stage(df)
@@ -715,9 +721,12 @@ class ManifestTable:
         data the pruning exists to skip."""
         from .incremental import merge_upsert
 
-        touched = [str(r[0]) for r in
-                   updates.select(F.col(self.ts).cast("string"))
-                   .distinct().collect()]
+        if self.ts is None:
+            touched = [] if updates.isEmpty() else ["__all"]
+        else:
+            touched = [str(r[0]) for r in
+                       updates.select(F.col(self.ts).cast("string"))
+                       .distinct().collect()]
         if not touched:
             return {}
         live = mf["partitions"]
@@ -746,6 +755,21 @@ class ManifestTable:
         else:
             merged = updates
         return self._stage(merged)
+
+    def overwrite(self, df: DataFrame) -> None:
+        """Atomic FULL REFRESH (the dbt ``table`` materialization):
+        stage the complete new build, then commit a snapshot that
+        contains ONLY it — old partitions drop by omission, readers
+        flip from the entire old build to the entire new one at the
+        link, and the old snapshot stays time-travelable until
+        vacuum.  The schema RE-PINS from the new frame (a full refresh
+        is the one sanctioned way to change column shape beyond
+        ``add_columns``); the stream ledger carries forward."""
+        mf = self._raw()
+        staged = self._stage(df)
+        self._commit(staged, base_version=mf["version"],
+                     streams=mf.get("streams", {}),
+                     schema=_schema_sig(df))
 
     def merge(self, spark: SparkSession, updates: DataFrame,
               keys: list[str],
@@ -929,7 +953,8 @@ class ManifestTable:
         if not plan["files"]:
             return {"rows_deleted": 0, "partitions_rewritten": 0,
                     "partitions_dropped": 0}
-        pt = F.col(self.ts).cast("string")
+        pt = (F.lit("__all") if self.ts is None
+              else F.col(self.ts).cast("string"))
         cand = self._read_files(spark, plan["files"], mf)
         counts = {r["__v"]: r["n"] for r in
                   (cand.where(condition).groupBy(pt.alias("__v"))

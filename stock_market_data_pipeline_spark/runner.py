@@ -5,12 +5,17 @@ orders models by declared dependencies and materializes each:
 
   view         createOrReplaceTempView        (staging layer,
                                                dbt_project.yml:57-59)
-  table        overwrite into the model's catalog namespace
-               (saveAsTable) or parquet path   (marts, :63-65)
-  incremental  MERGE on unique_key with the trailing-lookback
-               reprocess (int + fct configs; incremental.py); on a
-               date-partitioned target only the touched partitions
-               are rewritten (dynamic partition overwrite)
+  table        full refresh into the model's catalog namespace
+               (saveAsTable) or into a path-based ManifestTable
+               (atomic overwrite — one commit swaps the entire
+               build; marts, :63-65)
+  incremental  MERGE on unique_key (int + fct configs); path-based
+               targets go through ManifestTable.merge (one atomic
+               multi-partition commit, partition-pruned read-back);
+               catalog-table targets use dynamic partition overwrite
+               on the touched partitions (the Spark-catalog sink — a
+               deployment swaps in Delta for the same transactional
+               contract there)
 
 NAMESPACES (S11): the reference materializes each layer into its own
 schema — ``raw_staging`` / ``raw_intermediate`` / ``raw_marts``
@@ -177,33 +182,29 @@ class Runner:
         if model.schema:
             return self._materialize_catalog(model, df)
         path = self._table_path(model.name)
+        # path-based sinks are ManifestTables (round 8: the engine's
+        # DEFAULT transactional write path — the previous staging-dir
+        # double-write left a torn target if the writer died between
+        # the two writes). Partitioned models use their single
+        # partition column as the table's ts; multi-column/none fall
+        # back to the unpartitioned single-pseudo-partition layout
+        # (merge is then a full-table rewrite, exactly what a keyed
+        # merge without partition pruning costs anywhere).
+        from .manifest import ManifestTable
 
-        def write(frame: DataFrame, target: str) -> None:
-            w = frame.write.mode("overwrite")
-            if model.partition_by:
-                w = w.partitionBy(*model.partition_by)
-            w.parquet(target)
-
-        if model.materialization == "table":
-            write(df, path)
-        elif model.materialization == "incremental":
-            import shutil
-
-            from .incremental import merge_upsert
-            if os.path.isdir(path) and any(
-                    not f.startswith(("_", ".")) for f in os.listdir(path)):
-                current = self.spark.read.parquet(path)
-                merged = merge_upsert(current, df,
-                                      model.unique_key or ["id"])
-                staging = path + "__staging"
-                write(merged, staging)
-                write(self.spark.read.parquet(staging), path)
-                shutil.rmtree(staging, ignore_errors=True)
-            else:
-                write(df, path)
+        ts = (model.partition_by[0]
+              if model.partition_by and len(model.partition_by) == 1
+              else None)
+        exists = os.path.isdir(os.path.join(path, "_manifests"))
+        if not exists:
+            table = ManifestTable.create(df, path, ts=ts)
         else:
-            raise ValueError(model.materialization)
-        out = self.spark.read.parquet(path)
+            table = ManifestTable(path, ts)
+            if model.materialization == "table":
+                table.overwrite(df)               # atomic full refresh
+            else:
+                table.merge(self.spark, df, model.unique_key or ["id"])
+        out = table.read(self.spark)
         out.createOrReplaceTempView(model.name)
         return out
 

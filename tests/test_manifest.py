@@ -614,6 +614,51 @@ def test_delete_where_crash_preserves_old_snapshot(spark, table):
     assert _snap(table.read(spark)) == before
 
 
+def test_unpartitioned_table_single_pseudo_partition(spark, tmp_path):
+    """ts=None: small dims / key-only marts live in one pseudo-
+    partition; merge/append/delete/stat_bounds keep their contracts
+    and zone-map skipping still works on the per-file stats."""
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0)], "k string, v double")
+    t = ManifestTable.create(df, str(tmp_path / "dim"), ts=None)
+    assert list(t._raw()["partitions"]) == ["__all"]
+    t.merge(spark, spark.createDataFrame([("b", 20.0), ("c", 3.0)],
+                                         "k string, v double"), ["k"])
+    got = {r.k: r.v for r in t.read(spark).collect()}
+    assert got == {"a": 1.0, "b": 20.0, "c": 3.0}
+    assert t.stat_bounds("v") == (1.0, 20.0)
+    # zone maps: a disjoint predicate skips the file without opening it
+    plan = t.scan_plan({"v": (100.0, None)})
+    assert plan["files"] == [] and plan["shards_opened"] == 0
+    out = t.delete_where(spark, F.col("v") >= 3.0,
+                         where={"v": (3.0, None)})
+    assert out["rows_deleted"] == 2
+    assert {r.k for r in t.read(spark).collect()} == {"a"}
+    t.append(spark.createDataFrame([("d", 9.0)], "k string, v double"))
+    assert {r.k for r in t.read(spark).collect()} == {"a", "d"}
+
+
+def test_overwrite_is_atomic_full_refresh(spark, table):
+    """overwrite(): the dbt table materialization — one commit swaps
+    the ENTIRE build (old partitions drop by omission), the schema
+    re-pins from the new frame, the stream ledger carries forward,
+    and the old build stays time-travelable."""
+    table.append_batch(_mkdf(spark, [("EEE", "2024-01-02", 50.0)]),
+                       "s", 7)
+    pre = f"manifest-{table.version():08d}.json"
+    rebuilt = spark.createDataFrame(
+        [("XX", "2024-02-01", 1.0, "new")],
+        "ticker string, trade_date string, close double, note string"
+    ).withColumn("trade_date", F.col("trade_date").cast("date"))
+    table.overwrite(rebuilt)
+    got = [(r.ticker, str(r.trade_date), r.close, r.note)
+           for r in table.read(spark).collect()]
+    assert got == [("XX", "2024-02-01", 1.0, "new")]
+    assert table._raw()["streams"] == {"s": 7}      # ledger survives
+    assert table.append_batch(rebuilt, "s", 7) is False
+    assert len(_snap(table.read(spark, pre))) == 7  # time travel
+
+
 def test_restore_rolls_back_metadata_only(spark, table):
     """RESTORE: after a merge and a delete, restoring to v1 brings
     back the original rows without moving a byte (all refs carried),
