@@ -222,3 +222,28 @@ def test_pii_scrub_is_pure_map_side(spark):
     p = plan_str(_q("docs_pii_scrub")(spark, SF_SMALL))
     assert "Exchange" not in p, "shuffle crept into the PII scrub"
     assert "Join" not in p
+
+
+def test_manifest_pinned_schema_read_keeps_pushdown(spark, tmp_path):
+    """The pinned-schema manifest read (schema evolution's NULL-fill
+    mechanism) must not cost the scan its scale properties: a
+    projection+filter over `table.read()` still reaches the parquet
+    scan as PushedFilters with a pruned ReadSchema — an explicit
+    reader schema that broke either would quietly turn every evolved
+    table into a full-column scan."""
+    from pyspark.sql import functions as F
+
+    from stock_market_data_pipeline_spark.manifest import ManifestTable
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-0%d" % (i % 3 + 1), float(i)) for i in range(9)],
+        "ticker string, trade_date string, close double",
+    ).withColumn("trade_date", F.col("trade_date").cast("date"))
+    t = ManifestTable.create(df, str(tmp_path / "pp"), ts="trade_date")
+    t.add_columns([("venue", "string")])        # evolved: schema forced
+    p = plan_str(t.read(spark).where(F.col("close") > 5.0)
+                 .select("close"))
+    m = re.search(r"PushedFilters: \[([^\]]*)", p)
+    assert m and "GreaterThan(close,5.0)" in m.group(1), p[-800:]
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m and m.group(1) == "close:double", m.group(1) if m else p[-400:]
