@@ -614,6 +614,45 @@ def test_delete_where_crash_preserves_old_snapshot(spark, table):
     assert _snap(table.read(spark)) == before
 
 
+def test_true_race_concurrent_stream_writers(spark, table):
+    """Not an injected conflict — a REAL race: two threads each push 4
+    batches through append_batch against the same table concurrently.
+    Optimistic concurrency must absorb every collision (retry loop),
+    no batch may be lost or doubled, and both ledgers must land at
+    their high-water marks."""
+    import threading
+
+    rows = {
+        "sA": [[("A%d" % i, "2024-01-0%d" % (i % 3 + 2), float(i))]
+               for i in range(4)],
+        "sB": [[("B%d" % i, "2024-01-0%d" % (i % 3 + 2), float(i))]
+               for i in range(4)],
+    }
+    errors: list = []
+
+    def writer(stream_id: str) -> None:
+        try:
+            t = ManifestTable(table.root, table.ts)
+            for bid, batch in enumerate(rows[stream_id]):
+                assert t.append_batch(_mkdf(spark, batch),
+                                      stream_id, bid) is True
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(s,))
+               for s in rows]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errors == []
+    got = {r.ticker for r in table.read(spark).collect()}
+    assert {f"A{i}" for i in range(4)} <= got
+    assert {f"B{i}" for i in range(4)} <= got
+    assert table._raw()["streams"] == {"sA": 3, "sB": 3}
+    assert table.version() == 9          # 1 base + 8 batch commits
+
+
 def test_unpartitioned_table_single_pseudo_partition(spark, tmp_path):
     """ts=None: small dims / key-only marts live in one pseudo-
     partition; merge/append/delete/stat_bounds keep their contracts
