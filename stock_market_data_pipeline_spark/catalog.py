@@ -758,6 +758,45 @@ def manifest_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark).drop("trade_month")
 
 
+MANIFEST_CHANGES_SQL = f"""
+SELECT * FROM ({oracles.BARS_SQL}) b
+WHERE trade_date >= DATE '1997-07-01'
+""".strip()
+
+
+@q("manifest_change_feed", MANIFEST_CHANGES_SQL)
+def manifest_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level CHANGE FEED (§2.9 ordered replay, consumer side —
+    the reference's downstream consumers re-pull whole tables; this is
+    the bounded-read upgrade): the bars fact is materialized up to a
+    split (v1), two exactly-once batches append the post-split months,
+    and ``read_incremental(since_version=1)`` returns precisely the
+    appended rows — the read is bounded by CHANGE volume, never table
+    size (the entry RAISES unless the change set's file list is a
+    strict subset of the live table's).  Oracle: the post-split slice
+    built in SQL, hash-compared."""
+    from .manifest import ManifestTable
+    from .scratch import scratch_dir
+
+    split = "1997-07-01"
+    bars = bars_from_lineitem(_t(spark, sf_dir, "lineitem")).withColumn(
+        "trade_month", F.date_format("trade_date", "yyyy-MM"))
+    table = ManifestTable.create(
+        bars.where(F.col("trade_date") < F.lit(split)),
+        scratch_dir("manifest_cdc_"), ts="trade_month")
+    post = bars.where(F.col("trade_date") >= F.lit(split))
+    table.append_batch(post.where(F.col("trade_month") <= "1997-08"),
+                       "backfill", 0)
+    table.append_batch(post.where(F.col("trade_month") > "1997-08"),
+                       "backfill", 1)
+    added = table.added_files(1)
+    total = len(table.scan_plan()["files"])
+    if not (0 < len(added) < total):
+        raise RuntimeError(
+            f"change feed not bounded: {len(added)} of {total} files")
+    return table.read_incremental(spark, 1).drop("trade_month")
+
+
 MANIFEST_EVOLVE_SQL = f"""
 WITH b AS ({oracles.BARS_SQL})
 SELECT b.*, CAST(NULL AS VARCHAR) AS venue
@@ -1632,9 +1671,10 @@ _DRIVER_WINDOW_FIRST = [
     # -- round 8, group 0: never driver-checked (new this round) —
     # the compressed-image (PNG: zlib + CRC chunks + scanline filter
     # reversal) decode path, the transactional DELETE, the
-    # metadata-only schema evolution, and snapshot RESTORE --
+    # metadata-only schema evolution, snapshot RESTORE, and the
+    # file-level change feed --
     "mm_decode_png", "manifest_delete_where", "manifest_schema_evolution",
-    "manifest_restore",
+    "manifest_restore", "manifest_change_feed",
     # -- group 1: the 8 entries last driver-green in r5 that
     # sat out the r7 window — at the policy's age bound, the staleness
     # test (tests/test_registration_order.py) fails the build unless
@@ -1648,13 +1688,14 @@ _DRIVER_WINDOW_FIRST = [
     # transactional write path (VERDICT r7 "Next round" #1);
     # stream_upsert_rollup also belongs to the r6 cohort below --
     "stream_upsert_rollup", "fct_momentum_incremental",
-    # -- group 3: the r6-checked cohort (age 2 this round); 36 of 47
-    # remaining fit. The 11 deferred to r9 — the four serving_*
+    # -- group 3: the r6-checked cohort (age 2 this round); 35 of 47
+    # remaining fit. The 12 deferred to r9 — the four serving_*
     # entries (plans shared with the r7-green serve-path tests), the
     # three ingest/seed entries, unpivot_dim_metrics,
-    # trend_slope_by_key, text_stats and text_rolling_hash (all
-    # single-operator, pytest-parity-covered) — are exactly at the age
-    # bound next round and must front the r9 window. --
+    # trend_slope_by_key, text_stats, text_rolling_hash and
+    # text_repetition_ratio (all single-operator,
+    # pytest-parity-covered) — are exactly at the age bound next round
+    # and must front the r9 window. --
     "asof_prior_view", "band_range_join", "cumulative_distinct_users",
     "datasource_grouped_daily", "dedup_embedding_cosine",
     "dedup_ngram_jaccard", "dedup_simhash",
@@ -1668,7 +1709,6 @@ _DRIVER_WINDOW_FIRST = [
     "stream_interval_join", "stream_session_windows",
     "stream_stateful_user_totals", "text_boilerplate_segments",
     "text_fingerprint", "text_lang_id", "text_quality_score",
-    "text_repetition_ratio",
     "tpch_q1_pricing_summary", "tpch_q3_topk_revenue",
     "tpch_q5_local_supplier",
 ]

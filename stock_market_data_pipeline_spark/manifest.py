@@ -893,6 +893,55 @@ class ManifestTable:
             except CommitConflict:
                 continue        # someone else committed; re-evaluate
 
+    def added_files(self, since_version: int,
+                    manifest_name: str | None = None) -> list[str]:
+        """File-level CHANGE FEED: data files present in the live (or
+        named) snapshot but absent from ``since_version``'s — the
+        incremental-consumption primitive (Iceberg's incremental scan;
+        Delta's CDF minus row-level delete vectors).  For append-only
+        tables this is exact row-level change capture; for partitions
+        a merge/compaction rewrote, the rewritten partition's full
+        file set appears (file granularity — the consumer re-derives
+        its state for those partitions, the standard contract).
+
+        Sharded-metadata cost: partitions whose shard REF is unchanged
+        between the two commit objects are skipped without opening a
+        shard; only changed partitions load their (two) shards for the
+        path diff — O(changed), not O(table)."""
+        new = self._raw(manifest_name)
+        old = self._raw(f"manifest-{since_version:08d}.json")
+        out: list[str] = []
+        for value, ref in new["partitions"].items():
+            old_ref = old["partitions"].get(value)
+            if old_ref is not None and old_ref["shard"] == ref["shard"]:
+                continue                      # identical by ref
+            old_paths = ({e["path"] for e in self._entries(old, value)}
+                         if old_ref is not None else set())
+            out.extend(os.path.join(self.root, e["path"])
+                       for e in self._entries(new, value)
+                       if e["path"] not in old_paths)
+        return out
+
+    def read_incremental(self, spark: SparkSession,
+                         since_version: int) -> DataFrame:
+        """Rows added since ``since_version`` (file-granular — see
+        :meth:`added_files`), read through the pinned schema; an empty
+        change set comes back as a typed empty frame.  This is what a
+        downstream incremental pipeline tails instead of re-scanning
+        the table: at 100 TB the read is bounded by the CHANGE volume,
+        not the table size."""
+        files = self.added_files(since_version)
+        mf = self._raw()
+        if not files:
+            schema = mf.get("schema")
+            if not schema:
+                raise FileNotFoundError(
+                    f"{self.root}: no changes and no pinned schema "
+                    "to type an empty result")
+            ddl = ", ".join(f"`{n}` {t}" for n, t in schema)
+            return spark.createDataFrame([], ddl)
+        return self._read_files(spark, files, mf)
+
     def restore(self, version: int) -> None:
         """Delta's ``RESTORE TABLE ... TO VERSION`` analog: commit a
         NEW snapshot whose partitions, schema AND stream ledger are

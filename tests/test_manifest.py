@@ -614,6 +614,35 @@ def test_delete_where_crash_preserves_old_snapshot(spark, table):
     assert _snap(table.read(spark)) == before
 
 
+def test_change_feed_appends_are_exact_and_ref_skipped(spark, table):
+    """added_files/read_incremental: appended batches come back
+    row-exactly; partitions untouched since the base version never
+    open a shard (ref-equality short-circuit); a merged partition
+    surfaces at file granularity (its full rewritten file set)."""
+    v1 = table.version()
+    table.append_batch(_mkdf(spark, [("NN", "2024-01-05", 5.0)]),
+                       "s", 0)
+    table.append_batch(_mkdf(spark, [("PP", "2024-01-06", 6.0)]),
+                       "s", 1)
+    inc = table.read_incremental(spark, v1)
+    assert sorted((r.ticker, str(r.trade_date)) for r in inc.collect()) \
+        == [("NN", "2024-01-05"), ("PP", "2024-01-06")]
+    # no change -> typed empty frame
+    empty = table.read_incremental(spark, table.version())
+    assert empty.count() == 0
+    assert empty.columns == ["ticker", "trade_date", "close"]
+    # a merge rewrites one partition: the change feed carries that
+    # partition's full rewritten file set (file granularity)
+    v3 = table.version()
+    table.merge(spark, _mkdf(spark, [("AAA", "2024-01-03", 99.0)]),
+                KEYS)
+    rows = {(r.ticker, r.close) for r in
+            table.read_incremental(spark, v3).collect()}
+    assert rows == {("AAA", 99.0), ("BBB", 21.0)}   # whole 01-03 part
+    # appended-only history since v1 includes both batches + rewrite
+    assert len(table.added_files(v1)) == 3
+
+
 def test_true_race_concurrent_stream_writers(spark, table):
     """Not an injected conflict — a REAL race: two threads each push 4
     batches through append_batch against the same table concurrently.

@@ -64,7 +64,7 @@ ENTRIES = [
     # round-8 manifest family: partition-shaped transactional DELETE
     # and metadata-only schema evolution, both over ~6M bars
     "manifest_delete_where", "manifest_schema_evolution",
-    "manifest_restore",
+    "manifest_restore", "manifest_change_feed",
     # round-8: the streaming MERGE upsert through the default
     # transactional path (merge_batch), 1M events x duplicate delivery
     "stream_upsert_rollup",
