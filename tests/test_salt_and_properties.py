@@ -55,11 +55,14 @@ def test_salted_broadcast_left_matches_plain(spark):
 
 
 def test_runner_partitioned_table_layout(spark):
-    """partition_by writes hive-layout dirs and the key+range query
-    prunes to them."""
+    """partition_by yields a value-partitioned ManifestTable (the
+    runner's path sinks are manifest-committed since round 8) and the
+    key+range query prunes: partition values drop whole partitions at
+    plan time, and the residual filter is pushed to the scan."""
     import os
     import tempfile
 
+    from stock_market_data_pipeline_spark.manifest import ManifestTable
     from stock_market_data_pipeline_spark.runner import Model, Runner
 
     wh = tempfile.mkdtemp(prefix="runner_part_")
@@ -72,12 +75,15 @@ def test_runner_partitioned_table_layout(spark):
         materialization="table",
         partition_by=["year"]))
     out = r.run()["daily_orders"]
-    parts = [d for d in os.listdir(os.path.join(wh, "daily_orders"))
-             if d.startswith("year=")]
-    assert len(parts) > 1
+    table = ManifestTable(os.path.join(wh, "daily_orders"), "year")
+    parts = list(table._raw()["partitions"])
+    assert len(parts) > 1                      # one partition per year
+    plan = table.scan_plan({"year": (1995, 1995)})
+    assert plan["partitions_pruned"] == len(parts) - 1
+    assert plan["shards_opened"] == 1
     pruned = out.where(F.col("year") == 1995)
-    plan = pruned._jdf.queryExecution().executedPlan().toString()
-    assert "year=1995" in plan or "PartitionFilters" in plan
+    pplan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(year), EqualTo(year,1995)]"         in pplan
 
 
 # -------------------------------------------- indicator properties
