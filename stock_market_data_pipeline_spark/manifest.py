@@ -263,6 +263,38 @@ def _fold_stats(entries: list[dict]) -> dict:
     return out
 
 
+def _zvalue_col(cols: list, bounds: dict, bits: int = 16):
+    """Z-order curve value as a pure Column expression (JVM-side, no
+    UDF): each input column is min-max-normalized to a ``bits``-wide
+    integer rank, then the ranks' bits are INTERLEAVED (Morton code),
+    so sorting by the result clusters rows into multi-dimensional
+    tiles — every participating column's per-file [min, max] becomes a
+    tight range, instead of only the leading sort column's (the
+    lexicographic-sort weakness Delta's OPTIMIZE ZORDER exists to
+    fix).  ``bounds`` maps column -> (lo, hi) numeric domain; a
+    degenerate domain contributes rank 0."""
+    ranks = []
+    top = (1 << bits) - 1
+    for c in cols:
+        lo, hi = bounds[c]
+        lo, hi = float(lo), float(hi)
+        if hi <= lo:
+            ranks.append(F.lit(0).cast("long"))
+            continue
+        scaled = ((F.col(c).cast("double") - F.lit(lo))
+                  / F.lit(hi - lo) * F.lit(float(top)))
+        rank = F.least(F.greatest(scaled.cast("long"), F.lit(0)),
+                       F.lit(top))
+        ranks.append(rank)
+    z = F.lit(0).cast("long")
+    n = len(ranks)
+    for bit in range(bits):
+        for i, rank in enumerate(ranks):
+            src = F.shiftright(rank, bit).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(src, bit * n + i))
+    return z
+
+
 def _as_number(v):
     """Exact numeric parse: int stays int (no float rounding above
     2^53), numeric strings parse to int first then float.  Returns
@@ -493,7 +525,8 @@ class ManifestTable:
 
     def _stage(self, df: DataFrame,
                cluster_by: list[str] | None = None,
-               max_records_per_file: int | None = None
+               max_records_per_file: int | None = None,
+               drop_after_sort: list[str] | None = None
                ) -> dict[str, list]:
         """Stage a txn directory; returns {partition value -> [file
         entries]}.  Nothing staged is reader-visible until _commit.
@@ -522,6 +555,10 @@ class ManifestTable:
         staged = df.withColumn(_PT, pt).repartition(F.col(_PT))
         if cluster_by:
             staged = staged.sortWithinPartitions(_PT, *cluster_by)
+        if drop_after_sort:
+            # helper sort keys (the z-value) sort the rows but must not
+            # land in the files or the pinned schema
+            staged = staged.drop(*drop_after_sort)
         writer = staged.write.partitionBy(_PT)
         if max_records_per_file:
             writer = writer.option("maxRecordsPerFile",
@@ -1032,6 +1069,7 @@ class ManifestTable:
     def compact(self, spark: SparkSession,
                 min_files: int = 2,
                 cluster_by: list[str] | None = None,
+                zorder_by: list[str] | None = None,
                 max_records_per_file: int | None = None) -> dict:
         """Rewrite every partition holding >= ``min_files`` files into
         compacted form and commit the swap atomically — concurrent
@@ -1045,11 +1083,20 @@ class ManifestTable:
         those columns (chunked by ``max_records_per_file``), so the
         post-compaction manifest carries tight per-file ranges and
         ``scan_plan`` skips file-granularly on the cluster columns —
-        run it as periodic maintenance exactly like Delta's
-        OPTIMIZE ZORDER."""
+        but a lexicographic sort only tightens the LEADING column's
+        ranges.  ``zorder_by`` instead sorts by a Morton (bit-
+        interleaved) curve over the named NUMERIC columns
+        (:func:`_zvalue_col` — pure Column bit math, JVM-side), so
+        files become multi-dimensional tiles and ``scan_plan`` skips
+        on EVERY participating dimension — Delta's OPTIMIZE ZORDER
+        proper.  Column domains come from the commit object's zone
+        maps (no extra scan); mutually exclusive with ``cluster_by``.
+        """
+        if cluster_by and zorder_by:
+            raise ValueError("cluster_by and zorder_by are exclusive")
         mf = self._raw()
         live = mf["partitions"]
-        todo_vals = (list(live) if cluster_by
+        todo_vals = (list(live) if (cluster_by or zorder_by)
                      else [v for v, r in live.items()
                            if r["files"] >= min_files])
         if not todo_vals:
@@ -1057,8 +1104,22 @@ class ManifestTable:
         files_before = sum(live[v]["files"] for v in todo_vals)
         paths = [os.path.join(self.root, e["path"])
                  for v in todo_vals for e in self._entries(mf, v)]
-        staged = self._stage(self._read_files(spark, paths, mf),
-                             cluster_by=cluster_by,
+        frame = self._read_files(spark, paths, mf)
+        sort_cols, drop_after = cluster_by, None
+        if zorder_by:
+            bounds = {}
+            for c in zorder_by:
+                b = self.stat_bounds(c)
+                if b is None:          # zone maps absent: one real agg
+                    row = frame.agg(F.min(c), F.max(c)).first()
+                    b = (row[0], row[1])
+                bounds[c] = b
+            frame = frame.withColumn("__z",
+                                     _zvalue_col(zorder_by, bounds))
+            sort_cols, drop_after = ["__z"], ["__z"]
+        staged = self._stage(frame,
+                             cluster_by=sort_cols,
+                             drop_after_sort=drop_after,
                              max_records_per_file=max_records_per_file)
         self._commit({**live, **staged}, base_version=mf["version"],
                      streams=mf.get("streams", {}),

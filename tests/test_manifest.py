@@ -614,6 +614,40 @@ def test_delete_where_crash_preserves_old_snapshot(spark, table):
     assert _snap(table.read(spark)) == before
 
 
+def test_zorder_compaction_skips_on_both_dimensions(spark, tmp_path):
+    """OPTIMIZE ZORDER proper: after compact(zorder_by=[x, y]) the
+    files tile BOTH dimensions, so a selective predicate on EITHER
+    column skips most files — where a lexicographic cluster_by=[x]
+    sort only ever tightens x.  Row-preserving, and the helper
+    z-column must not leak into files or schema."""
+    df = (spark.range(4096)
+          .selectExpr("CAST(id % 64 AS DOUBLE) AS x",
+                      "CAST(CAST(id / 64 AS INT) AS DOUBLE) AS y",
+                      "'g' AS g"))
+    t = ManifestTable.create(df, str(tmp_path / "zt"), ts="g")
+    before = _snap(t.read(spark))
+
+    t.compact(spark, cluster_by=["x"], max_records_per_file=256)
+    lex_x = t.scan_plan({"x": (0.0, 7.0)})
+    lex_y = t.scan_plan({"y": (0.0, 7.0)})
+    nfiles = len(t.scan_plan()["files"])
+    assert nfiles >= 8
+    assert lex_x["skipped"] >= nfiles // 2       # leading col: tight
+    assert lex_y["skipped"] == 0                 # trailing dim: blind
+
+    t.compact(spark, zorder_by=["x", "y"], max_records_per_file=256)
+    nfiles = len(t.scan_plan()["files"])
+    z_x = t.scan_plan({"x": (0.0, 7.0)})
+    z_y = t.scan_plan({"y": (0.0, 7.0)})
+    assert z_x["skipped"] >= nfiles // 2         # BOTH dims skip
+    assert z_y["skipped"] >= nfiles // 2
+    assert _snap(t.read(spark)) == before        # row-preserving
+    assert t.read(spark).columns == ["x", "y", "g"]   # no __z leak
+    for es in t.manifest()["partitions"].values():
+        for e in es:
+            assert "__z" not in e["stats"]
+
+
 def test_change_feed_appends_are_exact_and_ref_skipped(spark, table):
     """added_files/read_incremental: appended batches come back
     row-exactly; partitions untouched since the base version never
