@@ -277,7 +277,14 @@ def _zvalue_col(cols: list, bounds: dict, bits: int = 16):
     top = (1 << bits) - 1
     for c in cols:
         lo, hi = bounds[c]
-        lo, hi = float(lo), float(hi)
+        try:
+            lo, hi = float(lo), float(hi)
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"zorder_by column {c!r} is not numeric (domain "
+                f"{bounds[c]!r}); z-order interleaves integer ranks — "
+                f"derive a numeric key first (unix_date/epoch for "
+                f"dates, a hash for strings)") from None
         if hi <= lo:
             ranks.append(F.lit(0).cast("long"))
             continue

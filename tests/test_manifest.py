@@ -1006,3 +1006,12 @@ def test_bigint_stats_do_not_round(spark, tmp_path):
     assert hi == big and isinstance(hi, int)
     plan = t.scan_plan({"id": (big, None)})
     assert len(plan["files"]) == 1               # kept, not skipped
+
+
+def test_zorder_rejects_non_numeric_columns(spark, table):
+    """A date/string zorder column must fail loudly — a silent NULL
+    cast would rank every row 0 and quietly produce an unclustered
+    'success'."""
+    with pytest.raises(ValueError, match="not numeric"):
+        table.compact(spark, zorder_by=["ticker"],
+                      max_records_per_file=2)
