@@ -758,6 +758,52 @@ def manifest_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark).drop("trade_month")
 
 
+MANIFEST_ZORDER_SQL = f"""
+WITH b AS ({oracles.BARS_SQL})
+SELECT * FROM b
+WHERE close <= (SELECT MIN(close) + (MAX(close) - MIN(close)) * 0.1
+                FROM b)
+""".strip()
+
+
+@q("manifest_zorder_scan", MANIFEST_ZORDER_SQL)
+def manifest_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE Z-ORDER end-to-end (Delta OPTIMIZE ZORDER; the Snowflake
+    analog is multi-column clustering keys, the reference's
+    cluster_by=['ticker'] one dimension up): the bars fact is
+    compacted along a Morton curve over (close, volume) into ~16
+    tiles, and the entry RAISES unless a selective predicate on
+    EITHER dimension then skips files from the footer zone maps — the
+    property a lexicographic sort cannot give the trailing column.
+    The returned result is the close-range slice (cutoff = min + 10%%
+    of the domain, computed from the manifest's exact zone-map bounds
+    with the same double arithmetic the oracle's scalar subquery
+    uses), residual-filtered, so hash equality also proves the tiled
+    layout lost no rows."""
+    from .manifest import ManifestTable
+    from .scratch import scratch_dir
+
+    bars = bars_from_lineitem(_t(spark, sf_dir, "lineitem"))
+    table = ManifestTable.create(
+        bars, scratch_dir("manifest_zorder_"), ts=None)
+    n_rows = sum(r["rows"]
+                 for r in table._raw()["partitions"].values())
+    table.compact(spark, zorder_by=["close", "volume"],
+                  max_records_per_file=max(1, -(-n_rows // 16)))
+    c_lo, c_hi = table.stat_bounds("close")
+    v_lo, v_hi = table.stat_bounds("volume")
+    cutoff = c_lo + (c_hi - c_lo) * 0.1
+    plan_c = table.scan_plan({"close": (None, cutoff)})
+    plan_v = table.scan_plan(
+        {"volume": (None, v_lo + (v_hi - v_lo) * 0.1)})
+    if not (plan_c["skipped"] > 0 and plan_v["skipped"] > 0):
+        raise RuntimeError(
+            f"z-order skipping ineffective: close skipped "
+            f"{plan_c['skipped']}, volume skipped {plan_v['skipped']}")
+    return (table.read(spark, where={"close": (None, cutoff)})
+            .where(F.col("close") <= cutoff))
+
+
 MANIFEST_CHANGES_SQL = f"""
 SELECT * FROM ({oracles.BARS_SQL}) b
 WHERE trade_date >= DATE '1997-07-01'
@@ -1671,10 +1717,10 @@ _DRIVER_WINDOW_FIRST = [
     # -- round 8, group 0: never driver-checked (new this round) —
     # the compressed-image (PNG: zlib + CRC chunks + scanline filter
     # reversal) decode path, the transactional DELETE, the
-    # metadata-only schema evolution, snapshot RESTORE, and the
-    # file-level change feed --
+    # metadata-only schema evolution, snapshot RESTORE, the file-
+    # level change feed, and the Morton-curve Z-ORDER scan --
     "mm_decode_png", "manifest_delete_where", "manifest_schema_evolution",
-    "manifest_restore", "manifest_change_feed",
+    "manifest_restore", "manifest_change_feed", "manifest_zorder_scan",
     # -- group 1: the 8 entries last driver-green in r5 that
     # sat out the r7 window — at the policy's age bound, the staleness
     # test (tests/test_registration_order.py) fails the build unless
@@ -1688,14 +1734,14 @@ _DRIVER_WINDOW_FIRST = [
     # transactional write path (VERDICT r7 "Next round" #1);
     # stream_upsert_rollup also belongs to the r6 cohort below --
     "stream_upsert_rollup", "fct_momentum_incremental",
-    # -- group 3: the r6-checked cohort (age 2 this round); 35 of 47
-    # remaining fit. The 12 deferred to r9 — the four serving_*
-    # entries (plans shared with the r7-green serve-path tests), the
-    # three ingest/seed entries, unpivot_dim_metrics,
-    # trend_slope_by_key, text_stats, text_rolling_hash and
-    # text_repetition_ratio (all single-operator,
-    # pytest-parity-covered) — are exactly at the age bound next round
-    # and must front the r9 window. --
+    # -- group 3: the r6-checked cohort (age 2 this round); 35 of 48
+    # fit. The 13 deferred to r9 — the four serving_* entries (plans
+    # shared with the r7-green serve-path tests), the three
+    # ingest/seed entries, and six single-operator entries
+    # (unpivot_dim_metrics, trend_slope_by_key, text_stats,
+    # text_rolling_hash, text_repetition_ratio, text_fingerprint), all
+    # pytest-parity-covered — are at the age bound next round and MUST
+    # front the r9 window. --
     "asof_prior_view", "band_range_join", "cumulative_distinct_users",
     "datasource_grouped_daily", "dedup_embedding_cosine",
     "dedup_ngram_jaccard", "dedup_simhash",
@@ -1708,7 +1754,7 @@ _DRIVER_WINDOW_FIRST = [
     "stream_dedup_events", "stream_hourly_rollup",
     "stream_interval_join", "stream_session_windows",
     "stream_stateful_user_totals", "text_boilerplate_segments",
-    "text_fingerprint", "text_lang_id", "text_quality_score",
+    "text_lang_id", "text_quality_score",
     "tpch_q1_pricing_summary", "tpch_q3_topk_revenue",
     "tpch_q5_local_supplier",
 ]
