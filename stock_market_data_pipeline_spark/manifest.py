@@ -319,6 +319,41 @@ def _as_number(v):
             return None
 
 
+def _eq(a, b) -> bool:
+    """Exact equality across the manifest's value domains: numeric
+    when BOTH sides parse as numbers ('07' == 7, '7.0' == 7),
+    normalized-string otherwise.  Unlike ranges, equality with a
+    one-sided numeric parse is decidable: a value that cannot parse as
+    a number can never equal a number."""
+    an, bn = _as_number(a), _as_number(b)
+    if an is not None and bn is not None:
+        return an == bn
+    if an is None and bn is None:
+        return _norm(a) == _norm(b)
+    return False
+
+
+def _pt_excluded(value: str, spec) -> bool:
+    """Partition-pruning predicate for one column spec: a (lo, hi)
+    RANGE tuple, or a list/set of exact values (IN-list — the
+    dashboard's ``ticker IN (...)`` shape).  True = provably no row of
+    this partition matches."""
+    if isinstance(spec, (list, set, frozenset)):
+        return all(not _eq(value, v) for v in spec)
+    lo, hi = spec
+    return _pt_out_of_range(value, lo, hi)
+
+
+def _stats_excluded(stat: list, spec) -> bool:
+    """File/partition zone-map predicate for one column spec (range
+    tuple or IN-list).  True = [min, max] provably contains no
+    matching value; conservative on any incomparability."""
+    if isinstance(spec, (list, set, frozenset)):
+        return all(_ranges_disjoint(stat, v, v) for v in spec)
+    lo, hi = spec
+    return _ranges_disjoint(stat, lo, hi)
+
+
 def _pt_out_of_range(value: str, lo, hi) -> bool:
     """Partition-value pruning predicate.  Values are directory-name
     strings; when BOTH the value and a bound parse as numbers the
@@ -606,8 +641,11 @@ class ManifestTable:
         """Resolve the file set for a read, applying partition pruning
         (partition-value bounds when ``where`` constrains the partition
         column) then footer-stats skipping for every other constrained
-        column.  ``where`` maps column -> (lo, hi), either bound None
-        for open.  Skipping is conservative: the kept set is a superset
+        column.  ``where`` maps column -> a (lo, hi) RANGE tuple
+        (either bound None for open) or a list/set of exact values
+        (IN-list — the dashboard key-lookup shape; partition equality
+        is numeric-aware, so '07' matches 7).  Skipping is
+        conservative: the kept set is a superset
         of the matching rows' files; callers still apply the exact
         predicate.  Runs on the commit object alone until a partition
         survives both partition-value pruning and the partition-level
@@ -621,22 +659,20 @@ class ManifestTable:
         skipped = 0
         pruned_parts = 0
         shards_opened = 0
-        ts_bounds = None if mf["ts"] is None else where.get(mf["ts"])
+        ts_spec = None if mf["ts"] is None else where.get(mf["ts"])
         for value, ref in mf["partitions"].items():
             nfiles = ref["files"]
-            if ts_bounds is not None:
-                lo, hi = ts_bounds
-                if _pt_out_of_range(value, lo, hi):
-                    pruned_parts += 1
-                    skipped += nfiles
-                    continue
+            if ts_spec is not None and _pt_excluded(value, ts_spec):
+                pruned_parts += 1
+                skipped += nfiles
+                continue
             # partition-level zone maps (folded in the commit object):
-            # a provably-disjoint range drops the whole partition
+            # a provably-disjoint spec drops the whole partition
             # WITHOUT opening its shard — the metadata half of skipping
             pstats = ref.get("stats", {})
             if any(col in pstats
-                   and _ranges_disjoint(pstats[col], lo, hi)
-                   for col, (lo, hi) in where.items()):
+                   and _stats_excluded(pstats[col], spec)
+                   for col, spec in where.items()):
                 skipped += nfiles
                 continue
             entries = self._entries(mf, value)
@@ -644,8 +680,8 @@ class ManifestTable:
             for e in entries:
                 drop = any(
                     col in e["stats"]
-                    and _ranges_disjoint(e["stats"][col], lo, hi)
-                    for col, (lo, hi) in where.items())
+                    and _stats_excluded(e["stats"][col], spec)
+                    for col, spec in where.items())
                 if drop:
                     skipped += 1
                 else:

@@ -614,6 +614,38 @@ def test_delete_where_crash_preserves_old_snapshot(spark, table):
     assert _snap(table.read(spark)) == before
 
 
+def test_in_list_predicates_prune_and_skip(spark, table, tmp_path):
+    """IN-list specs (the dashboard ``ticker IN (...)`` / key-lookup
+    shape): partition pruning keeps exactly the named values
+    (numeric-aware equality — '07' matches 7), zone maps skip files no
+    listed value can hit, and the pruned read + residual filter equals
+    the full-scan answer."""
+    # partition IN-list on the date-partitioned fixture
+    plan = table.scan_plan({"trade_date": ["2024-01-02", "2024-01-04"]})
+    assert plan["partitions_pruned"] == 1         # 01-03 excluded
+    assert plan["shards_opened"] == 2
+    got = (table.read(spark,
+                      where={"trade_date": ["2024-01-02", "2024-01-04"]})
+           .where(F.col("trade_date").isin("2024-01-02", "2024-01-04")))
+    want = table.read(spark).where(
+        F.col("trade_date").isin("2024-01-02", "2024-01-04"))
+    assert _snap(got) == _snap(want)
+    # zone-map IN skipping on a NON-partition column: no file's
+    # [min, max] contains 5.0 or 50.0 -> everything skipped unopened
+    plan = table.scan_plan({"close": [5.0, 50.0]})
+    assert plan["files"] == [] and plan["shards_opened"] == 0
+    # a listed value inside one file's range keeps only that file
+    plan = table.scan_plan({"close": [10.0]})
+    assert len(plan["files"]) == 1
+    # numeric-aware partition equality: int-keyed partitions match
+    # numerically ('7' == 7), and a non-numeric probe never matches
+    df = spark.createDataFrame([(7, 1.0), (99, 2.0)], "b int, v double")
+    t = ManifestTable.create(df, str(tmp_path / "inq"), ts="b")
+    plan = t.scan_plan({"b": [7]})
+    assert plan["partitions_pruned"] == 1
+    assert t.scan_plan({"b": ["abc"]})["partitions_pruned"] == 2
+
+
 def test_zorder_compaction_skips_on_both_dimensions(spark, tmp_path):
     """OPTIMIZE ZORDER proper: after compact(zorder_by=[x, y]) the
     files tile BOTH dimensions, so a selective predicate on EITHER
