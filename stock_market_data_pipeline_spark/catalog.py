@@ -758,6 +758,54 @@ def manifest_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark).drop("trade_month")
 
 
+MANIFEST_SERVE_SQL = f"""
+SELECT * FROM ({oracles.BARS_SQL}) b
+WHERE ticker BETWEEN 1 AND 40
+  AND trade_date BETWEEN DATE '1997-04-01' AND DATE '1997-06-30'
+""".strip()
+
+
+@q("serving_manifest_ticker_range", MANIFEST_SERVE_SQL)
+def serving_manifest_ticker_range(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The dashboard P9 lookup (key IN-list + date range — serve.py's
+    ticker_range shape, 2_single_stock_dashboard.py:21-33) served
+    THROUGH the table layer: the bars fact is month-partitioned and
+    ticker-clustered (compact(cluster_by=['ticker']) chunks each month
+    into ticker-tight files), so the manifest resolves the query to a
+    handful of files — months pruned by partition value, files by
+    ticker zone maps against the IN-list — before Spark opens
+    anything.  The entry RAISES unless BOTH prunings actually bit; the
+    oracle is the same predicate in SQL over the unpartitioned build,
+    so hash equality proves the clustered layout loses no rows.  This
+    is the 100 TB dashboard path: metadata-bounded I/O for a
+    key+range probe, no directory listing."""
+    from .manifest import ManifestTable
+    from .scratch import scratch_dir
+
+    lo, hi = "1997-04-01", "1997-06-30"
+    tickers = list(range(1, 41))
+    bars = bars_from_lineitem(_t(spark, sf_dir, "lineitem")).withColumn(
+        "trade_month", F.date_format("trade_date", "yyyy-MM"))
+    table = ManifestTable.create(
+        bars, scratch_dir("manifest_serve_"), ts="trade_month")
+    n_rows = sum(r["rows"]
+                 for r in table._raw()["partitions"].values())
+    n_parts = len(table._raw()["partitions"])
+    table.compact(spark, cluster_by=["ticker"],
+                  max_records_per_file=max(1, n_rows // (n_parts * 8)))
+    where = {"trade_month": ("1997-04", "1997-06"),
+             "trade_date": (lo, hi), "ticker": tickers}
+    plan = table.scan_plan(where)
+    if not (plan["partitions_pruned"] > 0 and plan["skipped"] > 0
+            and plan["files"]):
+        raise RuntimeError(f"manifest serving plan not pruned: {plan}")
+    return (table.read(spark, where=where)
+            .where(F.col("ticker").isin(tickers)
+                   & F.col("trade_date").between(lo, hi))
+            .drop("trade_month"))
+
+
 MANIFEST_ZORDER_SQL = f"""
 WITH b AS ({oracles.BARS_SQL})
 SELECT * FROM b
@@ -1718,9 +1766,11 @@ _DRIVER_WINDOW_FIRST = [
     # the compressed-image (PNG: zlib + CRC chunks + scanline filter
     # reversal) decode path, the transactional DELETE, the
     # metadata-only schema evolution, snapshot RESTORE, the file-
-    # level change feed, and the Morton-curve Z-ORDER scan --
+    # level change feed, the Morton-curve Z-ORDER scan, and the
+    # dashboard key+range lookup served through the table layer --
     "mm_decode_png", "manifest_delete_where", "manifest_schema_evolution",
     "manifest_restore", "manifest_change_feed", "manifest_zorder_scan",
+    "serving_manifest_ticker_range",
     # -- group 1: the 8 entries last driver-green in r5 that
     # sat out the r7 window — at the policy's age bound, the staleness
     # test (tests/test_registration_order.py) fails the build unless
@@ -1734,14 +1784,14 @@ _DRIVER_WINDOW_FIRST = [
     # transactional write path (VERDICT r7 "Next round" #1);
     # stream_upsert_rollup also belongs to the r6 cohort below --
     "stream_upsert_rollup", "fct_momentum_incremental",
-    # -- group 3: the r6-checked cohort (age 2 this round); 35 of 48
-    # fit. The 13 deferred to r9 — the four serving_* entries (plans
+    # -- group 3: the r6-checked cohort (age 2 this round); 34 of 48
+    # fit. The 14 deferred to r9 — the four serving_* entries (plans
     # shared with the r7-green serve-path tests), the three
-    # ingest/seed entries, and six single-operator entries
+    # ingest/seed entries, and seven single-operator entries
     # (unpivot_dim_metrics, trend_slope_by_key, text_stats,
-    # text_rolling_hash, text_repetition_ratio, text_fingerprint), all
-    # pytest-parity-covered — are at the age bound next round and MUST
-    # front the r9 window. --
+    # text_rolling_hash, text_repetition_ratio, text_fingerprint,
+    # text_quality_score), all pytest-parity-covered — are at the age
+    # bound next round and MUST front the r9 window. --
     "asof_prior_view", "band_range_join", "cumulative_distinct_users",
     "datasource_grouped_daily", "dedup_embedding_cosine",
     "dedup_ngram_jaccard", "dedup_simhash",
@@ -1754,7 +1804,7 @@ _DRIVER_WINDOW_FIRST = [
     "stream_dedup_events", "stream_hourly_rollup",
     "stream_interval_join", "stream_session_windows",
     "stream_stateful_user_totals", "text_boilerplate_segments",
-    "text_lang_id", "text_quality_score",
+    "text_lang_id",
     "tpch_q1_pricing_summary", "tpch_q3_topk_revenue",
     "tpch_q5_local_supplier",
 ]
