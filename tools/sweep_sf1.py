@@ -65,7 +65,7 @@ ENTRIES = [
     # and metadata-only schema evolution, both over ~6M bars
     "manifest_delete_where", "manifest_schema_evolution",
     "manifest_restore", "manifest_change_feed",
-    "manifest_zorder_scan",
+    "manifest_zorder_scan", "serving_manifest_ticker_range",
     # round-8: the streaming MERGE upsert through the default
     # transactional path (merge_batch), 1M events x duplicate delivery
     "stream_upsert_rollup",
