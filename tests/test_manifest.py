@@ -1,12 +1,13 @@
 """Manifest-committed MERGE: atomic across ALL touched partitions.
 
-The contract under test (manifest.py): a reader resolving through
-``_manifests/CURRENT`` sees either the entire pre-merge snapshot or the
-entire post-merge one — never a mix — and a writer crash anywhere
-between staging and the CURRENT swap leaves the old snapshot fully
-live.  This is the table-level transactionality the reference gets
-from Snowflake's MERGE (fct_trading_momentum.sql:2-7) and that plain
-dynamic partition overwrite (incremental.py) explicitly lacks.
+The contract under test (manifest.py): a reader resolving through the
+highest committed manifest sees either the entire pre-merge snapshot
+or the entire post-merge one — never a mix — and a writer crash
+anywhere between staging and the commit link leaves the old snapshot
+fully live.  This is the table-level transactionality the reference
+gets from Snowflake's MERGE (fct_trading_momentum.sql:2-7); since
+round 8 this layer is the engine's DEFAULT write path (the per-
+partition dynamic-overwrite mechanism it replaced is gone).
 """
 
 from __future__ import annotations
