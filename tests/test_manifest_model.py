@@ -1,5 +1,6 @@
 """Model-based test of the manifest table: a random SEQUENCE of
-merge / append / delete / compact / evolve / vacuum operations must
+merge / append / delete / overwrite / restore / compact / evolve /
+vacuum operations must
 leave the table's visible rows equal to an in-memory dict model
 applying the same semantics — the cross-operation interactions
 (delete after evolve, compact after delete, merge over appended
@@ -33,6 +34,9 @@ _ops = st.lists(
         st.tuples(st.just("append"), st.lists(_row, min_size=1,
                                               max_size=2)),
         st.tuples(st.just("delete"), st.integers(0, 9)),
+        st.tuples(st.just("overwrite"), st.lists(_row, min_size=1,
+                                                 max_size=2)),
+        st.tuples(st.just("restore1"), st.just(None)),
         st.tuples(st.just("compact"), st.just(None)),
         st.tuples(st.just("vacuum"), st.just(None)),
     ),
@@ -63,18 +67,22 @@ def test_random_op_sequences_match_dict_model(spark, tmp_path_factory,
     model: dict[tuple, list] = {
         ("AA", "2024-01-01"): [(1.0, None)],
         ("BB", "2024-01-02"): [(2.0, None)]}
+    import copy
+    model_v1 = copy.deepcopy(model)
     evolved = False
+    v1_gone = False          # vacuum only reclaims v1 once superseded
+    key = lambda r: (r[0], r[1], r[2], r[3] or "")  # noqa: E731
 
     def snap():
         return sorted(
-            (r.ticker, str(r.trade_date), r.close,
-             r.venue if evolved else None)
-            for r in table.read(spark).collect())
+            ((r.ticker, str(r.trade_date), r.close,
+              r.venue if evolved else None)
+             for r in table.read(spark).collect()), key=key)
 
     def model_snap():
         return sorted(
-            (t, d, c, v) for (t, d), vals in model.items()
-            for (c, v) in vals)
+            ((t, d, c, v) for (t, d), vals in model.items()
+             for (c, v) in vals), key=key)
 
     for i, (kind, payload) in enumerate(ops):
         if i == evolve_at and not evolved:
@@ -109,9 +117,28 @@ def test_random_op_sequences_match_dict_model(spark, tmp_path_factory,
                             if c < thresh]
                 if not model[k]:
                     del model[k]
+        elif kind == "overwrite":
+            # full refresh: one commit swaps the entire build; schema
+            # re-pins from the written frame (venue iff evolved)
+            table.overwrite(_mk(spark, payload, venue=evolved))
+            model = {}
+            for (t, d, c) in payload:
+                model.setdefault((t, d), []).append((c, venue_val))
+        elif kind == "restore1":
+            if v1_gone:
+                # v1's manifest was reclaimed: clear failure, live
+                # snapshot untouched
+                with pytest.raises(FileNotFoundError):
+                    table.restore(1)
+            else:
+                table.restore(1)
+                model = copy.deepcopy(model_v1)
+                evolved = False          # v1 predates any evolution
         elif kind == "compact":
             table.compact(spark)
         elif kind == "vacuum":
+            if table.version() > 1:
+                v1_gone = True           # the v1 manifest is history
             table.vacuum(retention_seconds=0)
         assert snap() == model_snap(), (i, kind, payload)
 
