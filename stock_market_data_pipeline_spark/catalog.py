@@ -1762,51 +1762,51 @@ from . import catalog_rel  # noqa: E402,F401  (pivot/cube/unpivot/histogram)
 # have a green row within the last two driver rounds — so no entry's
 # driver check ever ages past 2 rounds (VERDICT r6 "Next round" #4).
 _DRIVER_WINDOW_FIRST = [
-    # -- round 8, group 0: never driver-checked (new this round) —
-    # the compressed-image (PNG: zlib + CRC chunks + scanline filter
-    # reversal) decode path, the transactional DELETE, the
-    # metadata-only schema evolution, snapshot RESTORE, the file-
-    # level change feed, the Morton-curve Z-ORDER scan, and the
-    # dashboard key+range lookup served through the table layer --
-    "mm_decode_png", "manifest_delete_where", "manifest_schema_evolution",
-    "manifest_restore", "manifest_change_feed", "manifest_zorder_scan",
-    "serving_manifest_ticker_range",
-    # -- group 1: the 8 entries last driver-green in r5 that
-    # sat out the r7 window — at the policy's age bound, the staleness
-    # test (tests/test_registration_order.py) fails the build unless
-    # they front this window (VERDICT r7 "Next round" #2) --
-    "fct_trading_momentum_small", "self_lag_join",
-    "scalar_max_filter", "screener_filter", "benchmark_contamination",
-    "stratified_balance_lang", "cube_order_stats",
-    "bucketed_join_revenue",
-    # -- group 2: changed this round: the streaming upsert and the
-    # incremental momentum run now route through the ManifestTable
-    # transactional write path (VERDICT r7 "Next round" #1);
-    # stream_upsert_rollup also belongs to the r6 cohort below --
-    "stream_upsert_rollup", "fct_momentum_incremental",
-    # -- group 3: the r6-checked cohort (age 2 this round); 34 of 48
-    # fit. The 14 deferred to r9 — the four serving_* entries (plans
-    # shared with the r7-green serve-path tests), the three
-    # ingest/seed entries, and seven single-operator entries
-    # (unpivot_dim_metrics, trend_slope_by_key, text_stats,
-    # text_rolling_hash, text_repetition_ratio, text_fingerprint,
-    # text_quality_score), all pytest-parity-covered — are at the age
-    # bound next round and MUST front the r9 window. --
-    "asof_prior_view", "band_range_join", "cumulative_distinct_users",
-    "datasource_grouped_daily", "dedup_embedding_cosine",
-    "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_survivors_by_quality", "docs_length_band_filter",
-    "docs_unigram_logprob", "events_hopping_counts",
-    "events_json_props", "except_intersect_keys", "histogram_prices",
-    "mm_payload_features", "mm_payload_grid", "pairwise_correlation",
-    "pivot_priority_year", "quantiles_by_brand", "sample_hash_split",
-    "session_funnel", "session_window_native", "sessionize_events",
-    "stream_dedup_events", "stream_hourly_rollup",
-    "stream_interval_join", "stream_session_windows",
-    "stream_stateful_user_totals", "text_boilerplate_segments",
-    "text_lang_id",
-    "tpch_q1_pricing_summary", "tpch_q3_topk_revenue",
-    "tpch_q5_local_supplier",
+    # -- round 9, group 0: new this round (no driver-green row yet) —
+    # the star-edge capped near-dup edge relation (VERDICT r8 #4), the
+    # row-level change feed (r8 #6), and the mixed date/string-keyed
+    # Z-ORDER scan (r8 #5) --
+    "dedup_minhash_edges_capped", "manifest_cdf_rows",
+    "manifest_zorder_mixed",
+    # -- group 1: the 14 entries last driver-green in r6 that sat out
+    # the r8 window — at the policy's age bound, the staleness test
+    # (tests/test_registration_order.py) fails the build unless they
+    # front this window (VERDICT r8 "Next round" #1) --
+    "ingest_daily_bars", "ingest_pending_dates", "seed_csv_constituents",
+    "serving_breadth", "serving_freshness", "serving_screener",
+    "serving_ticker_range", "text_stats", "text_quality_score",
+    "text_fingerprint", "text_rolling_hash", "text_repetition_ratio",
+    "trend_slope_by_key", "unpivot_dim_metrics",
+    # -- group 2: semantics changed this round by the ADVICE fixes:
+    # delete_where now uses DELETE-only-where-TRUE three-valued-logic
+    # semantics, and Z-order key derivation gained the column-count
+    # bit-budget cap + date/string auto-derivation --
+    "manifest_delete_where", "manifest_zorder_scan",
+    # -- group 3: the r7-checked cohort (age 2 this round); 30 of 49
+    # fit — manifest/dedup entries touched by this round's table-layer
+    # work first, then the flagship marts, then alphabetical fill.
+    # The 19 deferred to r10 (bollinger_bands, conditional_agg_daily,
+    # conditional_signal_dates, distinct_ordered, gap_fill_daily,
+    # median_summary, partition_window_avg,
+    # percent_rank_null_segregated, ranking_functions,
+    # resample_weekly_ohlc, rollup_revenue, running_total,
+    # smoothed_daily_index, source_jsonl_roundtrip, topk_by_metric,
+    # updown_streaks, volatility_by_key, vwap_rolling,
+    # scd2_asof_snapshot), all pytest-parity-covered, are at the age
+    # bound next round and MUST front the r10 window. --
+    "manifest_momentum_merge", "manifest_pruned_scan",
+    "stream_manifest_append", "dedup_minhash_lsh", "dedup_clusters",
+    "dedup_exact",
+    "fct_trading_momentum", "agg_daily_market_breadth",
+    "universe_daily", "dim_securities_current", "daily_pipeline_run",
+    "agg_alignment_join", "ann_cosine_topk", "ann_ivf_topk",
+    "bars_ohlcv", "constituents_diff", "constituents_snapshots",
+    "docs_pack_sequences", "docs_pii_scrub",
+    "docs_source_quality_filter", "embedding_centroids",
+    "fct_trading_momentum_valid", "mm_decode_ppm", "mm_decode_wav",
+    "multiway_dim_join", "qualify_latest_per_key", "scd2_constituents",
+    "stg_projection_flags", "text_bpe_tokens", "text_tfidf_top_terms",
+    "pairwise_correlation",
 ]
 
 

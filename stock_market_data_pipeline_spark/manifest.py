@@ -46,17 +46,23 @@ no mutable pointer file):
    nothing it writes is visible to readers.
 2. It writes the complete next manifest body to a hidden temp file in
    ``_manifests/`` and fsyncs it.  Still invisible.
-3. THE COMMIT POINT: one ``os.link(tmp, manifest-N.json)`` — an atomic
-   compare-and-swap on POSIX.  The link both *claims* version N (a
-   second writer racing from the same base version gets
+3. THE COMMIT POINT — the one storage-dependent step, behind the
+   :class:`CommitBackend` seam (VERDICT r8 #2).  The default
+   :class:`PosixLinkBackend` is one ``os.link(tmp, manifest-N.json)``
+   — an atomic compare-and-swap on POSIX that both *claims* version N
+   (a second writer racing from the same base version gets
    ``FileExistsError`` → :class:`CommitConflict`, so lost updates are
    impossible) and *publishes* the already-complete body (readers can
-   never observe a partial manifest).  A crash at any earlier step
-   leaves only orphan temp/data files that ``vacuum()`` reclaims — no
-   in-between state exists.  On an object store without atomic link
-   semantics, this one operation is what you'd delegate to a catalog
-   CAS (Iceberg catalogs, Delta's LogStore); everything else ports
-   unchanged.
+   never observe a partial manifest).
+   :class:`CoordinatorClaimBackend` is the object-store deployment
+   shape: a conditional put-if-absent CLAIM (S3 ``If-None-Match``
+   PUT / GCS generation match / DynamoDB conditional write — Delta's
+   S3 LogStore, an Iceberg catalog CAS) followed by the body upload,
+   with stale-claim takeover for crashed claimers.  A crash at any
+   earlier step leaves only orphan temp/data files that ``vacuum()``
+   reclaims — no in-between state exists.  Steps 1-2 port to any
+   storage unchanged; the crash/conflict/race/model test suites run
+   against BOTH backends.
 
 The manifest maps each partition VALUE to a list of FILE entries, each
 carrying row count, byte size, and per-column min/max lifted from the
@@ -136,6 +142,101 @@ class CrashInjected(RuntimeError):
     """Raised by test hooks to simulate a writer dying mid-protocol."""
 
 
+class CommitBackend:
+    """The ONE storage-dependent step of the commit protocol (step 3):
+    atomically publish a fully-written, fsynced commit body under the
+    next version's name, failing with :class:`CommitConflict` if that
+    version is already claimed (VERDICT r8 #2 — the seam that makes
+    the protocol DEPLOYABLE beyond POSIX: the 100 TB north star runs
+    on object storage, where ``os.link`` does not exist; steps 1-2 —
+    invisible staging and temp-body write — port unchanged).
+
+    Contract for :meth:`publish`: on success the body is visible,
+    complete, under ``name``; on :class:`CommitConflict` NOTHING of
+    this writer's is visible and the competing snapshot is fully
+    live.  ``tmp`` (the fsynced body) may be consumed; the caller
+    removes it afterwards if it still exists."""
+
+    def publish(self, mdir: str, name: str, tmp: str) -> None:
+        raise NotImplementedError
+
+
+class PosixLinkBackend(CommitBackend):
+    """Default: ``os.link(tmp, final)`` — the filesystem's native
+    put-if-absent.  One syscall both CLAIMS the version (a second
+    writer racing from the same base gets ``FileExistsError``) and
+    PUBLISHES the already-complete body (readers can never observe a
+    partial manifest)."""
+
+    def publish(self, mdir: str, name: str, tmp: str) -> None:
+        try:
+            os.link(tmp, os.path.join(mdir, name))
+        except FileExistsError:
+            raise CommitConflict(
+                f"{name}: already committed by a competing writer; "
+                "restage against the new snapshot") from None
+
+
+class CoordinatorClaimBackend(CommitBackend):
+    """Object-store / commit-coordinator shape: CLAIM the version with
+    one conditional put-if-absent (``.claim-<name>`` created
+    ``O_CREAT|O_EXCL`` — the filesystem stand-in for S3's
+    ``If-None-Match`` PUT, GCS ``if-generation-match: 0``, or a
+    DynamoDB conditional write, i.e. Delta's S3 LogStore / an Iceberg
+    catalog CAS), THEN upload the body.  Splitting claim from publish
+    is exactly what a coordinator-based deployment does; the body
+    upload itself is atomic-visible on a real object store, modeled
+    here by a link (which doubles as a safety net: even a claim-
+    protocol bug cannot double-publish a version).
+
+    Crash between claim and publish leaves an ORPHAN CLAIM that would
+    otherwise block version N forever; a later writer takes over a
+    claim older than ``claim_grace`` whose manifest never appeared
+    (the dead claimer can no longer publish).  ``vacuum()`` clears
+    consumed/aged claims."""
+
+    def __init__(self, claim_grace: float = 60.0):
+        self.claim_grace = claim_grace
+
+    def publish(self, mdir: str, name: str, tmp: str) -> None:
+        import time
+
+        claim = os.path.join(mdir, f".claim-{name}")
+        final = os.path.join(mdir, name)
+        for attempt in (0, 1):
+            try:
+                os.close(os.open(claim,
+                                 os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+                break
+            except FileExistsError:
+                if os.path.exists(final):
+                    raise CommitConflict(
+                        f"{name}: already committed by a competing "
+                        "writer; restage against the new snapshot"
+                    ) from None
+                try:
+                    age = time.time() - os.path.getmtime(claim)
+                except OSError:
+                    continue          # claim vanished: retry the put
+                if attempt or age < self.claim_grace:
+                    raise CommitConflict(
+                        f"{name}: claimed by an in-flight writer"
+                    ) from None
+                # dead claimer (aged claim, no manifest): take over
+                try:
+                    os.remove(claim)
+                except FileNotFoundError:
+                    pass
+        else:
+            raise CommitConflict(f"{name}: could not claim the version")
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise CommitConflict(
+                f"{name}: already committed by a competing writer; "
+                "restage against the new snapshot") from None
+
+
 class CommitConflict(RuntimeError):
     """A competing writer committed after this writer's read snapshot.
 
@@ -173,11 +274,19 @@ def _norm(v):
     date/datetime values become ``isoformat()`` — the 'T'-separated
     ISO-8601 form, NOT ``str(datetime)``'s space-separated form:
     ' ' < 'T' lexicographically, so mixing the two forms would
-    wrong-skip files (r7 ADVICE item 2).  A string that *looks* like
-    the space-separated form ('YYYY-MM-DD HH:...') is canonicalized to
-    the 'T' form for the same reason.  Everything else compares as its
-    string form (ISO dates are lexicographically ordered, which is the
-    only property skipping needs)."""
+    wrong-skip files (r7 ADVICE item 2).  A string canonicalizes to
+    the 'T' form ONLY when it FULLY matches the space-separated
+    timestamp shape (anchored regex): the r8 ADVICE item 3 bug was a
+    loose prefix match rewriting '2024-01-02 5' → '2024-01-02T5',
+    which is NOT order-preserving against uncanonicalized strings
+    (' ' < 'T' spans other printable chars).  Belt-and-braces,
+    :func:`_file_entry` additionally refuses to store a zone map for
+    any string column where canonicalization changed a stored bound —
+    rewritten-raw-string bounds are exactly the monotonicity hazard,
+    and an absent zone map merely reads more, never skips wrong.
+    Everything else compares as its string form (ISO dates are
+    lexicographically ordered, which is the only property skipping
+    needs)."""
     import datetime as _dt
     import re as _re
 
@@ -188,7 +297,8 @@ def _norm(v):
     if isinstance(v, (_dt.datetime, _dt.date)):
         return v.isoformat()
     s = str(v)
-    if _re.match(r"^\d{4}-\d{2}-\d{2} \d", s):
+    if _re.fullmatch(
+            r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}(\.\d+)?", s):
         s = s.replace(" ", "T", 1)
     return s
 
@@ -223,6 +333,14 @@ def _file_entry(abs_path: str, rel_path: str) -> dict:
                 # missing row)
                 continue
             lo, hi = _norm(st.min), _norm(st.max)
+            if (isinstance(st.min, str) and lo != st.min) \
+                    or (isinstance(st.max, str) and hi != st.max):
+                # a RAW STRING bound that canonicalization rewrote:
+                # storing it breaks ordering against this column's
+                # unrewritten values (' ' < 'T' spans other printable
+                # chars — r8 ADVICE item 3), so the column carries no
+                # zone map at all (more I/O, never a wrong skip)
+                continue
             if name in stats:
                 stats[name] = [min(stats[name][0], lo),
                                max(stats[name][1], hi)]
@@ -263,7 +381,27 @@ def _fold_stats(entries: list[dict]) -> dict:
     return out
 
 
-def _zvalue_col(cols: list, bounds: dict, bits: int = 16):
+def _zorder_epoch(v, dtype: str) -> float:
+    """A stored zone-map bound (ISO string or date/datetime) as an
+    epoch number matching Spark's ``unix_date`` / ``cast(ts as
+    double)`` expressions — the numeric domain the z-order rank
+    normalizes over."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        return v.replace(tzinfo=_dt.timezone.utc).timestamp()
+    if isinstance(v, _dt.date):
+        return float((v - _dt.date(1970, 1, 1)).days)
+    s = str(v)
+    if dtype == "date":
+        return float((_dt.date.fromisoformat(s)
+                      - _dt.date(1970, 1, 1)).days)
+    return (_dt.datetime.fromisoformat(s)
+            .replace(tzinfo=_dt.timezone.utc).timestamp())
+
+
+def _zvalue_col(cols: list, bounds: dict, bits: int = 16,
+                dtypes: dict | None = None):
     """Z-order curve value as a pure Column expression (JVM-side, no
     UDF): each input column is min-max-normalized to a ``bits``-wide
     integer rank, then the ranks' bits are INTERLEAVED (Morton code),
@@ -272,29 +410,71 @@ def _zvalue_col(cols: list, bounds: dict, bits: int = 16):
     tight range, instead of only the leading sort column's (the
     lexicographic-sort weakness Delta's OPTIMIZE ZORDER exists to
     fix).  ``bounds`` maps column -> (lo, hi) numeric domain; a
-    degenerate domain contributes rank 0."""
+    degenerate domain contributes rank 0.
+
+    Bit budget (r8 ADVICE item 5): the interleaved value lives in a
+    SIGNED long, so the top source bit must stay below position 63 —
+    with the old fixed bits=16, four columns put a bit AT the sign
+    position, flipping half the z-values negative and inverting the
+    Morton order at the highest bit.  ``bits`` is therefore capped at
+    ``63 // len(cols)`` (4 cols → 15 bits each, top bit 59).
+
+    Non-numeric keys (VERDICT r8 #5 — the reference's cluster key is
+    the STRING ``ticker``, fct_trading_momentum.sql:5) derive their
+    rank automatically from ``dtypes`` (column -> Spark
+    ``simpleString`` type):
+
+    * ``date`` → ``unix_date(col)`` (epoch days); bounds parse from
+      the zone map's ISO form — ranges stay tight, range skipping
+      works as for numerics.
+    * ``timestamp`` → ``cast(col as double)`` (epoch seconds), same.
+    * ``string`` → the top ``bits`` bits of ``xxhash64(col)`` — a
+      stable 64-bit hash rank.  Hash ranks still tile (equal values
+      share a tile) but string RANGES are hash-scattered: the zone-map
+      benefit on a hashed dimension is EQUALITY-shaped (ticker = 'X'
+      probes skip files; ticker BETWEEN probes don't), which is the
+      reference dashboard's actual probe shape.
+    """
+    n = len(cols)
+    bits = min(bits, 63 // max(1, n))
+    dtypes = dtypes or {}
     ranks = []
     top = (1 << bits) - 1
     for c in cols:
+        dtype = dtypes.get(c, "")
+        if dtype == "string":
+            # uniform rank from the hash's top bits; no bounds needed
+            ranks.append(F.shiftrightunsigned(F.xxhash64(F.col(c)),
+                                              64 - bits))
+            continue
         lo, hi = bounds[c]
-        try:
-            lo, hi = float(lo), float(hi)
-        except (TypeError, ValueError):
-            raise ValueError(
-                f"zorder_by column {c!r} is not numeric (domain "
-                f"{bounds[c]!r}); z-order interleaves integer ranks — "
-                f"derive a numeric key first (unix_date/epoch for "
-                f"dates, a hash for strings)") from None
+        if dtype in ("date", "timestamp", "timestamp_ntz"):
+            try:
+                lo, hi = _zorder_epoch(lo, dtype), _zorder_epoch(hi, dtype)
+            except (TypeError, ValueError):
+                raise ValueError(
+                    f"zorder_by column {c!r} ({dtype}) has bounds "
+                    f"{bounds[c]!r} that do not parse as ISO "
+                    f"date/timestamp") from None
+            expr = (F.unix_date(F.col(c)).cast("double")
+                    if dtype == "date" else F.col(c).cast("double"))
+        else:
+            try:
+                lo, hi = float(lo), float(hi)
+            except (TypeError, ValueError):
+                raise ValueError(
+                    f"zorder_by column {c!r} is not numeric (domain "
+                    f"{bounds[c]!r}) and its type {dtype!r} has no "
+                    f"automatic rank derivation") from None
+            expr = F.col(c).cast("double")
         if hi <= lo:
             ranks.append(F.lit(0).cast("long"))
             continue
-        scaled = ((F.col(c).cast("double") - F.lit(lo))
-                  / F.lit(hi - lo) * F.lit(float(top)))
+        scaled = ((expr - F.lit(lo)) / F.lit(hi - lo) * F.lit(float(top)))
         rank = F.least(F.greatest(scaled.cast("long"), F.lit(0)),
                        F.lit(top))
         ranks.append(rank)
     z = F.lit(0).cast("long")
-    n = len(ranks)
     for bit in range(bits):
         for i, rank in enumerate(ranks):
             src = F.shiftright(rank, bit).bitwiseAND(F.lit(1))
@@ -404,13 +584,20 @@ class ManifestTable:
     """A partitioned parquet table whose live files are resolved
     through an atomically-swapped, stats-bearing manifest."""
 
-    def __init__(self, root: str, ts: str | None):
+    def __init__(self, root: str, ts: str | None,
+                 backend: CommitBackend | None = None):
         #: partition column name, or None for an UNPARTITIONED table
         #: (small dims, key-only marts): all rows live in one pseudo-
         #: partition "__all"; every op keeps its contract, partition
         #: pruning simply never applies.
         self.root = root
         self.ts = ts
+        #: the storage-dependent commit primitive (protocol step 3).
+        #: Backends interoperate on one table: every backend's publish
+        #: is gated on the final name's absence, so mixed writers
+        #: (e.g. a posix maintenance job beside coordinator-backed
+        #: ingest) still serialize correctly.
+        self.backend = backend or PosixLinkBackend()
 
     # -- manifest plumbing -------------------------------------------
 
@@ -518,14 +705,14 @@ class ManifestTable:
         partition given as a file-entry LIST (= changed by this
         commit), carry every ref dict through untouched (= unchanged;
         shards are immutable, so carrying the ref is free), then write
-        the complete commit object to a hidden temp file and
-        ``os.link`` it to ``manifest-{base+1}.json``.  The link is the
-        single atomic commit point AND the optimistic-concurrency
-        gate: a competing writer that committed from the same base
-        already owns that name, so our link raises and we surface
-        :class:`CommitConflict` — the competing snapshot stays fully
-        live, nothing of ours (shards included — they become aged-out
-        vacuum orphans) is visible."""
+        the complete commit object to a hidden temp file and publish
+        it as ``manifest-{base+1}.json`` through the table's
+        :class:`CommitBackend`.  The publish is the single atomic
+        commit point AND the optimistic-concurrency gate: a competing
+        writer that committed from the same base already owns that
+        name, so our publish raises :class:`CommitConflict` — the
+        competing snapshot stays fully live, nothing of ours (shards
+        included — they become aged-out vacuum orphans) is visible."""
         mdir = self._mdir()
         sdir = os.path.join(self.root, _SHARD_DIR)
         os.makedirs(sdir, exist_ok=True)
@@ -555,13 +742,10 @@ class ManifestTable:
             f.flush()
             os.fsync(f.fileno())
         try:
-            os.link(tmp, os.path.join(mdir, name))          # COMMIT
-        except FileExistsError:
-            raise CommitConflict(
-                f"version {version} already committed by a competing "
-                "writer; restage against the new snapshot") from None
+            self.backend.publish(mdir, name, tmp)           # COMMIT
         finally:
-            os.remove(tmp)
+            if os.path.exists(tmp):
+                os.remove(tmp)
 
     # -- data staging ------------------------------------------------
 
@@ -770,10 +954,10 @@ class ManifestTable:
     # -- write paths -------------------------------------------------
 
     @classmethod
-    def create(cls, df: DataFrame, root: str,
-               ts: str | None) -> "ManifestTable":
+    def create(cls, df: DataFrame, root: str, ts: str | None,
+               backend: CommitBackend | None = None) -> "ManifestTable":
         """Initial materialization: stage everything, commit v1."""
-        t = cls(root, ts)
+        t = cls(root, ts, backend=backend)
         parts = t._stage(df)
         t._commit(parts, base_version=0, schema=_schema_sig(df))
         return t
@@ -1060,7 +1244,14 @@ class ManifestTable:
         the old snapshot fully live; pre-delete snapshots stay
         time-travelable until vacuum.
 
-        ``condition`` is a Column (or SQL string) evaluated per row.
+        ``condition`` is a Column (or SQL string) evaluated per row
+        under SQL DELETE three-valued logic: a row is deleted only
+        where the condition is TRUE — a NULL-valued condition KEEPS
+        the row (``kept = NOT coalesce(cond, false)``), matching
+        SQL/Delta DELETE.  A bare ``where(~cond)`` would silently drop
+        NULL-condition rows in rewritten partitions while identical
+        rows in match-free partitions survived — inconsistent across
+        partitions and undercounted (r8 ADVICE item 1).
         ``where`` optionally carries {col: (lo, hi)} bounds implied by
         the condition, used EXACTLY like :meth:`scan_plan`'s pruning:
         partitions/files the bounds exclude are never read.  Bounds
@@ -1094,7 +1285,8 @@ class ManifestTable:
         live = mf["partitions"]
         rewrite_files = [os.path.join(self.root, e["path"])
                          for v in counts for e in self._entries(mf, v)]
-        kept = self._read_files(spark, rewrite_files, mf).where(~condition)
+        kept = self._read_files(spark, rewrite_files, mf).where(
+            ~F.coalesce(condition, F.lit(False)))
         staged = self._stage(kept)
         new_parts = dict(live)
         for v in counts:
@@ -1128,12 +1320,16 @@ class ManifestTable:
         ``scan_plan`` skips file-granularly on the cluster columns —
         but a lexicographic sort only tightens the LEADING column's
         ranges.  ``zorder_by`` instead sorts by a Morton (bit-
-        interleaved) curve over the named NUMERIC columns
-        (:func:`_zvalue_col` — pure Column bit math, JVM-side), so
-        files become multi-dimensional tiles and ``scan_plan`` skips
-        on EVERY participating dimension — Delta's OPTIMIZE ZORDER
-        proper.  Column domains come from the commit object's zone
-        maps (no extra scan); mutually exclusive with ``cluster_by``.
+        interleaved) curve over the named columns (:func:`_zvalue_col`
+        — pure Column bit math, JVM-side; numeric and date/timestamp
+        columns rank by min-max-normalized value, string columns by a
+        stable hash — see the derivation notes there), so files become
+        multi-dimensional tiles and ``scan_plan`` skips on EVERY
+        participating dimension — Delta's OPTIMIZE ZORDER proper,
+        including the reference's own (trade_date, string ticker)
+        cluster key.  Column domains come from the commit object's
+        zone maps (no extra scan); mutually exclusive with
+        ``cluster_by``.
         """
         if cluster_by and zorder_by:
             raise ValueError("cluster_by and zorder_by are exclusive")
@@ -1150,15 +1346,19 @@ class ManifestTable:
         frame = self._read_files(spark, paths, mf)
         sort_cols, drop_after = cluster_by, None
         if zorder_by:
+            dtypes = {f.name: f.dataType.simpleString()
+                      for f in frame.schema.fields}
             bounds = {}
             for c in zorder_by:
+                if dtypes.get(c) == "string":
+                    continue           # hash rank: no domain needed
                 b = self.stat_bounds(c)
                 if b is None:          # zone maps absent: one real agg
                     row = frame.agg(F.min(c), F.max(c)).first()
                     b = (row[0], row[1])
                 bounds[c] = b
-            frame = frame.withColumn("__z",
-                                     _zvalue_col(zorder_by, bounds))
+            frame = frame.withColumn(
+                "__z", _zvalue_col(zorder_by, bounds, dtypes=dtypes))
             sort_cols, drop_after = ["__z"], ["__z"]
         staged = self._stage(frame,
                              cluster_by=sort_cols,
@@ -1190,15 +1390,42 @@ class ManifestTable:
         KNOW no writer is mid-stage (tests reclaiming a just-crashed
         writer's orphans).  Committed txns are exempt from the grace —
         a txn with any live file has passed its commit point, so its
-        superseded files are reclaimable immediately."""
+        superseded files are reclaimable immediately.
+
+        HISTORY survives the same window (r8 ADVICE item 4): a
+        historical manifest younger than ``retention_seconds`` is
+        RETAINED, and every data file and shard it references counts
+        as live — so time travel, ``restore(version)`` and a change-
+        feed consumer polling ``since_version=N`` keep working for the
+        full documented retention, exactly the Delta
+        ``delta.deletedFileRetentionDuration`` contract the docstring
+        cites.  Before this fix vacuum removed ALL historical
+        manifests immediately, permanently disabling time travel in
+        one routine pass while granting data files a 24 h grace —
+        retention applied to the wrong layer."""
         import shutil
         import time
 
-        raw = self._raw()
-        live_rel = {e["path"] for v in raw["partitions"]
-                    for e in self._entries(raw, v)}
-        live_shards = {r["shard"] for r in raw["partitions"].values()}
         now = time.time()
+        raw = self._raw()
+        current = self._current_name()
+        # snapshots whose referenced files/shards must survive: the
+        # live manifest plus every historical one inside retention
+        retained_names = [current]
+        for m in sorted(os.listdir(self._mdir())):
+            full = os.path.join(self._mdir(), m)
+            if (os.path.isfile(full) and m != current
+                    and m.startswith("manifest-") and m.endswith(".json")
+                    and (now - os.path.getmtime(full)) < retention_seconds):
+                retained_names.append(m)
+        live_rel: set = set()
+        live_shards: set = set()
+        for name in retained_names:
+            snap = raw if name == current else self._raw(name)
+            live_shards |= {r["shard"]
+                            for r in snap["partitions"].values()}
+            live_rel |= {e["path"] for v in snap["partitions"]
+                         for e in self._entries(snap, v)}
 
         def _young(path: str) -> bool:
             try:
@@ -1247,16 +1474,26 @@ class ManifestTable:
             if not any_live:
                 shutil.rmtree(txn_dir)
                 removed.append(os.path.join("data", txn))
-        current = self._current_name()
+        retained = set(retained_names)
         for m in sorted(os.listdir(self._mdir())):
             full = os.path.join(self._mdir(), m)
             if not os.path.isfile(full):
                 continue                      # shards/ handled below
-            stale_manifest = m.startswith("manifest-") and m != current
+            stale_manifest = (m.startswith("manifest-")
+                              and m not in retained)
             crash_tmp = (m.startswith(".tmp-")
                          and (now - os.path.getmtime(full))
                          >= retention_seconds)
-            if stale_manifest or crash_tmp:
+            # a CoordinatorClaimBackend claim marker is reclaimable
+            # once its manifest exists (the claim did its job) or once
+            # aged past the grace an in-flight claimer could need
+            consumed_claim = (
+                m.startswith(".claim-")
+                and (os.path.exists(os.path.join(self._mdir(),
+                                                 m[len(".claim-"):]))
+                     or (now - os.path.getmtime(full))
+                     >= retention_seconds))
+            if stale_manifest or crash_tmp or consumed_claim:
                 os.remove(full)
                 removed.append(os.path.join(_MANIFEST_DIR, m))
         # shard files: keep the live manifest's; reclaim the rest once

@@ -190,11 +190,26 @@ class Runner:
         # back to the unpartitioned single-pseudo-partition layout
         # (merge is then a full-table rewrite, exactly what a keyed
         # merge without partition pruning costs anywhere).
+        #
+        # INCREMENTAL models only get a partitioned layout when the
+        # partition column is part of the unique key (r8 ADVICE item
+        # 2): ManifestTable.merge is partition-pruned and requires
+        # that a key never moves between partition values — for an
+        # arbitrary model partitioned by a MUTABLE attribute, an
+        # update that changes the partition value would leave the
+        # stale row alive in its old partition (silent duplicate
+        # keys).  A key-stable column (key contains it) cannot move by
+        # construction; anything else falls back to the unpartitioned
+        # layout, where merge is a full rewrite — the honest cost of a
+        # keyed merge with no prunable dimension.
         from .manifest import ManifestTable
 
         ts = (model.partition_by[0]
               if model.partition_by and len(model.partition_by) == 1
               else None)
+        if (model.materialization == "incremental" and ts is not None
+                and ts not in (model.unique_key or [])):
+            ts = None
         exists = os.path.isdir(os.path.join(path, "_manifests"))
         if not exists:
             table = ManifestTable.create(df, path, ts=ts)

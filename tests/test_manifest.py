@@ -48,11 +48,37 @@ def _snap(df):
     return sorted(tuple(r) for r in df.collect())
 
 
+def _backend(kind: str):
+    from stock_market_data_pipeline_spark.manifest import (
+        CoordinatorClaimBackend,
+        PosixLinkBackend,
+    )
+    return {"posix": PosixLinkBackend,
+            "coordinator": CoordinatorClaimBackend}[kind]()
+
+
+#: the commit-protocol tests (crash / conflict / race / vacuum) run
+#: against BOTH CommitBackends (VERDICT r8 #2) via indirect
+#: parametrize; everything else uses the default posix backend
+BOTH_BACKENDS = pytest.mark.parametrize(
+    "table", ["posix", "coordinator"], indirect=True)
+
+
 @pytest.fixture()
-def table(spark, tmp_path):
+def table(spark, tmp_path, request):
     root = str(tmp_path / "mtable")
-    t = ManifestTable.create(_mkdf(spark, BASE), root, ts="trade_date")
+    backend = _backend(getattr(request, "param", "posix"))
+    t = ManifestTable.create(_mkdf(spark, BASE), root, ts="trade_date",
+                             backend=backend)
     return t
+
+
+def _sibling(table) -> ManifestTable:
+    """A second writer handle on the same table, SAME backend kind —
+    what a concurrent process using this deployment's storage would
+    construct."""
+    return ManifestTable(table.root, table.ts,
+                         backend=type(table.backend)())
 
 
 def test_create_and_read_roundtrip(spark, table):
@@ -70,6 +96,7 @@ def test_merge_is_upsert_across_partitions(spark, table):
     assert got == expect
 
 
+@BOTH_BACKENDS
 def test_crash_before_commit_preserves_old_snapshot(spark, table):
     """THE crash-injection test: writer dies after staging every new
     partition directory but before the CURRENT swap.  The reader must
@@ -101,20 +128,60 @@ def test_time_travel_and_vacuum(spark, table):
     assert _snap(table.read(spark, "manifest-00000001.json")) \
         == _snap(_mkdf(spark, BASE))
     merged_now = _snap(table.read(spark))
-    removed = table.vacuum()
-    # vacuum dropped the superseded partition dirs + old manifest
+    # DEFAULT retention: young history is retained (r8 ADVICE item 4)
+    # — a routine vacuum must NOT disable time travel inside the window
+    assert table.vacuum() == []
+    assert _snap(table.read(spark, "manifest-00000001.json")) \
+        == _snap(_mkdf(spark, BASE))
+    removed = table.vacuum(retention_seconds=0)
+    # zero retention: superseded partition dirs + old manifest go
     assert any(r.startswith("data/") for r in removed)
     assert any(r.endswith("manifest-00000001.json") for r in removed)
     # live snapshot unchanged after vacuum
     assert _snap(table.read(spark)) == merged_now
 
 
+def test_vacuum_retains_history_within_retention(spark, table):
+    """r8 ADVICE item 4 end-to-end: inside the retention window a
+    change-feed consumer polling since_version=N and a restore(N) both
+    survive a routine vacuum; once the history AGES OUT, the same
+    default-parameter vacuum reclaims manifests, shards and their
+    now-unreferenced data files together."""
+    import time
+
+    v1 = table.version()
+    table.merge(spark, _mkdf(spark, UPDATES), KEYS)
+    table.vacuum()                               # routine, default 24 h
+    # the change-feed consumer keeps working...
+    inc = {(r.ticker, r.close)
+           for r in table.read_incremental(spark, v1).collect()}
+    assert ("CCC", 30.0) in inc
+    # ...and so does restore to the pre-merge version
+    table.restore(v1)
+    assert _snap(table.read(spark)) == _snap(_mkdf(spark, BASE))
+    table.restore(2)                             # roll forward again
+    # age the v1/v2 history out: every file mtime older than retention
+    old = time.time() - 7 * 86400
+    for dp, _, fs in os.walk(table.root):
+        for f in fs:
+            p = os.path.join(dp, f)
+            if "manifest-%08d" % table.version() not in f:
+                os.utime(p, (old, old))
+    removed = table.vacuum()
+    assert any("manifest-00000001.json" in r for r in removed)
+    with pytest.raises(FileNotFoundError):
+        table.restore(v1)                        # aged out: clear error
+
+
+@BOTH_BACKENDS
 def test_vacuum_reclaims_crash_orphans(spark, table):
     with pytest.raises(CrashInjected):
         table.merge(spark, _mkdf(spark, UPDATES), KEYS,
                     _crash_before_commit=True)
     before = _snap(table.read(spark))
-    assert table.vacuum() == []          # grace window: orphan is young
+    # grace window: the young orphan txn survives (consumed coordinator
+    # claim markers are the one thing a routine vacuum may clear)
+    assert [r for r in table.vacuum() if ".claim-" not in r] == []
     removed = table.vacuum(retention_seconds=0)
     assert removed  # the orphaned txn went away
     data = os.path.join(table.root, "data")
@@ -259,6 +326,7 @@ def test_append_and_compact(spark, table):
     assert table.compact(spark)["partitions"] == 0
 
 
+@BOTH_BACKENDS
 def test_commit_conflict_detected_not_torn(spark, table):
     """Optimistic concurrency: writer B commits between writer A's
     read snapshot and A's commit link.  A must raise CommitConflict;
@@ -269,7 +337,7 @@ def test_commit_conflict_detected_not_torn(spark, table):
     b_updates = _mkdf(spark, [("BBB", "2024-01-03", 77.0)])
 
     def competing_commit():
-        ManifestTable(table.root, table.ts).merge(spark, b_updates, KEYS)
+        _sibling(table).merge(spark, b_updates, KEYS)
 
     with pytest.raises(CommitConflict):
         table.merge(spark, _mkdf(spark, UPDATES), KEYS,
@@ -314,6 +382,7 @@ def test_append_batch_exactly_once_and_ledger_survives_compact(spark, table):
     assert table.append_batch(b1, "s1", 1) is False
 
 
+@BOTH_BACKENDS
 def test_merge_batch_crash_mid_upsert_preserves_old_snapshot(spark, table):
     """VERDICT r7 #1's done-criterion: a crash mid-streaming-upsert
     (after the merge staged its rewritten partitions, before the
@@ -348,6 +417,7 @@ def test_merge_batch_crash_mid_upsert_preserves_old_snapshot(spark, table):
         (r[0], str(r[1]), r[2]) for r in table.read(spark).collect()}
 
 
+@BOTH_BACKENDS
 def test_merge_batch_restages_through_conflict(spark, table, monkeypatch):
     """A CommitConflict mid-merge must RE-STAGE against the new
     snapshot (unlike append_batch's stage-once retry): the competing
@@ -379,6 +449,7 @@ def test_merge_batch_restages_through_conflict(spark, table, monkeypatch):
     assert table.manifest()["streams"] == {"s": 0}
 
 
+@BOTH_BACKENDS
 def test_append_batch_retries_through_conflict(spark, table, monkeypatch):
     """A CommitConflict mid-append (another writer committed first)
     must re-read the snapshot and retry, landing BOTH writes."""
@@ -523,7 +594,7 @@ def test_history_tracks_snapshots(spark, table):
     assert h[-1]["rows"] == 9         # 6 base + 2 merge inserts + 1 append
     assert h[-1]["streams"] == {"s": 3}
     assert h[-1]["files"] > h[0]["files"]
-    table.vacuum()
+    table.vacuum(retention_seconds=0)
     assert [x["version"] for x in table.history()] == [3]
 
 
@@ -598,6 +669,25 @@ def test_delete_where_partition_shaped_and_atomic(spark, table):
     assert len(_snap(table.read(spark, pre_name))) == 7
 
 
+def test_delete_where_null_condition_keeps_rows(spark, tmp_path):
+    """SQL DELETE three-valued logic (r8 ADVICE item 1): a row whose
+    condition evaluates to NULL is KEPT — in every partition, whether
+    or not that partition also holds TRUE-matching rows.  The old
+    ``where(~cond)`` silently deleted NULL-condition rows, but only in
+    partitions being rewritten — inconsistent AND undercounted."""
+    df = spark.createDataFrame(
+        [("a", "p1", 5.0), ("b", "p1", None), ("c", "p2", None),
+         ("d", "p2", 1.0), ("e", "p3", None)],
+        "k string, p string, v double")
+    t = ManifestTable.create(df, str(tmp_path / "nullsdel"), ts="p")
+    out = t.delete_where(spark, F.col("v") > 2.0)
+    # only the TRUE row goes; both NULL-v rows in rewritten p1 and
+    # untouched p2/p3 survive, and the count matches what was removed
+    assert out["rows_deleted"] == 1
+    kept = {r.k for r in t.read(spark).collect()}
+    assert kept == {"b", "c", "d", "e"}
+
+
 def test_delete_where_no_match_is_noop(spark, table):
     v = table.version()
     out = table.delete_where(spark, F.col("close") > 1000.0,
@@ -606,6 +696,7 @@ def test_delete_where_no_match_is_noop(spark, table):
     assert table.version() == v                        # no commit
 
 
+@BOTH_BACKENDS
 def test_delete_where_crash_preserves_old_snapshot(spark, table):
     before = _snap(table.read(spark))
     with pytest.raises(CrashInjected):
@@ -710,6 +801,7 @@ def test_change_feed_appends_are_exact_and_ref_skipped(spark, table):
     assert len(table.added_files(v1)) == 3
 
 
+@BOTH_BACKENDS
 def test_true_race_concurrent_stream_writers(spark, table):
     """Not an injected conflict — a REAL race: two threads each push 4
     batches through append_batch against the same table concurrently.
@@ -728,7 +820,7 @@ def test_true_race_concurrent_stream_writers(spark, table):
 
     def writer(stream_id: str) -> None:
         try:
-            t = ManifestTable(table.root, table.ts)
+            t = _sibling(table)
             for bid, batch in enumerate(rows[stream_id]):
                 assert t.append_batch(_mkdf(spark, batch),
                                       stream_id, bid) is True
@@ -1002,6 +1094,32 @@ def test_timestamp_stats_normalize_to_iso_t_form(tmp_path):
     assert _ranges_disjoint(stat, "2024-01-03T00:00:00", None)
 
 
+def test_string_canonicalization_is_anchored_and_stats_drop(
+        spark, tmp_path):
+    """r8 ADVICE item 3: the space→'T' rewrite applies ONLY to strings
+    that fully match the timestamp shape — the loose prefix match
+    rewrote '2024-01-02 5' → '2024-01-02T5', which is not order-
+    preserving against unrewritten strings (' ' < 'T' spans other
+    printable chars), wrong-skipping files.  And a string COLUMN whose
+    raw footer bounds canonicalization would rewrite carries no zone
+    map at all: plain strings that merely look timestampy can never
+    mis-sort a skip decision."""
+    from stock_market_data_pipeline_spark.manifest import _norm
+
+    assert _norm("2024-01-02 5") == "2024-01-02 5"          # anchored
+    assert _norm("2024-01-02 05:00:00") == "2024-01-02T05:00:00"
+    # a string column holding space-form timestamps: no zone map
+    df = spark.createDataFrame(
+        [("2024-01-02 05:00:00", "g"), ("2024-01-02 09:00:00", "g")],
+        "s string, g string")
+    t = ManifestTable.create(df, str(tmp_path / "strstats"), ts="g")
+    assert t.stat_bounds("s") is None
+    # the r8 failure shape: a bound between ' ' and 'T' forms must not
+    # skip the file now that the column carries no (rewritten) stats
+    plan = t.scan_plan({"s": (None, "2024-01-02A")})
+    assert len(plan["files"]) == 1                          # kept
+
+
 def test_unsupported_manifest_format_rejected(spark, tmp_path, table):
     """A manifest whose format version this reader does not speak must
     raise a clear error up front — not a deep TypeError mid-iteration,
@@ -1041,10 +1159,143 @@ def test_bigint_stats_do_not_round(spark, tmp_path):
     assert len(plan["files"]) == 1               # kept, not skipped
 
 
-def test_zorder_rejects_non_numeric_columns(spark, table):
-    """A date/string zorder column must fail loudly — a silent NULL
-    cast would rank every row 0 and quietly produce an unclustered
-    'success'."""
-    with pytest.raises(ValueError, match="not numeric"):
-        table.compact(spark, zorder_by=["ticker"],
-                      max_records_per_file=2)
+def test_zorder_rejects_underivable_columns(spark, tmp_path):
+    """A zorder column with no automatic rank derivation (here an
+    array) must fail loudly — a silent NULL cast would rank every row
+    0 and quietly produce an unclustered 'success'.  (Strings, dates
+    and timestamps now DERIVE their rank — see the mixed-key test —
+    so only genuinely rankless types reject.)"""
+    df = spark.createDataFrame([("a", [1.0]), ("b", [2.0])],
+                               "k string, v array<double>")
+    t = ManifestTable.create(df, str(tmp_path / "zarr"), ts=None)
+    with pytest.raises(ValueError, match="no automatic rank"):
+        t.compact(spark, zorder_by=["v"], max_records_per_file=1)
+
+
+def test_zorder_mixed_date_string_keys(spark, tmp_path):
+    """VERDICT r8 #5: the reference's cluster key is (trade_date,
+    ticker) — a DATE and a STRING (fct_trading_momentum.sql:5).
+    compact(zorder_by=[date, string]) must (a) succeed via automatic
+    rank derivation (unix_date / xxhash64 — no hand-derived numeric
+    key), (b) stay row-preserving, and (c) make EQUALITY probes on
+    the hashed string dimension and RANGE probes on the date
+    dimension both skip files."""
+    tickers = [f"T{i:02d}" for i in range(16)]
+    df = (spark.range(4096).selectExpr(
+        "date_add(DATE'2024-01-01', CAST(id % 64 AS INT)) AS trade_date",
+        "CAST(id / 64 AS INT) AS tn", "'g' AS g")
+        .selectExpr("trade_date",
+                    "concat('T', lpad(CAST(tn % 16 AS STRING), 2, '0'))"
+                    " AS ticker", "g"))
+    t = ManifestTable.create(df, str(tmp_path / "zmix"), ts="g")
+    before = _snap(t.read(spark))
+    t.compact(spark, zorder_by=["trade_date", "ticker"],
+              max_records_per_file=256)
+    assert _snap(t.read(spark)) == before
+    nfiles = len(t.scan_plan()["files"])
+    assert nfiles >= 8
+    # date dimension: range probe skips (ranks are order-preserving)
+    d = t.scan_plan({"trade_date": ("2024-01-01", "2024-01-08")})
+    assert d["skipped"] >= nfiles // 2
+    # string dimension: equality (IN-list) probe skips — hash ranks
+    # tile equal values together even though RANGES are scattered
+    s = t.scan_plan({"ticker": [tickers[0]]})
+    assert s["skipped"] > 0
+
+
+def test_zvalue_bit_budget_never_reaches_sign_bit(spark, tmp_path):
+    """r8 ADVICE item 5: with 4 z-order columns and the old fixed
+    bits=16 the top source bit landed AT bit 63 (the sign bit),
+    flipping half the z-values negative and inverting the Morton
+    order.  The bit budget must cap at 63 // n_cols: all four
+    dimensions still tile (every column's probe skips), which fails
+    under sign-bit inversion because the highest-order dimension
+    bit sorts backwards."""
+    from stock_market_data_pipeline_spark.manifest import _zvalue_col
+
+    df = (spark.range(4096).selectExpr(
+        "CAST(id % 8 AS DOUBLE) AS a",
+        "CAST(CAST(id / 8 AS INT) % 8 AS DOUBLE) AS b",
+        "CAST(CAST(id / 64 AS INT) % 8 AS DOUBLE) AS c",
+        "CAST(CAST(id / 512 AS INT) % 8 AS DOUBLE) AS d",
+        "'g' AS g"))
+    bounds = {k: (0.0, 7.0) for k in "abcd"}
+    z = df.select(_zvalue_col(list("abcd"), bounds).alias("z"))
+    mn, mx = z.agg(F.min("z"), F.max("z")).first()
+    assert mn >= 0, "interleaved z-value leaked into the sign bit"
+    assert mx < (1 << 63)
+    t = ManifestTable.create(df, str(tmp_path / "z4"), ts="g")
+    t.compact(spark, zorder_by=list("abcd"), max_records_per_file=128)
+    nfiles = len(t.scan_plan()["files"])
+    for colname in "abcd":
+        plan = t.scan_plan({colname: (0.0, 1.0)})
+        assert plan["skipped"] >= nfiles // 4, colname
+
+
+def test_coordinator_backend_stale_claim_takeover(spark, tmp_path):
+    """CoordinatorClaimBackend: a writer that died BETWEEN claim and
+    body upload (the window the split protocol introduces) must not
+    block the version forever — a later writer takes over a claim
+    older than the grace whose manifest never appeared; a YOUNG claim
+    is respected (CommitConflict, the in-flight writer may still
+    publish)."""
+    from stock_market_data_pipeline_spark.manifest import (
+        CommitConflict,
+        CoordinatorClaimBackend,
+    )
+
+    t = ManifestTable.create(_mkdf(spark, BASE),
+                             str(tmp_path / "coord"), ts="trade_date",
+                             backend=CoordinatorClaimBackend(
+                                 claim_grace=3600.0))
+    # simulate a claimer that died before uploading the body
+    claim = os.path.join(t._mdir(), ".claim-manifest-00000002.json")
+    os.close(os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+    with pytest.raises(CommitConflict, match="in-flight"):
+        t.merge(spark, _mkdf(spark, UPDATES), KEYS)
+    assert t.version() == 1                       # young claim respected
+    # age the claim out: takeover succeeds, merge commits
+    old = __import__("time").time() - 7200
+    os.utime(claim, (old, old))
+    t.merge(spark, _mkdf(spark, UPDATES), KEYS)
+    assert t.version() == 2
+    expect = {(tk, d): c for (tk, d, c) in BASE}
+    expect.update({(tk, d): c for (tk, d, c) in UPDATES})
+    got = {(r.ticker, str(r.trade_date)): r.close
+           for r in t.read(spark).collect()}
+    assert got == expect
+    # vacuum clears the consumed claim marker
+    t.vacuum(retention_seconds=0)
+    assert not any(m.startswith(".claim-")
+                   for m in os.listdir(t._mdir()))
+
+
+def test_mixed_backend_writers_still_serialize(spark, tmp_path):
+    """Backends INTEROPERATE on one table: a posix-linked maintenance
+    job racing a coordinator-backed writer from the same base version
+    still produces exactly one winner per version — every backend's
+    publish is gated on the final name's absence."""
+    from stock_market_data_pipeline_spark.manifest import (
+        CommitConflict,
+        CoordinatorClaimBackend,
+        PosixLinkBackend,
+    )
+
+    root = str(tmp_path / "mixed")
+    a = ManifestTable.create(_mkdf(spark, BASE), root, ts="trade_date",
+                             backend=CoordinatorClaimBackend())
+    b = ManifestTable(root, "trade_date", backend=PosixLinkBackend())
+
+    def competing():
+        b.merge(spark, _mkdf(spark, [("BBB", "2024-01-03", 77.0)]),
+                KEYS)
+
+    with pytest.raises(CommitConflict):
+        a.merge(spark, _mkdf(spark, UPDATES), KEYS,
+                _pre_commit_hook=competing)
+    # b won version 2; a's staged attempt is fully invisible
+    got = {(r.ticker, str(r.trade_date)): r.close
+           for r in a.read(spark).collect()}
+    assert got[("BBB", "2024-01-03")] == 77.0
+    a.merge(spark, _mkdf(spark, UPDATES), KEYS)   # retry lands
+    assert a.version() == 3

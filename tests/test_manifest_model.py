@@ -52,15 +52,24 @@ def _mk(spark, rows, venue=False):
     return df
 
 
+@pytest.mark.parametrize("backend_kind", ["posix", "coordinator"])
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(ops=_ops, evolve_at=st.integers(0, 4))
 def test_random_op_sequences_match_dict_model(spark, tmp_path_factory,
-                                              ops, evolve_at):
+                                              backend_kind, ops,
+                                              evolve_at):
+    from stock_market_data_pipeline_spark.manifest import (
+        CoordinatorClaimBackend,
+        PosixLinkBackend,
+    )
+
+    backend = {"posix": PosixLinkBackend,
+               "coordinator": CoordinatorClaimBackend}[backend_kind]()
     root = str(tmp_path_factory.mktemp("model") / "t")
     base = [("AA", "2024-01-01", 1.0), ("BB", "2024-01-02", 2.0)]
     table = ManifestTable.create(_mk(spark, base), root,
-                                 ts="trade_date")
+                                 ts="trade_date", backend=backend)
     # model: (ticker, date) -> list of (close, venue) — append may
     # create duplicates on a key, merge collapses them (anti-join
     # drops every copy of a matched key), delete filters by value

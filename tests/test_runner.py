@@ -188,3 +188,35 @@ def test_runner_incremental_second_run_merges(spark):
     assert a.count() == b.count()
     assert a.select("ticker", "trade_date", "close").exceptAll(
         b.select("ticker", "trade_date", "close")).count() == 0
+
+
+def test_runner_incremental_mutable_partition_column_no_stale_rows(spark):
+    """r8 ADVICE item 2: an incremental model partitioned by a MUTABLE
+    attribute (partition column NOT part of the unique key) must not
+    leave a stale row alive when an update moves a key to a new
+    partition value.  The runner now falls back to the unpartitioned
+    manifest layout for that shape, where merge is a full keyed
+    rewrite — no pruning assumption to violate."""
+    import tempfile as _tf
+
+    from stock_market_data_pipeline_spark.runner import Model, Runner
+
+    wh = _tf.mkdtemp(prefix="runner_mut_")
+    v1 = [("k1", "gold", 1.0), ("k2", "silver", 2.0)]
+    v2 = [("k1", "silver", 9.0)]          # k1 MOVES gold -> silver
+
+    def _reg(rows):
+        r = Runner(spark, wh)
+        r.register(Model(
+            "tiers",
+            lambda s, built: s.createDataFrame(
+                rows, "id string, tier string, score double"),
+            materialization="incremental",
+            unique_key=["id"], partition_by=["tier"]))
+        return r
+
+    _reg(v1).run()
+    out = _reg(v2).run()["tiers"]
+    got = {(r.id, r.tier, r.score) for r in out.collect()}
+    # exactly one k1 row — the moved one; no stale gold-partition ghost
+    assert got == {("k1", "silver", 9.0), ("k2", "silver", 2.0)}
