@@ -891,6 +891,140 @@ def manifest_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read_incremental(spark, 1).drop("trade_month")
 
 
+MANIFEST_CDF_SQL = f"""
+WITH b AS ({oracles.BARS_SQL}),
+base AS (SELECT ticker, trade_date, close, volume FROM b),
+u AS (SELECT ticker, trade_date, close * 2 AS close, volume
+      FROM base
+      WHERE trade_date BETWEEN DATE '1997-06-01' AND DATE '1997-07-31')
+SELECT ticker, trade_date, close, volume,
+       'update_preimage' AS _change_type
+FROM base
+WHERE trade_date BETWEEN DATE '1997-06-01' AND DATE '1997-06-30'
+UNION ALL
+SELECT ticker, trade_date, close, volume,
+       'update_postimage' AS _change_type
+FROM u WHERE trade_date < DATE '1997-07-01'
+UNION ALL
+SELECT ticker, trade_date, close, volume, 'insert' AS _change_type
+FROM u WHERE trade_date >= DATE '1997-07-01'
+""".strip()
+
+
+@q("manifest_cdf_rows", MANIFEST_CDF_SQL)
+def manifest_cdf_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-LEVEL change feed (VERDICT r8 #6 — Delta CDF shape; the
+    file-level feed `manifest_change_feed` is exact for appends but
+    only partition-granular for merges): the bars fact is
+    materialized up to a July split, then ONE ``merge(cdf=True)``
+    doubles June's closes (updates) and inserts July (new keys).  The
+    classified change rows (insert / update_preimage /
+    update_postimage per key) stage beside the data and publish in
+    the SAME atomic commit; the entry returns ``changes(version)``
+    and RAISES unless all three change types are present and the
+    post-merge table state equals pre + applied changes by count.
+    Oracle: the pre/post diff constructed directly in SQL — the
+    full-outer-diff shape a downstream MERGE consumer would otherwise
+    recompute from two whole snapshots, which is exactly the cost the
+    captured feed avoids at 100 TB (the feed is bounded by CHANGE
+    volume, the diff by TABLE size)."""
+    from .manifest import ManifestTable
+    from .scratch import scratch_dir
+
+    split = "1997-07-01"
+    bars = (bars_from_lineitem(_t(spark, sf_dir, "lineitem"))
+            .select("ticker", "trade_date", "close", "volume")
+            .withColumn("trade_month",
+                        F.date_format("trade_date", "yyyy-MM")))
+    table = ManifestTable.create(
+        bars.where(F.col("trade_date") < F.lit(split)),
+        scratch_dir("manifest_cdf_"), ts="trade_month")
+    pre_rows = sum(r["rows"]
+                   for r in table._raw()["partitions"].values())
+    upd = (bars.where(F.col("trade_date")
+                      .between("1997-06-01", "1997-07-31"))
+           .withColumn("close", F.col("close") * 2))
+    table.merge(spark, upd, ["ticker", "trade_date"], cdf=True)
+    feed = table.changes(spark, table.version()).drop("trade_month")
+    kinds = {r["_change_type"]: r["n"] for r in
+             feed.groupBy("_change_type").count()
+             .withColumnRenamed("count", "n").collect()}
+    if set(kinds) != {"insert", "update_preimage", "update_postimage"}:
+        raise RuntimeError(f"change feed incomplete: {kinds}")
+    if kinds["update_preimage"] != kinds["update_postimage"]:
+        raise RuntimeError(f"pre/post image counts differ: {kinds}")
+    post_rows = sum(r["rows"]
+                    for r in table._raw()["partitions"].values())
+    if post_rows != pre_rows + kinds["insert"]:
+        raise RuntimeError(
+            f"feed does not reconcile: {pre_rows} + {kinds['insert']} "
+            f"inserts != {post_rows} live rows")
+    return feed
+
+
+_ZMIX_SYMS = [f"T{i:04d}" for i in range(1, 61, 2)]
+
+MANIFEST_ZMIX_SQL = f"""
+WITH b AS ({oracles.BARS_SQL})
+SELECT 'T' || lpad(CAST(ticker AS VARCHAR), 4, '0') AS sym,
+       trade_date, close
+FROM b
+WHERE 'T' || lpad(CAST(ticker AS VARCHAR), 4, '0')
+        IN ({", ".join(f"'{s}'" for s in _ZMIX_SYMS)})
+  AND trade_date BETWEEN DATE '1996-07-01' AND DATE '1997-06-30'
+""".strip()
+
+
+@q("manifest_zorder_mixed", MANIFEST_ZMIX_SQL)
+def manifest_zorder_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER over a MIXED (date, string) key (VERDICT r8 #5 — the
+    reference's own cluster key is (trade_date, string ticker),
+    fct_trading_momentum.sql:5): the bars fact with a STRING symbol
+    is compacted along a Morton curve whose ranks auto-derive —
+    epoch-days for the date dimension, a stable 64-bit hash for the
+    string (manifest._zvalue_col; no hand-derived numeric key).  The
+    entry RAISES unless a date RANGE probe and a symbol EQUALITY
+    probe each skip files from the zone maps — range-shaped benefit
+    on the ordered dimension, equality-shaped on the hashed one
+    (string ranges are hash-scattered by design; equality is the
+    dashboard's actual probe shape).  Result: a 3-symbol quarter
+    slice, residual-filtered; oracle applies the same predicate in
+    SQL, so hash equality proves the tiled layout lost no rows."""
+    from .manifest import ManifestTable
+    from .scratch import scratch_dir
+
+    lo, hi = "1996-07-01", "1997-06-30"
+    syms = _ZMIX_SYMS
+    bars = (bars_from_lineitem(_t(spark, sf_dir, "lineitem"))
+            .select(
+                F.concat(F.lit("T"),
+                         F.lpad(F.col("ticker").cast("string"), 4, "0")
+                         ).alias("sym"),
+                "trade_date", "close"))
+    table = ManifestTable.create(
+        bars, scratch_dir("manifest_zmix_"), ts=None)
+    n_rows = sum(r["rows"]
+                 for r in table._raw()["partitions"].values())
+    table.compact(spark, zorder_by=["trade_date", "sym"],
+                  max_records_per_file=max(1, -(-n_rows // 16)))
+    nfiles = len(table.scan_plan()["files"])
+    plan_d = table.scan_plan({"trade_date": (lo, hi)})
+    # the hashed dimension's benefit is EQUALITY-shaped: probe ONE
+    # symbol (the dashboard shape) — a wide IN-list legitimately
+    # touches most hash tiles, exactly like Delta's hash-scattered
+    # string z-order
+    plan_s = table.scan_plan({"sym": [syms[0]]})
+    if not (plan_d["skipped"] > 0 and plan_s["skipped"] > 0):
+        raise RuntimeError(
+            f"mixed-key z-order skipping ineffective over {nfiles} "
+            f"files: date skipped {plan_d['skipped']}, single-sym "
+            f"skipped {plan_s['skipped']}")
+    return (table.read(spark, where={"sym": syms,
+                                     "trade_date": (lo, hi)})
+            .where(F.col("sym").isin(syms)
+                   & F.col("trade_date").between(lo, hi)))
+
+
 MANIFEST_EVOLVE_SQL = f"""
 WITH b AS ({oracles.BARS_SQL})
 SELECT b.*, CAST(NULL AS VARCHAR) AS venue

@@ -260,6 +260,52 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 3, bands: int = 4,
     return _pair_jaccard(sh, pairs_from=cand).where(F.col("jaccard") >= tau)
 
 
+def minhash_lsh_star_edges(docs: DataFrame, k: int = 3,
+                           bands: int = 4) -> DataFrame:
+    """O(docs) near-dup EDGE relation (VERDICT r8 #4 — the pair-
+    explosion cap): inside every (band, signature) LSH bucket, emit
+    STAR edges to the bucket's min-id representative instead of all
+    C(n,2) member pairs.  Connectivity is preserved bucket-by-bucket
+    (every member reaches the representative, hence every other
+    member), so :func:`connected_components` over these edges yields
+    the same cluster assignment wherever bucket co-membership and
+    verified near-duplicity coincide — while the edge count is
+    bounded by ``bands * |docs|`` BY CONSTRUCTION, not by output
+    luck.  This is what survivor selection should feed at 100 TB: a
+    10^5-replica boilerplate cluster contributes 10^5 edges, not
+    5x10^9 pairs — ``BENCH_SF1.md`` measured the all-pairs relation
+    growing x971 at 10x rows for exactly this reason.  The all-pairs
+    form (:func:`minhash_lsh_pairs`, exact-Jaccard verified) remains
+    the labeled exactness baseline, as brute-force cosine is for ANN;
+    skipping its per-pair verification is the star form's one
+    semantic delta (a sub-tau bucket collision links docs the
+    verified graph would reject — rare at 4 rows/band, and the
+    catalog entry asserts assignment equality against the verified
+    clustering).
+
+    Plan shape: shingle -> signature aggregate -> ONE window min per
+    band bucket (shuffle key = hash-uniform band signature) ->
+    distinct.  No self-join at all — strictly cheaper than the
+    candidate join it replaces."""
+    n_perm = len(MINHASH_AB)
+    r = n_perm // bands
+    sig = minhash_signatures(shingle_table(docs, k))
+    band_cols = [
+        F.concat_ws("-", *[F.col(f"h{b * r + i}").cast("string")
+                           for i in range(r)])
+        for b in range(bands)
+    ]
+    sig_long = sig.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band", "sig"))
+    w = Window.partitionBy("band", "sig")
+    return (sig_long
+            .withColumn("rep", F.min("doc_id").over(w))
+            .where(F.col("doc_id") != F.col("rep"))
+            .select(F.col("rep").alias("doc_a"),
+                    F.col("doc_id").alias("doc_b"))
+            .distinct())
+
+
 def simhash_signatures(docs: DataFrame, k: int = 3) -> DataFrame:
     """Per-doc SimHash over k-word shingle hashes.
 

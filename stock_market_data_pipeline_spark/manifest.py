@@ -700,7 +700,8 @@ class ManifestTable:
     def _commit(self, partitions: dict[str, list | dict],
                 base_version: int,
                 streams: dict[str, int] | None = None,
-                schema: list | None = None) -> None:
+                schema: list | None = None,
+                cdf: list | None = None) -> None:
         """Steps 2+3 of the protocol: write a shard file for every
         partition given as a file-entry LIST (= changed by this
         commit), carry every ref dict through untouched (= unchanged;
@@ -736,6 +737,11 @@ class ManifestTable:
         body = {"version": version, "ts": self.ts, "format": _FORMAT,
                 "partitions": refs, "streams": streams or {},
                 "schema": schema or []}
+        if cdf is not None:
+            # this commit's row-level change-set file list, inline (a
+            # single merge's change files — small); readable via
+            # ``changes(version)`` while this manifest survives vacuum
+            body["cdf"] = cdf
         tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex[:12]}")
         with open(tmp, "w") as f:
             f.write(json.dumps(body, sort_keys=True))
@@ -964,8 +970,9 @@ class ManifestTable:
 
     def _stage_merge(self, spark: SparkSession, mf: dict,
                      updates: DataFrame, keys: list[str],
-                     validate_key_stability: bool = False
-                     ) -> dict[str, list]:
+                     validate_key_stability: bool = False,
+                     capture_cdf: bool = False
+                     ) -> tuple[dict[str, list], list | None]:
         """Shared MERGE staging against the snapshot ``mf``: read back
         only the partitions the update touches, upsert within that
         slice, stage the rewritten partitions.  Returns the staged
@@ -982,7 +989,18 @@ class ManifestTable:
         ``validate_key_stability=True`` (debug/test builds) enforces it
         with one anti-scan over the NON-touched live files and raises
         on violation — leave it off in production, the check reads the
-        data the pruning exists to skip."""
+        data the pruning exists to skip.
+
+        ``capture_cdf=True`` (VERDICT r8 #6) additionally classifies
+        and stages the ROW-LEVEL change set this merge produces —
+        Delta CDF shape: every update row whose key already existed
+        lands as ``update_postimage`` with its displaced live row as
+        ``update_preimage``; unmatched update rows land as ``insert``.
+        The classification reuses the same pruned touched-partition
+        slice the merge itself reads; returns ``(staged, cdf_entries)``
+        where ``cdf_entries`` is the staged change-set file list the
+        caller commits ATOMICALLY with the data (the commit object's
+        ``cdf`` key), or None when not captured."""
         from .incremental import merge_upsert
 
         if self.ts is None:
@@ -992,7 +1010,7 @@ class ManifestTable:
                        updates.select(F.col(self.ts).cast("string"))
                        .distinct().collect()]
         if not touched:
-            return {}
+            return {}, ([] if capture_cdf else None)
         live = mf["partitions"]
         if validate_key_stability:
             key_cols = [k for k in keys if k != self.ts]
@@ -1013,12 +1031,30 @@ class ManifestTable:
         prior_files = [os.path.join(self.root, e["path"])
                        for v in touched if v in live
                        for e in self._entries(mf, v)]
+        cdf_entries = None
         if prior_files:
             current = self._read_files(spark, prior_files, mf)
             merged = merge_upsert(current, updates, keys)
+            if capture_cdf:
+                cur_keys = current.select(*keys).distinct()
+                pre = (current
+                       .join(updates.select(*keys).distinct(), keys,
+                             "left_semi")
+                       .withColumn("_change_type",
+                                   F.lit("update_preimage")))
+                post = (updates.join(cur_keys, keys, "left_semi")
+                        .withColumn("_change_type",
+                                    F.lit("update_postimage")))
+                ins = (updates.join(cur_keys, keys, "left_anti")
+                       .withColumn("_change_type", F.lit("insert")))
+                cdf = pre.unionByName(post).unionByName(ins)
         else:
             merged = updates
-        return self._stage(merged)
+            cdf = updates.withColumn("_change_type", F.lit("insert"))
+        if capture_cdf:
+            cdf_entries = [e for es in self._stage(cdf).values()
+                           for e in es]
+        return self._stage(merged), cdf_entries
 
     def overwrite(self, df: DataFrame) -> None:
         """Atomic FULL REFRESH (the dbt ``table`` materialization):
@@ -1038,6 +1074,7 @@ class ManifestTable:
     def merge(self, spark: SparkSession, updates: DataFrame,
               keys: list[str],
               validate_key_stability: bool = False,
+              cdf: bool = False,
               _crash_before_commit: bool = False,
               _pre_commit_hook=None) -> None:
         """Keyed MERGE (WHEN MATCHED UPDATE / NOT MATCHED INSERT),
@@ -1045,11 +1082,19 @@ class ManifestTable:
         partitions: stage every rewritten partition, then one atomic
         manifest link.  A reader never observes a mix of old and new
         partitions, and a crash anywhere before the swap leaves the
-        old snapshot fully live."""
+        old snapshot fully live.
+
+        ``cdf=True`` also captures this merge's ROW-LEVEL change feed
+        (insert / update_preimage / update_postimage per key — Delta
+        CDF shape, VERDICT r8 #6) in the SAME commit: the classified
+        change rows stage beside the data and publish atomically with
+        it, readable via :meth:`changes` for as long as the commit's
+        manifest survives vacuum retention."""
         mf = self._raw()
         self._check_schema(updates, mf)
-        staged = self._stage_merge(spark, mf, updates, keys,
-                                   validate_key_stability)
+        staged, cdf_entries = self._stage_merge(
+            spark, mf, updates, keys, validate_key_stability,
+            capture_cdf=cdf)
         if not staged:
             return
         if _crash_before_commit:
@@ -1059,7 +1104,35 @@ class ManifestTable:
         self._commit({**mf["partitions"], **staged},
                      base_version=mf["version"],
                      streams=mf.get("streams", {}),
-                     schema=mf.get("schema"))
+                     schema=mf.get("schema"),
+                     cdf=cdf_entries)
+
+    def changes(self, spark: SparkSession, version: int) -> DataFrame:
+        """ROW-LEVEL change feed for one commit (Delta's ``table_changes``
+        analog): the classified rows a ``merge(..., cdf=True)`` at
+        ``version`` produced, typed as the table schema AT that version
+        plus ``_change_type`` (insert / update_preimage /
+        update_postimage).  Downstream incremental consumers of a MERGE
+        target read THIS instead of re-deriving state from the file-
+        level feed's rewritten partitions (:meth:`added_files` — exact
+        for appends, partition-granular for merges).  History window =
+        vacuum retention, same as time travel; a commit made without
+        ``cdf=True`` raises a clear error rather than silently
+        returning an empty (wrong) change set."""
+        mf = self._raw(f"manifest-{version:08d}.json")
+        if "cdf" not in mf:
+            raise FileNotFoundError(
+                f"{self.root} version {version}: committed without "
+                "cdf=True — no row-level change set was captured")
+        entries = mf["cdf"]
+        schema = list(mf.get("schema") or []) + [["_change_type",
+                                                  "string"]]
+        ddl = ", ".join(f"`{n}` {t}" for n, t in schema)
+        if not entries:
+            return spark.createDataFrame([], ddl)
+        return (spark.read.schema(ddl)
+                .parquet(*[os.path.join(self.root, e["path"])
+                           for e in entries]))
 
     def merge_batch(self, spark: SparkSession, updates: DataFrame,
                     keys: list[str], stream_id: str, batch_id: int,
@@ -1087,7 +1160,7 @@ class ManifestTable:
             if streams.get(stream_id, -1) >= batch_id:
                 return False                      # replay: already in
             self._check_schema(updates, mf)
-            staged = self._stage_merge(spark, mf, updates, keys)
+            staged, _ = self._stage_merge(spark, mf, updates, keys)
             streams[stream_id] = batch_id
             if _crash_before_commit:
                 raise CrashInjected(
@@ -1426,6 +1499,8 @@ class ManifestTable:
                             for r in snap["partitions"].values()}
             live_rel |= {e["path"] for v in snap["partitions"]
                          for e in self._entries(snap, v)}
+            # a retained commit's row-level change set stays readable
+            live_rel |= {e["path"] for e in snap.get("cdf", [])}
 
         def _young(path: str) -> bool:
             try:
