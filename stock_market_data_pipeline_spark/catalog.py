@@ -1898,10 +1898,10 @@ from . import catalog_rel  # noqa: E402,F401  (pivot/cube/unpivot/histogram)
 _DRIVER_WINDOW_FIRST = [
     # -- round 9, group 0: new this round (no driver-green row yet) —
     # the star-edge capped near-dup edge relation (VERDICT r8 #4), the
-    # row-level change feed (r8 #6), and the mixed date/string-keyed
-    # Z-ORDER scan (r8 #5) --
+    # row-level change feed (r8 #6), the mixed date/string-keyed
+    # Z-ORDER scan (r8 #5), and the baseline JPEG decode (r8 #8) --
     "dedup_minhash_edges_capped", "manifest_cdf_rows",
-    "manifest_zorder_mixed",
+    "manifest_zorder_mixed", "mm_decode_jpeg",
     # -- group 1: the 14 entries last driver-green in r6 that sat out
     # the r8 window — at the policy's age bound, the staleness test
     # (tests/test_registration_order.py) fails the build unless they
@@ -1940,7 +1940,6 @@ _DRIVER_WINDOW_FIRST = [
     "fct_trading_momentum_valid", "mm_decode_ppm", "mm_decode_wav",
     "multiway_dim_join", "qualify_latest_per_key", "scd2_constituents",
     "stg_projection_flags", "text_bpe_tokens", "text_tfidf_top_terms",
-    "pairwise_correlation",
 ]
 
 

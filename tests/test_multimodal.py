@@ -1,0 +1,74 @@
+
+
+def test_jpeg_roundtrip_within_tolerance():
+    """Baseline JPEG codec (encoder + decoder, stdlib/numpy): random
+    8-bit noise roundtrips within the IDCT rounding tolerance; a flat
+    image (DC-only blocks) roundtrips EXACTLY; dims survive."""
+    import numpy as np
+
+    from stock_market_data_pipeline_spark.llm.multimodal import (
+        JPEG_TOL,
+        _decode_jpeg,
+        _jpeg_encode_gray,
+    )
+
+    rng = np.random.default_rng(11)
+    for _ in range(5):
+        h, w = 8 * int(rng.integers(1, 4)), 8 * int(rng.integers(1, 5))
+        px = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+        dec = _decode_jpeg(_jpeg_encode_gray(px))
+        assert dec.size == h * w
+        assert np.abs(dec - px.reshape(-1).astype(np.int64)).max() \
+            <= JPEG_TOL
+    flat = np.full((16, 24), 201, dtype=np.uint8)
+    assert (_decode_jpeg(_jpeg_encode_gray(flat)) == 201).all()
+
+
+def test_jpeg_corrupt_stream_fails_loudly():
+    """A truncated entropy segment or a wrong magic must raise, not
+    decode garbage."""
+    import numpy as np
+    import pytest
+
+    from stock_market_data_pipeline_spark.llm.multimodal import (
+        _decode_jpeg,
+        _jpeg_encode_gray,
+    )
+
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    blob = _jpeg_encode_gray(px)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        _decode_jpeg(b"PK" + blob[2:])
+    # drop the DHT segments: decoder must refuse, not guess tables
+    import struct
+    pos, out = 2, bytearray(blob[:2])
+    while pos < len(blob):
+        (marker,) = struct.unpack(">H", blob[pos:pos + 2])
+        if marker == 0xFFDA:
+            out += blob[pos:]
+            break
+        (ln,) = struct.unpack(">H", blob[pos + 2:pos + 4])
+        if marker != 0xFFC4:
+            out += blob[pos:pos + 2 + ln]
+        pos += 2 + ln
+    with pytest.raises(ValueError, match="missing"):
+        _decode_jpeg(bytes(out))
+
+
+def test_jpeg_spark_roundtrip_report(spark):
+    """The Arrow-batched end-to-end report over real documents: every
+    doc decodes to its declared pixel count within tolerance."""
+    from tests.conftest import SF_SMALL
+
+    from stock_market_data_pipeline_spark.llm.multimodal import (
+        JPEG_TOL,
+        jpeg_roundtrip_report,
+    )
+
+    docs = spark.read.parquet(SF_SMALL + "/documents.parquet").limit(40)
+    rep = jpeg_roundtrip_report(docs)
+    rows = rep.collect()
+    assert len(rows) == 40
+    for r in rows:
+        assert r.n_pixels == r.meta_width * r.meta_height
+        assert r.max_abs_err <= JPEG_TOL
