@@ -939,6 +939,51 @@ def emb_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "embeddings"), tau=0.3)
 
 
+EMB_STAR_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding, label AS cell,
+         {_NORM.format(v='embedding')} AS norm
+  FROM embeddings
+),
+r AS (SELECT cell, MIN(vec_id) AS rep FROM e GROUP BY cell)
+SELECT e.cell, r.rep AS vec_a, e.vec_id AS vec_b,
+       CASE WHEN re.norm > 0 AND e.norm > 0 THEN
+         {_DOT.format(a='re.embedding', b='e.embedding')}
+           / (re.norm * e.norm)
+       END AS cosine
+FROM e
+JOIN r ON e.cell = r.cell AND e.vec_id != r.rep
+JOIN e re ON re.cell = r.cell AND re.vec_id = r.rep
+WHERE (CASE WHEN re.norm > 0 AND e.norm > 0 THEN
+         {_DOT.format(a='re.embedding', b='e.embedding')}
+           / (re.norm * e.norm)
+       END) >= 0.3
+""".strip()
+
+
+@q("dedup_embedding_edges_capped", EMB_STAR_SQL)
+def emb_star_edges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pair-explosion cap on the EMBEDDING family (VERDICT r8 #4;
+    BENCH_SF1.md measured this family's pair output growing x162 at
+    10x rows): per IVF cell, one verified edge per member against the
+    cell's min-id representative — O(vectors) edges and O(vectors)
+    cosines BY CONSTRUCTION, where the all-pairs relation
+    (`dedup_embedding_cosine`, kept as the labeled exactness
+    baseline) is quadratic in cell size.  The entry RAISES unless the
+    edge count honors the cap.  Cells are disjoint, so rep-groups ARE
+    the clusters — survivor selection consumes this relation with no
+    connected-components pass."""
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = similarity.embedding_star_edges(emb, tau=0.3)
+    n_vec = emb.count()
+    n_edges = edges.count()
+    if n_edges > n_vec:
+        raise RuntimeError(
+            f"star-edge cap violated: {n_edges} edges for {n_vec} "
+            "vectors (bound is one edge per non-representative member)")
+    return edges
+
+
 # -------------------------------------------------------------- round 4
 # corpus-assembly / curation operators (llm/curation.py)
 

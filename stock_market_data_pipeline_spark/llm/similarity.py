@@ -161,6 +161,48 @@ def embedding_near_dup(embeddings: DataFrame, tau: float = 0.3) -> DataFrame:
             .where(F.col("cosine") >= tau))
 
 
+def embedding_star_edges(embeddings: DataFrame,
+                         tau: float = 0.3) -> DataFrame:
+    """O(vectors) embedding near-dup EDGE relation (VERDICT r8 #4
+    applied to the entry whose sf1 pair output grew x162): per IVF
+    cell, every member links to the cell's min-id REPRESENTATIVE —
+    one cosine verification per member against the rep's vector,
+    instead of the within-cell pair join whose volume is quadratic in
+    cell size.  Edge count <= |vectors| BY CONSTRUCTION; at 100 TB a
+    boilerplate mega-cell contributes O(members) edges and O(members)
+    dot products, not O(members^2) of each.
+
+    Semantic delta vs :func:`embedding_near_dup` (the labeled
+    exactness baseline, kept): a member similar to OTHER members but
+    not to the representative carries no edge — membership here is
+    "verified against the cell representative", the star-shaped
+    contract survivor selection actually consumes (cells are
+    disjoint, so rep-groups ARE the clusters; no connected-components
+    pass needed).
+
+    Plan shape: one window min per cell, one equi-join against the
+    1-row-per-cell rep frame (broadcast-sized at any corpus scale),
+    one Arrow-vectorized cosine per member."""
+    e = with_norm(embeddings).select(
+        "vec_id", "embedding", "norm", F.col("label").alias("cell"))
+    w = Window.partitionBy("cell")
+    m = e.withColumn("rep", F.min("vec_id").over(w))
+    reps = (m.where(F.col("vec_id") == F.col("rep"))
+            .select("cell", F.col("embedding").alias("r_vec"),
+                    F.col("norm").alias("r_norm")))
+    dot = _dot_fold_vectorized()
+    cos = F.when(
+        (F.col("norm") > 0) & (F.col("r_norm") > 0),
+        dot(F.col("r_vec"), F.col("embedding"))
+        / (F.col("r_norm") * F.col("norm")))
+    return (m.where(F.col("vec_id") != F.col("rep"))
+            .join(reps, "cell")
+            .select("cell", F.col("rep").alias("vec_a"),
+                    F.col("vec_id").alias("vec_b"),
+                    cos.alias("cosine"))
+            .where(F.col("cosine") >= tau))
+
+
 def label_centroids(embeddings: DataFrame) -> DataFrame:
     """Per-label element-wise centroid of the embedding vectors — the
     "training" half of IVF partitioning (assign = :func:`ivf_topk`'s

@@ -71,6 +71,14 @@ ENTRIES = [
     "stream_upsert_rollup",
     # round-7 text family addition (50k docs, map-side regex scan)
     "docs_pii_scrub",
+    # round-9: the star-edge capped near-dup relation (the entry
+    # asserts edges <= bands*docs AT THIS SCALE — the O(docs)-not-
+    # O(pairs) claim is only meaningful where pairs explode), the
+    # row-level CDF merge, the mixed (date, string) z-order
+    # compaction over ~6M bars, and the entropy-coded JPEG roundtrip
+    # over 50k docs
+    "dedup_minhash_edges_capped", "dedup_embedding_edges_capped",
+    "manifest_cdf_rows", "manifest_zorder_mixed", "mm_decode_jpeg",
 ]
 
 
