@@ -247,3 +247,25 @@ def test_manifest_pinned_schema_read_keeps_pushdown(spark, tmp_path):
     assert m and "GreaterThan(close,5.0)" in m.group(1), p[-800:]
     m = re.search(r"ReadSchema: struct<([^>]*)>", p)
     assert m and m.group(1) == "close:double", m.group(1) if m else p[-400:]
+
+
+def test_star_edge_relations_have_no_pair_join(spark):
+    """r9 pair-explosion caps: the star-edge relations must contain NO
+    self-join at all on their edge paths — the minhash form is a
+    window min per LSH bucket (zero joins), the embedding form's only
+    join is the equi-join against the 1-row-per-cell representative
+    frame. A refactor that reintroduces a candidate pair join turns
+    O(docs) back into O(pairs) and fails here."""
+    from stock_market_data_pipeline_spark.llm import dedup, similarity
+
+    docs = spark.read.parquet(SF_SMALL + "/documents.parquet")
+    p = plan_str(dedup.minhash_lsh_star_edges(docs))
+    assert "Join" not in p            # no join operator of any kind
+    assert "CartesianProduct" not in p
+
+    emb = spark.read.parquet(SF_SMALL + "/embeddings.parquet")
+    p = plan_str(similarity.embedding_star_edges(emb))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert len(re.findall(r"\bSortMergeJoin\b|\bBroadcastHashJoin\b|"
+                          r"\bShuffledHashJoin\b", p)) <= 1
