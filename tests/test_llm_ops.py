@@ -44,8 +44,10 @@ def test_multimodal_features_match_numpy(spark):
 def test_multimodal_unknown_codec_raises(spark):
     from stock_market_data_pipeline_spark.llm.multimodal import _decode
 
+    # jpeg graduated to a real decoder in r9; mp3 remains the honest
+    # NotImplementedError boundary (no audio libs in this container)
     with pytest.raises(NotImplementedError):
-        _decode(b"\x00\x01", codec="jpeg")
+        _decode(b"\x00\x01", codec="mp3")
 
 
 def test_minhash_lsh_recall_vs_exact(spark):

@@ -432,13 +432,13 @@ def test_merge_batch_restages_through_conflict(spark, table, monkeypatch):
     orig = M.ManifestTable._commit
 
     def racy_commit(self, partitions, base_version, streams=None,
-                    schema=None):
+                    schema=None, cdf=None):
         if not fired["done"]:
             fired["done"] = True
             ManifestTable(table.root, table.ts).merge(
                 spark, competing, KEYS)
         return orig(self, partitions, base_version, streams=streams,
-                    schema=schema)
+                    schema=schema, cdf=cdf)
 
     monkeypatch.setattr(M.ManifestTable, "_commit", racy_commit)
     assert table.merge_batch(spark, mine, KEYS, "s", 0) is True
@@ -461,12 +461,12 @@ def test_append_batch_retries_through_conflict(spark, table, monkeypatch):
     orig = M.ManifestTable._commit
 
     def racy_commit(self, partitions, base_version, streams=None,
-                    schema=None):
+                    schema=None, cdf=None):
         if not fired["done"]:
             fired["done"] = True
             ManifestTable(table.root, table.ts).append(competing)
         return orig(self, partitions, base_version, streams=streams,
-                    schema=schema)
+                    schema=schema, cdf=cdf)
 
     monkeypatch.setattr(M.ManifestTable, "_commit", racy_commit)
     assert table.append_batch(b, "s1", 0) is True
