@@ -1136,6 +1136,7 @@ class ManifestTable:
 
     def merge_batch(self, spark: SparkSession, updates: DataFrame,
                     keys: list[str], stream_id: str, batch_id: int,
+                    cdf: bool = False,
                     _crash_before_commit: bool = False) -> bool:
         """Exactly-once streaming MERGE (the ``foreachBatch`` upsert
         sink shape): the keyed merge's rewritten partitions and the
@@ -1153,14 +1154,20 @@ class ManifestTable:
         must RE-STAGE: the merge read the pre-conflict snapshot, so
         its staged output may miss the competing writer's rows.  The
         abandoned attempt's files are invisible orphans for
-        ``vacuum()``."""
+        ``vacuum()``.
+
+        ``cdf=True``: the batch's ROW-LEVEL change set commits with it
+        (see :meth:`merge` / :meth:`changes`) — a conflict retry
+        re-classifies against the NEW snapshot, so the published feed
+        always describes the commit that actually landed."""
         while True:
             mf = self._raw()
             streams = dict(mf.get("streams", {}))
             if streams.get(stream_id, -1) >= batch_id:
                 return False                      # replay: already in
             self._check_schema(updates, mf)
-            staged, _ = self._stage_merge(spark, mf, updates, keys)
+            staged, cdf_entries = self._stage_merge(
+                spark, mf, updates, keys, capture_cdf=cdf)
             streams[stream_id] = batch_id
             if _crash_before_commit:
                 raise CrashInjected(
@@ -1168,7 +1175,8 @@ class ManifestTable:
             try:
                 self._commit({**mf["partitions"], **staged},
                              base_version=mf["version"],
-                             streams=streams, schema=mf.get("schema"))
+                             streams=streams, schema=mf.get("schema"),
+                             cdf=cdf_entries)
                 return True
             except CommitConflict:
                 continue        # merged against a stale snapshot: redo

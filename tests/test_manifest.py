@@ -1334,3 +1334,23 @@ def test_merge_cdf_rows_classified_and_atomic(spark, table):
     with pytest.raises(FileNotFoundError, match="without cdf"):
         table.changes(spark, table.version())
     assert table.changes(spark, v2).count() == 4
+
+
+def test_merge_batch_cdf_streaming_change_feed(spark, table):
+    """Streaming CDF: a merge_batch(cdf=True) commits the batch's
+    row-level change set atomically with the data + ledger; a replay
+    is refused WITHOUT republishing a feed; a conflict retry
+    re-classifies against the snapshot that actually landed."""
+    b0 = _mkdf(spark, [("AAA", "2024-01-03", 55.0),
+                       ("NEW", "2024-01-03", 7.0)])
+    assert table.merge_batch(spark, b0, KEYS, "s", 0, cdf=True) is True
+    v = table.version()
+    feed = {(r.ticker, r.close, r._change_type)
+            for r in table.changes(spark, v).collect()}
+    assert feed == {("AAA", 11.0, "update_preimage"),
+                    ("AAA", 55.0, "update_postimage"),
+                    ("NEW", 7.0, "insert")}
+    # replay: no new version, the committed feed unchanged
+    assert table.merge_batch(spark, b0, KEYS, "s", 0, cdf=True) is False
+    assert table.version() == v
+    assert table.changes(spark, v).count() == 3
