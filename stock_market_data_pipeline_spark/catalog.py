@@ -1903,7 +1903,7 @@ _DRIVER_WINDOW_FIRST = [
     # embedding-family star-edge cap (r8 #4, the x162-pair entry) --
     "dedup_minhash_edges_capped", "manifest_cdf_rows",
     "manifest_zorder_mixed", "mm_decode_jpeg",
-    "dedup_embedding_edges_capped",
+    "dedup_embedding_edges_capped", "dedup_simhash_edges_capped",
     # -- group 1: the 14 entries last driver-green in r6 that sat out
     # the r8 window — at the policy's age bound, the staleness test
     # (tests/test_registration_order.py) fails the build unless they
@@ -1918,18 +1918,19 @@ _DRIVER_WINDOW_FIRST = [
     # semantics, and Z-order key derivation gained the column-count
     # bit-budget cap + date/string auto-derivation --
     "manifest_delete_where", "manifest_zorder_scan",
-    # -- group 3: the r7-checked cohort (age 2 this round); 28 of 49
+    # -- group 3: the r7-checked cohort (age 2 this round); 27 of 49
     # fit — manifest/dedup entries touched by this round's table-layer
     # work first, then the flagship marts, then alphabetical fill.
-    # The 21 deferred to r10 (bollinger_bands, conditional_agg_daily,
+    # The 22 deferred to r10 (bollinger_bands, conditional_agg_daily,
     # conditional_signal_dates, distinct_ordered, gap_fill_daily,
     # median_summary, pairwise_correlation, partition_window_avg,
     # percent_rank_null_segregated, ranking_functions,
     # resample_weekly_ohlc, rollup_revenue, running_total,
-    # smoothed_daily_index, source_jsonl_roundtrip, text_tfidf_top_terms,
-    # topk_by_metric, updown_streaks, volatility_by_key, vwap_rolling,
-    # scd2_asof_snapshot), all pytest-parity-covered, are at the age
-    # bound next round and MUST front the r10 window. --
+    # smoothed_daily_index, source_jsonl_roundtrip, text_bpe_tokens,
+    # text_tfidf_top_terms, topk_by_metric, updown_streaks,
+    # volatility_by_key, vwap_rolling, scd2_asof_snapshot), all
+    # pytest-parity-covered, are at the age bound next round and MUST
+    # front the r10 window. --
     "manifest_momentum_merge", "manifest_pruned_scan",
     "stream_manifest_append", "dedup_minhash_lsh", "dedup_clusters",
     "dedup_exact",
@@ -1941,7 +1942,7 @@ _DRIVER_WINDOW_FIRST = [
     "docs_source_quality_filter", "embedding_centroids",
     "fct_trading_momentum_valid", "mm_decode_ppm", "mm_decode_wav",
     "multiway_dim_join", "qualify_latest_per_key", "scd2_constituents",
-    "stg_projection_flags", "text_bpe_tokens",
+    "stg_projection_flags",
 ]
 
 

@@ -380,6 +380,52 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 4,
             .select("doc_a", "doc_b", "sim_a", "sim_b", "hamming"))
 
 
+def simhash_star_edges(docs: DataFrame, max_hamming: int = 4,
+                       k: int = 3) -> DataFrame:
+    """O(docs) SimHash near-dup EDGE relation (VERDICT r8 #4, the
+    SimHash-bucket half): inside every (chunk_idx, chunk_val) bucket,
+    each member links to the bucket's min-id representative, verified
+    by Hamming(member, rep) <= ``max_hamming`` — at most
+    len(SIMHASH_CHUNK_BITS) candidate edges per doc BY CONSTRUCTION
+    (vs the all-pairs bucket join, quadratic in bucket size; and
+    UNLIKE the MinHash star form the verification here is mandatory:
+    a 6-7 bit chunk collides at ~1/64 for unrelated docs, so an
+    unverified star would weld the corpus together).  Membership is
+    star-shaped — "within Hamming radius of the bucket
+    representative" — the survivor-selection contract; the all-pairs
+    :func:`simhash_pairs` stays as the labeled exactness baseline.
+
+    Plan shape: signature aggregate -> ONE window min per chunk
+    bucket -> distinct -> map-side bit_count.  No self-join."""
+    assert len(SIMHASH_CHUNK_BITS) == max_hamming + 1, \
+        "chunk count must be max_hamming + 1 for complete candidates"
+    sig = simhash_signatures(docs, k)
+    offsets, off = [], 0
+    for b in SIMHASH_CHUNK_BITS:
+        offsets.append((off, (1 << b) - 1))
+        off += b
+    chunks = F.array(*[
+        (F.shiftright(F.col("simhash"), o).bitwiseAND(mask)).cast("long")
+        for o, mask in offsets
+    ])
+    long = sig.select(
+        "doc_id", "simhash",
+        F.posexplode(chunks).alias("chunk_idx", "chunk_val"))
+    w = Window.partitionBy("chunk_idx", "chunk_val")
+    rep = F.min(F.struct("doc_id", "simhash")).over(w)
+    m = (long.withColumn("rep", rep["doc_id"])
+         .withColumn("rep_sim", rep["simhash"]))
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (m.where(F.col("doc_id") != F.col("rep"))
+            .select(F.col("rep").alias("doc_a"),
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("rep_sim").alias("sim_a"),
+                    F.col("simhash").alias("sim_b"))
+            .distinct()
+            .withColumn("hamming", hamming.cast("int"))
+            .where(F.col("hamming") <= max_hamming))
+
+
 def connected_components(pairs: DataFrame, nodes: DataFrame,
                          max_iter: int = 25) -> DataFrame:
     """Connected components over a near-dup pair graph by iterative

@@ -78,6 +78,7 @@ ENTRIES = [
     # compaction over ~6M bars, and the entropy-coded JPEG roundtrip
     # over 50k docs
     "dedup_minhash_edges_capped", "dedup_embedding_edges_capped",
+    "dedup_simhash_edges_capped",
     "manifest_cdf_rows", "manifest_zorder_mixed", "mm_decode_jpeg",
 ]
 
