@@ -263,6 +263,10 @@ def test_star_edge_relations_have_no_pair_join(spark):
     assert "Join" not in p            # no join operator of any kind
     assert "CartesianProduct" not in p
 
+    p = plan_str(dedup.simhash_star_edges(docs))
+    assert "Join" not in p            # window min + map-side bit_count
+    assert "CartesianProduct" not in p
+
     emb = spark.read.parquet(SF_SMALL + "/embeddings.parquet")
     p = plan_str(similarity.embedding_star_edges(emb))
     assert "CartesianProduct" not in p
