@@ -964,6 +964,78 @@ def manifest_cdf_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ZMIX_SYMS = [f"T{i:04d}" for i in range(1, 61, 2)]
 
+MANIFEST_IVM_SQL = f"""
+WITH b AS ({oracles.BARS_SQL}),
+base AS (SELECT ticker, trade_date, close, volume FROM b
+         WHERE trade_date < DATE '1997-07-01'),
+u AS (SELECT ticker, trade_date, close * 2 AS close, volume
+      FROM base
+      WHERE trade_date >= DATE '1997-06-01'
+      UNION ALL
+      SELECT ticker, trade_date, close * 2 AS close, volume FROM b
+      WHERE trade_date BETWEEN DATE '1997-07-01' AND DATE '1997-07-31'),
+post AS (
+  SELECT base.* FROM base
+  ANTI JOIN u USING (ticker, trade_date)
+  UNION ALL
+  SELECT * FROM u
+)
+SELECT ticker,
+       CAST(SUM(CAST(FLOOR(close * 1000000.0) AS BIGINT)) AS BIGINT)
+         AS sum_close_micros,
+       CAST(SUM(CAST(FLOOR(volume * 1000000.0) AS BIGINT)) AS BIGINT)
+         AS sum_volume_micros,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM post GROUP BY ticker
+""".strip()
+
+
+@q("manifest_ivm_from_cdf", MANIFEST_IVM_SQL)
+def manifest_ivm_from_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance from the row-level change feed —
+    the CDF's consumer side (operators/ivm.py): a per-ticker
+    SUM/COUNT view is built ONCE from the pre-split bars table, then a
+    ``merge(cdf=True)`` doubles June's closes and inserts July, and
+    the view is brought current by folding ONLY the change feed
+    (preimages subtract, postimages/inserts add; integer-micros sums
+    keep the delta algebra exact and associative).  The entry RAISES
+    unless the change set is strictly smaller than the table (the
+    bounded-read claim: update cost is O(changes) + O(view), never a
+    table rescan — the 100 TB reason a downstream aggregate consumes
+    CDF instead of the file-level feed's rewritten partitions).
+    Oracle: a from-scratch rebuild of the post-merge aggregate in SQL
+    — hash equality proves the incremental fold reproduced the
+    rebuild exactly."""
+    from .manifest import ManifestTable
+    from .operators.ivm import apply_cdf_delta, sum_count_view
+    from .scratch import scratch_dir
+
+    split = "1997-07-01"
+    bars = (bars_from_lineitem(_t(spark, sf_dir, "lineitem"))
+            .select("ticker", "trade_date", "close", "volume")
+            .withColumn("trade_month",
+                        F.date_format("trade_date", "yyyy-MM")))
+    table = ManifestTable.create(
+        bars.where(F.col("trade_date") < F.lit(split)),
+        scratch_dir("manifest_ivm_"), ts="trade_month")
+    view = sum_count_view(table.read(spark), ["ticker"],
+                          ["close", "volume"])
+    upd = (bars.where(F.col("trade_date")
+                      .between("1997-06-01", "1997-07-31"))
+           .withColumn("close", F.col("close") * 2))
+    table.merge(spark, upd, ["ticker", "trade_date"], cdf=True)
+    feed = table.changes(spark, table.version())
+    n_changes = feed.count()
+    n_table = sum(r["rows"]
+                  for r in table._raw()["partitions"].values())
+    if not 0 < n_changes < n_table:
+        raise RuntimeError(
+            f"IVM read not bounded: {n_changes} change rows vs "
+            f"{n_table} table rows")
+    return apply_cdf_delta(view, feed, ["ticker"],
+                           ["close", "volume"])
+
+
 MANIFEST_ZMIX_SQL = f"""
 WITH b AS ({oracles.BARS_SQL})
 SELECT 'T' || lpad(CAST(ticker AS VARCHAR), 4, '0') AS sym,
@@ -1904,6 +1976,7 @@ _DRIVER_WINDOW_FIRST = [
     "dedup_minhash_edges_capped", "manifest_cdf_rows",
     "manifest_zorder_mixed", "mm_decode_jpeg",
     "dedup_embedding_edges_capped", "dedup_simhash_edges_capped",
+    "manifest_ivm_from_cdf",
     # -- group 1: the 14 entries last driver-green in r6 that sat out
     # the r8 window — at the policy's age bound, the staleness test
     # (tests/test_registration_order.py) fails the build unless they
@@ -1918,19 +1991,19 @@ _DRIVER_WINDOW_FIRST = [
     # semantics, and Z-order key derivation gained the column-count
     # bit-budget cap + date/string auto-derivation --
     "manifest_delete_where", "manifest_zorder_scan",
-    # -- group 3: the r7-checked cohort (age 2 this round); 27 of 49
+    # -- group 3: the r7-checked cohort (age 2 this round); 26 of 49
     # fit — manifest/dedup entries touched by this round's table-layer
     # work first, then the flagship marts, then alphabetical fill.
-    # The 22 deferred to r10 (bollinger_bands, conditional_agg_daily,
+    # The 23 deferred to r10 (bollinger_bands, conditional_agg_daily,
     # conditional_signal_dates, distinct_ordered, gap_fill_daily,
     # median_summary, pairwise_correlation, partition_window_avg,
     # percent_rank_null_segregated, ranking_functions,
     # resample_weekly_ohlc, rollup_revenue, running_total,
-    # smoothed_daily_index, source_jsonl_roundtrip, text_bpe_tokens,
-    # text_tfidf_top_terms, topk_by_metric, updown_streaks,
-    # volatility_by_key, vwap_rolling, scd2_asof_snapshot), all
-    # pytest-parity-covered, are at the age bound next round and MUST
-    # front the r10 window. --
+    # smoothed_daily_index, source_jsonl_roundtrip,
+    # stg_projection_flags, text_bpe_tokens, text_tfidf_top_terms,
+    # topk_by_metric, updown_streaks, volatility_by_key, vwap_rolling,
+    # scd2_asof_snapshot), all pytest-parity-covered, are at the age
+    # bound next round and MUST front the r10 window. --
     "manifest_momentum_merge", "manifest_pruned_scan",
     "stream_manifest_append", "dedup_minhash_lsh", "dedup_clusters",
     "dedup_exact",
@@ -1942,7 +2015,6 @@ _DRIVER_WINDOW_FIRST = [
     "docs_source_quality_filter", "embedding_centroids",
     "fct_trading_momentum_valid", "mm_decode_ppm", "mm_decode_wav",
     "multiway_dim_join", "qualify_latest_per_key", "scd2_constituents",
-    "stg_projection_flags",
 ]
 
 

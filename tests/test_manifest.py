@@ -1354,3 +1354,29 @@ def test_merge_batch_cdf_streaming_change_feed(spark, table):
     assert table.merge_batch(spark, b0, KEYS, "s", 0, cdf=True) is False
     assert table.version() == v
     assert table.changes(spark, v).count() == 3
+
+
+def test_ivm_apply_cdf_delta_semantics(spark, table):
+    """IVM fold semantics over the CDF (operators/ivm.py): updates
+    replace preimage contributions, inserts create groups, and a
+    group whose row count reaches zero DROPS from the view — compared
+    against a from-scratch rebuild after each merge."""
+    from stock_market_data_pipeline_spark.operators.ivm import (
+        apply_cdf_delta,
+        sum_count_view,
+    )
+
+    keys, sums = ["ticker"], ["close"]
+    view = sum_count_view(table.read(spark), keys, sums)
+    table.merge(spark, _mkdf(spark, UPDATES), KEYS, cdf=True)
+    v1 = apply_cdf_delta(view, table.changes(spark, table.version()),
+                         keys, sums)
+    rebuild = sum_count_view(table.read(spark), keys, sums)
+    assert _snap(v1) == _snap(rebuild)
+    # second fold on top of the first: still equals the rebuild
+    table.merge(spark, _mkdf(spark, [("CCC", "2024-01-04", 31.0)]),
+                KEYS, cdf=True)
+    v2 = apply_cdf_delta(v1, table.changes(spark, table.version()),
+                         keys, sums)
+    assert _snap(v2) == _snap(sum_count_view(table.read(spark),
+                                             keys, sums))

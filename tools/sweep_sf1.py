@@ -79,7 +79,8 @@ ENTRIES = [
     # over 50k docs
     "dedup_minhash_edges_capped", "dedup_embedding_edges_capped",
     "dedup_simhash_edges_capped",
-    "manifest_cdf_rows", "manifest_zorder_mixed", "mm_decode_jpeg",
+    "manifest_cdf_rows", "manifest_ivm_from_cdf",
+    "manifest_zorder_mixed", "mm_decode_jpeg",
 ]
 
 
