@@ -964,6 +964,45 @@ def manifest_cdf_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ZMIX_SYMS = [f"T{i:04d}" for i in range(1, 61, 2)]
 
+MANIFEST_COUNT_SQL = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM ({oracles.BARS_SQL}) b
+WHERE trade_date BETWEEN DATE '1996-03-15' AND DATE '1997-09-15'
+""".strip()
+
+
+@q("manifest_count_pushdown", MANIFEST_COUNT_SQL)
+def manifest_count_pushdown(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Aggregate pushdown into table metadata: ``COUNT(*) WHERE
+    trade_date BETWEEN ...`` over the month-partitioned bars fact,
+    answered from manifest row counts for every partition/file whose
+    zone map lies FULLY inside the range (null-free proven from the
+    footer ``nn`` fold — min/max ignore NULLs, so containment without
+    that proof would overcount), reading ONLY the range-boundary
+    files.  At 100 TB this is the difference between a dashboard
+    count costing O(boundary files) and O(whole range).  The entry
+    RAISES unless the metadata actually answered most of the count
+    (interior months) and the boundary read stayed a small fraction
+    of the file set.  Oracle: the same COUNT(*) in SQL — equality
+    proves the metadata rows + exact boundary count reproduce the
+    true answer."""
+    from .manifest import ManifestTable
+    from .scratch import scratch_dir
+
+    lo, hi = "1996-03-15", "1997-09-15"
+    bars = bars_from_lineitem(_t(spark, sf_dir, "lineitem")).withColumn(
+        "trade_month", F.date_format("trade_date", "yyyy-MM"))
+    table = ManifestTable.create(
+        bars, scratch_dir("manifest_count_"), ts="trade_month")
+    out = table.count_where(spark, "trade_date", lo, hi)
+    if not (out["rows_from_metadata"] > out["count"] // 2
+            and 0 < out["files_read"] < out["files_total"] // 4):
+        raise RuntimeError(
+            f"count pushdown ineffective: {out}")
+    return spark.createDataFrame([(out["count"],)], "n_rows bigint")
+
+
 MANIFEST_IVM_SQL = f"""
 WITH b AS ({oracles.BARS_SQL}),
 base AS (SELECT ticker, trade_date, close, volume FROM b
@@ -1976,7 +2015,7 @@ _DRIVER_WINDOW_FIRST = [
     "dedup_minhash_edges_capped", "manifest_cdf_rows",
     "manifest_zorder_mixed", "mm_decode_jpeg",
     "dedup_embedding_edges_capped", "dedup_simhash_edges_capped",
-    "manifest_ivm_from_cdf",
+    "manifest_ivm_from_cdf", "manifest_count_pushdown",
     # -- group 1: the 14 entries last driver-green in r6 that sat out
     # the r8 window — at the policy's age bound, the staleness test
     # (tests/test_registration_order.py) fails the build unless they
@@ -1991,15 +2030,15 @@ _DRIVER_WINDOW_FIRST = [
     # semantics, and Z-order key derivation gained the column-count
     # bit-budget cap + date/string auto-derivation --
     "manifest_delete_where", "manifest_zorder_scan",
-    # -- group 3: the r7-checked cohort (age 2 this round); 26 of 49
+    # -- group 3: the r7-checked cohort (age 2 this round); 25 of 49
     # fit — manifest/dedup entries touched by this round's table-layer
     # work first, then the flagship marts, then alphabetical fill.
-    # The 23 deferred to r10 (bollinger_bands, conditional_agg_daily,
+    # The 24 deferred to r10 (bollinger_bands, conditional_agg_daily,
     # conditional_signal_dates, distinct_ordered, gap_fill_daily,
     # median_summary, pairwise_correlation, partition_window_avg,
     # percent_rank_null_segregated, ranking_functions,
     # resample_weekly_ohlc, rollup_revenue, running_total,
-    # smoothed_daily_index, source_jsonl_roundtrip,
+    # scd2_constituents, smoothed_daily_index, source_jsonl_roundtrip,
     # stg_projection_flags, text_bpe_tokens, text_tfidf_top_terms,
     # topk_by_metric, updown_streaks, volatility_by_key, vwap_rolling,
     # scd2_asof_snapshot), all pytest-parity-covered, are at the age
@@ -2014,7 +2053,7 @@ _DRIVER_WINDOW_FIRST = [
     "docs_pack_sequences", "docs_pii_scrub",
     "docs_source_quality_filter", "embedding_centroids",
     "fct_trading_momentum_valid", "mm_decode_ppm", "mm_decode_wav",
-    "multiway_dim_join", "qualify_latest_per_key", "scd2_constituents",
+    "multiway_dim_join", "qualify_latest_per_key",
 ]
 
 

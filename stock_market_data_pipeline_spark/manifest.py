@@ -314,6 +314,13 @@ def _file_entry(abs_path: str, rel_path: str) -> dict:
     md = pq.ParquetFile(abs_path).metadata
     stats: dict[str, list] = {}
     rg_hits: dict[str, int] = {}
+    #: columns PROVABLY null-free in every row group (footer
+    #: null_count == 0 everywhere) — the precondition for treating a
+    #: file as FULLY matching a range predicate (count pushdown):
+    #: min/max ignore NULLs, so without this a NULL-bearing file would
+    #: overcount.  Absent/unknown null counts disqualify, never lie.
+    nn_bad: set = set()
+    nn_hits: dict[str, int] = {}
     for rg in range(md.num_row_groups):
         row_group = md.row_group(rg)
         for ci in range(row_group.num_columns):
@@ -322,6 +329,10 @@ def _file_entry(abs_path: str, rel_path: str) -> dict:
             if "." in name or name == _PT:      # nested / partition dup
                 continue
             st = col.statistics
+            if st is not None and st.null_count == 0:
+                nn_hits[name] = nn_hits.get(name, 0) + 1
+            else:
+                nn_bad.add(name)
             if st is None or not st.has_min_max:
                 continue
             if isinstance(st.min, (bytes, decimal.Decimal)) \
@@ -354,8 +365,11 @@ def _file_entry(abs_path: str, rel_path: str) -> dict:
     for name in [n for n in stats
                  if rg_hits.get(n, 0) != md.num_row_groups]:
         del stats[name]
+    nn = sorted(n for n, k in nn_hits.items()
+                if k == md.num_row_groups and n not in nn_bad)
     return {"path": rel_path, "rows": md.num_rows,
-            "bytes": os.path.getsize(abs_path), "stats": stats}
+            "bytes": os.path.getsize(abs_path), "stats": stats,
+            "nn": nn}
 
 
 def _fold_stats(entries: list[dict]) -> dict:
@@ -565,6 +579,22 @@ def _pt_out_of_range(value: str, lo, hi) -> bool:
     return False
 
 
+def _range_contains(stat: list, lo, hi) -> bool:
+    """True iff [stat_lo, stat_hi] lies FULLY inside [lo, hi] (None =
+    open bound).  Containment claims must be conservative the other
+    way around from skipping: uncertain comparisons answer False
+    (file gets read), never a wrong metadata count."""
+    slo, shi = stat
+    try:
+        if lo is not None and slo < _norm(lo):
+            return False
+        if hi is not None and shi > _norm(hi):
+            return False
+    except TypeError:
+        return False
+    return True
+
+
 def _ranges_disjoint(stat: list, lo, hi) -> bool:
     """True iff [stat_lo, stat_hi] cannot intersect [lo, hi] (None =
     open bound).  Mixed numeric/string stats (schema drift) compare
@@ -728,10 +758,16 @@ class ManifestTable:
                 f.write(json.dumps(es, sort_keys=True))
                 f.flush()
                 os.fsync(f.fileno())
+            nn_sets = [set(e.get("nn", [])) for e in es]
             refs[value] = {"shard": shard_rel, "files": len(es),
                            "rows": sum(e["rows"] for e in es),
                            "bytes": sum(e["bytes"] for e in es),
-                           "stats": _fold_stats(es)}
+                           "stats": _fold_stats(es),
+                           # columns null-free in EVERY file: the
+                           # partition-level precondition for
+                           # metadata-only counts (count_where)
+                           "nn": (sorted(set.intersection(*nn_sets))
+                                  if nn_sets else [])}
         version = base_version + 1
         name = f"manifest-{version:08d}.json"
         body = {"version": version, "ts": self.ts, "format": _FORMAT,
@@ -878,6 +914,71 @@ class ManifestTable:
                     kept.append(os.path.join(self.root, e["path"]))
         return {"files": kept, "skipped": skipped,
                 "partitions_pruned": pruned_parts,
+                "shards_opened": shards_opened}
+
+    def count_where(self, spark: SparkSession, col: str,
+                    lo=None, hi=None) -> dict:
+        """``COUNT(*) WHERE col BETWEEN lo AND hi`` answered from
+        METADATA wherever provable — the aggregate-pushdown pattern
+        that makes dashboard counts O(boundary) instead of O(range) at
+        100 TB: a partition (or file) whose zone map lies FULLY inside
+        the range contributes its manifest row count without being
+        opened, and only range-BOUNDARY files are actually read and
+        exactly filtered.  (Spark's own parquet count(*) optimization
+        covers the no-predicate case; this covers the ranged one, from
+        the manifest's folded stats.)
+
+        NULL discipline: min/max stats IGNORE nulls, so a NULL-bearing
+        file inside the range would overcount.  A containment claim
+        therefore also requires the column provably null-free in every
+        participating file (the ``nn`` footer fold, null_count == 0 in
+        every row group); anything uncertain is read, never guessed.
+
+        Returns {"count", "rows_from_metadata", "files_read",
+        "files_skipped", "files_total", "shards_opened"} so entries
+        and tests pin the metadata-vs-data split."""
+        mf = self._raw()
+        ts_is_col = (mf["ts"] == col)
+        meta_rows = 0
+        boundary: list[str] = []
+        files_total = files_skipped = shards_opened = 0
+        for value, ref in mf["partitions"].items():
+            files_total += ref["files"]
+            if ts_is_col and _pt_excluded(value, (lo, hi)):
+                files_skipped += ref["files"]
+                continue
+            pstats = ref.get("stats", {})
+            if col in pstats and _ranges_disjoint(pstats[col], lo, hi):
+                files_skipped += ref["files"]
+                continue
+            if (col in pstats and col in ref.get("nn", [])
+                    and _range_contains(pstats[col], lo, hi)):
+                meta_rows += ref["rows"]       # whole partition inside
+                continue
+            shards_opened += 1
+            for e in self._entries(mf, value):
+                st = e["stats"].get(col)
+                if st is not None and _ranges_disjoint(st, lo, hi):
+                    files_skipped += 1
+                elif (st is not None and col in e.get("nn", [])
+                        and _range_contains(st, lo, hi)):
+                    meta_rows += e["rows"]     # whole file inside
+                else:
+                    boundary.append(os.path.join(self.root, e["path"]))
+        exact = 0
+        if boundary:
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.col(col) >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col(col) <= F.lit(hi))
+            exact = (self._read_files(spark, boundary, mf)
+                     .where(cond).count())
+        return {"count": meta_rows + exact,
+                "rows_from_metadata": meta_rows,
+                "files_read": len(boundary),
+                "files_skipped": files_skipped,
+                "files_total": files_total,
                 "shards_opened": shards_opened}
 
     def history(self) -> list[dict]:

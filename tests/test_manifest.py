@@ -1380,3 +1380,34 @@ def test_ivm_apply_cdf_delta_semantics(spark, table):
                          keys, sums)
     assert _snap(v2) == _snap(sum_count_view(table.read(spark),
                                              keys, sums))
+
+
+def test_count_where_metadata_answers_and_null_safety(spark, tmp_path):
+    """count_where: interior partitions/files answer from manifest row
+    counts (no read), boundary files are read exactly — and a file
+    whose column carries NULLs is NEVER metadata-counted (min/max
+    ignore NULLs; claiming containment would overcount), it is read
+    and filtered instead."""
+    df = spark.createDataFrame(
+        [(d, "2024-%02d" % m, float(d))
+         for m in (1, 2, 3) for d in range(1, 11)],
+        "d int, mon string, v double")
+    t = ManifestTable.create(df.withColumn(
+        "key", F.concat(F.col("mon"), F.lit("-"), F.col("d"))),
+        str(tmp_path / "cnt"), ts="mon")
+    # range fully covering month 2, half of months 1 and 3 by d
+    out = t.count_where(spark, "d", 1, 10)      # everything
+    assert out["count"] == 30
+    assert out["rows_from_metadata"] == 30      # all metadata
+    assert out["files_read"] == 0
+    out = t.count_where(spark, "d", 3, 7)
+    assert out["count"] == 15                   # 5 per month
+    # NULL conservatism: a partition whose column holds NULLs must be
+    # READ (its rows with NULL d do not match), never metadata-counted
+    extra = spark.createDataFrame(
+        [(None, "2024-04", 1.0, "x"), (5, "2024-04", 2.0, "y")],
+        "d int, mon string, v double, key string")
+    t.append(extra)
+    out = t.count_where(spark, "d", 1, 10)
+    assert out["count"] == 31                   # NULL row not counted
+    assert out["files_read"] >= 1               # the NULL file was read

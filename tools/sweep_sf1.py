@@ -80,6 +80,7 @@ ENTRIES = [
     "dedup_minhash_edges_capped", "dedup_embedding_edges_capped",
     "dedup_simhash_edges_capped",
     "manifest_cdf_rows", "manifest_ivm_from_cdf",
+    "manifest_count_pushdown",
     "manifest_zorder_mixed", "mm_decode_jpeg",
 ]
 
