@@ -480,8 +480,14 @@ def _decode_jpeg(payload: bytes) -> "object":
         (marker,) = struct.unpack(">H", payload[pos:pos + 2])
         if marker == 0xFFD9:
             break
+        if len(payload) < pos + 4:
+            raise ValueError("truncated JPEG: marker without length")
         (ln,) = struct.unpack(">H", payload[pos + 2:pos + 4])
         body = payload[pos + 4:pos + 2 + ln]
+        if len(body) != ln - 2:
+            raise ValueError(
+                f"truncated JPEG segment {marker:#06x}: declared "
+                f"{ln - 2}B, {len(body)}B present")
         pos += 2 + ln
         if marker == 0xFFDB:
             if body[0] & 0xF0:
