@@ -1287,16 +1287,31 @@ class ManifestTable:
         files and ADD them to each touched partition's file list — no
         read-side merge, no rewrite of existing files.  Repeated small
         appends accumulate files per partition; ``compact()`` is the
-        antidote."""
-        mf = self._raw()
-        self._check_schema(df, mf)
-        live: dict = dict(mf["partitions"])
-        for value, entries in self._stage(df).items():
-            prior = (self._entries(mf, value) if value in live else [])
-            live[value] = prior + entries
-        self._commit(live, base_version=mf["version"],
-                     streams=mf.get("streams", {}),
-                     schema=mf.get("schema"))
+        antidote.
+
+        A blind append commutes with ANY concurrent commit (it only
+        ADDS files), so a :class:`CommitConflict` rebases onto the new
+        snapshot and retries with the already-staged files — Delta's
+        appends-never-conflict semantics — instead of surfacing a
+        retryable error to every ingest caller."""
+        staged: dict[str, list] | None = None
+        while True:
+            mf = self._raw()
+            self._check_schema(df, mf)
+            if staged is None:                    # stage once per call
+                staged = self._stage(df)
+            live: dict = dict(mf["partitions"])
+            for value, entries in staged.items():
+                prior = (self._entries(mf, value)
+                         if value in live else [])
+                live[value] = prior + entries
+            try:
+                self._commit(live, base_version=mf["version"],
+                             streams=mf.get("streams", {}),
+                             schema=mf.get("schema"))
+                return
+            except CommitConflict:
+                continue        # someone else committed; re-evaluate
 
     def append_batch(self, df: DataFrame, stream_id: str,
                      batch_id: int) -> bool:
@@ -1546,9 +1561,34 @@ class ManifestTable:
                              cluster_by=sort_cols,
                              drop_after_sort=drop_after,
                              max_records_per_file=max_records_per_file)
-        self._commit({**live, **staged}, base_version=mf["version"],
-                     streams=mf.get("streams", {}),
-                     schema=mf.get("schema"))
+        # maintenance-commit conflict resolution (Delta's matrix for
+        # OPTIMIZE vs concurrent writers): a competing commit that did
+        # not touch any partition THIS compaction rewrote is DISJOINT
+        # — rebase: carry the competitor's partitions, keep our staged
+        # rewrites, retry.  A competitor that rewrote one of our
+        # partitions (another merge/delete landed there) makes our
+        # staged files stale — surface CommitConflict; the caller
+        # re-runs compaction against the new snapshot.
+        snap = mf
+        while True:
+            try:
+                self._commit({**snap["partitions"], **staged},
+                             base_version=snap["version"],
+                             streams=snap.get("streams", {}),
+                             schema=snap.get("schema"))
+                break
+            except CommitConflict:
+                newer = self._raw()
+                ours = {v: mf["partitions"][v]["shard"]
+                        for v in todo_vals}
+                theirs = {v: r["shard"] for v, r in
+                          newer["partitions"].items() if v in ours}
+                if ours != theirs:
+                    raise CommitConflict(
+                        "a concurrent writer rewrote a partition this "
+                        "compaction read; re-run compact() against "
+                        "the new snapshot") from None
+                snap = newer                     # disjoint: rebase
         return {"partitions": len(todo_vals),
                 "files_before": files_before,
                 "files_after": sum(len(es) for es in staged.values())}

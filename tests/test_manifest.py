@@ -1411,3 +1411,98 @@ def test_count_where_metadata_answers_and_null_safety(spark, tmp_path):
     out = t.count_where(spark, "d", 1, 10)
     assert out["count"] == 31                   # NULL row not counted
     assert out["files_read"] >= 1               # the NULL file was read
+
+
+def test_append_retries_through_conflict(spark, table, monkeypatch):
+    """Blind appends commute with any concurrent commit: a competing
+    writer landing between this append's read snapshot and its commit
+    must trigger a REBASE onto the new snapshot (same staged files),
+    not surface CommitConflict to the ingest caller — both writes
+    land, nothing lost."""
+    from stock_market_data_pipeline_spark import manifest as M
+
+    competing = _mkdf(spark, [("XXX", "2024-01-05", 1.0)])
+    fired = {"done": False}
+    orig = M.ManifestTable._commit
+
+    def racy_commit(self, partitions, base_version, streams=None,
+                    schema=None, cdf=None):
+        if not fired["done"]:
+            fired["done"] = True
+            _sibling(table).merge(spark, competing, KEYS)
+        return orig(self, partitions, base_version, streams=streams,
+                    schema=schema, cdf=cdf)
+
+    monkeypatch.setattr(M.ManifestTable, "_commit", racy_commit)
+    table.append(_mkdf(spark, [("YYY", "2024-01-06", 2.0)]))
+    tickers = {r.ticker for r in table.read(spark).collect()}
+    assert {"XXX", "YYY"} <= tickers             # both writes live
+    assert table.version() == 3                  # base + 2 commits
+
+
+def test_compact_rebases_over_disjoint_writer(spark, table,
+                                              monkeypatch):
+    """OPTIMIZE-vs-writer conflict matrix, disjoint case: a competing
+    append to a DIFFERENT partition lands mid-compaction — the
+    compaction must rebase (carry the competitor's partition, keep its
+    staged rewrites) and commit; nothing lost on either side."""
+    from stock_market_data_pipeline_spark import manifest as M
+
+    # make 2024-01-02 multi-file so compact() targets only it
+    table.append(_mkdf(spark, [("CCC", "2024-01-02", 30.0)]))
+    competing = _mkdf(spark, [("NEW", "2024-01-06", 9.0)])
+    fired = {"done": False}
+    orig = M.ManifestTable._commit
+
+    def racy_commit(self, partitions, base_version, streams=None,
+                    schema=None, cdf=None):
+        if not fired["done"]:
+            fired["done"] = True
+            _sibling(table).append(competing)    # disjoint partition
+        return orig(self, partitions, base_version, streams=streams,
+                    schema=schema, cdf=cdf)
+
+    monkeypatch.setattr(M.ManifestTable, "_commit", racy_commit)
+    out = table.compact(spark)
+    monkeypatch.setattr(M.ManifestTable, "_commit", orig)
+    assert out["partitions"] == 1
+    got = {r.ticker for r in table.read(spark).collect()}
+    assert {"CCC", "NEW"} <= got                 # both survived
+    assert len(table.manifest()["partitions"]["2024-01-02"]) == 1
+
+
+def test_compact_conflicts_when_writer_touches_same_partition(
+        spark, table, monkeypatch):
+    """OPTIMIZE-vs-writer conflict matrix, overlap case: a competitor
+    REWRITING a partition the compaction also rewrote makes the staged
+    compaction stale — it must raise CommitConflict (rebasing would
+    silently drop the competitor's merge), and the competitor's write
+    must stay fully live."""
+    from stock_market_data_pipeline_spark import manifest as M
+    from stock_market_data_pipeline_spark.manifest import CommitConflict
+
+    table.append(_mkdf(spark, [("CCC", "2024-01-02", 30.0)]))
+    competing = _mkdf(spark, [("AAA", "2024-01-02", 77.0)])
+    fired = {"done": False}
+    orig = M.ManifestTable._commit
+
+    def racy_commit(self, partitions, base_version, streams=None,
+                    schema=None, cdf=None):
+        if not fired["done"]:
+            fired["done"] = True
+            _sibling(table).merge(spark, competing, KEYS)
+        return orig(self, partitions, base_version, streams=streams,
+                    schema=schema, cdf=cdf)
+
+    monkeypatch.setattr(M.ManifestTable, "_commit", racy_commit)
+    with pytest.raises(CommitConflict, match="re-run compact"):
+        table.compact(spark)
+    monkeypatch.setattr(M.ManifestTable, "_commit", orig)
+    got = {(r.ticker, str(r.trade_date)): r.close
+           for r in table.read(spark).collect()}
+    assert got[("AAA", "2024-01-02")] == 77.0    # competitor intact
+    # the re-run against the new snapshot succeeds cleanly — and finds
+    # nothing left to do, because the competitor's merge already
+    # rewrote the multi-file partition into one file
+    assert table.compact(spark)["partitions"] == 0
+    assert len(table.manifest()["partitions"]["2024-01-02"]) == 1
