@@ -1485,15 +1485,35 @@ class ManifestTable:
         kept = self._read_files(spark, rewrite_files, mf).where(
             ~F.coalesce(condition, F.lit(False)))
         staged = self._stage(kept)
-        new_parts = dict(live)
-        for v in counts:
-            new_parts.pop(v, None)
-        new_parts.update(staged)
         if _crash_before_commit:
             raise CrashInjected("writer died after staging, before commit")
-        self._commit(new_parts, base_version=mf["version"],
-                     streams=mf.get("streams", {}),
-                     schema=mf.get("schema"))
+        # same conflict matrix as compact(): a competitor that touched
+        # none of the partitions this delete read/rewrote is DISJOINT
+        # — rebase over its commit; one that did makes the staged
+        # rewrite stale (it could resurrect deleted rows or drop the
+        # competitor's) — surface CommitConflict for a re-run.
+        snap = mf
+        while True:
+            new_parts = dict(snap["partitions"])
+            for v in counts:
+                new_parts.pop(v, None)
+            new_parts.update(staged)
+            try:
+                self._commit(new_parts, base_version=snap["version"],
+                             streams=snap.get("streams", {}),
+                             schema=snap.get("schema"))
+                break
+            except CommitConflict:
+                newer = self._raw()
+                ours = {v: live[v]["shard"] for v in counts}
+                theirs = {v: r["shard"] for v, r in
+                          newer["partitions"].items() if v in ours}
+                if ours != theirs:
+                    raise CommitConflict(
+                        "a concurrent writer rewrote a partition this "
+                        "delete read; re-run delete_where() against "
+                        "the new snapshot") from None
+                snap = newer                     # disjoint: rebase
         return {"rows_deleted": sum(counts.values()),
                 "partitions_rewritten": len(staged),
                 "partitions_dropped": len(set(counts) - set(staged))}

@@ -1506,3 +1506,55 @@ def test_compact_conflicts_when_writer_touches_same_partition(
     # rewrote the multi-file partition into one file
     assert table.compact(spark)["partitions"] == 0
     assert len(table.manifest()["partitions"]["2024-01-02"]) == 1
+
+
+def test_delete_where_rebases_over_disjoint_writer(spark, table,
+                                                   monkeypatch):
+    """DELETE joins the conflict matrix: a competing append to an
+    untouched partition lands mid-delete — the delete rebases and
+    commits; an overlap (competitor rewrote a partition the delete
+    read) raises instead of silently resurrecting rows."""
+    from stock_market_data_pipeline_spark import manifest as M
+    from stock_market_data_pipeline_spark.manifest import CommitConflict
+
+    competing = _mkdf(spark, [("NEW", "2024-01-06", 9.0)])
+    fired = {"done": False}
+    orig = M.ManifestTable._commit
+
+    def racy_commit(self, partitions, base_version, streams=None,
+                    schema=None, cdf=None):
+        if not fired["done"]:
+            fired["done"] = True
+            _sibling(table).append(competing)
+        return orig(self, partitions, base_version, streams=streams,
+                    schema=schema, cdf=cdf)
+
+    monkeypatch.setattr(M.ManifestTable, "_commit", racy_commit)
+    out = table.delete_where(spark, F.col("close") >= 20.0,
+                             where={"close": (20.0, None)})
+    monkeypatch.setattr(M.ManifestTable, "_commit", orig)
+    assert out["rows_deleted"] == 3              # BBB x3 gone
+    got = {(r.ticker, r.close) for r in table.read(spark).collect()}
+    assert ("NEW", 9.0) in got                   # competitor landed
+    assert not any(c >= 20.0 for _, c in got if _ != "NEW")
+
+    # overlap: competitor merges INTO a partition the delete reads
+    fired["done"] = False
+    overlap = _mkdf(spark, [("AAA", "2024-01-03", 1.0)])
+
+    def racy_commit2(self, partitions, base_version, streams=None,
+                     schema=None, cdf=None):
+        if not fired["done"]:
+            fired["done"] = True
+            _sibling(table).merge(spark, overlap, KEYS)
+        return orig(self, partitions, base_version, streams=streams,
+                    schema=schema, cdf=cdf)
+
+    monkeypatch.setattr(M.ManifestTable, "_commit", racy_commit2)
+    with pytest.raises(CommitConflict, match="re-run delete_where"):
+        table.delete_where(spark, F.col("close") >= 10.0,
+                           where={"close": (10.0, None)})
+    monkeypatch.setattr(M.ManifestTable, "_commit", orig)
+    got = {(r.ticker, str(r.trade_date)): r.close
+           for r in table.read(spark).collect()}
+    assert got[("AAA", "2024-01-03")] == 1.0     # competitor intact
