@@ -731,7 +731,8 @@ class ManifestTable:
                 base_version: int,
                 streams: dict[str, int] | None = None,
                 schema: list | None = None,
-                cdf: list | None = None) -> None:
+                cdf: list | None = None,
+                cdf_kind: str = "classified") -> None:
         """Steps 2+3 of the protocol: write a shard file for every
         partition given as a file-entry LIST (= changed by this
         commit), carry every ref dict through untouched (= unchanged;
@@ -775,9 +776,15 @@ class ManifestTable:
                 "schema": schema or []}
         if cdf is not None:
             # this commit's row-level change-set file list, inline (a
-            # single merge's change files — small); readable via
-            # ``changes(version)`` while this manifest survives vacuum
+            # single write's change files — small); readable via
+            # ``changes(version)`` while this manifest survives vacuum.
+            # kind "classified": files physically carry _change_type
+            # (merge pre/post images, delete rows).  kind
+            # "insert_files": the entries ARE the commit's staged DATA
+            # files (appends are pure inserts, so the feed costs zero
+            # extra bytes); changes() adds the constant column.
             body["cdf"] = cdf
+            body["cdf_kind"] = cdf_kind
         tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex[:12]}")
         with open(tmp, "w") as f:
             f.write(json.dumps(body, sort_keys=True))
@@ -1231,9 +1238,13 @@ class ManifestTable:
         ddl = ", ".join(f"`{n}` {t}" for n, t in schema)
         if not entries:
             return spark.createDataFrame([], ddl)
-        return (spark.read.schema(ddl)
-                .parquet(*[os.path.join(self.root, e["path"])
-                           for e in entries]))
+        paths = [os.path.join(self.root, e["path"]) for e in entries]
+        if mf.get("cdf_kind") == "insert_files":
+            # an append's feed IS its data files (pure inserts, zero
+            # extra bytes on disk); the classification is a constant
+            return (self._read_files(spark, paths, mf)
+                    .withColumn("_change_type", F.lit("insert")))
+        return spark.read.schema(ddl).parquet(*paths)
 
     def merge_batch(self, spark: SparkSession, updates: DataFrame,
                     keys: list[str], stream_id: str, batch_id: int,
@@ -1282,7 +1293,7 @@ class ManifestTable:
             except CommitConflict:
                 continue        # merged against a stale snapshot: redo
 
-    def append(self, df: DataFrame) -> None:
+    def append(self, df: DataFrame, cdf: bool = False) -> None:
         """Blind append (the streaming-ingest write shape): stage new
         files and ADD them to each touched partition's file list — no
         read-side merge, no rewrite of existing files.  Repeated small
@@ -1293,7 +1304,13 @@ class ManifestTable:
         ADDS files), so a :class:`CommitConflict` rebases onto the new
         snapshot and retries with the already-staged files — Delta's
         appends-never-conflict semantics — instead of surfacing a
-        retryable error to every ingest caller."""
+        retryable error to every ingest caller.
+
+        ``cdf=True`` publishes the append's row-level change feed at
+        ZERO extra write cost: appends are pure inserts, so the feed
+        entries simply reference the commit's own data files
+        (``cdf_kind='insert_files'``) and :meth:`changes` adds the
+        constant classification."""
         staged: dict[str, list] | None = None
         while True:
             mf = self._raw()
@@ -1308,13 +1325,16 @@ class ManifestTable:
             try:
                 self._commit(live, base_version=mf["version"],
                              streams=mf.get("streams", {}),
-                             schema=mf.get("schema"))
+                             schema=mf.get("schema"),
+                             cdf=([e for es in staged.values()
+                                   for e in es] if cdf else None),
+                             cdf_kind="insert_files")
                 return
             except CommitConflict:
                 continue        # someone else committed; re-evaluate
 
     def append_batch(self, df: DataFrame, stream_id: str,
-                     batch_id: int) -> bool:
+                     batch_id: int, cdf: bool = False) -> bool:
         """Exactly-once streaming append (the ``foreachBatch`` sink
         shape): the per-stream high-water batch id lives IN the
         manifest, so recording the batch and publishing its files is
@@ -1349,7 +1369,10 @@ class ManifestTable:
             streams[stream_id] = batch_id
             try:
                 self._commit(live, base_version=mf["version"],
-                             streams=streams, schema=mf.get("schema"))
+                             streams=streams, schema=mf.get("schema"),
+                             cdf=([e for es in staged.values()
+                                   for e in es] if cdf else None),
+                             cdf_kind="insert_files")
                 return True
             except CommitConflict:
                 continue        # someone else committed; re-evaluate
@@ -1430,6 +1453,7 @@ class ManifestTable:
 
     def delete_where(self, spark: SparkSession, condition,
                      where: dict | None = None,
+                     cdf: bool = False,
                      _crash_before_commit: bool = False) -> dict:
         """Transactional DELETE (the ``DELETE FROM t WHERE ...`` /
         MERGE WHEN MATCHED DELETE shape — the reference's snapshot
@@ -1485,6 +1509,15 @@ class ManifestTable:
         kept = self._read_files(spark, rewrite_files, mf).where(
             ~F.coalesce(condition, F.lit(False)))
         staged = self._stage(kept)
+        cdf_entries = None
+        if cdf:
+            # the deleted rows, classified — Delta CDF's delete rows
+            # (one extra write of exactly the removed subset, opt-in)
+            deleted = (self._read_files(spark, rewrite_files, mf)
+                       .where(F.coalesce(condition, F.lit(False)))
+                       .withColumn("_change_type", F.lit("delete")))
+            cdf_entries = [e for es in self._stage(deleted).values()
+                           for e in es]
         if _crash_before_commit:
             raise CrashInjected("writer died after staging, before commit")
         # same conflict matrix as compact(): a competitor that touched
@@ -1501,7 +1534,8 @@ class ManifestTable:
             try:
                 self._commit(new_parts, base_version=snap["version"],
                              streams=snap.get("streams", {}),
-                             schema=snap.get("schema"))
+                             schema=snap.get("schema"),
+                             cdf=cdf_entries)
                 break
             except CommitConflict:
                 newer = self._raw()

@@ -32,8 +32,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: CDF change types and their algebraic sign in the delta fold
-_SIGN = F.when(F.col("_change_type") == "update_preimage",
+#: CDF change types and their algebraic sign in the delta fold:
+#: rows leaving the table (a replaced key's preimage, a DELETE's
+#: removed row) subtract; rows entering (insert, update_postimage) add
+_SIGN = F.when(F.col("_change_type").isin("update_preimage", "delete"),
                F.lit(-1)).otherwise(F.lit(1))
 
 

@@ -1558,3 +1558,50 @@ def test_delete_where_rebases_over_disjoint_writer(spark, table,
     got = {(r.ticker, str(r.trade_date)): r.close
            for r in table.read(spark).collect()}
     assert got[("AAA", "2024-01-03")] == 1.0     # competitor intact
+
+
+def test_full_crud_cdf_and_ivm(spark, table):
+    """The row-level change feed across ALL write paths: an append's
+    feed costs zero extra bytes (its entries reference the commit's
+    own data files), a delete's feed carries the removed rows
+    classified 'delete', and the IVM fold consumes every kind —
+    matching a rebuild after merge, append AND delete."""
+    from stock_market_data_pipeline_spark.operators.ivm import (
+        apply_cdf_delta,
+        sum_count_view,
+    )
+
+    keys, sums = ["ticker"], ["close"]
+    view = sum_count_view(table.read(spark), keys, sums)
+    # 1. append with zero-cost feed
+    data_files_before = set(table.scan_plan()["files"])
+    table.append(_mkdf(spark, [("NEW", "2024-01-06", 5.0)]), cdf=True)
+    v_append = table.version()
+    feed = table.changes(spark, v_append)
+    assert {(r.ticker, r._change_type) for r in feed.collect()} \
+        == {("NEW", "insert")}
+    # the feed references LIVE data files — nothing extra was written
+    mf = table._raw(f"manifest-{v_append:08d}.json")
+    live_now = {e["path"].split("/")[-1] for es in
+                [table._entries(mf, v) for v in mf["partitions"]]
+                for e in es}
+    assert all(e["path"].split("/")[-1] in live_now
+               for e in mf["cdf"])
+    view = apply_cdf_delta(view, feed, keys, sums)
+    assert _snap(view) == _snap(sum_count_view(table.read(spark),
+                                               keys, sums))
+    # 2. merge feed (classified)
+    table.merge(spark, _mkdf(spark, UPDATES), KEYS, cdf=True)
+    view = apply_cdf_delta(view, table.changes(spark, table.version()),
+                           keys, sums)
+    assert _snap(view) == _snap(sum_count_view(table.read(spark),
+                                               keys, sums))
+    # 3. delete feed: removed rows, classified 'delete'
+    out = table.delete_where(spark, F.col("close") >= 20.0,
+                             where={"close": (20.0, None)}, cdf=True)
+    feed = table.changes(spark, table.version())
+    assert feed.where(F.col("_change_type") != "delete").count() == 0
+    assert feed.count() == out["rows_deleted"] > 0
+    view = apply_cdf_delta(view, feed, keys, sums)
+    assert _snap(view) == _snap(sum_count_view(table.read(spark),
+                                               keys, sums))
