@@ -1003,6 +1003,77 @@ def manifest_count_pushdown(spark: SparkSession,
     return spark.createDataFrame([(out["count"],)], "n_rows bigint")
 
 
+MANIFEST_BLOOM_SQL = """
+WITH ranked AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM documents
+),
+ids AS (
+  SELECT doc_id FROM ranked
+  WHERE rn = 1 OR rn = GREATEST(n // 2, 1) OR rn = n
+)
+SELECT d.doc_id, d.source, d.lang,
+       CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM ids)
+ORDER BY d.doc_id
+""".strip()
+
+
+@q("manifest_bloom_pointlookup", MANIFEST_BLOOM_SQL)
+def manifest_bloom_pointlookup(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Per-file Bloom membership skipping (manifest.py set_bloom —
+    Delta BLOOMFILTER INDEX / Parquet bloom-page analog): the
+    documents table is written DELIBERATELY hash-scattered on doc_id
+    (shuffled by md5 before staging, many files per source
+    partition), so every file's [min, max] on doc_id spans nearly the
+    whole id domain and zone maps can prune almost nothing — the
+    needle-in-haystack id-lookup shape where min/max skipping is
+    structurally blind.  A 3-id point lookup then resolves through
+    the per-file Bloom filters built at write time (md5 double-
+    hashed, bit_or-aggregated JVM-side), opening only the files that
+    can contain a probed id.  The entry RAISES unless the Bloom —
+    not the zone maps — did the skipping (bloom_skipped must carry
+    the skip count) and the kept set stayed a small fraction of the
+    file set: at 100 TB this is the difference between a key lookup
+    costing O(files with the key) and O(all files in the partition).
+    The probed ids are rank 1, n//2 and n of the sorted id domain
+    (min / median / max — deterministic at any SF).  Oracle: the
+    same 3-id lookup in SQL over the full table — equality proves
+    Bloom skipping lost no rows."""
+    from .manifest import ManifestTable
+    from .scratch import scratch_dir
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars")
+    n = docs.count()
+    ids = [
+        docs.agg(F.min("doc_id")).first()[0],
+        (docs.select("doc_id").orderBy("doc_id")
+         .limit(max(n // 2, 1)).agg(F.max("doc_id")).first()[0]),
+        docs.agg(F.max("doc_id")).first()[0],
+    ]
+    shuffled = docs.orderBy(F.md5(F.col("doc_id").cast("string")))
+    table = ManifestTable.create(
+        shuffled, scratch_dir("manifest_bloom_"), ts="source",
+        bloom={"cols": ["doc_id"], "m": 1 << 16, "k": 7},
+        max_records_per_file=max(256, n // 24))
+    plan = table.scan_plan(where={"doc_id": ids})
+    files_total = len(plan["files"]) + plan["skipped"]
+    if not (plan["bloom_skipped"] * 2 >= plan["skipped"]
+            and len(plan["files"]) * 3 <= files_total
+            and plan["bloom_skipped"] > 0):
+        raise RuntimeError(
+            f"bloom skipping ineffective on {files_total} files: {plan}")
+    return (table.read(spark, where={"doc_id": ids})
+            .where(F.col("doc_id").isin(ids))
+            .select("doc_id", "source", "lang",
+                    F.col("n_chars").cast("long").alias("n_chars"))
+            .orderBy("doc_id"))
+
+
 MANIFEST_IVM_SQL = f"""
 WITH b AS ({oracles.BARS_SQL}),
 base AS (SELECT ticker, trade_date, close, volume FROM b
@@ -2016,6 +2087,7 @@ _DRIVER_WINDOW_FIRST = [
     "manifest_zorder_mixed", "mm_decode_jpeg",
     "dedup_embedding_edges_capped", "dedup_simhash_edges_capped",
     "manifest_ivm_from_cdf", "manifest_count_pushdown",
+    "manifest_bloom_pointlookup",
     # -- group 1: the 14 entries last driver-green in r6 that sat out
     # the r8 window — at the policy's age bound, the staleness test
     # (tests/test_registration_order.py) fails the build unless they
@@ -2030,19 +2102,21 @@ _DRIVER_WINDOW_FIRST = [
     # semantics, and Z-order key derivation gained the column-count
     # bit-budget cap + date/string auto-derivation --
     "manifest_delete_where", "manifest_zorder_scan",
-    # -- group 3: the r7-checked cohort (age 2 this round); 25 of 49
+    # -- group 3: the r7-checked cohort (age 2 this round); 24 of 49
     # fit — manifest/dedup entries touched by this round's table-layer
     # work first, then the flagship marts, then alphabetical fill.
-    # The 24 deferred to r10 (bollinger_bands, conditional_agg_daily,
+    # The 25 deferred to r10 (bollinger_bands, conditional_agg_daily,
     # conditional_signal_dates, distinct_ordered, gap_fill_daily,
     # median_summary, pairwise_correlation, partition_window_avg,
-    # percent_rank_null_segregated, ranking_functions,
-    # resample_weekly_ohlc, rollup_revenue, running_total,
-    # scd2_constituents, smoothed_daily_index, source_jsonl_roundtrip,
-    # stg_projection_flags, text_bpe_tokens, text_tfidf_top_terms,
-    # topk_by_metric, updown_streaks, volatility_by_key, vwap_rolling,
-    # scd2_asof_snapshot), all pytest-parity-covered, are at the age
-    # bound next round and MUST front the r10 window. --
+    # percent_rank_null_segregated, qualify_latest_per_key,
+    # ranking_functions, resample_weekly_ohlc, rollup_revenue,
+    # running_total, scd2_constituents, smoothed_daily_index,
+    # source_jsonl_roundtrip, stg_projection_flags, text_bpe_tokens,
+    # text_tfidf_top_terms, topk_by_metric, updown_streaks,
+    # volatility_by_key, vwap_rolling, scd2_asof_snapshot), all
+    # pytest-parity-covered, are at the age bound next round and MUST
+    # front the r10 window.  (qualify_latest_per_key yielded its slot
+    # to the late-round manifest_bloom_pointlookup entry.) --
     "manifest_momentum_merge", "manifest_pruned_scan",
     "stream_manifest_append", "dedup_minhash_lsh", "dedup_clusters",
     "dedup_exact",
@@ -2053,7 +2127,7 @@ _DRIVER_WINDOW_FIRST = [
     "docs_pack_sequences", "docs_pii_scrub",
     "docs_source_quality_filter", "embedding_centroids",
     "fct_trading_momentum_valid", "mm_decode_ppm", "mm_decode_wav",
-    "multiway_dim_join", "qualify_latest_per_key",
+    "multiway_dim_join",
 ]
 
 

@@ -610,6 +610,121 @@ def _ranges_disjoint(stat: list, lo, hi) -> bool:
     return False
 
 
+# -- per-file Bloom membership index ---------------------------------
+#
+# Zone maps answer RANGE questions; they are blind to MEMBERSHIP.  On a
+# high-cardinality key whose values are scattered across files (an id
+# lookup over unsorted history — the needle-in-haystack shape), every
+# file's [min, max] spans most of the domain, so min/max skipping keeps
+# everything and a point read still opens O(all files).  A small
+# per-file Bloom filter on the key column turns that into
+# O(matching files + FPR·files): probe the filter, open only files
+# that can contain the value.  Same role as Parquet's optional
+# bloom_filter pages and Delta's BLOOMFILTER INDEX, built here at the
+# manifest layer so `scan_plan` can skip without touching the file.
+#
+# Hashing contract (the part that must agree between the JVM build
+# side and the driver probe side): the value's Spark
+# ``cast(col as string)`` rendering is md5-hashed; h1 = the first 15
+# hex digits, h2 = hex digits 17..31 (both < 2^60, so the
+# Kirsch-Mitzenmacher positions h1 + i·step never overflow a long);
+# step = (h2 mod m) | 1 (odd, so with m a power of two the probe walk
+# cycles the whole table).  md5 + conv are Spark built-ins and
+# hashlib.md5 reproduces them bit-for-bit driver-side — choosing md5
+# over the faster xxhash64 is deliberate: Spark's xxhash64 is not
+# reproducible outside the JVM without reimplementing its internal
+# per-type byte layouts, and a hash mismatch here is a silent
+# wrong-skip.  Bloom columns are restricted to types whose cast-string
+# rendering is unambiguous on both sides (_BLOOM_TYPES); the probe
+# canonicalizes through the PINNED schema type (_bloom_canon), so the
+# zone-map layer's numeric leniency ('07' == 7) cannot become a bloom
+# miss on a file that contains 7.
+#
+# Storage: per file, per column, a SPARSE map {word index -> signed
+# 64-bit word} holding only words with bits set (ints survive JSON
+# exactly).  NULLs never enter the filter — an equality probe for a
+# non-NULL value cannot match a NULL row, so skipping stays correct —
+# and a column bloom that exists but is EMPTY means "no non-NULL
+# values in this file at build time": provably no equality match,
+# skip.  A file entry with NO bloom for a column (written before
+# set_bloom, or by a writer without the spec) is never bloom-skipped.
+
+#: column simpleString types admissible as bloom columns: exactly the
+#: domains where Spark's cast-to-string and the driver-side canon
+#: agree byte-for-byte.  Floats/doubles/decimals/timestamps are
+#: excluded (formatting subtleties), booleans are pointless.
+_BLOOM_TYPES = {"string", "int", "bigint", "smallint", "tinyint",
+                "date"}
+
+
+def _bloom_positions(canon: str, m: int, k: int) -> list[int]:
+    """The k probe bit positions for one canonicalized value."""
+    import hashlib
+
+    hx = hashlib.md5(canon.encode("utf-8")).hexdigest()
+    h1 = int(hx[0:15], 16)
+    h2 = int(hx[16:31], 16)
+    step = (h2 % m) | 1
+    return [(h1 + i * step) % m for i in range(k)]
+
+
+#: sentinel: the probe value provably matches NO row of the column's
+#: domain (e.g. 'abc' or 7.5 probing a bigint column) — distinct from
+#: None = "cannot render faithfully, keep the file".
+_BLOOM_NOTHING = object()
+
+
+def _bloom_canon(value, dtype: str):
+    """``value`` rendered exactly as Spark's ``cast(col as string)``
+    renders a column value of ``dtype``; ``_BLOOM_NOTHING`` when the
+    value provably lies outside the domain (matches no row);  None
+    when it cannot be rendered faithfully (caller keeps the file —
+    conservative, never a wrong skip)."""
+    if value is None:
+        return None
+    if dtype in ("int", "bigint", "smallint", "tinyint"):
+        if isinstance(value, bool):
+            return None
+        if isinstance(value, float):
+            return (str(int(value)) if value.is_integer()
+                    else _BLOOM_NOTHING)
+        try:
+            return str(int(str(value), 10))
+        except ValueError:
+            return _BLOOM_NOTHING
+    if dtype == "date":
+        s = str(value)
+        import re as _re
+        return s if _re.fullmatch(r"\d{4}-\d{2}-\d{2}", s) else None
+    if dtype == "string":
+        return value if isinstance(value, str) else None
+    return None
+
+
+def _bloom_excluded(bloom_col: dict, values, dtype: str,
+                    m: int, k: int) -> bool:
+    """True = NO probe value can be present in the file (every value
+    misses the filter or lies outside the column's domain).
+    Conservative: any value that cannot be canonicalized faithfully
+    keeps the file (never a wrong skip)."""
+    for v in values:
+        canon = _bloom_canon(v, dtype)
+        if canon is _BLOOM_NOTHING:
+            continue            # outside the domain: matches nothing
+        if canon is None:
+            return False        # unrenderable: keep the file
+        hit = True
+        for pos in _bloom_positions(canon, m, k):
+            w = bloom_col.get(str(pos // 64))
+            if w is None or not (
+                    (w & 0xFFFFFFFFFFFFFFFF) >> (pos % 64)) & 1:
+                hit = False
+                break
+        if hit:
+            return False        # this value may be present
+    return True
+
+
 class ManifestTable:
     """A partitioned parquet table whose live files are resolved
     through an atomically-swapped, stats-bearing manifest."""
@@ -727,12 +842,57 @@ class ManifestTable:
                      base_version=mf["version"],
                      streams=mf.get("streams", {}), schema=schema)
 
+    def set_bloom(self, cols: list[str], m: int = 1 << 16,
+                  k: int = 7) -> None:
+        """Pin a per-file Bloom membership index spec (Delta's
+        ``BLOOMFILTER INDEX`` analog) with ONE metadata-only commit:
+        every file staged from now on carries a per-column filter of
+        ``m`` bits (power of two) probed ``k`` ways, and
+        :meth:`scan_plan` bloom-skips files for IN-list predicates on
+        these columns.  Files written BEFORE the spec have no filter
+        and are simply never bloom-skipped (read more, never wrong) —
+        a :meth:`compact` rewrites them with filters.  Sizing: ~10
+        bits per expected distinct value per file keeps the false-
+        positive rate ≈1% at k=7; the default 65,536 bits (8 KB/file/
+        column) covers ~6,500 distinct values per file."""
+        if not cols:
+            raise ValueError("set_bloom needs at least one column")
+        if m < 64 or (m & (m - 1)) != 0:
+            raise ValueError(f"bloom m={m} must be a power of two >= 64")
+        if not (1 <= k <= 16):
+            raise ValueError(f"bloom k={k} out of range 1..16")
+        mf = self._raw()
+        dtypes = {n: t for n, t in (mf.get("schema") or [])}
+        for c in cols:
+            if c not in dtypes:
+                raise SchemaMismatch(
+                    f"bloom column {c!r} not in the pinned schema")
+            if dtypes[c] not in _BLOOM_TYPES:
+                raise SchemaMismatch(
+                    f"bloom column {c!r} has type {dtypes[c]!r}; "
+                    f"supported: {sorted(_BLOOM_TYPES)} (types whose "
+                    f"cast-to-string rendering is reproducible on the "
+                    f"probe side)")
+        self._commit(dict(mf["partitions"]),
+                     base_version=mf["version"],
+                     streams=mf.get("streams", {}),
+                     schema=mf.get("schema"),
+                     bloom={"cols": sorted(cols), "m": m, "k": k})
+
+    #: default for _commit's ``bloom``: carry the base snapshot's
+    #: bloom spec forward unchanged.  A sentinel (not None) so that
+    #: existing callers — and the test doubles that monkeypatch
+    #: _commit forwarding only the kwargs they know — preserve the
+    #: spec without naming it; only ``set_bloom`` passes explicitly.
+    _BLOOM_CARRY = object()
+
     def _commit(self, partitions: dict[str, list | dict],
                 base_version: int,
                 streams: dict[str, int] | None = None,
                 schema: list | None = None,
                 cdf: list | None = None,
-                cdf_kind: str = "classified") -> None:
+                cdf_kind: str = "classified",
+                bloom=_BLOOM_CARRY) -> None:
         """Steps 2+3 of the protocol: write a shard file for every
         partition given as a file-entry LIST (= changed by this
         commit), carry every ref dict through untouched (= unchanged;
@@ -769,11 +929,21 @@ class ManifestTable:
                            # metadata-only counts (count_where)
                            "nn": (sorted(set.intersection(*nn_sets))
                                   if nn_sets else [])}
+        if bloom is ManifestTable._BLOOM_CARRY:
+            bloom = None
+            if base_version > 0:
+                try:
+                    bloom = self._raw(
+                        f"manifest-{base_version:08d}.json").get("bloom")
+                except (FileNotFoundError, OSError):
+                    bloom = None    # base vacuumed mid-flight: spec lost
         version = base_version + 1
         name = f"manifest-{version:08d}.json"
         body = {"version": version, "ts": self.ts, "format": _FORMAT,
                 "partitions": refs, "streams": streams or {},
                 "schema": schema or []}
+        if bloom:
+            body["bloom"] = bloom
         if cdf is not None:
             # this commit's row-level change-set file list, inline (a
             # single write's change files — small); readable via
@@ -801,8 +971,8 @@ class ManifestTable:
     def _stage(self, df: DataFrame,
                cluster_by: list[str] | None = None,
                max_records_per_file: int | None = None,
-               drop_after_sort: list[str] | None = None
-               ) -> dict[str, list]:
+               drop_after_sort: list[str] | None = None,
+               bloom="auto") -> dict[str, list]:
         """Stage a txn directory; returns {partition value -> [file
         entries]}.  Nothing staged is reader-visible until _commit.
 
@@ -865,7 +1035,79 @@ class ManifestTable:
                     entries.append(
                         _file_entry(os.path.join(leaf, fn), rel))
             out[value] = entries
+        spec = None
+        if bloom == "auto":
+            try:
+                spec = self._raw().get("bloom")
+            except (FileNotFoundError, OSError):
+                spec = None     # create path: no manifest yet
+        elif isinstance(bloom, dict):
+            spec = bloom
+        if spec and any(es for es in out.values()):
+            self._attach_blooms(df.sparkSession, txn_dir, out, spec)
         return out
+
+    def _attach_blooms(self, spark: SparkSession, txn_dir: str,
+                       staged: dict[str, list], spec: dict) -> None:
+        """Build each staged file's per-column Bloom words with ONE
+        Spark job over the txn directory (the module-level hashing
+        contract), entirely JVM-side: md5 → two 60-bit halves →
+        Kirsch-Mitzenmacher positions → ``bit_or`` aggregation of
+        64-bit word masks, grouped by (file, column, word).  The
+        driver collects only the SET words — at most m/64 rows per
+        file per column (sparse far below that for small files), i.e.
+        O(files_staged · m/64) metadata, never O(rows).  The cost is
+        one extra columnar read of the staged key columns per commit —
+        the standard price of building a write-time index (Delta's
+        bloom index and Parquet's bloom pages pay the same); tables
+        without a spec skip this entirely."""
+        import urllib.parse
+
+        m, k = spec["m"], spec["k"]
+        df = spark.read.parquet(txn_dir)
+        present = [c for c in spec["cols"] if c in df.columns]
+        if not present:
+            return
+        by_path: dict[str, dict] = {}
+        for entries in staged.values():
+            for e in entries:
+                abspath = os.path.abspath(
+                    os.path.join(self.root, e["path"]))
+                by_path[abspath] = e
+                # computed-but-empty ≠ absent: {} means "no non-NULL
+                # values in this file", which a probe may skip on
+                e["bloom"] = {c: {} for c in present}
+        parts = []
+        for c in present:
+            hexc = F.md5(F.col(c).cast("string"))
+            sel = (df.select(
+                       F.input_file_name().alias("_f"),
+                       F.conv(F.substring(hexc, 1, 15), 16, 10)
+                        .cast("long").alias("_h1"),
+                       F.conv(F.substring(hexc, 17, 15), 16, 10)
+                        .cast("long").alias("_h2"))
+                   .where(F.col("_h1").isNotNull())     # NULLs: no bits
+                   .withColumn("_step",
+                               F.expr(f"pmod(_h2, {m}) | 1L"))
+                   .withColumn("_pos", F.explode(F.expr(
+                       f"transform(sequence(0, {k - 1}), "
+                       f"i -> pmod(_h1 + i * _step, {m}))")))
+                   .select(
+                       "_f", F.lit(c).alias("_c"),
+                       F.expr("cast(_pos div 64 as int)").alias("_w"),
+                       F.expr("shiftleft(1L, cast(pmod(_pos, 64) "
+                              "as int))").alias("_m")))
+            parts.append(sel)
+        import functools
+        probes = functools.reduce(
+            lambda a, b: a.unionByName(b), parts)
+        rows = (probes.groupBy("_f", "_c", "_w")
+                .agg(F.expr("bit_or(_m)").alias("_b")).collect())
+        for r in rows:
+            p = urllib.parse.unquote(urllib.parse.urlparse(r["_f"]).path)
+            e = by_path.get(os.path.abspath(p))
+            if e is not None:
+                e["bloom"][r["_c"]][str(r["_w"])] = r["_b"]
 
     # -- read path ---------------------------------------------------
 
@@ -883,15 +1125,24 @@ class ManifestTable:
         predicate.  Runs on the commit object alone until a partition
         survives both partition-value pruning and the partition-level
         zone maps — only then is its shard opened for file-granular
-        skipping.  Returns {"files": [...], "skipped": n,
-        "partitions_pruned": n, "shards_opened": n} so tests can pin
-        the metadata AND data I/O plans."""
+        skipping.  On a table with a bloom spec (:meth:`set_bloom`),
+        IN-list specs on bloom columns additionally probe each
+        surviving file's membership filter — the skip that zone maps
+        cannot make when a high-cardinality key is hash-scattered
+        across files (every [min, max] spans the domain, but each file
+        holds few of the values).  Returns {"files": [...],
+        "skipped": n, "bloom_skipped": n, "partitions_pruned": n,
+        "shards_opened": n} so tests can pin the metadata AND data I/O
+        plans (``bloom_skipped`` counts within ``skipped``)."""
         where = where or {}
         mf = self._raw(manifest_name)
         kept: list[str] = []
         skipped = 0
+        bloom_skipped = 0
         pruned_parts = 0
         shards_opened = 0
+        bspec = mf.get("bloom")
+        dtypes = {n: t for n, t in (mf.get("schema") or [])}
         ts_spec = None if mf["ts"] is None else where.get(mf["ts"])
         for value, ref in mf["partitions"].items():
             nfiles = ref["files"]
@@ -915,11 +1166,24 @@ class ManifestTable:
                     col in e["stats"]
                     and _stats_excluded(e["stats"][col], spec)
                     for col, spec in where.items())
+                if not drop and bspec:
+                    for col, spec in where.items():
+                        if (col not in bspec["cols"] or not isinstance(
+                                spec, (list, set, frozenset))):
+                            continue    # membership filters can't
+                        bc = e.get("bloom", {}).get(col)  # answer ranges
+                        if bc is not None and _bloom_excluded(
+                                bc, spec, dtypes.get(col, ""),
+                                bspec["m"], bspec["k"]):
+                            drop = True
+                            bloom_skipped += 1
+                            break
                 if drop:
                     skipped += 1
                 else:
                     kept.append(os.path.join(self.root, e["path"]))
         return {"files": kept, "skipped": skipped,
+                "bloom_skipped": bloom_skipped,
                 "partitions_pruned": pruned_parts,
                 "shards_opened": shards_opened}
 
@@ -1069,11 +1333,32 @@ class ManifestTable:
 
     @classmethod
     def create(cls, df: DataFrame, root: str, ts: str | None,
-               backend: CommitBackend | None = None) -> "ManifestTable":
-        """Initial materialization: stage everything, commit v1."""
+               backend: CommitBackend | None = None,
+               bloom: dict | None = None,
+               max_records_per_file: int | None = None
+               ) -> "ManifestTable":
+        """Initial materialization: stage everything, commit v1.
+        ``bloom`` ({"cols": [...], "m": 2^b, "k": n}) pins the Bloom
+        spec from the very first commit so even the initial files
+        carry filters (the :meth:`set_bloom`-after-create path leaves
+        v1's files filterless until a rewrite)."""
         t = cls(root, ts, backend=backend)
-        parts = t._stage(df)
-        t._commit(parts, base_version=0, schema=_schema_sig(df))
+        if bloom is not None:
+            if (bloom["m"] & (bloom["m"] - 1)) != 0 or bloom["m"] < 64:
+                raise ValueError(
+                    f"bloom m={bloom['m']} must be a power of two >= 64")
+            dtypes = {f.name: f.dataType.simpleString()
+                      for f in df.schema.fields}
+            for c in bloom["cols"]:
+                if dtypes.get(c) not in _BLOOM_TYPES:
+                    raise SchemaMismatch(
+                        f"bloom column {c!r} has type "
+                        f"{dtypes.get(c)!r}; supported: "
+                        f"{sorted(_BLOOM_TYPES)}")
+        parts = t._stage(df, bloom=bloom,
+                         max_records_per_file=max_records_per_file)
+        t._commit(parts, base_version=0, schema=_schema_sig(df),
+                  bloom=bloom)
         return t
 
     def _stage_merge(self, spark: SparkSession, mf: dict,
@@ -1160,7 +1445,8 @@ class ManifestTable:
             merged = updates
             cdf = updates.withColumn("_change_type", F.lit("insert"))
         if capture_cdf:
-            cdf_entries = [e for es in self._stage(cdf).values()
+            cdf_entries = [e for es in
+                           self._stage(cdf, bloom=None).values()
                            for e in es]
         return self._stage(merged), cdf_entries
 
@@ -1516,7 +1802,8 @@ class ManifestTable:
             deleted = (self._read_files(spark, rewrite_files, mf)
                        .where(F.coalesce(condition, F.lit(False)))
                        .withColumn("_change_type", F.lit("delete")))
-            cdf_entries = [e for es in self._stage(deleted).values()
+            cdf_entries = [e for es in
+                           self._stage(deleted, bloom=None).values()
                            for e in es]
         if _crash_before_commit:
             raise CrashInjected("writer died after staging, before commit")
