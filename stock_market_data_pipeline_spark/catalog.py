@@ -1003,6 +1003,88 @@ def manifest_count_pushdown(spark: SparkSession,
     return spark.createDataFrame([(out["count"],)], "n_rows bigint")
 
 
+#: the third MERGE clause's delete condition, written once in the
+#: dialect both engines parse identically: odd ticker ids delete
+_MERGE_DEL_COND = "ticker % 2 = 1"
+
+MANIFEST_MERGE_DELETE_SQL = f"""
+WITH b AS ({oracles.BARS_SQL}),
+pre AS (SELECT ticker, trade_date, close, volume FROM b
+        WHERE trade_date < DATE '1997-07-01'),
+upd AS (SELECT ticker, trade_date, close * 2 AS close, volume FROM b
+        WHERE trade_date BETWEEN DATE '1997-06-01'
+                             AND DATE '1997-07-31'),
+dels AS (SELECT * FROM upd WHERE {_MERGE_DEL_COND}),
+ups  AS (SELECT * FROM upd WHERE NOT COALESCE({_MERGE_DEL_COND},
+                                              FALSE)),
+kept AS (SELECT pre.* FROM pre ANTI JOIN dels USING (ticker, trade_date)),
+post AS (SELECT kept.* FROM kept ANTI JOIN ups USING (ticker, trade_date)
+         UNION ALL SELECT * FROM ups)
+SELECT ticker,
+       CAST(SUM(CAST(FLOOR(close * 1000000.0) AS BIGINT)) AS BIGINT)
+         AS sum_close_micros,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM post GROUP BY ticker
+""".strip()
+
+
+@q("manifest_merge_delete", MANIFEST_MERGE_DELETE_SQL)
+def manifest_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The THIRD SQL MERGE clause — WHEN MATCHED AND <cond> THEN
+    DELETE (``merge(when_matched_delete=...)``; Snowflake's full
+    three-clause MERGE is the reference's statement shape, Delta's
+    ``whenMatchedDelete`` the open analog): ONE atomic commit routes
+    every update row per-row — matched odd-id tickers DELETE,
+    matched even-id tickers UPDATE (close doubled), unmatched rows
+    INSERT (July) or no-op (unmatched deletes).  ``cdf=True``
+    captures the same commit's row-level feed, and the entry RAISES
+    unless all FOUR change kinds are present, pre/post image counts
+    agree, and the feed reconciles the table's row-count delta
+    exactly (post = pre + inserts - deletes).  Oracle: the three
+    clauses composed directly in SQL (delete → anti join, upsert →
+    anti join + union) over the same bars source — aggregate hash
+    equality proves the clause routing reproduced the SQL MERGE
+    semantics."""
+    from .manifest import ManifestTable
+    from .scratch import scratch_dir
+
+    split = "1997-07-01"
+    bars = (bars_from_lineitem(_t(spark, sf_dir, "lineitem"))
+            .select("ticker", "trade_date", "close", "volume")
+            .withColumn("trade_month",
+                        F.date_format("trade_date", "yyyy-MM")))
+    table = ManifestTable.create(
+        bars.where(F.col("trade_date") < F.lit(split)),
+        scratch_dir("manifest_mdel_"), ts="trade_month")
+    pre_rows = sum(r["rows"]
+                   for r in table._raw()["partitions"].values())
+    upd = (bars.where(F.col("trade_date")
+                      .between("1997-06-01", "1997-07-31"))
+           .withColumn("close", F.col("close") * 2))
+    table.merge(spark, upd, ["ticker", "trade_date"], cdf=True,
+                when_matched_delete=F.expr(_MERGE_DEL_COND))
+    kinds = {r["_change_type"]: r["n"] for r in
+             table.changes(spark, table.version())
+             .groupBy("_change_type").count()
+             .withColumnRenamed("count", "n").collect()}
+    if set(kinds) != {"insert", "update_preimage",
+                      "update_postimage", "delete"}:
+        raise RuntimeError(f"merge-delete feed incomplete: {kinds}")
+    if kinds["update_preimage"] != kinds["update_postimage"]:
+        raise RuntimeError(f"pre/post image counts differ: {kinds}")
+    post_rows = sum(r["rows"]
+                    for r in table._raw()["partitions"].values())
+    if post_rows != pre_rows + kinds["insert"] - kinds["delete"]:
+        raise RuntimeError(
+            f"clauses do not reconcile: {pre_rows} + "
+            f"{kinds['insert']} - {kinds['delete']} != {post_rows}")
+    return (table.read(spark).groupBy("ticker")
+            .agg(F.sum(F.floor(F.col("close") * 1000000.0)
+                       .cast("long")).cast("long")
+                 .alias("sum_close_micros"),
+                 F.count(F.lit(1)).cast("long").alias("n_rows")))
+
+
 MANIFEST_BLOOM_SQL = """
 WITH ranked AS (
   SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn,
@@ -2087,7 +2169,7 @@ _DRIVER_WINDOW_FIRST = [
     "manifest_zorder_mixed", "mm_decode_jpeg",
     "dedup_embedding_edges_capped", "dedup_simhash_edges_capped",
     "manifest_ivm_from_cdf", "manifest_count_pushdown",
-    "manifest_bloom_pointlookup",
+    "manifest_bloom_pointlookup", "manifest_merge_delete",
     # -- group 1: the 14 entries last driver-green in r6 that sat out
     # the r8 window — at the policy's age bound, the staleness test
     # (tests/test_registration_order.py) fails the build unless they
@@ -2102,21 +2184,24 @@ _DRIVER_WINDOW_FIRST = [
     # semantics, and Z-order key derivation gained the column-count
     # bit-budget cap + date/string auto-derivation --
     "manifest_delete_where", "manifest_zorder_scan",
-    # -- group 3: the r7-checked cohort (age 2 this round); 24 of 49
+    # -- group 3: the r7-checked cohort (age 2 this round); 23 of 49
     # fit — manifest/dedup entries touched by this round's table-layer
     # work first, then the flagship marts, then alphabetical fill.
-    # The 25 deferred to r10 (bollinger_bands, conditional_agg_daily,
+    # The 26 deferred to r10 (bollinger_bands, conditional_agg_daily,
     # conditional_signal_dates, distinct_ordered, gap_fill_daily,
-    # median_summary, pairwise_correlation, partition_window_avg,
-    # percent_rank_null_segregated, qualify_latest_per_key,
-    # ranking_functions, resample_weekly_ohlc, rollup_revenue,
-    # running_total, scd2_constituents, smoothed_daily_index,
-    # source_jsonl_roundtrip, stg_projection_flags, text_bpe_tokens,
-    # text_tfidf_top_terms, topk_by_metric, updown_streaks,
-    # volatility_by_key, vwap_rolling, scd2_asof_snapshot), all
+    # median_summary, multiway_dim_join, pairwise_correlation,
+    # partition_window_avg, percent_rank_null_segregated,
+    # qualify_latest_per_key, ranking_functions, resample_weekly_ohlc,
+    # rollup_revenue, running_total, scd2_constituents,
+    # smoothed_daily_index, source_jsonl_roundtrip,
+    # stg_projection_flags, text_bpe_tokens, text_tfidf_top_terms,
+    # topk_by_metric, updown_streaks, volatility_by_key, vwap_rolling,
+    # scd2_asof_snapshot), all
     # pytest-parity-covered, are at the age bound next round and MUST
-    # front the r10 window.  (qualify_latest_per_key yielded its slot
-    # to the late-round manifest_bloom_pointlookup entry.) --
+    # front the r10 window.  (qualify_latest_per_key and
+    # multiway_dim_join — both r7-green, inside the age bound —
+    # yielded their slots to the late-round manifest_bloom_pointlookup
+    # and manifest_merge_delete entries; they join the r10 cohort.) --
     "manifest_momentum_merge", "manifest_pruned_scan",
     "stream_manifest_append", "dedup_minhash_lsh", "dedup_clusters",
     "dedup_exact",
@@ -2127,7 +2212,6 @@ _DRIVER_WINDOW_FIRST = [
     "docs_pack_sequences", "docs_pii_scrub",
     "docs_source_quality_filter", "embedding_centroids",
     "fct_trading_momentum_valid", "mm_decode_ppm", "mm_decode_wav",
-    "multiway_dim_join",
 ]
 
 

@@ -1364,7 +1364,8 @@ class ManifestTable:
     def _stage_merge(self, spark: SparkSession, mf: dict,
                      updates: DataFrame, keys: list[str],
                      validate_key_stability: bool = False,
-                     capture_cdf: bool = False
+                     capture_cdf: bool = False,
+                     when_matched_delete=None
                      ) -> tuple[dict[str, list], list | None]:
         """Shared MERGE staging against the snapshot ``mf``: read back
         only the partitions the update touches, upsert within that
@@ -1393,9 +1394,32 @@ class ManifestTable:
         slice the merge itself reads; returns ``(staged, cdf_entries)``
         where ``cdf_entries`` is the staged change-set file list the
         caller commits ATOMICALLY with the data (the commit object's
-        ``cdf`` key), or None when not captured."""
+        ``cdf`` key), or None when not captured.
+
+        ``when_matched_delete`` (a Column/SQL string evaluated against
+        the UPDATE row) adds SQL MERGE's third clause — WHEN MATCHED
+        AND <cond> THEN DELETE: update rows where the condition is
+        TRUE remove their matched live row instead of replacing it
+        (an UNMATCHED delete-marked row is a no-op, per Delta/SQL
+        MERGE; a NULL condition routes to the upsert clauses — SQL
+        three-valued logic).  When one source batch carries BOTH a
+        delete-marked and an upsert row for the same key, clauses
+        apply per source row: the delete removes the live row, the
+        upsert re-inserts — the final state is the upsert row, and
+        the CDF classifies the pair as 'delete' + 'insert' (not
+        update pre/post, which would claim the old row was
+        displaced-by rather than removed-then-replaced)."""
         from .incremental import merge_upsert
 
+        if when_matched_delete is not None:
+            if isinstance(when_matched_delete, str):
+                when_matched_delete = F.expr(when_matched_delete)
+            marked = F.coalesce(when_matched_delete, F.lit(False))
+            del_rows = updates.where(marked)
+            upserts = updates.where(~marked)
+        else:
+            del_rows = None
+            upserts = updates
         if self.ts is None:
             touched = [] if updates.isEmpty() else ["__all"]
         else:
@@ -1427,23 +1451,36 @@ class ManifestTable:
         cdf_entries = None
         if prior_files:
             current = self._read_files(spark, prior_files, mf)
-            merged = merge_upsert(current, updates, keys)
+            deleted = None
+            if del_rows is not None:
+                del_keys = del_rows.select(*keys).distinct()
+                # MATCHED deletes only: the semi join is exactly the
+                # removed live rows; unmatched delete rows no-op
+                deleted = current.join(del_keys, keys, "left_semi")
+                current = current.join(del_keys, keys, "left_anti")
+            merged = merge_upsert(current, upserts, keys)
             if capture_cdf:
+                # classification runs against the POST-delete slice:
+                # a key removed by the delete clause and re-inserted
+                # by an upsert row classifies 'delete' + 'insert'
                 cur_keys = current.select(*keys).distinct()
                 pre = (current
-                       .join(updates.select(*keys).distinct(), keys,
+                       .join(upserts.select(*keys).distinct(), keys,
                              "left_semi")
                        .withColumn("_change_type",
                                    F.lit("update_preimage")))
-                post = (updates.join(cur_keys, keys, "left_semi")
+                post = (upserts.join(cur_keys, keys, "left_semi")
                         .withColumn("_change_type",
                                     F.lit("update_postimage")))
-                ins = (updates.join(cur_keys, keys, "left_anti")
+                ins = (upserts.join(cur_keys, keys, "left_anti")
                        .withColumn("_change_type", F.lit("insert")))
                 cdf = pre.unionByName(post).unionByName(ins)
+                if deleted is not None:
+                    cdf = cdf.unionByName(deleted.withColumn(
+                        "_change_type", F.lit("delete")))
         else:
-            merged = updates
-            cdf = updates.withColumn("_change_type", F.lit("insert"))
+            merged = upserts
+            cdf = upserts.withColumn("_change_type", F.lit("insert"))
         if capture_cdf:
             cdf_entries = [e for es in
                            self._stage(cdf, bloom=None).values()
@@ -1469,6 +1506,7 @@ class ManifestTable:
               keys: list[str],
               validate_key_stability: bool = False,
               cdf: bool = False,
+              when_matched_delete=None,
               _crash_before_commit: bool = False,
               _pre_commit_hook=None) -> None:
         """Keyed MERGE (WHEN MATCHED UPDATE / NOT MATCHED INSERT),
@@ -1478,24 +1516,49 @@ class ManifestTable:
         partitions, and a crash anywhere before the swap leaves the
         old snapshot fully live.
 
+        ``when_matched_delete`` (Column or SQL string over the UPDATE
+        row) adds the third SQL MERGE clause — WHEN MATCHED AND <cond>
+        THEN DELETE: delete-marked update rows remove their matched
+        live row in the same atomic commit (see :meth:`_stage_merge`
+        for the unmatched/NULL/same-key-both-clauses semantics).  A
+        partition emptied entirely by deletes drops from the table
+        instead of lingering as an empty ref.
+
         ``cdf=True`` also captures this merge's ROW-LEVEL change feed
-        (insert / update_preimage / update_postimage per key — Delta
-        CDF shape, VERDICT r8 #6) in the SAME commit: the classified
-        change rows stage beside the data and publish atomically with
-        it, readable via :meth:`changes` for as long as the commit's
-        manifest survives vacuum retention."""
+        (insert / update_preimage / update_postimage — plus 'delete'
+        rows for the delete clause — Delta CDF shape, VERDICT r8 #6)
+        in the SAME commit: the classified change rows stage beside
+        the data and publish atomically with it, readable via
+        :meth:`changes` for as long as the commit's manifest survives
+        vacuum retention."""
         mf = self._raw()
         self._check_schema(updates, mf)
         staged, cdf_entries = self._stage_merge(
             spark, mf, updates, keys, validate_key_stability,
-            capture_cdf=cdf)
-        if not staged:
-            return
+            capture_cdf=cdf, when_matched_delete=when_matched_delete)
+        dropped: set[str] = set()
+        if when_matched_delete is not None:
+            # a touched partition absent from the staged map was
+            # emptied by the delete clause: drop it (delete_where's
+            # partitions_dropped analog) instead of carrying stale refs
+            if self.ts is None:
+                touched = (set() if updates.isEmpty() else {"__all"})
+            else:
+                touched = {str(r[0]) for r in
+                           updates.select(F.col(self.ts).cast("string"))
+                           .distinct().collect()}
+            dropped = {v for v in touched - set(staged)
+                       if v in mf["partitions"]}
+        if not staged and not dropped:
+            return          # empty update, or deletes that matched nothing
         if _crash_before_commit:
             raise CrashInjected("writer died after staging, before commit")
         if _pre_commit_hook is not None:
             _pre_commit_hook()
-        self._commit({**mf["partitions"], **staged},
+        parts = {**mf["partitions"], **staged}
+        for v in dropped:
+            parts.pop(v, None)
+        self._commit(parts,
                      base_version=mf["version"],
                      streams=mf.get("streams", {}),
                      schema=mf.get("schema"),

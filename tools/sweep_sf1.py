@@ -82,10 +82,12 @@ ENTRIES = [
     "manifest_cdf_rows", "manifest_ivm_from_cdf",
     "manifest_count_pushdown",
     "manifest_zorder_mixed", "mm_decode_jpeg",
-    # round-9 late addition: per-file Bloom membership skipping on a
+    # round-9 late additions: per-file Bloom membership skipping on a
     # hash-scattered 50k-doc id domain (the skip zone maps cannot
-    # make; the entry asserts the bloom did the skipping)
-    "manifest_bloom_pointlookup",
+    # make; the entry asserts the bloom did the skipping), and the
+    # three-clause MERGE (WHEN MATCHED DELETE) over ~6M bars with its
+    # four-kind CDF reconciliation guard
+    "manifest_bloom_pointlookup", "manifest_merge_delete",
 ]
 
 
