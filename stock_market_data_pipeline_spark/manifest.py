@@ -1598,6 +1598,7 @@ class ManifestTable:
     def merge_batch(self, spark: SparkSession, updates: DataFrame,
                     keys: list[str], stream_id: str, batch_id: int,
                     cdf: bool = False,
+                    when_matched_delete=None,
                     _crash_before_commit: bool = False) -> bool:
         """Exactly-once streaming MERGE (the ``foreachBatch`` upsert
         sink shape): the keyed merge's rewritten partitions and the
@@ -1620,7 +1621,13 @@ class ManifestTable:
         ``cdf=True``: the batch's ROW-LEVEL change set commits with it
         (see :meth:`merge` / :meth:`changes`) — a conflict retry
         re-classifies against the NEW snapshot, so the published feed
-        always describes the commit that actually landed."""
+        always describes the commit that actually landed.
+
+        ``when_matched_delete``: the third MERGE clause (see
+        :meth:`merge`), here the CDC-ingest tombstone shape — a
+        Debezium-style stream carries op='d' rows, and the condition
+        routes them to DELETE while the rest upsert, exactly-once,
+        in the same atomic ledger commit."""
         while True:
             mf = self._raw()
             streams = dict(mf.get("streams", {}))
@@ -1628,13 +1635,28 @@ class ManifestTable:
                 return False                      # replay: already in
             self._check_schema(updates, mf)
             staged, cdf_entries = self._stage_merge(
-                spark, mf, updates, keys, capture_cdf=cdf)
+                spark, mf, updates, keys, capture_cdf=cdf,
+                when_matched_delete=when_matched_delete)
+            dropped: set[str] = set()
+            if when_matched_delete is not None:
+                if self.ts is None:
+                    touched = (set() if updates.isEmpty()
+                               else {"__all"})
+                else:
+                    touched = {str(r[0]) for r in updates.select(
+                        F.col(self.ts).cast("string"))
+                        .distinct().collect()}
+                dropped = {v for v in touched - set(staged)
+                           if v in mf["partitions"]}
             streams[stream_id] = batch_id
             if _crash_before_commit:
                 raise CrashInjected(
                     "writer died after staging, before commit")
+            parts = {**mf["partitions"], **staged}
+            for v in dropped:
+                parts.pop(v, None)
             try:
-                self._commit({**mf["partitions"], **staged},
+                self._commit(parts,
                              base_version=mf["version"],
                              streams=streams, schema=mf.get("schema"),
                              cdf=cdf_entries)

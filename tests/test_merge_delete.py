@@ -144,6 +144,46 @@ def test_cdf_classifies_deletes(spark, table):
     assert len(kinds) == 4                           # nothing else
 
 
+def test_merge_batch_tombstones_exactly_once(spark, table):
+    """The CDC-ingest shape: a micro-batch carrying tombstone rows
+    (op='d') deletes matched keys and upserts the rest, exactly-once
+    — the batch id, the upserts and the deletes land in ONE commit,
+    and a replay of the same batch id is refused without staging."""
+    batch = (spark.createDataFrame(
+        [("AAA", "2024-01-03", 0.0, "d"),      # tombstone: delete
+         ("BBB", "2024-01-03", 99.0, "u"),     # upsert
+         ("CCC", "2024-01-02", 30.0, "u")],    # insert
+        "ticker string, trade_date string, close double, op string")
+        .withColumn("trade_date", F.col("trade_date").cast("date")))
+    # the pinned schema has no 'op' column, so the caller folds the
+    # tombstone marker into a sentinel the condition can see on a
+    # schema-conformant frame (the usual CDC-projection step)
+    marked = batch.withColumn(
+        "close", F.when(F.col("op") == "d", F.lit(-1.0))
+                  .otherwise(F.col("close"))).drop("op")
+    assert table.merge_batch(spark, marked, KEYS, "cdc", 0,
+                             when_matched_delete=F.col("close") < 0)
+    snap = _snap(spark, table)
+    assert ("AAA", "2024-01-03", 11.0) not in snap      # deleted
+    assert ("BBB", "2024-01-03", 99.0) in snap
+    assert ("CCC", "2024-01-02", 30.0) in snap
+    # replay: refused from the ledger, nothing changes
+    assert not table.merge_batch(spark, marked, KEYS, "cdc", 0,
+                                 when_matched_delete=F.col("close") < 0)
+    assert _snap(spark, table) == snap
+    assert table.manifest()["streams"] == {"cdc": 0}
+
+
+def test_merge_batch_delete_empties_partition(spark, table):
+    batch = _mkdf(spark, [
+        ("AAA", "2024-01-03", -1.0), ("BBB", "2024-01-03", -1.0)])
+    assert table.merge_batch(spark, batch, KEYS, "cdc", 0,
+                             when_matched_delete="close < 0")
+    assert "2024-01-03" not in table._raw()["partitions"]
+    # the ledger advanced in the SAME commit that dropped the partition
+    assert table.manifest()["streams"] == {"cdc": 0}
+
+
 def test_crash_before_commit_leaves_old_snapshot(spark, table):
     upd = _mkdf(spark, [("AAA", "2024-01-03", -1.0)])
     with pytest.raises(CrashInjected):
