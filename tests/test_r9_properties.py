@@ -1,9 +1,12 @@
 """Property tests over the round-9 features: metadata-answered counts
-(NULL-safe containment), CDF-driven incremental view maintenance, and
-the baseline JPEG codec — randomized inputs against exact oracles,
-because each of these has a failure mode a single example can miss
-(an overcounted NULL file, a sign error that cancels on one dataset, a
-Huffman category only certain coefficients reach)."""
+(NULL-safe containment), CDF-driven incremental view maintenance, the
+baseline JPEG codec, per-file Bloom membership skipping, and the
+three-clause MERGE — randomized inputs against exact oracles, because
+each of these has a failure mode a single example can miss (an
+overcounted NULL file, a sign error that cancels on one dataset, a
+Huffman category only certain coefficients reach, a bloom false
+negative on one unlucky hash, a clause routing that only breaks when
+delete and upsert keys collide)."""
 
 from __future__ import annotations
 
@@ -79,6 +82,73 @@ def test_ivm_random_merge_sequences_match_rebuild(spark,
         rebuild = sum_count_view(t.read(spark), ["g"], ["x"])
         assert sorted(map(tuple, view.collect())) \
             == sorted(map(tuple, rebuild.collect()))
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(present=st.lists(st.integers(0, 10_000), min_size=1,
+                        max_size=60, unique=True),
+       absent=st.lists(st.integers(10_001, 20_000), min_size=1,
+                       max_size=30, unique=True))
+def test_bloom_membership_never_false_negative(spark, tmp_path_factory,
+                                               present, absent):
+    """For ANY id set, a scan_plan probe for present ids keeps at
+    least the files that hold them (the read result is exact), and
+    probes never bloom-skip a file containing a probed value — the
+    one failure mode that would lose rows."""
+    root = str(tmp_path_factory.mktemp("bloomprop") / "t")
+    df = spark.createDataFrame([(v, "p") for v in present],
+                               "doc_id bigint, src string")
+    t = ManifestTable.create(
+        df, root, ts="src",
+        bloom={"cols": ["doc_id"], "m": 1 << 12, "k": 5},
+        max_records_per_file=8)
+    got = sorted(r.doc_id for r in
+                 t.read(spark, where={"doc_id": present})
+                 .where(F.col("doc_id").isin(present)).collect())
+    assert got == sorted(present)
+    miss = t.scan_plan(where={"doc_id": absent})
+    # absent probes may keep files (FPR) but never lose correctness:
+    # reading the kept set and filtering yields zero rows
+    if miss["files"]:
+        n = (t.read(spark, where={"doc_id": absent})
+             .where(F.col("doc_id").isin(absent)).count())
+        assert n == 0
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(base=st.lists(st.tuples(st.sampled_from(list("abcdefgh")),
+                               st.sampled_from(["p1", "p2"])),
+                     min_size=1, max_size=12, unique=True),
+       upd=st.lists(st.tuples(st.sampled_from(list("abcdefgh")),
+                              st.sampled_from(["p1", "p2"]),
+                              st.booleans()),
+                    min_size=1, max_size=12))
+def test_merge_delete_matches_model(spark, tmp_path_factory,
+                                    base, upd):
+    """Any base table x any update batch with per-row delete flags:
+    the three-clause merge equals the dict-model composition
+    (delete matched-and-marked, then upsert the unmarked)."""
+    root = str(tmp_path_factory.mktemp("mdelprop") / "t")
+    upd = list({(k, g): (k, g, d) for (k, g, d) in upd}.values())
+    t = ManifestTable.create(
+        spark.createDataFrame([(k, g, 1.0) for k, g in base],
+                              "k string, g string, x double"),
+        root, ts="g")
+    batch = spark.createDataFrame(
+        [(k, g, -1.0 if d else 2.0) for (k, g, d) in upd],
+        "k string, g string, x double")
+    t.merge(spark, batch, ["k", "g"],
+            when_matched_delete=F.col("x") < 0)
+    model = {(k, g): 1.0 for k, g in base}
+    for (k, g, d) in upd:
+        if d:
+            model.pop((k, g), None)          # matched deletes only
+        else:
+            model[(k, g)] = 2.0              # upsert
+    got = sorted((r.k, r.g, r.x) for r in t.read(spark).collect())
+    assert got == sorted((k, g, x) for (k, g), x in model.items())
 
 
 @settings(max_examples=25, deadline=None)
