@@ -673,6 +673,43 @@ def _bloom_positions(canon: str, m: int, k: int) -> list[int]:
 #: None = "cannot render faithfully, keep the file".
 _BLOOM_NOTHING = object()
 
+#: partition-level COARSE bloom width (bits).  Each partition ref in
+#: the commit object carries its files' blooms folded down to this
+#: size (word-wise OR by index mod width/64 — membership-preserving
+#: because the fold width divides the per-file ``m``), so a point
+#: probe can drop whole partitions WITHOUT opening their shards: the
+#: metadata cost of a membership probe falls from O(#partitions)
+#: shard reads to O(candidate partitions).  16 longs ≈ 400 JSON bytes
+#: per partition per column keeps the commit object small at 10^4
+#: partitions.  A coarse filter SATURATES when a partition holds
+#: >~150 distinct keys (every bit set → prunes nothing, still
+#: correct); it earns its bytes exactly when partitions are
+#: key-sparse — the fine-partitioned 100 TB shape — and the per-file
+#: filters behind the shard keep full precision either way.
+_PBLOOM_BITS = 1024
+
+
+def _fold_bloom(entries: list[dict], cols: list[str],
+                m: int) -> dict | None:
+    """Partition-level coarse bloom: per column, OR every file's words
+    folded to ``min(m, _PBLOOM_BITS)`` bits.  A column is dropped when
+    ANY file lacks a filter for it (a partial fold could wrong-skip);
+    returns None when nothing foldable survives."""
+    pm = min(m, _PBLOOM_BITS)
+    nwords = pm // 64
+    out: dict[str, dict] = {}
+    for c in cols:
+        if any("bloom" not in e or c not in e["bloom"]
+               for e in entries):
+            continue
+        folded: dict[int, int] = {}
+        for e in entries:
+            for iw, w in e["bloom"][c].items():
+                j = int(iw) % nwords
+                folded[j] = folded.get(j, 0) | w
+        out[c] = {str(j): w for j, w in sorted(folded.items())}
+    return out or None
+
 
 def _bloom_canon(value, dtype: str):
     """``value`` rendered exactly as Spark's ``cast(col as string)``
@@ -702,11 +739,13 @@ def _bloom_canon(value, dtype: str):
 
 
 def _bloom_excluded(bloom_col: dict, values, dtype: str,
-                    m: int, k: int) -> bool:
+                    m: int, k: int, fold: int | None = None) -> bool:
     """True = NO probe value can be present in the file (every value
     misses the filter or lies outside the column's domain).
     Conservative: any value that cannot be canonicalized faithfully
-    keeps the file (never a wrong skip)."""
+    keeps the file (never a wrong skip).  ``fold`` probes a
+    partition-level coarse filter (:func:`_fold_bloom`): positions
+    reduce mod the fold width, matching the build-side word fold."""
     for v in values:
         canon = _bloom_canon(v, dtype)
         if canon is _BLOOM_NOTHING:
@@ -715,6 +754,8 @@ def _bloom_excluded(bloom_col: dict, values, dtype: str,
             return False        # unrenderable: keep the file
         hit = True
         for pos in _bloom_positions(canon, m, k):
+            if fold:
+                pos %= fold
             w = bloom_col.get(str(pos // 64))
             if w is None or not (
                     (w & 0xFFFFFFFFFFFFFFFF) >> (pos % 64)) & 1:
@@ -905,6 +946,14 @@ class ManifestTable:
         name, so our publish raises :class:`CommitConflict` — the
         competing snapshot stays fully live, nothing of ours (shards
         included — they become aged-out vacuum orphans) is visible."""
+        if bloom is ManifestTable._BLOOM_CARRY:
+            bloom = None
+            if base_version > 0:
+                try:
+                    bloom = self._raw(
+                        f"manifest-{base_version:08d}.json").get("bloom")
+                except (FileNotFoundError, OSError):
+                    bloom = None    # base vacuumed mid-flight: spec lost
         mdir = self._mdir()
         sdir = os.path.join(self.root, _SHARD_DIR)
         os.makedirs(sdir, exist_ok=True)
@@ -929,14 +978,13 @@ class ManifestTable:
                            # metadata-only counts (count_where)
                            "nn": (sorted(set.intersection(*nn_sets))
                                   if nn_sets else [])}
-        if bloom is ManifestTable._BLOOM_CARRY:
-            bloom = None
-            if base_version > 0:
-                try:
-                    bloom = self._raw(
-                        f"manifest-{base_version:08d}.json").get("bloom")
-                except (FileNotFoundError, OSError):
-                    bloom = None    # base vacuumed mid-flight: spec lost
+            if bloom and es:
+                # partition-level coarse bloom (_PBLOOM_BITS): lets a
+                # membership probe drop the partition without opening
+                # its shard — O(candidate partitions) metadata reads
+                pb = _fold_bloom(es, bloom["cols"], bloom["m"])
+                if pb is not None:
+                    refs[value]["bloom"] = pb
         version = base_version + 1
         name = f"manifest-{version:08d}.json"
         body = {"version": version, "ts": self.ts, "format": _FORMAT,
@@ -1130,16 +1178,22 @@ class ManifestTable:
         surviving file's membership filter — the skip that zone maps
         cannot make when a high-cardinality key is hash-scattered
         across files (every [min, max] spans the domain, but each file
-        holds few of the values).  Returns {"files": [...],
-        "skipped": n, "bloom_skipped": n, "partitions_pruned": n,
-        "shards_opened": n} so tests can pin the metadata AND data I/O
-        plans (``bloom_skipped`` counts within ``skipped``)."""
+        holds few of the values).  A partition-level COARSE bloom in
+        each commit-object ref (``_PBLOOM_BITS``-bit fold of its
+        files' filters) runs first, dropping whole partitions
+        shard-unopened when they are key-sparse.  Returns {"files":
+        [...], "skipped": n, "bloom_skipped": n, "pbloom_pruned": n,
+        "partitions_pruned": n, "shards_opened": n} so tests can pin
+        the metadata AND data I/O plans (``bloom_skipped`` counts
+        within ``skipped``; ``pbloom_pruned`` partitions' files count
+        within ``bloom_skipped``)."""
         where = where or {}
         mf = self._raw(manifest_name)
         kept: list[str] = []
         skipped = 0
         bloom_skipped = 0
         pruned_parts = 0
+        pbloom_pruned = 0
         shards_opened = 0
         bspec = mf.get("bloom")
         dtypes = {n: t for n, t in (mf.get("schema") or [])}
@@ -1159,6 +1213,30 @@ class ManifestTable:
                    for col, spec in where.items()):
                 skipped += nfiles
                 continue
+            # partition-level COARSE bloom (the membership analog of
+            # the zone-map fold): a probe no coarse filter can satisfy
+            # drops the partition shard-unopened — without this, a
+            # membership probe on a hash-scattered key would open
+            # EVERY shard (its zone maps span the domain), O(#parts)
+            # metadata reads at 10^4 partitions
+            if bspec and "bloom" in ref:
+                fold = min(bspec["m"], _PBLOOM_BITS)
+                dropped = False
+                for col, spec in where.items():
+                    if (col not in ref["bloom"] or not isinstance(
+                            spec, (list, set, frozenset))):
+                        continue
+                    if _bloom_excluded(
+                            ref["bloom"][col], spec,
+                            dtypes.get(col, ""), bspec["m"],
+                            bspec["k"], fold=fold):
+                        dropped = True
+                        break
+                if dropped:
+                    skipped += nfiles
+                    bloom_skipped += nfiles
+                    pbloom_pruned += 1
+                    continue
             entries = self._entries(mf, value)
             shards_opened += 1
             for e in entries:
@@ -1184,6 +1262,7 @@ class ManifestTable:
                     kept.append(os.path.join(self.root, e["path"]))
         return {"files": kept, "skipped": skipped,
                 "bloom_skipped": bloom_skipped,
+                "pbloom_pruned": pbloom_pruned,
                 "partitions_pruned": pruned_parts,
                 "shards_opened": shards_opened}
 

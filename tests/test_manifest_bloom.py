@@ -253,6 +253,52 @@ def test_spec_survives_unrelated_commits(spark, btable):
         "cols": ["doc_id"], "m": M, "k": K}
 
 
+def test_partition_coarse_bloom_prunes_shards_unopened(spark, tmp_path):
+    """The metadata half: with KEY-SPARSE partitions (each partition
+    holds a disjoint id slice), a point probe drops non-candidate
+    partitions from the commit-object coarse bloom alone —
+    shards_opened stays O(candidate partitions), not O(#partitions).
+    Without the fold, a hash-scattered key forces EVERY shard open."""
+    df = (spark.range(0, 400)
+          .select(F.col("id").alias("doc_id"),
+                  (F.col("id") % 8).cast("string").alias("src"),
+                  F.md5(F.col("id").cast("string")).alias("body")))
+    t = ManifestTable.create(df, str(tmp_path / "pb"), ts="src",
+                             bloom=SPEC, max_records_per_file=25)
+    # every ref carries a coarse bloom
+    raw = t._raw()
+    assert all("bloom" in r for r in raw["partitions"].values())
+    # id 16 lives in src=0 only (16 % 8): ~50 ids/partition keeps the
+    # 1024-bit fold far from saturation, so the other 7 shards prune
+    plan = t.scan_plan(where={"doc_id": [16]})
+    assert plan["pbloom_pruned"] >= 5
+    assert plan["shards_opened"] <= 8 - plan["pbloom_pruned"]
+    got = (t.read(spark, where={"doc_id": [16]})
+           .where(F.col("doc_id") == 16).count())
+    assert got == 1
+
+
+def test_partition_fold_omitted_when_any_file_lacks_a_filter(
+        spark, tmp_path):
+    """A partition mixing pre-spec (filterless) and post-spec files
+    must NOT carry a coarse bloom — a partial fold could wrong-skip.
+    Its per-file filters still skip individually."""
+    even = _mkdocs(spark, n=80).withColumn("doc_id",
+                                           F.col("doc_id") * 2)
+    t = ManifestTable.create(even, str(tmp_path / "mix"), ts="src",
+                             max_records_per_file=20)
+    t.set_bloom(["doc_id"], m=M, k=K)
+    t.append(_mkdocs(spark, n=80).withColumn(
+        "doc_id", F.col("doc_id") * 2 + 1000))
+    raw = t._raw()
+    assert all("bloom" not in r for r in raw["partitions"].values())
+    # 1101: absent but inside the POST-spec files' id range, so zone
+    # maps keep them and only their per-file filters can skip
+    plan = t.scan_plan(where={"doc_id": [1101]})
+    assert plan["pbloom_pruned"] == 0
+    assert plan["bloom_skipped"] > 0                # per-file filters work
+
+
 def test_empty_column_bloom_skips_but_absent_bloom_does_not(
         spark, tmp_path):
     """A file whose bloom column was entirely NULL stores an EMPTY
