@@ -1370,20 +1370,48 @@ class ManifestTable:
                 max(r["stats"][col][1] for r in refs))
 
     def _read_files(self, spark: SparkSession, files: list[str],
-                    mf: dict) -> DataFrame:
+                    mf: dict, keep_pos: bool = False) -> DataFrame:
         """Read a resolved file list through the PINNED schema: the
         parquet reader reconciles by name, so files written before a
         schema evolution simply yield NULL for the added columns —
         Delta's metadata-only ADD COLUMNS semantics.  Every internal
         read (merge read-back, compaction, delete, snapshot read)
         funnels through here so old and new files always surface the
-        same frame shape."""
+        same frame shape — which is ALSO what makes deletion vectors
+        sound: rows position-marked dead by any live ref's ``dv``
+        sidecars are anti-joined away HERE, so a merge read-back or a
+        compaction can never resurrect them.  The DV relation is
+        broadcast (it is bounded by deleted-row count — the mode is
+        for low-fraction deletes; high-fraction deletes belong in
+        rewrite mode).  ``keep_pos=True`` keeps the (``__rel``,
+        ``__ri``) file-position columns for callers that need row
+        addresses (the DV writer itself)."""
         schema = mf.get("schema")
         reader = spark.read
         if schema:
             reader = reader.schema(
                 ", ".join(f"`{n}` {t}" for n, t in schema))
-        return reader.parquet(*files)
+        df = reader.parquet(*files)
+        dv_entries = [e for ref in mf["partitions"].values()
+                      if isinstance(ref, dict)
+                      for e in ref.get("dv", [])]
+        if dv_entries or keep_pos:
+            prefix = "file:" + os.path.abspath(self.root) + "/"
+            df = (df.withColumn("__rel", F.expr(
+                      f"substring(_metadata.file_path, "
+                      f"{len(prefix) + 1})"))
+                  .withColumn("__ri", F.col("_metadata.row_index")))
+        if dv_entries:
+            dv = spark.read.parquet(
+                *[os.path.join(self.root, e["path"])
+                  for e in dv_entries]).select(
+                F.col("rel").alias("__rel"),
+                F.col("row_index").alias("__ri"))
+            df = df.join(F.broadcast(dv), ["__rel", "__ri"],
+                         "left_anti")
+        if (dv_entries or keep_pos) and not keep_pos:
+            df = df.drop("__rel", "__ri")
+        return df
 
     def read(self, spark: SparkSession,
              manifest_name: str | None = None,
@@ -1901,9 +1929,43 @@ class ManifestTable:
                      streams=old.get("streams", {}),
                      schema=old.get("schema"))
 
+    def _stage_dv(self, hits: DataFrame) -> dict[str, list]:
+        """Stage DELETION-VECTOR sidecars: ``hits`` carries (__pt,
+        __rel, __ri) row addresses; one parquet of (rel, row_index)
+        per touched partition lands under a fresh txn dir, invisible
+        until the commit that references it from the partition's ref.
+        Same directory discipline as :meth:`_stage`, minus schema
+        pinning/stats/blooms (a DV is an index, not data)."""
+        txn = f"txn-{uuid.uuid4().hex[:12]}"
+        txn_dir = os.path.join(self.root, "data", txn)
+        (hits.select(F.col("__pt").alias(_PT),
+                     F.col("__rel").alias("rel"),
+                     F.col("__ri").alias("row_index"))
+         .repartition(F.col(_PT))
+         .write.partitionBy(_PT).parquet(txn_dir))
+        out: dict[str, list] = {}
+        for d in sorted(os.listdir(txn_dir)):
+            if not d.startswith(_PT + "="):
+                continue
+            value = d[len(_PT) + 1:]
+            leaf = os.path.join(txn_dir, d)
+            entries = []
+            for fn in sorted(os.listdir(leaf)):
+                if fn.endswith(".parquet"):
+                    rel = os.path.join("data", txn, d, fn)
+                    ap = os.path.join(leaf, fn)
+                    import pyarrow.parquet as pq
+                    entries.append({
+                        "path": rel,
+                        "rows": pq.ParquetFile(ap).metadata.num_rows,
+                        "bytes": os.path.getsize(ap)})
+            out[value] = entries
+        return out
+
     def delete_where(self, spark: SparkSession, condition,
                      where: dict | None = None,
                      cdf: bool = False,
+                     mode: str = "rewrite",
                      _crash_before_commit: bool = False) -> dict:
         """Transactional DELETE (the ``DELETE FROM t WHERE ...`` /
         MERGE WHEN MATCHED DELETE shape — the reference's snapshot
