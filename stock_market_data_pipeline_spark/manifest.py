@@ -689,12 +689,25 @@ _BLOOM_NOTHING = object()
 _PBLOOM_BITS = 1024
 
 
-def _fold_bloom(entries: list[dict], cols: list[str],
-                m: int) -> dict | None:
+def _fold_bloom(entries: list[dict], cols: list[str]) -> dict | None:
     """Partition-level coarse bloom: per column, OR every file's words
-    folded to ``min(m, _PBLOOM_BITS)`` bits.  A column is dropped when
-    ANY file lacks a filter for it (a partial fold could wrong-skip);
-    returns None when nothing foldable survives."""
+    folded to ``min(m, _PBLOOM_BITS)`` bits, where (m, k) is the spec
+    the files' filters were BUILT under — every entry records it as
+    ``mk`` (r9 ADVICE item 1: probing a filter with parameters other
+    than its build parameters silently wrong-skips live rows).  The
+    fold therefore requires ONE shared recorded ``mk`` across the
+    partition's files: a partition mixing specs (a respec'd table's
+    blind appends), legacy entries without a recorded spec, or any
+    file lacking a filter for a column folds to nothing — read more,
+    never wrong.  Returns ``{"mk": [m, k], "cols": {col: words}}`` so
+    the probe side replays the exact build parameters, or None."""
+    mks = {tuple(e.get("mk", ())) for e in entries}
+    if len(mks) != 1:
+        return None             # mixed or partially-legacy specs
+    (mk,) = mks
+    if not mk:
+        return None             # legacy files: spec unrecorded
+    m, k = mk
     pm = min(m, _PBLOOM_BITS)
     nwords = pm // 64
     out: dict[str, dict] = {}
@@ -708,7 +721,7 @@ def _fold_bloom(entries: list[dict], cols: list[str],
                 j = int(iw) % nwords
                 folded[j] = folded.get(j, 0) | w
         out[c] = {str(j): w for j, w in sorted(folded.items())}
-    return out or None
+    return {"mk": [m, k], "cols": out} if out else None
 
 
 def _bloom_canon(value, dtype: str):
@@ -903,6 +916,27 @@ class ManifestTable:
         if not (1 <= k <= 16):
             raise ValueError(f"bloom k={k} out of range 1..16")
         mf = self._raw()
+        prev = mf.get("bloom")
+        if prev and (prev["m"], prev["k"]) != (m, k):
+            # RE-parameterizing is safe only because every filter is
+            # probed under the (m, k) recorded WITH it (r9 ADVICE
+            # item 1) — a legacy file whose filter predates the
+            # per-file record has no such anchor, and probing it
+            # under the new spec silently wrong-skips its live rows.
+            # Refuse until a compact() rebuilds those filters.
+            for v in mf["partitions"]:
+                for e in self._entries(mf, v):
+                    if "bloom" in e and "mk" not in e:
+                        raise SchemaMismatch(
+                            f"set_bloom(m={m}, k={k}) would change "
+                            f"the filter parameters while "
+                            f"{e['path']!r} carries a filter built "
+                            f"under the previous spec (m={prev['m']},"
+                            f" k={prev['k']}) with no per-file "
+                            f"record; probing it under the new "
+                            f"parameters silently skips live rows — "
+                            f"compact() first to rebuild filters, or "
+                            f"keep the existing m/k")
         dtypes = {n: t for n, t in (mf.get("schema") or [])}
         for c in cols:
             if c not in dtypes:
@@ -981,8 +1015,10 @@ class ManifestTable:
             if bloom and es:
                 # partition-level coarse bloom (_PBLOOM_BITS): lets a
                 # membership probe drop the partition without opening
-                # its shard — O(candidate partitions) metadata reads
-                pb = _fold_bloom(es, bloom["cols"], bloom["m"])
+                # its shard — O(candidate partitions) metadata reads.
+                # The fold carries the files' OWN build (m, k), which
+                # may lag the table spec after a set_bloom respec.
+                pb = _fold_bloom(es, bloom["cols"])
                 if pb is not None:
                     refs[value]["bloom"] = pb
         version = base_version + 1
@@ -1116,15 +1152,48 @@ class ManifestTable:
         present = [c for c in spec["cols"] if c in df.columns]
         if not present:
             return
+
+        def _canon_path(uri: str) -> str:
+            return os.path.abspath(
+                urllib.parse.unquote(urllib.parse.urlparse(uri).path))
+
+        # COVERAGE GATE (r9 ADVICE item 3): a filter may only be
+        # attached to a file the build job provably read UNDER THE
+        # SAME PATH the driver resolves — otherwise a normalization
+        # miss (scheme, symlink, case) would leave a populated file
+        # with an empty filter, which probes then wrong-skip (silent
+        # data loss).  Files the job didn't account for get NO filter
+        # at all: they are read on every probe — more I/O, never a
+        # wrong answer.  The distinct-file pass is O(files) driver
+        # metadata and, unlike the probe rows below, also names files
+        # whose bloom columns are entirely NULL.
+        seen = {_canon_path(r["_f"]) for r in
+                df.select(F.input_file_name().alias("_f"))
+                .distinct().collect()}
         by_path: dict[str, dict] = {}
+        unmatched = 0
         for entries in staged.values():
             for e in entries:
                 abspath = os.path.abspath(
                     os.path.join(self.root, e["path"]))
+                if abspath not in seen:
+                    unmatched += 1   # zero-row file or path-scheme
+                    continue         # miss: never bloom-skipped
                 by_path[abspath] = e
                 # computed-but-empty ≠ absent: {} means "no non-NULL
                 # values in this file", which a probe may skip on
                 e["bloom"] = {c: {} for c in present}
+                # the spec the filter is BUILT under, recorded with it
+                # (r9 ADVICE item 1): the probe side replays exactly
+                # these parameters even after a set_bloom respec
+                e["mk"] = [m, k]
+        if unmatched and not by_path:
+            raise RuntimeError(
+                f"bloom build could not account for ANY of the "
+                f"{unmatched} staged files under {txn_dir!r}: the "
+                f"job's file paths do not resolve to the staged "
+                f"paths (scheme/normalization mismatch) — refusing "
+                f"to commit an index that would never skip")
         parts = []
         for c in present:
             hexc = F.md5(F.col(c).cast("string"))
@@ -1152,8 +1221,7 @@ class ManifestTable:
         rows = (probes.groupBy("_f", "_c", "_w")
                 .agg(F.expr("bit_or(_m)").alias("_b")).collect())
         for r in rows:
-            p = urllib.parse.unquote(urllib.parse.urlparse(r["_f"]).path)
-            e = by_path.get(os.path.abspath(p))
+            e = by_path.get(_canon_path(r["_f"]))
             if e is not None:
                 e["bloom"][r["_c"]][str(r["_w"])] = r["_b"]
 
@@ -1220,16 +1288,27 @@ class ManifestTable:
             # EVERY shard (its zone maps span the domain), O(#parts)
             # metadata reads at 10^4 partitions
             if bspec and "bloom" in ref:
-                fold = min(bspec["m"], _PBLOOM_BITS)
+                rb = ref["bloom"]
+                # every fold records the (m, k) its files' filters
+                # were BUILT under (r9 ADVICE item 1) — probe with
+                # exactly those parameters, never the current table
+                # spec; a legacy fold without a recorded spec (pre-mk
+                # commits, where a respec was impossible) probes under
+                # the table spec it was necessarily built with
+                if set(rb) == {"mk", "cols"} and isinstance(
+                        rb["mk"], list):
+                    fcols, (fm, fk) = rb["cols"], rb["mk"]
+                else:
+                    fcols, fm, fk = rb, bspec["m"], bspec["k"]
+                fold = min(fm, _PBLOOM_BITS)
                 dropped = False
                 for col, spec in where.items():
-                    if (col not in ref["bloom"] or not isinstance(
+                    if (col not in fcols or not isinstance(
                             spec, (list, set, frozenset))):
                         continue
                     if _bloom_excluded(
-                            ref["bloom"][col], spec,
-                            dtypes.get(col, ""), bspec["m"],
-                            bspec["k"], fold=fold):
+                            fcols[col], spec,
+                            dtypes.get(col, ""), fm, fk, fold=fold):
                         dropped = True
                         break
                 if dropped:
@@ -1245,6 +1324,12 @@ class ManifestTable:
                     and _stats_excluded(e["stats"][col], spec)
                     for col, spec in where.items())
                 if not drop and bspec:
+                    # each file's filter is probed under the (m, k) it
+                    # was BUILT with (recorded per entry as ``mk``);
+                    # only legacy pre-mk entries — which predate the
+                    # possibility of a respec — fall back to the spec
+                    emk = e.get("mk")
+                    fm, fk = emk if emk else (bspec["m"], bspec["k"])
                     for col, spec in where.items():
                         if (col not in bspec["cols"] or not isinstance(
                                 spec, (list, set, frozenset))):
@@ -1252,7 +1337,7 @@ class ManifestTable:
                         bc = e.get("bloom", {}).get(col)  # answer ranges
                         if bc is not None and _bloom_excluded(
                                 bc, spec, dtypes.get(col, ""),
-                                bspec["m"], bspec["k"]):
+                                fm, fk):
                             drop = True
                             bloom_skipped += 1
                             break

@@ -314,3 +314,114 @@ def test_empty_column_bloom_skips_but_absent_bloom_does_not(
     assert e["bloom"]["doc_id"] == {}
     plan = t.scan_plan(where={"doc_id": [1]})
     assert not plan["files"] and plan["bloom_skipped"] == 1
+
+
+def test_respec_probes_old_filters_under_their_build_params(
+        spark, tmp_path):
+    """r9 ADVICE item 1 (high), the exact reported repro: create with
+    one spec, set_bloom a DIFFERENT m/k — a point lookup for a value
+    that exists must still return it.  Every filter records the (m, k)
+    it was built under and is probed with exactly those parameters;
+    files appended after the respec build (and skip) under the new
+    spec."""
+    t = ManifestTable.create(
+        _mkdocs(spark, n=200), str(tmp_path / "respec"), ts="src",
+        bloom={"cols": ["doc_id"], "m": 1 << 16, "k": 7},
+        max_records_per_file=50)
+    pre = t.scan_plan(where={"doc_id": [157]})
+    assert len(pre["files"]) >= 1 and pre["bloom_skipped"] > 0
+    t.set_bloom(["doc_id"], m=1 << 10, k=5)
+    # the reported failure: 0 rows after the respec (bloom_skipped
+    # swallowed the live file).  Old filters now carry mk=[65536, 7]
+    # and are probed under it — the lookup keeps exactly the same
+    # files as before the respec.
+    post = t.scan_plan(where={"doc_id": [157]})
+    assert sorted(post["files"]) == sorted(pre["files"])
+    got = (t.read(spark, where={"doc_id": [157]})
+           .where(F.col("doc_id") == 157).count())
+    assert got == 1
+    # appends after the respec build under the NEW parameters...
+    t.append(_mkdocs(spark, n=50).withColumn(
+        "doc_id", F.col("doc_id") + 5000))
+    for v in t.manifest()["partitions"]:
+        for e in t._entries(t._raw(), v):
+            assert e["mk"] in ([1 << 16, 7], [1 << 10, 5])
+    # ...and an absent-id probe still skips via BOTH generations
+    miss = t.scan_plan(where={"doc_id": [4999]})
+    assert not miss["files"], "absent id must keep nothing"
+    # a mixed-spec partition folds NO coarse bloom (a single-spec fold
+    # could wrong-skip the other generation's files)
+    raw = t._raw()
+    for ref in raw["partitions"].values():
+        rb = ref.get("bloom")
+        if rb is not None:
+            assert set(rb) == {"mk", "cols"}
+
+
+def test_respec_refuses_legacy_filters_without_recorded_params(
+        spark, tmp_path, monkeypatch):
+    """A table whose filters predate the per-file (m, k) record (no
+    ``mk`` key) cannot be re-parameterized: set_bloom must refuse
+    loudly instead of letting scan_plan probe old words with new
+    positions."""
+    t = ManifestTable.create(
+        _mkdocs(spark, n=100), str(tmp_path / "legacy"), ts="src",
+        bloom=SPEC, max_records_per_file=50)
+    # simulate a pre-record table: strip mk from every live entry
+    mf = t._raw()
+    parts = {v: [dict(e, **{}) for e in t._entries(mf, v)]
+             for v in mf["partitions"]}
+    for es in parts.values():
+        for e in es:
+            e.pop("mk", None)
+    t._commit(parts, base_version=mf["version"],
+              streams=mf.get("streams", {}), schema=mf.get("schema"))
+    with pytest.raises(SchemaMismatch, match="compact"):
+        t.set_bloom(["doc_id"], m=1 << 10, k=5)
+    # same m/k (a pure column-list change) stays allowed
+    t.set_bloom(["doc_id", "body"], m=M, k=K)
+
+
+def test_coverage_gate_unaccounted_file_gets_no_filter(
+        spark, tmp_path):
+    """r9 ADVICE item 3: a staged file the build job could not match
+    by path must end with NO filter (never bloom-skipped), not the
+    pre-initialized empty filter (always skipped).  Simulated by
+    handing _attach_blooms a staged entry whose path resolves outside
+    the txn dir the job reads."""
+    t = ManifestTable.create(
+        _mkdocs(spark, n=50), str(tmp_path / "gate"), ts="src",
+        bloom=SPEC, max_records_per_file=50)
+    mf = t._raw()
+    [v0] = list(mf["partitions"])[:1]
+    real = t._entries(mf, v0)[0]
+    txn_dir = os.path.dirname(os.path.dirname(
+        os.path.join(t.root, real["path"])))
+    ghost = {"path": "data/txn-nowhere/src=9/ghost.parquet",
+             "rows": 10, "bytes": 100, "stats": {}}
+    staged = {v0: [dict(real), ghost]}
+    t._attach_blooms(spark, txn_dir, staged, SPEC)
+    assert "bloom" in staged[v0][0] and staged[v0][0]["mk"] == [M, K]
+    assert "bloom" not in ghost and "mk" not in ghost, (
+        "an unaccounted file must fall back to never-skipped")
+
+
+def test_coverage_gate_raises_on_systematic_path_mismatch(
+        spark, tmp_path):
+    """When the job accounts for NONE of the staged files, the build
+    is structurally broken (scheme/normalization mismatch): refuse to
+    commit an index that would never skip, instead of silently
+    attaching nothing."""
+    t = ManifestTable.create(
+        _mkdocs(spark, n=50), str(tmp_path / "gate2"), ts="src",
+        bloom=SPEC, max_records_per_file=50)
+    mf = t._raw()
+    [v0] = list(mf["partitions"])[:1]
+    real = t._entries(mf, v0)[0]
+    txn_dir = os.path.dirname(os.path.dirname(
+        os.path.join(t.root, real["path"])))
+    ghosts = [{"path": f"data/txn-nowhere/src=9/g{i}.parquet",
+               "rows": 10, "bytes": 100, "stats": {}}
+              for i in range(3)]
+    with pytest.raises(RuntimeError, match="account"):
+        t._attach_blooms(spark, txn_dir, {v0: ghosts}, SPEC)
