@@ -335,12 +335,18 @@ def _decode_wav(payload: bytes) -> "object":
 
 #: zigzag scan order for an 8x8 coefficient block (ITU T.81 Figure 5):
 #: _ZIGZAG[k] = (row, col) of the k-th coefficient in scan order.
+#: Parity per the spec (r9 ADVICE item 5): the scan moves RIGHT first,
+#: so ODD diagonal sums run top-right -> bottom-left (index 1 is
+#: (0, 1), then (1, 0)) and EVEN sums run bottom-left -> top-right —
+#: the transpose of this table is NOT spec-conformant even though an
+#: encoder/decoder pair sharing it roundtrips (the r9 bug: emitted
+#: files rendered transposed AC detail in external decoders).
 def _zigzag_order() -> list:
     order = []
     for s in range(15):
         diag = [(s - j, j) for j in range(s + 1)
-                if 0 <= s - j < 8 and 0 <= j < 8]
-        order.extend(diag if s % 2 else diag[::-1])
+                if 0 <= s - j < 8 and 0 <= j < 8]   # (s, 0) .. (0, s)
+        order.extend(diag[::-1] if s % 2 else diag)
     return order
 
 

@@ -70,8 +70,19 @@ def apply_cdf_delta(view: DataFrame, cdf: DataFrame, keys: list[str],
     d_aggs.append(F.sum(F.col("__sign")).alias("d_n"))
     delta = signed.groupBy(*keys).agg(*d_aggs)
     z = F.lit(0).cast("long")
-    merged = view.join(delta, keys, "full_outer")
-    cols = [F.col(k) for k in keys]
+    # NULL-SAFE key equality (r9 ADVICE item 4): groupBy puts NULL
+    # keys in one group, so the fold join must treat NULL = NULL the
+    # same way — a name-list (USING) join's plain equality would
+    # leave a NULL-keyed view row and its delta row unmerged (stale
+    # row plus delta-only row instead of one folded row)
+    v, d = view.alias("__v"), delta.alias("__d")
+    cond = None
+    for k in keys:
+        c = F.col(f"__v.{k}").eqNullSafe(F.col(f"__d.{k}"))
+        cond = c if cond is None else (cond & c)
+    merged = v.join(d, cond, "full_outer")
+    cols = [F.coalesce(F.col(f"__v.{k}"), F.col(f"__d.{k}")).alias(k)
+            for k in keys]
     for c in sum_cols:
         cols.append((F.coalesce(F.col(f"sum_{c}_micros"), z)
                      + F.coalesce(F.col(f"d_{c}"), z))

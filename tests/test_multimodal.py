@@ -72,3 +72,34 @@ def test_jpeg_spark_roundtrip_report(spark):
     for r in rows:
         assert r.n_pixels == r.meta_width * r.meta_height
         assert r.max_abs_err <= JPEG_TOL
+
+
+def test_zigzag_matches_itu_t81_known_vector():
+    """Interop anchor (r9 ADVICE item 5): the scan order is pinned to
+    ITU T.81 Figure 5 itself, not merely to 'whatever the encoder and
+    decoder share' — the r9 table was the spec's TRANSPOSE, which
+    roundtripped in-repo while emitting files external decoders render
+    with transposed AC detail.  The first diagonals move RIGHT first
+    ((0,0) -> (0,1) -> (1,0) -> (2,0) -> (1,1) -> (0,2) ...), and the
+    flat row-major permutation equals the widely-published table."""
+    from stock_market_data_pipeline_spark.llm.multimodal import _ZIGZAG
+
+    assert _ZIGZAG[:10] == [
+        (0, 0), (0, 1), (1, 0), (2, 0), (1, 1),
+        (0, 2), (0, 3), (1, 2), (2, 1), (3, 0)]
+    assert _ZIGZAG[-3:] == [(6, 7), (7, 6), (7, 7)]
+    # the standard flat form: position of row-major coefficient r*8+c
+    # in scan order (ITU T.81 / libjpeg's jpeg_natural_order inverse)
+    flat = [0] * 64
+    for k, (r, c) in enumerate(_ZIGZAG):
+        flat[r * 8 + c] = k
+    assert flat == [
+        0,  1,  5,  6,  14, 15, 27, 28,
+        2,  4,  7,  13, 16, 26, 29, 42,
+        3,  8,  12, 17, 25, 30, 41, 43,
+        9,  11, 18, 24, 31, 40, 44, 53,
+        10, 19, 23, 32, 39, 45, 52, 54,
+        20, 22, 33, 38, 46, 51, 55, 60,
+        21, 34, 37, 47, 50, 56, 59, 61,
+        35, 36, 48, 49, 57, 58, 62, 63]
+    assert sorted(flat) == list(range(64))

@@ -196,3 +196,31 @@ def test_jpeg_rejects_truncated_entropy_segment():
     blob = _jpeg_encode_gray(px)
     with pytest.raises(ValueError):
         _decode_jpeg(blob[:len(blob) // 2])
+
+
+def test_ivm_null_keys_fold_into_one_row(spark):
+    """r9 ADVICE item 4: groupBy puts NULL keys in ONE group, so the
+    delta fold must join null-safely — a NULL-keyed view row and its
+    NULL-keyed delta must merge into one folded row, not a stale row
+    plus a delta-only row."""
+    from pyspark.sql import functions as F
+
+    from stock_market_data_pipeline_spark.operators.ivm import (
+        apply_cdf_delta,
+        sum_count_view,
+    )
+
+    base = spark.createDataFrame(
+        [(None, 10.0), (None, 5.0), ("a", 1.0)],
+        "k string, x double")
+    view = sum_count_view(base, ["k"], ["x"])
+    cdf = spark.createDataFrame(
+        [(None, 2.0, "insert"), ("a", 1.0, "delete")],
+        "k string, x double, _change_type string")
+    out = apply_cdf_delta(view, cdf, ["k"], ["x"]).collect()
+    # 'a' count reached zero and dropped; NULL folded into ONE row
+    assert len(out) == 1
+    [r] = out
+    assert r["k"] is None
+    assert r["n_rows"] == 3
+    assert r["sum_x_micros"] == 17_000_000
