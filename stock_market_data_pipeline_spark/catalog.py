@@ -719,6 +719,59 @@ def manifest_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark).drop("trade_month")
 
 
+MANIFEST_DELETE_DV_SQL = f"""
+SELECT * FROM ({oracles.BARS_SQL}) b
+WHERE NOT (ticker % 7 = 3)
+""".strip()
+
+
+@q("manifest_delete_dv", MANIFEST_DELETE_DV_SQL)
+def manifest_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ delete via deletion vectors (Delta deletion
+    vectors / Iceberg positional deletes; ``delete_where(mode='dv')``,
+    manifest.py): a key-scattered predicate (one ticker residue class,
+    ~1/7 of rows in EVERY month partition) is deleted with ZERO data
+    files rewritten — the commit attaches tiny (rel, row_index)
+    sidecars to each touched ref, and every subsequent read anti-joins
+    them away.  This is the 100 TB GDPR-delete shape: rewrite mode
+    would rewrite every partition the key touches (here: all of them);
+    dv mode costs O(matching rows) sidecar bytes + one metadata
+    commit.  The entry RAISES unless the write plan is actually
+    merge-on-read (no partition rewritten, the live data-file set
+    bit-identical before and after, deletion vectors present on the
+    refs).  The oracle filters the same residue class in SQL, so hash
+    equality proves the positional addresses removed exactly the
+    matching rows — through the SAME pinned-schema read path every
+    consumer uses (no special dv-aware reader API).  Crash atomicity,
+    vacuum liveness, compaction materialization and the conflict
+    matrix are pinned by tests/test_manifest_dv.py."""
+    from .manifest import ManifestTable
+    from .scratch import scratch_dir
+
+    bars = bars_from_lineitem(_t(spark, sf_dir, "lineitem")).withColumn(
+        "trade_month", F.date_format("trade_date", "yyyy-MM"))
+    table = ManifestTable.create(
+        bars, scratch_dir("manifest_dv_"), ts="trade_month")
+    mf = table._raw()
+    files_before = sorted(e["path"] for v in mf["partitions"]
+                          for e in table._entries(mf, v))
+    out = table.delete_where(spark, F.expr("pmod(ticker, 7) = 3"),
+                             mode="dv")
+    if out["partitions_rewritten"] != 0 or out["rows_deleted"] == 0:
+        raise RuntimeError(f"not merge-on-read: {out}")
+    mf2 = table._raw()
+    files_after = sorted(e["path"] for v in mf2["partitions"]
+                         for e in table._entries(mf2, v))
+    if files_after != files_before:
+        raise RuntimeError("dv delete changed the data file set")
+    n_dv = sum(r.get("dv_rows", 0) for r in mf2["partitions"].values())
+    if n_dv != out["rows_deleted"]:
+        raise RuntimeError(
+            f"deletion vectors account for {n_dv} rows, delete "
+            f"reported {out['rows_deleted']}")
+    return table.read(spark).drop("trade_month")
+
+
 MANIFEST_RESTORE_SQL = f"""
 {oracles.BARS_SQL}
 """.strip()

@@ -372,6 +372,18 @@ def _file_entry(abs_path: str, rel_path: str) -> dict:
             "nn": nn}
 
 
+def _ref_fp(ref: dict) -> tuple:
+    """Conflict fingerprint of a partition ref: a competitor changed
+    the partition iff its shard OR its deletion-vector set changed.
+    Shard identity alone is NOT enough — a merge-on-read delete
+    (``delete_where(mode="dv")``) changes the partition's live rows
+    while leaving its shard untouched, so a shard-only rebase check
+    would let a concurrent compaction/rewrite staged from the PRE-
+    delete snapshot land and silently resurrect the deleted rows."""
+    return (ref.get("shard"),
+            tuple(e["path"] for e in ref.get("dv", [])))
+
+
 def _fold_stats(entries: list[dict]) -> dict:
     """Partition-level [min, max] per column, folded across a shard's
     file entries — the commit-object zone map that lets ``scan_plan``
@@ -993,9 +1005,20 @@ class ManifestTable:
         os.makedirs(sdir, exist_ok=True)
         refs: dict[str, dict] = {}
         for value, es in partitions.items():
-            if isinstance(es, dict):
+            if isinstance(es, dict) and "entries" not in es:
                 refs[value] = es
                 continue
+            carry: dict = {}
+            if isinstance(es, dict):
+                # {"entries": [...], "dv": [...], "dv_rows": n} — a
+                # blind append to a deletion-vector'd partition: the
+                # file list changed (new shard) but the DV sidecars
+                # must ride along, or the append would silently
+                # resurrect every dv'd row (they address OLD files,
+                # which the append keeps)
+                carry = {k: es[k] for k in ("dv", "dv_rows")
+                         if k in es}
+                es = es["entries"]
             shard_rel = os.path.join(
                 _SHARD_DIR, f"shard-{uuid.uuid4().hex[:16]}.json")
             with open(os.path.join(self.root, shard_rel), "w") as f:
@@ -1012,6 +1035,7 @@ class ManifestTable:
                            # metadata-only counts (count_where)
                            "nn": (sorted(set.intersection(*nn_sets))
                                   if nn_sets else [])}
+            refs[value].update(carry)
             if bloom and es:
                 # partition-level coarse bloom (_PBLOOM_BITS): lets a
                 # membership probe drop the partition without opening
@@ -1386,17 +1410,25 @@ class ManifestTable:
             if col in pstats and _ranges_disjoint(pstats[col], lo, hi):
                 files_skipped += ref["files"]
                 continue
+            has_dv = bool(ref.get("dv"))
             if (col in pstats and col in ref.get("nn", [])
                     and _range_contains(pstats[col], lo, hi)):
-                meta_rows += ref["rows"]       # whole partition inside
+                # whole partition inside the range.  Deletion vectors
+                # subtract exactly: every row (live or dead) satisfies
+                # the containment, so live = rows - dv_rows
+                meta_rows += ref["rows"] - ref.get("dv_rows", 0)
                 continue
             shards_opened += 1
             for e in self._entries(mf, value):
                 st = e["stats"].get(col)
                 if st is not None and _ranges_disjoint(st, lo, hi):
                     files_skipped += 1
-                elif (st is not None and col in e.get("nn", [])
+                elif (not has_dv
+                        and st is not None and col in e.get("nn", [])
                         and _range_contains(st, lo, hi)):
+                    # per-FILE dead counts are unknown under a DV'd
+                    # ref, so file-grain metadata claims are only
+                    # sound DV-free; DV'd boundary files read exactly
                     meta_rows += e["rows"]     # whole file inside
                 else:
                     boundary.append(os.path.join(self.root, e["path"]))
@@ -1431,7 +1463,11 @@ class ManifestTable:
             out.append({"version": mf["version"], "manifest": m,
                         "partitions": len(refs),
                         "files": sum(r["files"] for r in refs),
-                        "rows": sum(r["rows"] for r in refs),
+                        # LIVE rows: deletion-vector'd rows are gone
+                        # from every read even though their bytes
+                        # remain until a compact materializes
+                        "rows": sum(r["rows"] - r.get("dv_rows", 0)
+                                    for r in refs),
                         "streams": mf.get("streams", {})})
         return out
 
@@ -1481,10 +1517,23 @@ class ManifestTable:
                       if isinstance(ref, dict)
                       for e in ref.get("dv", [])]
         if dv_entries or keep_pos:
-            prefix = "file:" + os.path.abspath(self.root) + "/"
-            df = (df.withColumn("__rel", F.expr(
-                      f"substring(_metadata.file_path, "
-                      f"{len(prefix) + 1})"))
+            # ``_metadata.file_path`` is a URI whose slash count varies
+            # ("file:///abs" vs "file:/abs" — r9 ADVICE item 2): parse
+            # it like a URI (scheme + any slashes -> one leading "/")
+            # instead of assuming a prefix width, then relativize
+            # against the table root.  Both the DV writer and every
+            # reader derive ``__rel`` HERE, so row addresses stay
+            # stable across table moves and URI renderings.
+            rootabs = os.path.abspath(self.root)
+            df = (df.withColumn("__p", F.regexp_replace(
+                      F.col("_metadata.file_path"),
+                      "^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/"))
+                  .withColumn("__rel", F.when(
+                      F.col("__p").startswith(rootabs + "/"),
+                      F.col("__p").substr(
+                          F.lit(len(rootabs) + 2), F.length("__p")))
+                      .otherwise(F.col("__p")))
+                  .drop("__p")
                   .withColumn("__ri", F.col("_metadata.row_index")))
         if dv_entries:
             dv = spark.read.parquet(
@@ -1882,9 +1931,22 @@ class ManifestTable:
                 staged = self._stage(df)
             live: dict = dict(mf["partitions"])
             for value, entries in staged.items():
+                prior_ref = live.get(value)
                 prior = (self._entries(mf, value)
                          if value in live else [])
-                live[value] = prior + entries
+                merged = prior + entries
+                # an append to a deletion-vector'd partition keeps the
+                # old files, so the DVs addressing them must ride
+                # along into the rebuilt ref (the {"entries": ...}
+                # _commit form) — dropping them would resurrect rows
+                if (isinstance(prior_ref, dict)
+                        and prior_ref.get("dv")):
+                    live[value] = {
+                        "entries": merged,
+                        "dv": prior_ref["dv"],
+                        "dv_rows": prior_ref.get("dv_rows", 0)}
+                else:
+                    live[value] = merged
             try:
                 self._commit(live, base_version=mf["version"],
                              streams=mf.get("streams", {}),
@@ -1926,9 +1988,18 @@ class ManifestTable:
                 staged = self._stage(df)
             live: dict = dict(mf["partitions"])
             for value, entries in staged.items():
+                prior_ref = live.get(value)
                 prior = (self._entries(mf, value)
                          if value in live else [])
-                live[value] = prior + entries
+                merged = prior + entries
+                if (isinstance(prior_ref, dict)
+                        and prior_ref.get("dv")):    # see append()
+                    live[value] = {
+                        "entries": merged,
+                        "dv": prior_ref["dv"],
+                        "dv_rows": prior_ref.get("dv_rows", 0)}
+                else:
+                    live[value] = merged
             streams[stream_id] = batch_id
             try:
                 self._commit(live, base_version=mf["version"],
@@ -2083,7 +2154,26 @@ class ManifestTable:
         from the table without writing a byte; untouched and
         match-free partitions are carried by shard ref.  Returns
         {"rows_deleted", "partitions_rewritten", "partitions_dropped"}.
-        """
+
+        ``mode="dv"`` is the MERGE-ON-READ variant (Delta deletion
+        vectors / Iceberg positional deletes): no data file is
+        rewritten at all — tiny (rel, row_index) sidecar parquets
+        addressing exactly the matching rows are staged and attached
+        to the touched partitions' refs in one atomic commit.  Every
+        internal read funnels through :meth:`_read_files`, which
+        anti-joins live refs' DV rows away, so snapshot reads, merge
+        read-backs and compactions never resurrect them; a later
+        :meth:`compact` MATERIALIZES the delete (rewritten partitions
+        drop their DVs, whose sidecars then age out via vacuum).  The
+        mode is for low-fraction deletes — read cost grows by one
+        broadcast anti-join bounded by the DELETED-row count; a
+        high-fraction delete belongs in rewrite mode.  At 100 TB this
+        is the difference between a GDPR-style point delete costing
+        O(matching rows) metadata and costing a rewrite of every
+        touched gigabyte."""
+        if mode not in ("rewrite", "dv"):
+            raise ValueError(f"delete_where mode {mode!r}: "
+                             f"expected 'rewrite' or 'dv'")
         if isinstance(condition, str):
             condition = F.expr(condition)
         mf = self._raw()
@@ -2093,6 +2183,9 @@ class ManifestTable:
                     "partitions_dropped": 0}
         pt = (F.lit("__all") if self.ts is None
               else F.col(self.ts).cast("string"))
+        if mode == "dv":
+            return self._delete_dv(spark, condition, plan, mf, pt,
+                                   cdf, _crash_before_commit)
         cand = self._read_files(spark, plan["files"], mf)
         counts = {r["__v"]: r["n"] for r in
                   (cand.where(condition).groupBy(pt.alias("__v"))
@@ -2137,8 +2230,8 @@ class ManifestTable:
                 break
             except CommitConflict:
                 newer = self._raw()
-                ours = {v: live[v]["shard"] for v in counts}
-                theirs = {v: r["shard"] for v, r in
+                ours = {v: _ref_fp(live[v]) for v in counts}
+                theirs = {v: _ref_fp(r) for v, r in
                           newer["partitions"].items() if v in ours}
                 if ours != theirs:
                     raise CommitConflict(
@@ -2149,6 +2242,80 @@ class ManifestTable:
         return {"rows_deleted": sum(counts.values()),
                 "partitions_rewritten": len(staged),
                 "partitions_dropped": len(set(counts) - set(staged))}
+
+    def _delete_dv(self, spark: SparkSession, condition, plan: dict,
+                   mf: dict, pt, cdf: bool,
+                   _crash_before_commit: bool) -> dict:
+        """:meth:`delete_where`'s merge-on-read body.  Row addresses
+        come from the SAME ``__rel`` derivation every reader uses
+        (:meth:`_read_files` with ``keep_pos``), and the read applies
+        any EXISTING DVs first — so an already-dead row can never be
+        re-addressed and per-ref ``dv_rows`` counts stay exact.  A
+        partition whose dead count reaches its row count is dropped
+        from the table outright (its sidecars become vacuum-ageable
+        orphans once history expires)."""
+        hits = (self._read_files(spark, plan["files"], mf,
+                                 keep_pos=True)
+                .where(F.coalesce(condition, F.lit(False))))
+        addr = hits.select(pt.alias("__pt"), "__rel", "__ri")
+        dv_staged = self._stage_dv(addr)
+        counts = {v: sum(e["rows"] for e in es)
+                  for v, es in dv_staged.items() if es}
+        if not counts:
+            return {"rows_deleted": 0, "partitions_rewritten": 0,
+                    "partitions_dropped": 0}
+        cdf_entries = None
+        if cdf:
+            deleted = (self._read_files(spark, plan["files"], mf)
+                       .where(F.coalesce(condition, F.lit(False)))
+                       .withColumn("_change_type", F.lit("delete")))
+            cdf_entries = [e for es in
+                           self._stage(deleted, bloom=None).values()
+                           for e in es]
+        if _crash_before_commit:
+            raise CrashInjected(
+                "writer died after staging, before commit")
+        live = mf["partitions"]
+        snap = mf
+        while True:
+            new_parts = dict(snap["partitions"])
+            dropped = 0
+            for v in counts:
+                ref = dict(new_parts[v])
+                ref["dv"] = list(ref.get("dv", [])) + dv_staged[v]
+                ref["dv_rows"] = ref.get("dv_rows", 0) + counts[v]
+                if ref["dv_rows"] >= ref["rows"]:
+                    new_parts.pop(v)         # every row dead: drop
+                    dropped += 1
+                else:
+                    new_parts[v] = ref
+            try:
+                self._commit(new_parts, base_version=snap["version"],
+                             streams=snap.get("streams", {}),
+                             schema=snap.get("schema"),
+                             cdf=cdf_entries)
+                break
+            except CommitConflict:
+                # positional addresses are only valid against the
+                # exact file set they were computed over: any change
+                # to a touched partition (rewrite OR append — both
+                # replace its shard) invalidates them; untouched-
+                # partition commits rebase cleanly
+                newer = self._raw()
+                ours = {v: _ref_fp(live[v]) for v in counts}
+                theirs = {v: _ref_fp(r) for v, r in
+                          newer["partitions"].items()
+                          if v in ours and isinstance(r, dict)}
+                if ours != theirs:
+                    raise CommitConflict(
+                        "a concurrent writer changed a partition this "
+                        "delete addressed by row position; re-run "
+                        "delete_where() against the new snapshot"
+                    ) from None
+                snap = newer                     # disjoint: rebase
+        return {"rows_deleted": sum(counts.values()),
+                "partitions_rewritten": 0,
+                "partitions_dropped": dropped}
 
     def compact(self, spark: SparkSession,
                 min_files: int = 2,
@@ -2186,7 +2353,13 @@ class ManifestTable:
         live = mf["partitions"]
         todo_vals = (list(live) if (cluster_by or zorder_by)
                      else [v for v, r in live.items()
-                           if r["files"] >= min_files])
+                           if r["files"] >= min_files
+                           # a deletion-vector'd partition always
+                           # compacts regardless of file count: the
+                           # rewrite MATERIALIZES the delete (reads
+                           # exclude DV rows, the fresh ref carries no
+                           # dv), freeing the sidecar read tax
+                           or r.get("dv")])
         if not todo_vals:
             return {"partitions": 0, "files_before": 0, "files_after": 0}
         files_before = sum(live[v]["files"] for v in todo_vals)
@@ -2231,9 +2404,9 @@ class ManifestTable:
                 break
             except CommitConflict:
                 newer = self._raw()
-                ours = {v: mf["partitions"][v]["shard"]
+                ours = {v: _ref_fp(mf["partitions"][v])
                         for v in todo_vals}
-                theirs = {v: r["shard"] for v, r in
+                theirs = {v: _ref_fp(r) for v, r in
                           newer["partitions"].items() if v in ours}
                 if ours != theirs:
                     raise CommitConflict(
@@ -2300,6 +2473,13 @@ class ManifestTable:
                             for r in snap["partitions"].values()}
             live_rel |= {e["path"] for v in snap["partitions"]
                          for e in self._entries(snap, v)}
+            # deletion-vector sidecars are as live as the refs that
+            # carry them — reclaiming one would resurrect its rows on
+            # the very next read (r9 ADVICE item 2)
+            live_rel |= {e["path"]
+                         for r in snap["partitions"].values()
+                         if isinstance(r, dict)
+                         for e in r.get("dv", [])}
             # a retained commit's row-level change set stays readable
             live_rel |= {e["path"] for e in snap.get("cdf", [])}
 

@@ -1,0 +1,267 @@
+"""Merge-on-read DELETE via deletion vectors
+(manifest.py delete_where(mode="dv") / _stage_dv / _read_files).
+
+The contract under test (Delta deletion vectors / Iceberg positional
+deletes, finished per r9 ADVICE item 2): a dv delete rewrites NO data
+file — it commits tiny (rel, row_index) sidecars attached to the
+touched refs — yet every read path (snapshot read, merge read-back,
+compaction, count_where boundary reads) excludes the addressed rows;
+vacuum treats sidecars as live; a compact() materializes the delete;
+and the conflict matrix treats a DV change like the partition rewrite
+it semantically is (shard-only fingerprints would resurrect rows).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_market_data_pipeline_spark.manifest import (
+    CommitConflict,
+    CrashInjected,
+    ManifestTable,
+)
+from tests.test_manifest import BASE, UPDATES, _mkdf, _sibling, _snap
+
+
+@pytest.fixture()
+def dvt(spark, tmp_path):
+    return ManifestTable.create(
+        _mkdf(spark, BASE), str(tmp_path / "dvt"), ts="trade_date")
+
+
+def _live_paths(t):
+    mf = t._raw()
+    return sorted(e["path"] for v in mf["partitions"]
+                  for e in t._entries(mf, v))
+
+
+def test_dv_delete_removes_rows_without_rewriting(spark, dvt):
+    before = _live_paths(dvt)
+    out = dvt.delete_where(spark, "ticker = 'AAA'", mode="dv")
+    assert out == {"rows_deleted": 3, "partitions_rewritten": 0,
+                   "partitions_dropped": 0}
+    # the whole point: the data file set is bit-identical
+    assert _live_paths(dvt) == before
+    got = _snap(dvt.read(spark))
+    assert all(r[0] != "AAA" for r in got)
+    assert len(got) == 3
+    # refs carry the sidecars and exact dead counts
+    mf = dvt._raw()
+    assert all(r.get("dv") and r["dv_rows"] == 1
+               for r in mf["partitions"].values())
+    # history reports LIVE rows
+    assert dvt.history()[-1]["rows"] == 3
+
+
+def test_dv_rel_addresses_match_driver_relpath(spark, dvt):
+    """The __rel derivation (r9 ADVICE item 2's latent prefix bug):
+    the JVM-side URI normalization must yield exactly the driver's
+    root-relative path for every live file — this is what makes DV
+    addresses stable across URI renderings and table moves."""
+    mf = dvt._raw()
+    files = [os.path.join(dvt.root, e["path"])
+             for v in mf["partitions"] for e in dvt._entries(mf, v)]
+    df = dvt._read_files(spark, files, mf, keep_pos=True)
+    rels = {r["__rel"] for r in df.select("__rel").distinct().collect()}
+    expected = {e["path"] for v in mf["partitions"]
+                for e in dvt._entries(mf, v)}
+    assert rels == expected
+
+
+def test_dv_second_delete_never_readdresses_dead_rows(spark, dvt):
+    dvt.delete_where(spark, "ticker = 'AAA'", mode="dv")
+    # overlapping condition: the AAA rows are already dead, so only
+    # the BBB 01-02 row matches the second pass
+    out = dvt.delete_where(
+        spark, "trade_date = DATE'2024-01-02'", mode="dv")
+    assert out["rows_deleted"] == 1, (
+        "the already-dead AAA row must not be re-addressed")
+    # 01-02's dead count reached its row count exactly BECAUSE the
+    # second pass added 1 (not 2): the partition drops
+    assert out["partitions_dropped"] == 1
+    mf = dvt._raw()
+    assert "2024-01-02" not in mf["partitions"]
+    assert _snap(dvt.read(spark)) == _snap(_mkdf(spark, [
+        ("BBB", "2024-01-03", 21.0), ("BBB", "2024-01-04", 22.0)]))
+
+
+def test_dv_delete_with_null_condition_keeps_rows(spark, dvt):
+    """SQL DELETE three-valued logic holds in dv mode too: a NULL
+    condition keeps the row."""
+    dvt.append(_mkdf(spark, [(None, "2024-01-02", 10.0)]))
+    out = dvt.delete_where(spark, "ticker = 'AAA'", mode="dv")
+    assert out["rows_deleted"] == 3
+    got = dvt.read(spark)
+    assert got.where(F.col("ticker").isNull()).count() == 1
+
+
+def test_dv_partition_fully_dead_drops(spark, dvt):
+    out = dvt.delete_where(
+        spark, "trade_date = DATE'2024-01-03'", mode="dv")
+    assert out == {"rows_deleted": 2, "partitions_rewritten": 0,
+                   "partitions_dropped": 1}
+    assert "2024-01-03" not in dvt._raw()["partitions"]
+    assert dvt.read(spark).count() == 4
+
+
+def test_dv_time_travel_and_restore(spark, dvt):
+    v0 = dvt.version()
+    dvt.delete_where(spark, "ticker = 'AAA'", mode="dv")
+    old = dvt.read(spark, manifest_name=f"manifest-{v0:08d}.json")
+    assert old.count() == 6, "pre-delete snapshot must keep all rows"
+    dvt.restore(v0)
+    assert dvt.read(spark).count() == 6
+    assert all("dv" not in r
+               for r in dvt._raw()["partitions"].values())
+
+
+def test_dv_vacuum_keeps_sidecars_and_read_survives(spark, dvt):
+    dvt.delete_where(spark, "ticker = 'AAA'", mode="dv")
+    removed = dvt.vacuum(retention_seconds=0.0)
+    # nothing live may go: neither data files nor dv sidecars
+    assert dvt.read(spark).count() == 3
+    mf = dvt._raw()
+    for r in mf["partitions"].values():
+        for e in r.get("dv", []):
+            assert os.path.exists(os.path.join(dvt.root, e["path"])), (
+                f"vacuum reclaimed live dv sidecar {e['path']}"
+                f" (removed={removed})")
+
+
+def test_dv_compact_materializes_then_vacuum_reclaims(spark, dvt):
+    dvt.delete_where(spark, "ticker = 'AAA'", mode="dv")
+    sidecars = [os.path.join(dvt.root, e["path"])
+                for r in dvt._raw()["partitions"].values()
+                for e in r.get("dv", [])]
+    # single-file partitions still compact BECAUSE they carry DVs
+    out = dvt.compact(spark)
+    assert out["partitions"] == 3
+    mf = dvt._raw()
+    assert all("dv" not in r for r in mf["partitions"].values())
+    assert _snap(dvt.read(spark)) == _snap(_mkdf(spark, [
+        ("BBB", "2024-01-02", 20.0), ("BBB", "2024-01-03", 21.0),
+        ("BBB", "2024-01-04", 22.0)]))
+    # with the DVs materialized and history expired, the sidecars age out
+    dvt.vacuum(retention_seconds=0.0)
+    assert all(not os.path.exists(p) for p in sidecars)
+    assert dvt.read(spark).count() == 3
+
+
+def test_dv_append_preserves_deletions(spark, dvt):
+    dvt.delete_where(spark, "ticker = 'AAA'", mode="dv")
+    dvt.append(_mkdf(spark, [("DDD", "2024-01-02", 40.0)]))
+    got = _snap(dvt.read(spark))
+    assert ("AAA", ) not in {(r[0],) for r in got}
+    assert len(got) == 4, (
+        "append to a dv'd partition must keep prior deletions AND "
+        "show the new rows")
+    ref = dvt._raw()["partitions"]["2024-01-02"]
+    assert ref["dv_rows"] == 1 and ref["files"] == 2
+
+
+def test_dv_merge_does_not_resurrect(spark, dvt):
+    dvt.delete_where(spark, "ticker = 'AAA'", mode="dv")
+    dvt.merge(spark, _mkdf(spark, UPDATES), ["ticker", "trade_date"])
+    got = _snap(dvt.read(spark))
+    # the merge re-inserts AAA keys it carries (they are new rows by
+    # merge semantics), but the 01-02 AAA row it never mentioned must
+    # stay dead
+    assert ("AAA", ) not in {
+        (r[0],) for r in got if str(r[1]) == "2024-01-02"}
+    # touched partitions were rewritten: their dv is materialized away
+    mf = dvt._raw()
+    assert "dv" not in mf["partitions"]["2024-01-03"]
+    assert "dv" not in mf["partitions"]["2024-01-04"]
+    # untouched partition keeps its dv
+    assert mf["partitions"]["2024-01-02"].get("dv")
+
+
+def test_dv_count_where_subtracts_exactly(spark, dvt):
+    dvt.delete_where(spark, "close = 10.0", mode="dv")   # AAA 01-02
+    out = dvt.count_where(spark, "close", lo=0.0, hi=100.0)
+    assert out["count"] == 5
+    # the fully-contained dv'd partition is answered from metadata
+    assert out["rows_from_metadata"] == 5
+    assert out["files_read"] == 0
+    # a range whose boundary crosses the dv'd partition reads exactly
+    out2 = dvt.count_where(spark, "close", lo=10.0, hi=20.0)
+    assert out2["count"] == 3          # 20.0, 11.0, 12.0 (10.0 dead)
+    assert out2["files_read"] >= 1
+
+
+def test_dv_crash_before_commit_leaves_table_intact(spark, dvt):
+    with pytest.raises(CrashInjected):
+        dvt.delete_where(spark, "ticker = 'AAA'", mode="dv",
+                         _crash_before_commit=True)
+    assert dvt.read(spark).count() == 6
+    assert all("dv" not in r
+               for r in dvt._raw()["partitions"].values())
+    dvt.vacuum(retention_seconds=0.0)
+    assert dvt.read(spark).count() == 6
+
+
+def test_dv_conflict_raises_when_touched_partition_changed(spark, dvt):
+    """Positional addresses are valid only against the file set they
+    were computed over: a competitor landing on a touched partition
+    between scan and commit must surface CommitConflict, not rebase."""
+    mf = dvt._raw()
+    plan = dvt.scan_plan()
+    pt = F.col(dvt.ts).cast("string")
+    _sibling(dvt).append(_mkdf(spark, [("EEE", "2024-01-02", 50.0)]))
+    with pytest.raises(CommitConflict, match="row position"):
+        dvt._delete_dv(spark, F.expr("ticker = 'AAA'"), plan, mf, pt,
+                       False, False)
+
+
+def test_dv_conflict_rebases_over_disjoint_commit(spark, dvt):
+    mf = dvt._raw()
+    plan = dvt.scan_plan()
+    pt = F.col(dvt.ts).cast("string")
+    # competitor creates a brand-new partition: disjoint, rebase
+    _sibling(dvt).append(_mkdf(spark, [("EEE", "2024-01-09", 50.0)]))
+    out = dvt._delete_dv(spark, F.expr("ticker = 'AAA'"), plan, mf,
+                         pt, False, False)
+    assert out["rows_deleted"] == 3
+    got = _snap(dvt.read(spark))
+    assert len(got) == 4 and ("EEE", ) in {(r[0],) for r in got}
+
+
+def test_compact_conflict_detects_concurrent_dv_delete(
+        spark, dvt, monkeypatch):
+    """The fingerprint upgrade: a DV delete changes a partition's live
+    rows WITHOUT changing its shard.  A compaction staged from the
+    pre-delete snapshot must raise, not rebase — rebasing would commit
+    files that resurrect the deleted rows."""
+    orig = dvt._stage
+
+    def hooked(df, **kw):
+        out = orig(df, **kw)
+        if not hooked.done:
+            hooked.done = True
+            _sibling(dvt).delete_where(
+                spark, "ticker = 'AAA'", mode="dv")
+        return out
+
+    hooked.done = False
+    monkeypatch.setattr(dvt, "_stage", hooked)
+    with pytest.raises(CommitConflict, match="compact"):
+        dvt.compact(spark, min_files=1)
+    # and the delete's effect is intact
+    assert dvt.read(spark).count() == 3
+
+
+def test_dv_mode_validated(spark, dvt):
+    with pytest.raises(ValueError, match="rewrite"):
+        dvt.delete_where(spark, "ticker = 'AAA'", mode="nope")
+
+
+def test_dv_cdf_classifies_deleted_rows(spark, dvt):
+    dvt.delete_where(spark, "ticker = 'AAA'", mode="dv", cdf=True)
+    feed = dvt.changes(spark, dvt.version())
+    rows = feed.collect()
+    assert len(rows) == 3
+    assert all(r["_change_type"] == "delete" and r["ticker"] == "AAA"
+               for r in rows)
