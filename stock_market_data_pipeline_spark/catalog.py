@@ -2213,58 +2213,59 @@ from . import catalog_rel  # noqa: E402,F401  (pivot/cube/unpivot/histogram)
 # have a green row within the last two driver rounds — so no entry's
 # driver check ever ages past 2 rounds (VERDICT r6 "Next round" #4).
 _DRIVER_WINDOW_FIRST = [
-    # -- round 9, group 0: new this round (no driver-green row yet) —
-    # the star-edge capped near-dup edge relation (VERDICT r8 #4), the
-    # row-level change feed (r8 #6), the mixed date/string-keyed
-    # Z-ORDER scan (r8 #5), the baseline JPEG decode (r8 #8), and the
-    # embedding-family star-edge cap (r8 #4, the x162-pair entry) --
-    "dedup_minhash_edges_capped", "manifest_cdf_rows",
-    "manifest_zorder_mixed", "mm_decode_jpeg",
-    "dedup_embedding_edges_capped", "dedup_simhash_edges_capped",
-    "manifest_ivm_from_cdf", "manifest_count_pushdown",
-    "manifest_bloom_pointlookup", "manifest_merge_delete",
-    # -- group 1: the 14 entries last driver-green in r6 that sat out
-    # the r8 window — at the policy's age bound, the staleness test
-    # (tests/test_registration_order.py) fails the build unless they
-    # front this window (VERDICT r8 "Next round" #1) --
-    "ingest_daily_bars", "ingest_pending_dates", "seed_csv_constituents",
-    "serving_breadth", "serving_freshness", "serving_screener",
-    "serving_ticker_range", "text_stats", "text_quality_score",
-    "text_fingerprint", "text_rolling_hash", "text_repetition_ratio",
-    "trend_slope_by_key", "unpivot_dim_metrics",
-    # -- group 2: semantics changed this round by the ADVICE fixes:
-    # delete_where now uses DELETE-only-where-TRUE three-valued-logic
-    # semantics, and Z-order key derivation gained the column-count
-    # bit-budget cap + date/string auto-derivation --
-    "manifest_delete_where", "manifest_zorder_scan",
-    # -- group 3: the r7-checked cohort (age 2 this round); 23 of 49
-    # fit — manifest/dedup entries touched by this round's table-layer
-    # work first, then the flagship marts, then alphabetical fill.
-    # The 26 deferred to r10 (bollinger_bands, conditional_agg_daily,
-    # conditional_signal_dates, distinct_ordered, gap_fill_daily,
-    # median_summary, multiway_dim_join, pairwise_correlation,
-    # partition_window_avg, percent_rank_null_segregated,
-    # qualify_latest_per_key, ranking_functions, resample_weekly_ohlc,
-    # rollup_revenue, running_total, scd2_constituents,
-    # smoothed_daily_index, source_jsonl_roundtrip,
-    # stg_projection_flags, text_bpe_tokens, text_tfidf_top_terms,
-    # topk_by_metric, updown_streaks, volatility_by_key, vwap_rolling,
-    # scd2_asof_snapshot), all
+    # -- round 10, group 0: new this round — merge-on-read DELETE via
+    # deletion vectors (r9 ADVICE item 2, finished rather than
+    # dropped) --
+    "manifest_delete_dv",
+    # -- group 1: the 25 entries last driver-green in r7 that sat out
+    # the r8 and r9 windows — at the policy's age bound, the staleness
+    # test (tests/test_registration_order.py) fails the build unless
+    # they front this window --
+    "bollinger_bands", "conditional_agg_daily",
+    "conditional_signal_dates", "distinct_ordered", "gap_fill_daily",
+    "median_summary", "multiway_dim_join", "partition_window_avg",
+    "percent_rank_null_segregated", "qualify_latest_per_key",
+    "ranking_functions", "resample_weekly_ohlc", "rollup_revenue",
+    "running_total", "scd2_asof_snapshot", "scd2_constituents",
+    "smoothed_daily_index", "source_jsonl_roundtrip",
+    "stg_projection_flags", "text_bpe_tokens", "text_tfidf_top_terms",
+    "topk_by_metric", "updown_streaks", "volatility_by_key",
+    "vwap_rolling",
+    # -- group 2: r9-green entries whose backing code changed this
+    # round (the r9 ADVICE fixes): the bloom index stores per-filter
+    # (m, k) and gates attachment on path coverage; the IVM fold is
+    # null-safe; the JPEG zigzag parity flipped to spec; delete/
+    # compact rebases fingerprint (shard, dv); count_where is
+    # DV-aware --
+    "manifest_bloom_pointlookup", "manifest_ivm_from_cdf",
+    "mm_decode_jpeg", "manifest_delete_where",
+    "manifest_count_pushdown",
+    # -- group 3: the r8-checked cohort (age 2 this round); 19 of 48
+    # fit — table-layer and streaming entries nearest this round's
+    # manifest work first, then codecs, dedup and the TPC-H trio.
+    # The 29 deferred to r11 (asof_prior_view, band_range_join,
+    # benchmark_contamination, bucketed_join_revenue, cube_order_stats,
+    # cumulative_distinct_users, datasource_grouped_daily,
+    # dedup_embedding_cosine, dedup_survivors_by_quality,
+    # docs_length_band_filter, docs_unigram_logprob,
+    # events_hopping_counts, events_json_props, except_intersect_keys,
+    # fct_trading_momentum_small, histogram_prices,
+    # pairwise_correlation, pivot_priority_year, quantiles_by_brand,
+    # sample_hash_split, scalar_max_filter, screener_filter,
+    # self_lag_join, serving_manifest_ticker_range, session_funnel,
+    # session_window_native, stratified_balance_lang,
+    # stream_interval_join, stream_session_windows), all
     # pytest-parity-covered, are at the age bound next round and MUST
-    # front the r10 window.  (qualify_latest_per_key and
-    # multiway_dim_join — both r7-green, inside the age bound —
-    # yielded their slots to the late-round manifest_bloom_pointlookup
-    # and manifest_merge_delete entries; they join the r10 cohort.) --
-    "manifest_momentum_merge", "manifest_pruned_scan",
-    "stream_manifest_append", "dedup_minhash_lsh", "dedup_clusters",
-    "dedup_exact",
-    "fct_trading_momentum", "agg_daily_market_breadth",
-    "universe_daily", "dim_securities_current", "daily_pipeline_run",
-    "agg_alignment_join", "ann_cosine_topk", "ann_ivf_topk",
-    "bars_ohlcv", "constituents_diff", "constituents_snapshots",
-    "docs_pack_sequences", "docs_pii_scrub",
-    "docs_source_quality_filter", "embedding_centroids",
-    "fct_trading_momentum_valid", "mm_decode_ppm", "mm_decode_wav",
+    # front the r11 window --
+    "manifest_change_feed", "manifest_restore",
+    "manifest_schema_evolution", "fct_momentum_incremental",
+    "stream_upsert_rollup", "stream_hourly_rollup",
+    "stream_stateful_user_totals", "stream_dedup_events",
+    "mm_decode_png", "mm_payload_features", "mm_payload_grid",
+    "dedup_ngram_jaccard", "dedup_simhash",
+    "tpch_q1_pricing_summary", "tpch_q3_topk_revenue",
+    "tpch_q5_local_supplier", "sessionize_events",
+    "text_boilerplate_segments", "text_lang_id",
 ]
 
 
