@@ -772,6 +772,59 @@ def manifest_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark).drop("trade_month")
 
 
+MANIFEST_UPDATE_DV_SQL = f"""
+SELECT ticker, trade_date, low, high,
+       CASE WHEN ticker % 11 = 5 THEN close + 1.0 ELSE close END
+           AS close,
+       volume, n_trades, has_volume, is_valid_record
+FROM ({oracles.BARS_SQL}) b
+""".strip()
+
+
+@q("manifest_update_dv", MANIFEST_UPDATE_DV_SQL)
+def manifest_update_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ row-level UPDATE (``update_where``, manifest.py —
+    Delta's UPDATE with deletion vectors): a key-scattered predicate's
+    rows (one ticker residue class across every month partition) get a
+    column reassigned with ZERO existing data files rewritten — the
+    matched rows' old positions are dead-marked by (rel, row_index)
+    sidecars and their updated images appended, ONE atomic commit.
+    Rewrite-mode would rewrite every partition the class touches; this
+    costs O(matching rows).  Assignments cast to the pinned column
+    type (SQL UPDATE semantics) and evaluate per matched row
+    (close -> close + 1.0, one IEEE double add on both engines).  The
+    entry RAISES unless the plan is merge-on-read (no partition
+    rewritten, every pre-update data file still live, dv_rows ==
+    rows_updated).  The oracle applies the same CASE WHEN in SQL, so
+    hash equality proves positional dead-marking + appended images
+    compose to exactly an UPDATE.  Crash/conflict/move-across-
+    partitions semantics pinned by tests/test_manifest_dv.py."""
+    from .manifest import ManifestTable
+    from .scratch import scratch_dir
+
+    bars = bars_from_lineitem(_t(spark, sf_dir, "lineitem")).withColumn(
+        "trade_month", F.date_format("trade_date", "yyyy-MM"))
+    table = ManifestTable.create(
+        bars, scratch_dir("manifest_upd_"), ts="trade_month")
+    mf = table._raw()
+    files_before = {e["path"] for v in mf["partitions"]
+                    for e in table._entries(mf, v)}
+    out = table.update_where(spark, {"close": "close + 1.0"},
+                             F.expr("pmod(ticker, 11) = 5"))
+    if out["partitions_rewritten"] != 0 or out["rows_updated"] == 0:
+        raise RuntimeError(f"not merge-on-read: {out}")
+    mf2 = table._raw()
+    files_after = {e["path"] for v in mf2["partitions"]
+                   for e in table._entries(mf2, v)}
+    if not files_before <= files_after:
+        raise RuntimeError("update_where dropped pre-update data files")
+    n_dv = sum(r.get("dv_rows", 0) for r in mf2["partitions"].values())
+    if n_dv != out["rows_updated"]:
+        raise RuntimeError(
+            f"dv rows {n_dv} != rows_updated {out['rows_updated']}")
+    return table.read(spark).drop("trade_month")
+
+
 MANIFEST_RESTORE_SQL = f"""
 {oracles.BARS_SQL}
 """.strip()
@@ -2213,10 +2266,11 @@ from . import catalog_rel  # noqa: E402,F401  (pivot/cube/unpivot/histogram)
 # have a green row within the last two driver rounds — so no entry's
 # driver check ever ages past 2 rounds (VERDICT r6 "Next round" #4).
 _DRIVER_WINDOW_FIRST = [
-    # -- round 10, group 0: new this round — merge-on-read DELETE via
-    # deletion vectors (r9 ADVICE item 2, finished rather than
-    # dropped) --
-    "manifest_delete_dv",
+    # -- round 10, group 0: new this round — merge-on-read DELETE and
+    # row-level UPDATE via deletion vectors (r9 ADVICE item 2,
+    # finished rather than dropped, then completed with the UPDATE
+    # half) --
+    "manifest_delete_dv", "manifest_update_dv",
     # -- group 1: the 25 entries last driver-green in r7 that sat out
     # the r8 and r9 windows — at the policy's age bound, the staleness
     # test (tests/test_registration_order.py) fails the build unless
@@ -2240,10 +2294,12 @@ _DRIVER_WINDOW_FIRST = [
     "manifest_bloom_pointlookup", "manifest_ivm_from_cdf",
     "mm_decode_jpeg", "manifest_delete_where",
     "manifest_count_pushdown",
-    # -- group 3: the r8-checked cohort (age 2 this round); 19 of 48
+    # -- group 3: the r8-checked cohort (age 2 this round); 18 of 48
     # fit — table-layer and streaming entries nearest this round's
     # manifest work first, then codecs, dedup and the TPC-H trio.
-    # The 29 deferred to r11 (asof_prior_view, band_range_join,
+    # (text_lang_id yielded its slot to the late-round
+    # manifest_update_dv entry; it joins the r11 cohort.)
+    # The 30 deferred to r11 (asof_prior_view, band_range_join,
     # benchmark_contamination, bucketed_join_revenue, cube_order_stats,
     # cumulative_distinct_users, datasource_grouped_daily,
     # dedup_embedding_cosine, dedup_survivors_by_quality,
@@ -2254,7 +2310,8 @@ _DRIVER_WINDOW_FIRST = [
     # sample_hash_split, scalar_max_filter, screener_filter,
     # self_lag_join, serving_manifest_ticker_range, session_funnel,
     # session_window_native, stratified_balance_lang,
-    # stream_interval_join, stream_session_windows), all
+    # stream_interval_join, stream_session_windows, text_lang_id),
+    # all
     # pytest-parity-covered, are at the age bound next round and MUST
     # front the r11 window --
     "manifest_change_feed", "manifest_restore",
@@ -2265,7 +2322,7 @@ _DRIVER_WINDOW_FIRST = [
     "dedup_ngram_jaccard", "dedup_simhash",
     "tpch_q1_pricing_summary", "tpch_q3_topk_revenue",
     "tpch_q5_local_supplier", "sessionize_events",
-    "text_boilerplate_segments", "text_lang_id",
+    "text_boilerplate_segments",
 ]
 
 

@@ -1274,7 +1274,8 @@ class ManifestTable:
         each commit-object ref (``_PBLOOM_BITS``-bit fold of its
         files' filters) runs first, dropping whole partitions
         shard-unopened when they are key-sparse.  Returns {"files":
-        [...], "skipped": n, "bloom_skipped": n, "pbloom_pruned": n,
+        [...], "partitions": [surviving values], "skipped": n,
+        "bloom_skipped": n, "pbloom_pruned": n,
         "partitions_pruned": n, "shards_opened": n} so tests can pin
         the metadata AND data I/O plans (``bloom_skipped`` counts
         within ``skipped``; ``pbloom_pruned`` partitions' files count
@@ -1282,6 +1283,7 @@ class ManifestTable:
         where = where or {}
         mf = self._raw(manifest_name)
         kept: list[str] = []
+        kept_parts: list[str] = []
         skipped = 0
         bloom_skipped = 0
         pruned_parts = 0
@@ -1369,7 +1371,10 @@ class ManifestTable:
                     skipped += 1
                 else:
                     kept.append(os.path.join(self.root, e["path"]))
-        return {"files": kept, "skipped": skipped,
+                    if (not kept_parts) or kept_parts[-1] != value:
+                        kept_parts.append(value)
+        return {"files": kept, "partitions": kept_parts,
+                "skipped": skipped,
                 "bloom_skipped": bloom_skipped,
                 "pbloom_pruned": pbloom_pruned,
                 "partitions_pruned": pruned_parts,
@@ -1400,6 +1405,7 @@ class ManifestTable:
         ts_is_col = (mf["ts"] == col)
         meta_rows = 0
         boundary: list[str] = []
+        boundary_parts: list[str] = []
         files_total = files_skipped = shards_opened = 0
         for value, ref in mf["partitions"].items():
             files_total += ref["files"]
@@ -1432,6 +1438,9 @@ class ManifestTable:
                     meta_rows += e["rows"]     # whole file inside
                 else:
                     boundary.append(os.path.join(self.root, e["path"]))
+                    if (not boundary_parts
+                            or boundary_parts[-1] != value):
+                        boundary_parts.append(value)
         exact = 0
         if boundary:
             cond = F.lit(True)
@@ -1439,7 +1448,8 @@ class ManifestTable:
                 cond = cond & (F.col(col) >= F.lit(lo))
             if hi is not None:
                 cond = cond & (F.col(col) <= F.lit(hi))
-            exact = (self._read_files(spark, boundary, mf)
+            exact = (self._read_files(spark, boundary, mf,
+                                      partitions=boundary_parts)
                      .where(cond).count())
         return {"count": meta_rows + exact,
                 "rows_from_metadata": meta_rows,
@@ -1491,7 +1501,8 @@ class ManifestTable:
                 max(r["stats"][col][1] for r in refs))
 
     def _read_files(self, spark: SparkSession, files: list[str],
-                    mf: dict, keep_pos: bool = False) -> DataFrame:
+                    mf: dict, keep_pos: bool = False,
+                    partitions: list[str] | None = None) -> DataFrame:
         """Read a resolved file list through the PINNED schema: the
         parquet reader reconciles by name, so files written before a
         schema evolution simply yield NULL for the added columns —
@@ -1506,14 +1517,24 @@ class ManifestTable:
         for low-fraction deletes; high-fraction deletes belong in
         rewrite mode).  ``keep_pos=True`` keeps the (``__rel``,
         ``__ri``) file-position columns for callers that need row
-        addresses (the DV writer itself)."""
+        addresses (the DV writer itself).
+
+        ``partitions`` (the values whose files ``files`` came from)
+        bounds the DV SIDECAR read to the touched refs — a DV row can
+        only address a file inside its own partition directory, so a
+        partition-pruned read need not open the other 10^4 partitions'
+        sidecars.  None = load all refs' sidecars (correct, more I/O:
+        callers passing ad-hoc file lists)."""
         schema = mf.get("schema")
         reader = spark.read
         if schema:
             reader = reader.schema(
                 ", ".join(f"`{n}` {t}" for n, t in schema))
         df = reader.parquet(*files)
-        dv_entries = [e for ref in mf["partitions"].values()
+        dv_refs = (mf["partitions"].values() if partitions is None
+                   else [mf["partitions"][v] for v in partitions
+                         if v in mf["partitions"]])
+        dv_entries = [e for ref in dv_refs
                       if isinstance(ref, dict)
                       for e in ref.get("dv", [])]
         if dv_entries or keep_pos:
@@ -1568,7 +1589,8 @@ class ManifestTable:
                     "to type an empty result")
             ddl = ", ".join(f"`{n}` {t}" for n, t in schema)
             return spark.createDataFrame([], ddl)
-        return self._read_files(spark, plan["files"], mf)
+        return self._read_files(spark, plan["files"], mf,
+                                partitions=plan["partitions"])
 
     # -- write paths -------------------------------------------------
 
@@ -1676,7 +1698,10 @@ class ManifestTable:
                        for v in live if v not in touched
                        for e in self._entries(mf, v)]
             if outside and key_cols:
-                strays = (self._read_files(spark, outside, mf)
+                strays = (self._read_files(
+                              spark, outside, mf,
+                              partitions=[v for v in live
+                                          if v not in touched])
                           .join(updates.select(*key_cols).distinct(),
                                 key_cols, "left_semi"))
                 n = strays.count()
@@ -1691,7 +1716,9 @@ class ManifestTable:
                        for e in self._entries(mf, v)]
         cdf_entries = None
         if prior_files:
-            current = self._read_files(spark, prior_files, mf)
+            current = self._read_files(
+                spark, prior_files, mf,
+                partitions=[v for v in touched if v in live])
             deleted = None
             if del_rows is not None:
                 del_keys = del_rows.select(*keys).distinct()
@@ -2186,7 +2213,8 @@ class ManifestTable:
         if mode == "dv":
             return self._delete_dv(spark, condition, plan, mf, pt,
                                    cdf, _crash_before_commit)
-        cand = self._read_files(spark, plan["files"], mf)
+        cand = self._read_files(spark, plan["files"], mf,
+                                partitions=plan["partitions"])
         counts = {r["__v"]: r["n"] for r in
                   (cand.where(condition).groupBy(pt.alias("__v"))
                    .agg(F.count(F.lit(1)).alias("n")).collect())}
@@ -2196,14 +2224,16 @@ class ManifestTable:
         live = mf["partitions"]
         rewrite_files = [os.path.join(self.root, e["path"])
                          for v in counts for e in self._entries(mf, v)]
-        kept = self._read_files(spark, rewrite_files, mf).where(
+        kept = self._read_files(spark, rewrite_files, mf,
+                                partitions=list(counts)).where(
             ~F.coalesce(condition, F.lit(False)))
         staged = self._stage(kept)
         cdf_entries = None
         if cdf:
             # the deleted rows, classified — Delta CDF's delete rows
             # (one extra write of exactly the removed subset, opt-in)
-            deleted = (self._read_files(spark, rewrite_files, mf)
+            deleted = (self._read_files(spark, rewrite_files, mf,
+                                        partitions=list(counts))
                        .where(F.coalesce(condition, F.lit(False)))
                        .withColumn("_change_type", F.lit("delete")))
             cdf_entries = [e for es in
@@ -2255,7 +2285,8 @@ class ManifestTable:
         from the table outright (its sidecars become vacuum-ageable
         orphans once history expires)."""
         hits = (self._read_files(spark, plan["files"], mf,
-                                 keep_pos=True)
+                                 keep_pos=True,
+                                 partitions=plan["partitions"])
                 .where(F.coalesce(condition, F.lit(False))))
         addr = hits.select(pt.alias("__pt"), "__rel", "__ri")
         dv_staged = self._stage_dv(addr)
@@ -2266,7 +2297,9 @@ class ManifestTable:
                     "partitions_dropped": 0}
         cdf_entries = None
         if cdf:
-            deleted = (self._read_files(spark, plan["files"], mf)
+            deleted = (self._read_files(
+                           spark, plan["files"], mf,
+                           partitions=plan["partitions"])
                        .where(F.coalesce(condition, F.lit(False)))
                        .withColumn("_change_type", F.lit("delete")))
             cdf_entries = [e for es in
@@ -2317,6 +2350,140 @@ class ManifestTable:
                 "partitions_rewritten": 0,
                 "partitions_dropped": dropped}
 
+    def update_where(self, spark: SparkSession,
+                     set_exprs: dict, condition,
+                     where: dict | None = None,
+                     cdf: bool = False,
+                     _crash_before_commit: bool = False) -> dict:
+        """Transactional row-level UPDATE, merge-on-read (Delta's
+        ``UPDATE t SET ... WHERE ...`` with deletion vectors): the
+        matching rows' old images are dead-marked via (rel, row_index)
+        sidecars and their updated images appended as new files — ONE
+        atomic commit, ZERO existing data files rewritten.  The
+        rewrite-mode equivalent (rewrite every partition the predicate
+        touches) is what :meth:`merge` already does keyed; this is the
+        predicate-shaped, scattered-rows form — at 100 TB an UPDATE
+        touching 0.1% of rows across every partition costs O(matching
+        rows), not a full-table rewrite.
+
+        ``set_exprs`` maps column -> Column or SQL string evaluated
+        over the MATCHED row (``{"close": "close * split_ratio"}``).
+        Assigning the partition column is supported: the new image
+        simply lands in its new partition while the DV kills the old
+        position (how Delta handles partition-value updates).
+        ``condition`` follows DELETE three-valued logic (NULL keeps
+        the row untouched).  ``where`` optionally carries pruning
+        bounds exactly like :meth:`scan_plan`.  ``cdf=True`` commits
+        the classified update_preimage/update_postimage rows with the
+        data (:meth:`changes` serves them; ivm folds them).
+
+        Returns {"rows_updated", "partitions_rewritten": 0,
+        "partitions_touched"}.  Conflict matrix: positional addresses
+        invalidate on ANY change to a touched partition — raise; a
+        disjoint competitor rebases."""
+        for c in set_exprs:
+            if c not in {n for n, _ in
+                         (self._raw().get("schema") or [])}:
+                raise SchemaMismatch(
+                    f"update_where assigns unknown column {c!r}")
+        if isinstance(condition, str):
+            condition = F.expr(condition)
+        mf = self._raw()
+        plan = self.scan_plan(where)
+        if not plan["files"]:
+            return {"rows_updated": 0, "partitions_rewritten": 0,
+                    "partitions_touched": 0}
+        pt = (F.lit("__all") if self.ts is None
+              else F.col(self.ts).cast("string"))
+        hits = (self._read_files(spark, plan["files"], mf,
+                                 keep_pos=True,
+                                 partitions=plan["partitions"])
+                .where(F.coalesce(condition, F.lit(False))))
+        # addresses FIRST (the pre-update partition/position), then
+        # the updated images (which may move partitions)
+        addr = hits.select(pt.alias("__pt"), "__rel", "__ri")
+        dv_staged = self._stage_dv(addr)
+        counts = {v: sum(e["rows"] for e in es)
+                  for v, es in dv_staged.items() if es}
+        if not counts:
+            return {"rows_updated": 0, "partitions_rewritten": 0,
+                    "partitions_touched": 0}
+        updated = hits.drop("__rel", "__ri")
+        pre = post = None
+        if cdf:
+            pre = updated.withColumn("_change_type",
+                                     F.lit("update_preimage"))
+        # SQL UPDATE assignment semantics: every assigned value casts
+        # to the column's PINNED type (a literal like "0.0" parses as
+        # DECIMAL — without the cast the staged files would change the
+        # column type under the table)
+        dtypes = {n: t for n, t in (mf.get("schema") or [])}
+        for c, expr in set_exprs.items():
+            col = F.expr(expr) if isinstance(expr, str) else expr
+            updated = updated.withColumn(c, col.cast(dtypes[c]))
+        data_staged = self._stage(updated)
+        cdf_entries = None
+        if cdf:
+            post = updated.withColumn("_change_type",
+                                      F.lit("update_postimage"))
+            cdf_entries = [e for es in
+                           self._stage(pre.unionByName(post),
+                                       bloom=None).values()
+                           for e in es]
+        if _crash_before_commit:
+            raise CrashInjected(
+                "writer died after staging, before commit")
+        live = mf["partitions"]
+        touched = sorted(set(counts) | set(data_staged))
+        snap = mf
+        while True:
+            new_parts = dict(snap["partitions"])
+            for v in touched:
+                adds = data_staged.get(v, [])
+                dv_add = dv_staged.get(v, [])
+                base = new_parts.get(v)
+                if base is None:            # rows MOVED here: new part
+                    new_parts[v] = adds
+                    continue
+                prior = self._entries(snap, v)
+                dv_all = list(base.get("dv", [])) + dv_add
+                dv_rows = base.get("dv_rows", 0) + counts.get(v, 0)
+                if adds:
+                    form: dict = {"entries": prior + adds}
+                    if dv_all:
+                        form["dv"] = dv_all
+                        form["dv_rows"] = dv_rows
+                    new_parts[v] = form
+                elif dv_rows >= base["rows"]:
+                    new_parts.pop(v)        # all rows moved away
+                else:
+                    ref = dict(base)
+                    ref["dv"], ref["dv_rows"] = dv_all, dv_rows
+                    new_parts[v] = ref
+            try:
+                self._commit(new_parts, base_version=snap["version"],
+                             streams=snap.get("streams", {}),
+                             schema=snap.get("schema"),
+                             cdf=cdf_entries)
+                break
+            except CommitConflict:
+                newer = self._raw()
+                ours = {v: _ref_fp(live[v]) for v in touched
+                        if v in live}
+                theirs = {v: _ref_fp(r) for v, r in
+                          newer["partitions"].items()
+                          if v in ours and isinstance(r, dict)}
+                if ours != theirs:
+                    raise CommitConflict(
+                        "a concurrent writer changed a partition this "
+                        "update addressed by row position; re-run "
+                        "update_where() against the new snapshot"
+                    ) from None
+                snap = newer                     # disjoint: rebase
+        return {"rows_updated": sum(counts.values()),
+                "partitions_rewritten": 0,
+                "partitions_touched": len(touched)}
+
     def compact(self, spark: SparkSession,
                 min_files: int = 2,
                 cluster_by: list[str] | None = None,
@@ -2365,7 +2532,8 @@ class ManifestTable:
         files_before = sum(live[v]["files"] for v in todo_vals)
         paths = [os.path.join(self.root, e["path"])
                  for v in todo_vals for e in self._entries(mf, v)]
-        frame = self._read_files(spark, paths, mf)
+        frame = self._read_files(spark, paths, mf,
+                                 partitions=todo_vals)
         sort_cols, drop_after = cluster_by, None
         if zorder_by:
             dtypes = {f.name: f.dataType.simpleString()

@@ -265,3 +265,141 @@ def test_dv_cdf_classifies_deleted_rows(spark, dvt):
     assert len(rows) == 3
     assert all(r["_change_type"] == "delete" and r["ticker"] == "AAA"
                for r in rows)
+
+
+# -- merge-on-read UPDATE (update_where) ------------------------------
+
+def test_update_where_changes_rows_without_rewriting(spark, dvt):
+    before = _live_paths(dvt)
+    out = dvt.update_where(spark, {"close": "close + 100.0"},
+                           "ticker = 'AAA'")
+    assert out == {"rows_updated": 3, "partitions_rewritten": 0,
+                   "partitions_touched": 3}
+    # old files all still live (plus the appended update images)
+    after = _live_paths(dvt)
+    assert set(before) <= set(after)
+    got = _snap(dvt.read(spark))
+    assert got == _snap(_mkdf(spark, [
+        ("AAA", "2024-01-02", 110.0), ("BBB", "2024-01-02", 20.0),
+        ("AAA", "2024-01-03", 111.0), ("BBB", "2024-01-03", 21.0),
+        ("AAA", "2024-01-04", 112.0), ("BBB", "2024-01-04", 22.0)]))
+    assert dvt.history()[-1]["rows"] == 6
+
+
+def test_update_where_null_condition_keeps_rows(spark, dvt):
+    dvt.append(_mkdf(spark, [(None, "2024-01-02", 7.0)]))
+    out = dvt.update_where(spark, {"close": "0.0"}, "ticker = 'AAA'")
+    assert out["rows_updated"] == 3
+    row = dvt.read(spark).where(F.col("ticker").isNull()).collect()
+    assert len(row) == 1 and row[0]["close"] == 7.0
+
+
+def test_update_where_moves_rows_across_partitions(spark, dvt):
+    """Assigning the partition column: the DV kills the old position,
+    the new image lands in its new partition."""
+    out = dvt.update_where(
+        spark, {"trade_date": "DATE'2024-01-09'"},
+        "trade_date = DATE'2024-01-02'")
+    assert out["rows_updated"] == 2
+    mf = dvt._raw()
+    # the source partition became fully dead and dropped
+    assert "2024-01-02" not in mf["partitions"]
+    assert "2024-01-09" in mf["partitions"]
+    got = dvt.read(spark)
+    assert got.count() == 6
+    assert got.where(F.col("trade_date") ==
+                     F.lit("2024-01-09").cast("date")).count() == 2
+
+
+def test_update_where_second_update_sees_first(spark, dvt):
+    dvt.update_where(spark, {"close": "close + 1.0"}, "close = 10.0")
+    out = dvt.update_where(spark, {"close": "close + 1.0"},
+                           "close = 10.0")
+    assert out["rows_updated"] == 0, (
+        "the first update's postimage (11.0) must be what the second "
+        "condition evaluates against")
+    assert dvt.read(spark).where(F.col("close") == 11.0).count() == 2
+
+
+def test_update_where_cdf_pre_and_post_images(spark, dvt):
+    dvt.update_where(spark, {"close": "close * 2.0"},
+                     "ticker = 'BBB'", cdf=True)
+    feed = dvt.changes(spark, dvt.version())
+    pre = feed.where(F.col("_change_type") == "update_preimage")
+    post = feed.where(F.col("_change_type") == "update_postimage")
+    assert pre.count() == 3 and post.count() == 3
+    assert sorted(r["close"] for r in post.collect()) == [40.0, 42.0,
+                                                          44.0]
+    # and ivm folds the update exactly
+    from stock_market_data_pipeline_spark.operators.ivm import (
+        apply_cdf_delta,
+        sum_count_view,
+    )
+    v0 = dvt.read(spark, manifest_name=(
+        f"manifest-{dvt.version() - 1:08d}.json"))
+    view = sum_count_view(v0, ["ticker"], ["close"])
+    folded = apply_cdf_delta(view, feed, ["ticker"], ["close"])
+    rebuilt = sum_count_view(dvt.read(spark), ["ticker"], ["close"])
+    assert _snap(folded) == _snap(rebuilt)
+
+
+def test_update_where_crash_before_commit(spark, dvt):
+    with pytest.raises(CrashInjected):
+        dvt.update_where(spark, {"close": "0.0"}, "ticker = 'AAA'",
+                         _crash_before_commit=True)
+    assert _snap(dvt.read(spark)) == _snap(_mkdf(spark, BASE))
+
+
+def test_update_where_conflict_vs_rebase(spark, dvt):
+    """A competitor on a touched partition raises; a disjoint one
+    rebases — driven through the real API by racing two handles."""
+    import threading
+
+    errs: list = []
+
+    def racer():
+        try:
+            _sibling(dvt).update_where(
+                spark, {"close": "close + 1000.0"}, "ticker = 'BBB'")
+        except CommitConflict as e:          # acceptable outcome
+            errs.append(e)
+
+    t = threading.Thread(target=racer)
+    t.start()
+    try:
+        dvt.update_where(spark, {"close": "close + 0.5"},
+                         "ticker = 'AAA'")
+    except CommitConflict as e:
+        errs.append(e)
+    t.join()
+    # at least one side landed; whoever lost surfaced loudly instead
+    # of silently dropping the winner's DVs; and no row was lost
+    assert dvt.read(spark).count() == 6
+    closes = {r["close"] for r in dvt.read(spark).collect()}
+    # each ticker's rows reflect EXACTLY the updates that committed
+    if not errs:
+        assert {10.5, 11.5, 12.5} <= closes
+        assert {1020.0, 1021.0, 1022.0} <= closes
+
+
+def test_update_where_validates_columns(spark, dvt):
+    from stock_market_data_pipeline_spark.manifest import SchemaMismatch
+    with pytest.raises(SchemaMismatch, match="unknown column"):
+        dvt.update_where(spark, {"nope": "1"}, "ticker = 'AAA'")
+
+
+def test_update_then_compact_materializes(spark, dvt):
+    dvt.update_where(spark, {"close": "close + 100.0"},
+                     "ticker = 'AAA'")
+    dvt.compact(spark)
+    mf = dvt._raw()
+    assert all("dv" not in r for r in mf["partitions"].values())
+    assert dvt.read(spark).where(F.col("close") >= 100.0).count() == 3
+
+
+def test_scan_plan_reports_surviving_partitions(spark, dvt):
+    plan = dvt.scan_plan({"trade_date": ("2024-01-03", "2024-01-03")})
+    assert plan["partitions"] == ["2024-01-03"]
+    full = dvt.scan_plan()
+    assert sorted(full["partitions"]) == [
+        "2024-01-02", "2024-01-03", "2024-01-04"]
