@@ -825,6 +825,61 @@ def manifest_update_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark).drop("trade_month")
 
 
+MANIFEST_MERGE_DV_SQL = f"""
+SELECT ticker, trade_date, low, high,
+       CASE WHEN ticker % 13 = 3 THEN close + 5.0 ELSE close END
+           AS close,
+       volume, n_trades, has_volume, is_valid_record
+FROM ({oracles.BARS_SQL}) b
+""".strip()
+
+
+@q("manifest_merge_dv", MANIFEST_MERGE_DV_SQL)
+def manifest_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOW-SHUFFLE keyed MERGE (``merge(mode='dv')``, manifest.py —
+    Databricks low-shuffle merge / merge-on-read upsert): an update
+    frame touching one ticker residue class in EVERY month partition
+    merges with ZERO partition rewrites — matched live rows are
+    dead-marked by deletion-vector sidecars, update rows append as new
+    files, one atomic commit.  Rewrite-mode merge (the engine's
+    default, `manifest_momentum_merge`) re-stages every touched
+    partition: correct, but a 10-row upsert into a 10 GB partition
+    costs 10 GB; this costs O(matched + update rows).  Visible
+    semantics are pinned EQUAL to rewrite merge by
+    tests/test_manifest_dv.py (same-input equality, delete clause,
+    CDF classification, duplicate update rows) and by the random-op
+    model test driving both modes.  The entry RAISES unless the plan
+    is merge-on-read (every pre-merge file still live, dv rows ==
+    matched rows == appended rows for this pure-update frame).  The
+    oracle applies the replacement as a CASE WHEN, so hash equality
+    proves dead-marking + appended images compose to exactly a keyed
+    upsert."""
+    from .manifest import ManifestTable
+    from .scratch import scratch_dir
+
+    bars = bars_from_lineitem(_t(spark, sf_dir, "lineitem")).withColumn(
+        "trade_month", F.date_format("trade_date", "yyyy-MM"))
+    table = ManifestTable.create(
+        bars, scratch_dir("manifest_mdv_"), ts="trade_month")
+    upd = (table.read(spark)
+           .where(F.expr("pmod(ticker, 13) = 3"))
+           .withColumn("close", F.col("close") + F.lit(5.0)))
+    files_before = {e["path"] for v in table._raw()["partitions"]
+                    for e in table._entries(table._raw(), v)}
+    out = table.merge(spark, upd, ["ticker", "trade_date"], mode="dv")
+    if out["rows_dead"] == 0 or out["rows_dead"] != out["rows_appended"]:
+        raise RuntimeError(f"not a pure-update low-shuffle merge: {out}")
+    mf2 = table._raw()
+    files_after = {e["path"] for v in mf2["partitions"]
+                   for e in table._entries(mf2, v)}
+    if not files_before <= files_after:
+        raise RuntimeError("low-shuffle merge dropped pre-merge files")
+    n_dv = sum(r.get("dv_rows", 0) for r in mf2["partitions"].values())
+    if n_dv != out["rows_dead"]:
+        raise RuntimeError(f"dv rows {n_dv} != rows_dead {out}")
+    return table.read(spark).drop("trade_month")
+
+
 MANIFEST_RESTORE_SQL = f"""
 {oracles.BARS_SQL}
 """.strip()
@@ -2270,7 +2325,7 @@ _DRIVER_WINDOW_FIRST = [
     # row-level UPDATE via deletion vectors (r9 ADVICE item 2,
     # finished rather than dropped, then completed with the UPDATE
     # half) --
-    "manifest_delete_dv", "manifest_update_dv",
+    "manifest_delete_dv", "manifest_update_dv", "manifest_merge_dv",
     # -- group 1: the 25 entries last driver-green in r7 that sat out
     # the r8 and r9 windows — at the policy's age bound, the staleness
     # test (tests/test_registration_order.py) fails the build unless
@@ -2294,12 +2349,13 @@ _DRIVER_WINDOW_FIRST = [
     "manifest_bloom_pointlookup", "manifest_ivm_from_cdf",
     "mm_decode_jpeg", "manifest_delete_where",
     "manifest_count_pushdown",
-    # -- group 3: the r8-checked cohort (age 2 this round); 18 of 48
+    # -- group 3: the r8-checked cohort (age 2 this round); 17 of 48
     # fit — table-layer and streaming entries nearest this round's
     # manifest work first, then codecs, dedup and the TPC-H trio.
-    # (text_lang_id yielded its slot to the late-round
-    # manifest_update_dv entry; it joins the r11 cohort.)
-    # The 30 deferred to r11 (asof_prior_view, band_range_join,
+    # (text_lang_id and text_boilerplate_segments yielded their slots
+    # to the late-round manifest_update_dv and manifest_merge_dv
+    # entries; they join the r11 cohort.)
+    # The 31 deferred to r11 (asof_prior_view, band_range_join,
     # benchmark_contamination, bucketed_join_revenue, cube_order_stats,
     # cumulative_distinct_users, datasource_grouped_daily,
     # dedup_embedding_cosine, dedup_survivors_by_quality,
@@ -2310,8 +2366,8 @@ _DRIVER_WINDOW_FIRST = [
     # sample_hash_split, scalar_max_filter, screener_filter,
     # self_lag_join, serving_manifest_ticker_range, session_funnel,
     # session_window_native, stratified_balance_lang,
-    # stream_interval_join, stream_session_windows, text_lang_id),
-    # all
+    # stream_interval_join, stream_session_windows,
+    # text_boilerplate_segments, text_lang_id), all
     # pytest-parity-covered, are at the age bound next round and MUST
     # front the r11 window --
     "manifest_change_feed", "manifest_restore",
@@ -2322,7 +2378,6 @@ _DRIVER_WINDOW_FIRST = [
     "dedup_ngram_jaccard", "dedup_simhash",
     "tpch_q1_pricing_summary", "tpch_q3_topk_revenue",
     "tpch_q5_local_supplier", "sessionize_events",
-    "text_boilerplate_segments",
 ]
 
 

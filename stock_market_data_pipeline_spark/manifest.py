@@ -1775,14 +1775,30 @@ class ManifestTable:
               validate_key_stability: bool = False,
               cdf: bool = False,
               when_matched_delete=None,
+              mode: str = "rewrite",
               _crash_before_commit: bool = False,
-              _pre_commit_hook=None) -> None:
+              _pre_commit_hook=None):
         """Keyed MERGE (WHEN MATCHED UPDATE / NOT MATCHED INSERT),
         partition-pruned, committed atomically across ALL touched
         partitions: stage every rewritten partition, then one atomic
         manifest link.  A reader never observes a mix of old and new
         partitions, and a crash anywhere before the swap leaves the
         old snapshot fully live.
+
+        ``mode="dv"`` is the LOW-SHUFFLE variant (Databricks
+        low-shuffle merge / merge-on-read): instead of rewriting every
+        touched partition, the MATCHED live rows are dead-marked with
+        deletion-vector sidecars and the update rows appended as new
+        files — identical visible semantics (every copy of a matched
+        key is replaced; delete-clause rows remove without appending;
+        unmatched delete rows no-op; CDF classifies the same), but the
+        write cost is O(matched + update rows), not O(touched
+        partitions).  At 100 TB a 10-row upsert into a 10 GB partition
+        stops costing 10 GB of rewrite.  Trade-off: reads pay the DV
+        anti-join until a :meth:`compact` materializes, and repeated
+        merges accumulate small files (same antidote).  Returns
+        {"rows_dead", "rows_appended"} in dv mode, None in rewrite
+        mode.
 
         ``when_matched_delete`` (Column or SQL string over the UPDATE
         row) adds the third SQL MERGE clause — WHEN MATCHED AND <cond>
@@ -1799,8 +1815,16 @@ class ManifestTable:
         the data and publish atomically with it, readable via
         :meth:`changes` for as long as the commit's manifest survives
         vacuum retention."""
+        if mode not in ("rewrite", "dv"):
+            raise ValueError(f"merge mode {mode!r}: expected "
+                             f"'rewrite' or 'dv'")
         mf = self._raw()
         self._check_schema(updates, mf)
+        if mode == "dv":
+            return self._merge_dv(spark, mf, updates, keys,
+                                  validate_key_stability, cdf,
+                                  when_matched_delete,
+                                  _crash_before_commit)
         staged, cdf_entries = self._stage_merge(
             spark, mf, updates, keys, validate_key_stability,
             capture_cdf=cdf, when_matched_delete=when_matched_delete)
@@ -1831,6 +1855,158 @@ class ManifestTable:
                      streams=mf.get("streams", {}),
                      schema=mf.get("schema"),
                      cdf=cdf_entries)
+
+    def _merge_dv(self, spark: SparkSession, mf: dict,
+                  updates: DataFrame, keys: list[str],
+                  validate_key_stability: bool, cdf: bool,
+                  when_matched_delete,
+                  _crash_before_commit: bool) -> dict:
+        """:meth:`merge`'s low-shuffle body: dead-mark every matched
+        live row (DV sidecars), append the upsert rows, one commit.
+        Visible semantics must equal rewrite-mode merge exactly — the
+        model test drives both through random op sequences."""
+        if when_matched_delete is not None:
+            if isinstance(when_matched_delete, str):
+                when_matched_delete = F.expr(when_matched_delete)
+            marked = F.coalesce(when_matched_delete, F.lit(False))
+            del_rows = updates.where(marked)
+            upserts = updates.where(~marked)
+        else:
+            del_rows = None
+            upserts = updates
+        if self.ts is None:
+            touched = [] if updates.isEmpty() else ["__all"]
+        else:
+            touched = [str(r[0]) for r in
+                       updates.select(F.col(self.ts).cast("string"))
+                       .distinct().collect()]
+        if not touched:
+            return {"rows_dead": 0, "rows_appended": 0}
+        live = mf["partitions"]
+        live_touched = [v for v in touched if v in live]
+        if validate_key_stability:
+            key_cols = [k for k in keys if k != self.ts]
+            outside = [os.path.join(self.root, e["path"])
+                       for v in live if v not in touched
+                       for e in self._entries(mf, v)]
+            if outside and key_cols:
+                strays = (self._read_files(
+                              spark, outside, mf,
+                              partitions=[v for v in live
+                                          if v not in touched])
+                          .join(updates.select(*key_cols).distinct(),
+                                key_cols, "left_semi"))
+                n = strays.count()
+                if n:
+                    raise ValueError(
+                        f"merge precondition violated: {n} row(s) "
+                        f"carry an updated key in a partition outside "
+                        f"the update's {self.ts} set {sorted(touched)}"
+                        f" — a key moved partitions")
+        prior_files = [os.path.join(self.root, e["path"])
+                       for v in live_touched
+                       for e in self._entries(mf, v)]
+        pt = (F.lit("__all") if self.ts is None
+              else F.col(self.ts).cast("string"))
+        dv_staged: dict[str, list] = {}
+        counts: dict[str, int] = {}
+        cdf_frame = None
+        if prior_files:
+            current = self._read_files(spark, prior_files, mf,
+                                       keep_pos=True,
+                                       partitions=live_touched)
+            # EVERY matched live row dies: an upsert replaces it, a
+            # delete-clause row removes it (unmatched deletes no-op
+            # via the semi join)
+            match_keys = updates.select(*keys).distinct()
+            hits = current.join(match_keys, keys, "left_semi")
+            addr = hits.select(pt.alias("__pt"), "__rel", "__ri")
+            dv_staged = self._stage_dv(addr)
+            counts = {v: sum(e["rows"] for e in es)
+                      for v, es in dv_staged.items() if es}
+            if cdf:
+                cur = current.drop("__rel", "__ri")
+                deleted = None
+                if del_rows is not None:
+                    del_keys = del_rows.select(*keys).distinct()
+                    deleted = cur.join(del_keys, keys, "left_semi")
+                    cur = cur.join(del_keys, keys, "left_anti")
+                cur_keys = cur.select(*keys).distinct()
+                pre = (cur.join(upserts.select(*keys).distinct(),
+                                keys, "left_semi")
+                       .withColumn("_change_type",
+                                   F.lit("update_preimage")))
+                post = (upserts.join(cur_keys, keys, "left_semi")
+                        .withColumn("_change_type",
+                                    F.lit("update_postimage")))
+                ins = (upserts.join(cur_keys, keys, "left_anti")
+                       .withColumn("_change_type", F.lit("insert")))
+                cdf_frame = pre.unionByName(post).unionByName(ins)
+                if deleted is not None:
+                    cdf_frame = cdf_frame.unionByName(
+                        deleted.withColumn("_change_type",
+                                           F.lit("delete")))
+        elif cdf:
+            cdf_frame = upserts.withColumn("_change_type",
+                                           F.lit("insert"))
+        data_staged = self._stage(upserts)
+        n_appended = sum(e["rows"] for es in data_staged.values()
+                         for e in es)
+        cdf_entries = None
+        if cdf:
+            cdf_entries = [e for es in
+                           self._stage(cdf_frame, bloom=None).values()
+                           for e in es]
+        if _crash_before_commit:
+            raise CrashInjected(
+                "writer died after staging, before commit")
+        all_touched = sorted(set(counts) | set(data_staged))
+        snap = mf
+        while True:
+            new_parts = dict(snap["partitions"])
+            for v in all_touched:
+                adds = data_staged.get(v, [])
+                dv_add = dv_staged.get(v, [])
+                base = new_parts.get(v)
+                if base is None:
+                    new_parts[v] = adds
+                    continue
+                prior = self._entries(snap, v)
+                dv_all = list(base.get("dv", [])) + dv_add
+                dv_rows = base.get("dv_rows", 0) + counts.get(v, 0)
+                if adds:
+                    form: dict = {"entries": prior + adds}
+                    if dv_all:
+                        form["dv"] = dv_all
+                        form["dv_rows"] = dv_rows
+                    new_parts[v] = form
+                elif dv_rows >= base["rows"]:
+                    new_parts.pop(v)     # delete clause emptied it
+                else:
+                    ref = dict(base)
+                    ref["dv"], ref["dv_rows"] = dv_all, dv_rows
+                    new_parts[v] = ref
+            try:
+                self._commit(new_parts, base_version=snap["version"],
+                             streams=snap.get("streams", {}),
+                             schema=snap.get("schema"),
+                             cdf=cdf_entries)
+                break
+            except CommitConflict:
+                newer = self._raw()
+                ours = {v: _ref_fp(live[v]) for v in all_touched
+                        if v in live}
+                theirs = {v: _ref_fp(r) for v, r in
+                          newer["partitions"].items()
+                          if v in ours and isinstance(r, dict)}
+                if ours != theirs:
+                    raise CommitConflict(
+                        "a concurrent writer changed a partition this "
+                        "merge addressed by row position; re-run "
+                        "merge() against the new snapshot") from None
+                snap = newer                     # disjoint: rebase
+        return {"rows_dead": sum(counts.values()),
+                "rows_appended": n_appended}
 
     def changes(self, spark: SparkSession, version: int) -> DataFrame:
         """ROW-LEVEL change feed for one commit (Delta's ``table_changes``

@@ -403,3 +403,91 @@ def test_scan_plan_reports_surviving_partitions(spark, dvt):
     full = dvt.scan_plan()
     assert sorted(full["partitions"]) == [
         "2024-01-02", "2024-01-03", "2024-01-04"]
+
+
+# -- low-shuffle MERGE (merge mode="dv") -------------------------------
+
+def test_merge_dv_equals_rewrite_merge(spark, tmp_path):
+    """The defining property: identical visible semantics to rewrite
+    merge on the same inputs — only the write plan differs."""
+    a = ManifestTable.create(_mkdf(spark, BASE),
+                             str(tmp_path / "a"), ts="trade_date")
+    b = ManifestTable.create(_mkdf(spark, BASE),
+                             str(tmp_path / "b"), ts="trade_date")
+    upd = _mkdf(spark, UPDATES)
+    a.merge(spark, upd, ["ticker", "trade_date"])
+    before = _live_paths(b)
+    out = b.merge(spark, upd, ["ticker", "trade_date"], mode="dv")
+    assert _snap(a.read(spark)) == _snap(b.read(spark))
+    # and the dv side wrote no partition rewrite: every pre-merge
+    # file is still live
+    assert set(before) <= set(_live_paths(b))
+    assert out["rows_dead"] == 1          # AAA 2024-01-03 replaced
+    assert out["rows_appended"] == 3
+
+
+def test_merge_dv_delete_clause(spark, tmp_path):
+    a = ManifestTable.create(_mkdf(spark, BASE),
+                             str(tmp_path / "da"), ts="trade_date")
+    b = ManifestTable.create(_mkdf(spark, BASE),
+                             str(tmp_path / "db"), ts="trade_date")
+    upd = (_mkdf(spark, UPDATES)
+           .withColumn("op", F.when(F.col("ticker") == "AAA",
+                                    F.lit("d")).otherwise(F.lit("u"))))
+    for t, mode in ((a, "rewrite"), (b, "dv")):
+        t.add_columns([("op", "string")])
+        t.merge(spark, upd, ["ticker", "trade_date"],
+                when_matched_delete="op = 'd'", mode=mode)
+    assert _snap(a.read(spark)) == _snap(b.read(spark))
+    # the matched delete-marked row (AAA 01-03) is gone on both
+    assert b.read(spark).where(
+        (F.col("ticker") == "AAA")
+        & (F.col("trade_date") == F.lit("2024-01-03").cast("date"))
+    ).count() == 0
+
+
+def test_merge_dv_cdf_matches_rewrite_cdf(spark, tmp_path):
+    a = ManifestTable.create(_mkdf(spark, BASE),
+                             str(tmp_path / "ca"), ts="trade_date")
+    b = ManifestTable.create(_mkdf(spark, BASE),
+                             str(tmp_path / "cb"), ts="trade_date")
+    upd = _mkdf(spark, UPDATES)
+    a.merge(spark, upd, ["ticker", "trade_date"], cdf=True)
+    b.merge(spark, upd, ["ticker", "trade_date"], cdf=True, mode="dv")
+    fa = _snap(a.changes(spark, a.version()))
+    fb = _snap(b.changes(spark, b.version()))
+    assert fa == fb
+
+
+def test_merge_dv_crash_before_commit(spark, dvt):
+    with pytest.raises(CrashInjected):
+        dvt.merge(spark, _mkdf(spark, UPDATES),
+                  ["ticker", "trade_date"], mode="dv",
+                  _crash_before_commit=True)
+    assert _snap(dvt.read(spark)) == _snap(_mkdf(spark, BASE))
+
+
+def test_merge_dv_then_compact_then_merge_again(spark, dvt):
+    dvt.merge(spark, _mkdf(spark, UPDATES),
+              ["ticker", "trade_date"], mode="dv")
+    dvt.compact(spark)
+    assert all("dv" not in r
+               for r in dvt._raw()["partitions"].values())
+    dvt.merge(spark, _mkdf(spark, [("AAA", "2024-01-03", 55.0)]),
+              ["ticker", "trade_date"], mode="dv")
+    got = dvt.read(spark).where(
+        (F.col("ticker") == "AAA")
+        & (F.col("trade_date") == F.lit("2024-01-03").cast("date")))
+    assert [r["close"] for r in got.collect()] == [55.0]
+
+
+def test_merge_dv_duplicate_update_rows_land_as_duplicates(spark, dvt):
+    """Rewrite-merge keeps every update row (duplicates included) —
+    dv mode must too."""
+    dup = _mkdf(spark, [("AAA", "2024-01-03", 7.0),
+                        ("AAA", "2024-01-03", 8.0)])
+    dvt.merge(spark, dup, ["ticker", "trade_date"], mode="dv")
+    got = dvt.read(spark).where(
+        (F.col("ticker") == "AAA")
+        & (F.col("trade_date") == F.lit("2024-01-03").cast("date")))
+    assert sorted(r["close"] for r in got.collect()) == [7.0, 8.0]

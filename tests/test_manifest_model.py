@@ -1,6 +1,6 @@
 """Model-based test of the manifest table: a random SEQUENCE of
-merge / append / delete / overwrite / restore / compact / evolve /
-vacuum operations must
+merge / append / delete (rewrite AND merge-on-read dv) / update_where
+/ overwrite / restore / compact / evolve / vacuum operations must
 leave the table's visible rows equal to an in-memory dict model
 applying the same semantics — the cross-operation interactions
 (delete after evolve, compact after delete, merge over appended
@@ -31,9 +31,13 @@ _ops = st.lists(
     st.one_of(
         st.tuples(st.just("merge"), st.lists(_row, min_size=1,
                                              max_size=3)),
+        st.tuples(st.just("merge_dv"), st.lists(_row, min_size=1,
+                                                max_size=3)),
         st.tuples(st.just("append"), st.lists(_row, min_size=1,
                                               max_size=2)),
         st.tuples(st.just("delete"), st.integers(0, 9)),
+        st.tuples(st.just("delete_dv"), st.integers(0, 9)),
+        st.tuples(st.just("update_dv"), st.integers(0, 9)),
         st.tuples(st.just("overwrite"), st.lists(_row, min_size=1,
                                                  max_size=2)),
         st.tuples(st.just("restore1"), st.just(None)),
@@ -98,9 +102,11 @@ def test_random_op_sequences_match_dict_model(spark, tmp_path_factory,
             table.add_columns([("venue", "string")])
             evolved = True
         venue_val = "X" if evolved else None
-        if kind == "merge":
+        if kind in ("merge", "merge_dv"):
             table.merge(spark, _mk(spark, payload, venue=evolved),
-                        ["ticker", "trade_date"])
+                        ["ticker", "trade_date"],
+                        mode=("dv" if kind == "merge_dv"
+                              else "rewrite"))
             for (t, d, c) in payload:
                 model[(t, d)] = []
             for (t, d, c) in payload:
@@ -112,20 +118,36 @@ def test_random_op_sequences_match_dict_model(spark, tmp_path_factory,
             table.append(_mk(spark, payload, venue=evolved))
             for (t, d, c) in payload:
                 model.setdefault((t, d), []).append((c, venue_val))
-        elif kind == "delete":
+        elif kind in ("delete", "delete_dv"):
             thresh = float(payload)
             out = table.delete_where(
                 spark, F.col("close") >= thresh,
-                where={"close": (thresh, None)})
+                where={"close": (thresh, None)},
+                mode=("dv" if kind == "delete_dv" else "rewrite"))
             expect_deleted = sum(
                 1 for vals in model.values()
                 for (c, _) in vals if c >= thresh)
             assert out["rows_deleted"] == expect_deleted
+            if kind == "delete_dv":
+                assert out["partitions_rewritten"] == 0
             for k in list(model):
                 model[k] = [(c, v) for (c, v) in model[k]
                             if c < thresh]
                 if not model[k]:
                     del model[k]
+        elif kind == "update_dv":
+            thresh = float(payload)
+            out = table.update_where(
+                spark, {"close": "close + 100.0"},
+                F.col("close") >= thresh,
+                where={"close": (thresh, None)})
+            expect = sum(1 for vals in model.values()
+                         for (c, _) in vals if c >= thresh)
+            assert out["rows_updated"] == expect
+            assert out["partitions_rewritten"] == 0
+            for k in list(model):
+                model[k] = [((c + 100.0, v) if c >= thresh else (c, v))
+                            for (c, v) in model[k]]
         elif kind == "overwrite":
             # full refresh: one commit swaps the entire build; schema
             # re-pins from the written frame (venue iff evolved)
