@@ -1860,7 +1860,8 @@ class ManifestTable:
                   updates: DataFrame, keys: list[str],
                   validate_key_stability: bool, cdf: bool,
                   when_matched_delete,
-                  _crash_before_commit: bool) -> dict:
+                  _crash_before_commit: bool,
+                  set_stream: tuple | None = None) -> dict:
         """:meth:`merge`'s low-shuffle body: dead-mark every matched
         live row (DV sidecars), append the upsert rows, one commit.
         Visible semantics must equal rewrite-mode merge exactly — the
@@ -1880,7 +1881,7 @@ class ManifestTable:
             touched = [str(r[0]) for r in
                        updates.select(F.col(self.ts).cast("string"))
                        .distinct().collect()]
-        if not touched:
+        if not touched and set_stream is None:
             return {"rows_dead": 0, "rows_appended": 0}
         live = mf["partitions"]
         live_touched = [v for v in touched if v in live]
@@ -1986,9 +1987,17 @@ class ManifestTable:
                     ref = dict(base)
                     ref["dv"], ref["dv_rows"] = dv_all, dv_rows
                     new_parts[v] = ref
+            streams = dict(snap.get("streams", {}))
+            if set_stream is not None:
+                sid, bid = set_stream
+                if streams.get(sid, -1) >= bid:
+                    raise CommitConflict(
+                        f"batch {bid} of stream {sid!r} was committed "
+                        f"by a competitor mid-merge")  # replay upstream
+                streams[sid] = bid
             try:
                 self._commit(new_parts, base_version=snap["version"],
-                             streams=snap.get("streams", {}),
+                             streams=streams,
                              schema=snap.get("schema"),
                              cdf=cdf_entries)
                 break
@@ -2043,6 +2052,7 @@ class ManifestTable:
                     keys: list[str], stream_id: str, batch_id: int,
                     cdf: bool = False,
                     when_matched_delete=None,
+                    mode: str = "rewrite",
                     _crash_before_commit: bool = False) -> bool:
         """Exactly-once streaming MERGE (the ``foreachBatch`` upsert
         sink shape): the keyed merge's rewritten partitions and the
@@ -2071,13 +2081,32 @@ class ManifestTable:
         :meth:`merge`), here the CDC-ingest tombstone shape — a
         Debezium-style stream carries op='d' rows, and the condition
         routes them to DELETE while the rest upsert, exactly-once,
-        in the same atomic ledger commit."""
+        in the same atomic ledger commit.
+
+        ``mode="dv"``: the batch lands LOW-SHUFFLE (see :meth:`merge`
+        — matched rows dead-marked, update rows appended) with the
+        same exactly-once ledger: stream high-water, DV refs and new
+        files are ONE commit; a conflict retry re-checks the ledger
+        before re-staging, so a competitor landing the same batch id
+        turns our retry into a replay-refusal."""
+        if mode not in ("rewrite", "dv"):
+            raise ValueError(f"merge_batch mode {mode!r}: expected "
+                             f"'rewrite' or 'dv'")
         while True:
             mf = self._raw()
             streams = dict(mf.get("streams", {}))
             if streams.get(stream_id, -1) >= batch_id:
                 return False                      # replay: already in
             self._check_schema(updates, mf)
+            if mode == "dv":
+                try:
+                    self._merge_dv(spark, mf, updates, keys, False,
+                                   cdf, when_matched_delete,
+                                   _crash_before_commit,
+                                   set_stream=(stream_id, batch_id))
+                    return True
+                except CommitConflict:
+                    continue      # re-check ledger, re-stage, redo
             staged, cdf_entries = self._stage_merge(
                 spark, mf, updates, keys, capture_cdf=cdf,
                 when_matched_delete=when_matched_delete)

@@ -491,3 +491,67 @@ def test_merge_dv_duplicate_update_rows_land_as_duplicates(spark, dvt):
         (F.col("ticker") == "AAA")
         & (F.col("trade_date") == F.lit("2024-01-03").cast("date")))
     assert sorted(r["close"] for r in got.collect()) == [7.0, 8.0]
+
+
+def test_bloom_and_dv_compose(spark, tmp_path):
+    """Deletion vectors under a Bloom-indexed table: a dv'd row's key
+    stays in its file's filter (a false positive — read more, never
+    wrong), the read excludes the row anyway, and the appended update
+    images carry fresh filters so new keys still probe positive."""
+    from tests.test_manifest_bloom import SPEC, _mkdocs
+
+    t = ManifestTable.create(
+        _mkdocs(spark, n=200), str(tmp_path / "bdv"), ts="src",
+        bloom=SPEC, max_records_per_file=50)
+    t.delete_where(spark, "doc_id = 157", mode="dv")
+    # the filter still names 157 (stale positive), so the file is
+    # kept — but the read returns nothing: DV wins over bloom
+    plan = t.scan_plan(where={"doc_id": [157]})
+    assert plan["files"], "stale bloom positive must keep the file"
+    got = (t.read(spark, where={"doc_id": [157]})
+           .where(F.col("doc_id") == 157).count())
+    assert got == 0
+    # updated images get their own filters: the new key probes in
+    t.update_where(spark, {"doc_id": "doc_id + 100000"},
+                   "doc_id = 158")
+    plan2 = t.scan_plan(where={"doc_id": [100158]})
+    assert plan2["files"]
+    got2 = (t.read(spark, where={"doc_id": [100158]})
+            .where(F.col("doc_id") == 100158).count())
+    assert got2 == 1
+
+
+def test_merge_batch_dv_exactly_once(spark, tmp_path):
+    """Low-shuffle streaming MERGE: ledger + DVs + new files in one
+    commit; a replayed batch id is refused without staging a byte;
+    result equals the rewrite-mode sibling batch-for-batch."""
+    a = ManifestTable.create(_mkdf(spark, BASE),
+                             str(tmp_path / "sa"), ts="trade_date")
+    b = ManifestTable.create(_mkdf(spark, BASE),
+                             str(tmp_path / "sb"), ts="trade_date")
+    batches = [
+        (0, [("AAA", "2024-01-03", 99.0)]),
+        (1, [("CCC", "2024-01-04", 30.0), ("AAA", "2024-01-05", 13.0)]),
+    ]
+    for bid, rows in batches:
+        assert a.merge_batch(spark, _mkdf(spark, rows),
+                             ["ticker", "trade_date"], "s", bid)
+        assert b.merge_batch(spark, _mkdf(spark, rows),
+                             ["ticker", "trade_date"], "s", bid,
+                             mode="dv")
+    assert _snap(a.read(spark)) == _snap(b.read(spark))
+    # replay: refused on both modes, nothing changes
+    assert not b.merge_batch(spark, _mkdf(spark, batches[1][1]),
+                             ["ticker", "trade_date"], "s", 1,
+                             mode="dv")
+    assert b._raw()["streams"] == {"s": 1}
+    assert _snap(a.read(spark)) == _snap(b.read(spark))
+    # crash mid-batch: ledger and data both absent — retry commits
+    with pytest.raises(CrashInjected):
+        b.merge_batch(spark, _mkdf(spark, [("DDD", "2024-01-02", 1.0)]),
+                      ["ticker", "trade_date"], "s", 2, mode="dv",
+                      _crash_before_commit=True)
+    assert b._raw()["streams"] == {"s": 1}
+    assert b.merge_batch(spark, _mkdf(spark, [("DDD", "2024-01-02", 1.0)]),
+                         ["ticker", "trade_date"], "s", 2, mode="dv")
+    assert b.read(spark).where(F.col("ticker") == "DDD").count() == 1
