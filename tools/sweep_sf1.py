@@ -88,6 +88,11 @@ ENTRIES = [
     # three-clause MERGE (WHEN MATCHED DELETE) over ~6M bars with its
     # four-kind CDF reconciliation guard
     "manifest_bloom_pointlookup", "manifest_merge_delete",
+    # round-10: the deletion-vector family over ~6M bars — merge-on-
+    # read DELETE/UPDATE and the low-shuffle MERGE (each entry asserts
+    # zero partition rewrites and exact dv_rows accounting AT THIS
+    # SCALE, where a rewrite-mode plan would re-stage every month)
+    "manifest_delete_dv", "manifest_update_dv", "manifest_merge_dv",
 ]
 
 
