@@ -273,3 +273,32 @@ def test_star_edge_relations_have_no_pair_join(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert len(re.findall(r"\bSortMergeJoin\b|\bBroadcastHashJoin\b|"
                           r"\bShuffledHashJoin\b", p)) <= 1
+
+
+def test_dv_read_is_one_broadcast_anti_join(spark, tmp_path):
+    """The merge-on-read read tax is exactly ONE BroadcastHashJoin
+    LeftAnti against the (bounded-by-deleted-rows) DV relation — no
+    shuffle added to the snapshot scan.  A refactor that turns the
+    anti-join into a shuffled join (or adds an exchange to the scan
+    side) silently re-prices every read of a DV'd table at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from stock_market_data_pipeline_spark.manifest import ManifestTable
+
+    df = spark.createDataFrame(
+        [("T%d" % (i % 5), "2024-01-0%d" % (i % 3 + 1), float(i))
+         for i in range(30)],
+        "ticker string, trade_date string, close double",
+    ).withColumn("trade_date", F.col("trade_date").cast("date"))
+    t = ManifestTable.create(df, str(tmp_path / "dvplan"),
+                             ts="trade_date")
+    t.delete_where(spark, "close >= 25.0", mode="dv")
+    p = plan_str(t.read(spark))
+    assert len(re.findall(r"BroadcastHashJoin .*LeftAnti", p)) == 1, p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    # the scan side reaches the anti-join without an added exchange
+    assert "Exchange hashpartitioning" not in p, p
+    # and a DV-free table's read plan carries NO join at all
+    t2 = ManifestTable.create(df, str(tmp_path / "clean"),
+                              ts="trade_date")
+    assert "Join" not in plan_str(t2.read(spark))

@@ -82,6 +82,13 @@ AUDITED = {
         "corpus scale); exactly one Arrow-vectorized cosine per "
         "member — O(vectors) dot products where the all-pairs "
         "baseline is quadratic in cell size."),
+    "manifest_delete_dv": (
+        "Merge-on-read read path (r10): the snapshot scan carries "
+        "exactly ONE BroadcastHashJoin LeftAnti against the DV "
+        "sidecar relation (bounded by deleted-row count, loaded only "
+        "from touched partitions' refs) — no shuffle added to the "
+        "read; the delete itself rewrote zero data files "
+        "(test_dv_read_is_one_broadcast_anti_join pins the shape)."),
     "manifest_ivm_from_cdf": (
         "IVM consumer plan (r9): ONE aggregate over the CHANGE SET "
         "(signed micros sums) full-outer-joined onto the "
