@@ -197,3 +197,81 @@ def test_cross_process_append_batch_race(spark, tmp_path):
         + [f"S{i}" for i in range(nb)])
     assert t._raw()["streams"] == {"main": nb - 1, "sub": nb - 1}
     assert t.version() == 1 + 2 * nb     # one commit per batch
+
+
+# -- layer 3: two real Spark drivers racing merge-on-read deletes ----
+
+_DV_CHILD = """
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession, functions as F
+from stock_market_data_pipeline_spark.manifest import (
+    CommitConflict, ManifestTable)
+
+spark = (SparkSession.builder.master("local[2]")
+         .appName("xproc-dv-child")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.shuffle.partitions", "2")
+         .config("spark.driver.memory", "1500m")
+         .getOrCreate())
+t = ManifestTable({root!r}, "trade_date")
+open({root!r} + "/.ready", "w").close()
+while not os.path.exists({root!r} + "/.go"):
+    time.sleep(0.002)
+retries = 0
+while True:
+    try:
+        out = t.delete_where(spark, "close = 2.0", mode="dv")
+        break
+    except CommitConflict:
+        retries += 1
+print(json.dumps({{"deleted": out["rows_deleted"],
+                  "retries": retries}}))
+spark.stop()
+"""
+
+
+def test_cross_process_dv_delete_race(spark, tmp_path):
+    """Two OS processes (two Spark drivers) race merge-on-read deletes
+    of DISJOINT predicates over the SAME partition.  Positional
+    addresses make this the sharpest conflict shape: the loser's DV
+    commit lands on a ref whose dv-set changed under it, must surface
+    CommitConflict (the (shard, dv) fingerprint — a shard-only check
+    would silently merge both and double-apply nothing but also never
+    conflict), and the retried delete_where re-reads THROUGH the
+    winner's DVs so each row dies exactly once."""
+    import time
+
+    root = str(tmp_path / "xdv")
+    rows = [("T%d" % i, "2024-01-02", float(i)) for i in range(1, 5)]
+    t = ManifestTable.create(_mkdf(spark, rows), root,
+                             ts="trade_date")
+    child = subprocess.Popen(
+        [sys.executable, "-c", _DV_CHILD.format(repo=REPO, root=root)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+    for _ in range(6000):
+        if os.path.exists(os.path.join(root, ".ready")):
+            break
+        time.sleep(0.01)
+    else:
+        child.kill()
+        pytest.fail("child never became ready")
+    open(os.path.join(root, ".go"), "w").close()
+    retries = 0
+    while True:
+        try:
+            out = t.delete_where(spark, "close = 1.0", mode="dv")
+            break
+        except CommitConflict:
+            retries += 1
+    sub_out, err = child.communicate(timeout=300)
+    assert child.returncode == 0, err[-2000:]
+    sub = json.loads(sub_out.strip().splitlines()[-1])
+    # each side deleted exactly its own row, no double-kill, no loss
+    assert out["rows_deleted"] == 1 and sub["deleted"] == 1
+    got = sorted(r.close for r in t.read(spark).collect())
+    assert got == [3.0, 4.0]
+    ref = t._raw()["partitions"]["2024-01-02"]
+    assert ref["dv_rows"] == 2 and len(ref["dv"]) == 2
+    # no data file was rewritten by either process
+    assert ref["files"] == t._raw()["partitions"]["2024-01-02"]["files"]
