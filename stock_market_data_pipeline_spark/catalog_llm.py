@@ -1089,6 +1089,39 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ctx_len=PACK_CTX, n_shards=PACK_SHARDS)
 
 
+CHUNK_W, CHUNK_S = 64, 48
+
+CHUNK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, str_split(text, ' ') AS ts FROM documents
+), nz AS (
+  SELECT * FROM t WHERE len(ts) > 0
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       array_to_string(ts[i * {CHUNK_S} + 1 : i * {CHUNK_S} + {CHUNK_W}],
+                       ' ') AS chunk_text,
+       CAST(len(ts[i * {CHUNK_S} + 1 : i * {CHUNK_S} + {CHUNK_W}])
+            AS BIGINT) AS n_tokens
+FROM nz, LATERAL (
+  SELECT unnest(generate_series(0, greatest(0,
+      CAST(ceil((len(ts) - {CHUNK_W}) / {float(CHUNK_S)}) AS INT)))) AS i
+) g
+""".strip()
+
+
+@q("docs_chunk_overlap", CHUNK_SQL)
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking with stride (RAG indexing / long-doc
+    SFT shape): fixed token windows, 25% overlap, every token covered,
+    no fully-redundant trailing chunk.  Pure map-side — sequence +
+    transform + posexplode over the token array, no shuffle, no UDF;
+    a skewed 10 GB document becomes many bounded-width rows instead of
+    one unsplittable record."""
+    return curation.chunk_documents(
+        _t(spark, sf_dir, "documents"), window=CHUNK_W, stride=CHUNK_S)
+
+
 CONTAM_N = 8
 CONTAM_MOD = 10
 

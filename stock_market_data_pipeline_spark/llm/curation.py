@@ -68,6 +68,44 @@ def pack_sequences(docs: DataFrame, ctx_len: int = 256,
     )
 
 
+def chunk_documents(docs: DataFrame, window: int = 64,
+                    stride: int = 48) -> DataFrame:
+    """Context-window CHUNKING with overlap — the per-document
+    counterpart of :func:`pack_sequences` (RAG indexing and
+    long-document SFT both consume this shape: fixed-size token
+    windows with a stride, so every token appears in at least one
+    chunk and boundary context is preserved in the overlap).
+
+    Chunk starts are 0, stride, 2·stride, …; the LAST start is the
+    first multiple of ``stride`` whose window reaches the document
+    end (``1 + ceil((n - window)/stride)`` chunks for ``n > window``,
+    one chunk otherwise), so no fully-redundant trailing chunk is
+    emitted and every token is covered.  Token-empty documents emit
+    nothing.
+
+    Scale: pure map-side — one ``sequence``/``transform``/
+    ``posexplode`` over the token array, no shuffle, no UDF; output
+    rows ≈ input tokens / stride regardless of document skew (a
+    single 10 GB document becomes many rows of one bounded width, not
+    one unsplittable record)."""
+    return (docs
+            .select("doc_id", words_col().alias("__ts"))
+            .where(F.size("__ts") > 0)
+            .select(
+                "doc_id",
+                F.posexplode(F.expr(
+                    f"transform(sequence(0, greatest(0, "
+                    f"cast(ceil((size(__ts) - {window}) / "
+                    f"{float(stride)}) as int))), "
+                    f"i -> slice(__ts, i * {stride} + 1, {window}))"))
+                .alias("chunk_idx", "__chunk"))
+            .select(
+                "doc_id",
+                F.col("chunk_idx").cast("long").alias("chunk_idx"),
+                F.array_join("__chunk", " ").alias("chunk_text"),
+                F.size("__chunk").cast("long").alias("n_tokens")))
+
+
 def benchmark_contamination(docs: DataFrame, n: int = 8,
                             bench_mod: int = 10) -> DataFrame:
     """Eval-contamination scan: flag training documents sharing any

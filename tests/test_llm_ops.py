@@ -212,3 +212,43 @@ def test_png_codec_roundtrip_filters_and_crc(spark):
         bad[45] ^= 0xFF
         with pytest.raises(ValueError, match="CRC|PNG"):
             _decode_png(bytes(bad))
+
+
+def test_chunk_documents_coverage_and_stride(spark):
+    """Every token is covered, consecutive chunks overlap by exactly
+    window - stride (except a shorter final chunk), and no chunk is
+    fully contained in its predecessor — on documents shorter than,
+    equal to, and much longer than the window."""
+    from stock_market_data_pipeline_spark.llm.curation import (
+        chunk_documents,
+    )
+
+    W, S = 8, 6
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(3))),     # < W: 1 chunk
+         (2, " ".join(f"t{i}" for i in range(8))),     # == W: 1 chunk
+         (3, " ".join(f"t{i}" for i in range(9))),     # W+1: 2 chunks
+         (4, " ".join(f"t{i}" for i in range(25)))],   # long: several
+        "doc_id bigint, text string")
+    out = chunk_documents(docs, window=W, stride=S).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["n_tokens"] == 3
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_tokens"] == 8
+    assert len(by_doc[3]) == 2
+    # chunks = 1 + ceil((25-8)/6) = 1 + 3 = 4
+    assert len(by_doc[4]) == 4
+    for doc_id, n_total in [(3, 9), (4, 25)]:
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_idx"])
+        seen = []
+        for k, r in enumerate(chunks):
+            toks = r["chunk_text"].split(" ")
+            assert toks[0] == f"t{k * S}", "stride start"
+            assert len(toks) == r["n_tokens"] <= W
+            seen.extend(toks)
+        assert set(seen) == {f"t{i}" for i in range(n_total)}, (
+            "every token covered")
+        # the final chunk reaches the end of the document
+        assert chunks[-1]["chunk_text"].split(" ")[-1] == \
+            f"t{n_total - 1}"
