@@ -2689,6 +2689,79 @@ class ManifestTable:
                 "partitions_rewritten": 0,
                 "partitions_touched": len(touched)}
 
+    def compact_dvs(self, spark: SparkSession,
+                    min_sidecars: int = 2) -> dict:
+        """Consolidate each partition's deletion-vector SIDECARS into
+        one (Delta's DV file compaction analog): repeated small
+        dv-deletes leave a ref with many tiny sidecar parquets, and
+        every read unions all of them into the anti-join build side.
+        This rewrites only the SIDECARS — one (rel, row_index) parquet
+        per partition — and swaps the refs in one metadata commit; no
+        data file moves, visible rows cannot change (asserted by the
+        row-identity of the dv relation, deduped defensively).  The
+        heavier :meth:`compact` remains the full materialization (it
+        removes the read tax entirely); this keeps the tax at one
+        small broadcast when a full rewrite isn't worth it yet.
+        Returns {"partitions": n, "sidecars_before": n,
+        "sidecars_after": n}."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        mf = self._raw()
+        todo = {v: r for v, r in mf["partitions"].items()
+                if isinstance(r, dict)
+                and len(r.get("dv", [])) >= min_sidecars}
+        if not todo:
+            return {"partitions": 0, "sidecars_before": 0,
+                    "sidecars_after": 0}
+        txn = f"txn-{uuid.uuid4().hex[:12]}"
+        before = 0
+        staged: dict[str, dict] = {}
+        for v, ref in todo.items():
+            before += len(ref["dv"])
+            tables = [pq.read_table(os.path.join(self.root, e["path"]),
+                                    columns=["rel", "row_index"])
+                      for e in ref["dv"]]
+            merged = pa.concat_tables(tables)
+            # defensive dedupe: the write paths can never address a
+            # row twice (reads apply existing DVs first), but a
+            # consolidated sidecar is the natural place to enforce it
+            import pandas as pd
+            pdf = merged.to_pandas().drop_duplicates()
+            leaf = os.path.join(self.root, "data", txn, f"{_PT}={v}")
+            os.makedirs(leaf, exist_ok=True)
+            rel = os.path.join("data", txn, f"{_PT}={v}",
+                               "dv-consolidated.parquet")
+            full = os.path.join(self.root, rel)
+            pq.write_table(pa.Table.from_pandas(pdf,
+                                                preserve_index=False),
+                           full)
+            staged[v] = {"path": rel, "rows": len(pdf),
+                         "bytes": os.path.getsize(full)}
+        snap = mf
+        while True:
+            new_parts = dict(snap["partitions"])
+            for v, e in staged.items():
+                base = new_parts.get(v)
+                if base is None or _ref_fp(base) != _ref_fp(todo[v]):
+                    raise CommitConflict(
+                        "a concurrent writer changed a partition "
+                        "whose deletion vectors this compaction "
+                        "consolidated; re-run compact_dvs()")
+                ref = dict(base)
+                ref["dv"] = [e]
+                ref["dv_rows"] = e["rows"]
+                new_parts[v] = ref
+            try:
+                self._commit(new_parts, base_version=snap["version"],
+                             streams=snap.get("streams", {}),
+                             schema=snap.get("schema"))
+                break
+            except CommitConflict:
+                snap = self._raw()   # fingerprints re-checked above
+        return {"partitions": len(staged), "sidecars_before": before,
+                "sidecars_after": len(staged)}
+
     def compact(self, spark: SparkSession,
                 min_files: int = 2,
                 cluster_by: list[str] | None = None,

@@ -555,3 +555,39 @@ def test_merge_batch_dv_exactly_once(spark, tmp_path):
     assert b.merge_batch(spark, _mkdf(spark, [("DDD", "2024-01-02", 1.0)]),
                          ["ticker", "trade_date"], "s", 2, mode="dv")
     assert b.read(spark).where(F.col("ticker") == "DDD").count() == 1
+
+
+def test_compact_dvs_consolidates_sidecars(spark, dvt):
+    """Three successive dv-deletes leave three sidecars on 01-02;
+    compact_dvs folds them into ONE without touching data files or
+    visible rows; the superseded sidecars become vacuum-reclaimable
+    once history expires."""
+    dvt.append(_mkdf(spark, [("E%d" % i, "2024-01-02", 100.0 + i)
+                             for i in range(3)]))
+    for tick in ("AAA", "E0", "E1"):
+        dvt.delete_where(
+            spark, F.col("ticker") == tick, mode="dv",
+            where={"trade_date": ("2024-01-02", "2024-01-02")})
+    ref = dvt._raw()["partitions"]["2024-01-02"]
+    assert len(ref["dv"]) == 3 and ref["dv_rows"] == 3
+    old_sidecars = [os.path.join(dvt.root, e["path"])
+                    for e in ref["dv"]]
+    data_before = _live_paths(dvt)
+    rows_before = _snap(dvt.read(spark))
+    out = dvt.compact_dvs(spark)
+    assert out == {"partitions": 1, "sidecars_before": 3,
+                   "sidecars_after": 1}
+    ref2 = dvt._raw()["partitions"]["2024-01-02"]
+    assert len(ref2["dv"]) == 1 and ref2["dv_rows"] == 3
+    assert _live_paths(dvt) == data_before
+    assert _snap(dvt.read(spark)) == rows_before
+    # old sidecars age out; the consolidated one stays live
+    dvt.vacuum(retention_seconds=0.0)
+    assert all(not os.path.exists(p) for p in old_sidecars)
+    assert _snap(dvt.read(spark)) == rows_before
+
+
+def test_compact_dvs_noop_below_threshold(spark, dvt):
+    dvt.delete_where(spark, "ticker = 'AAA'", mode="dv")
+    out = dvt.compact_dvs(spark)      # 1 sidecar per ref: nothing to do
+    assert out["partitions"] == 0
