@@ -2326,7 +2326,7 @@ _DRIVER_WINDOW_FIRST = [
     # finished rather than dropped, then completed with the UPDATE
     # half) --
     "manifest_delete_dv", "manifest_update_dv", "manifest_merge_dv",
-    "docs_chunk_overlap",
+    "docs_chunk_overlap", "stream_upsert_dv",
     # -- group 1: the 25 entries last driver-green in r7 that sat out
     # the r8 and r9 windows — at the policy's age bound, the staleness
     # test (tests/test_registration_order.py) fails the build unless
@@ -2350,14 +2350,14 @@ _DRIVER_WINDOW_FIRST = [
     "manifest_bloom_pointlookup", "manifest_ivm_from_cdf",
     "mm_decode_jpeg", "manifest_delete_where",
     "manifest_count_pushdown",
-    # -- group 3: the r8-checked cohort (age 2 this round); 16 of 48
+    # -- group 3: the r8-checked cohort (age 2 this round); 15 of 48
     # fit — table-layer and streaming entries nearest this round's
-    # manifest work first, then codecs, dedup and the TPC-H trio.
-    # (text_lang_id, text_boilerplate_segments and sessionize_events
-    # yielded their slots to the late-round manifest_update_dv,
-    # manifest_merge_dv and docs_chunk_overlap entries; they join the
-    # r11 cohort.)
-    # The 32 deferred to r11 (asof_prior_view, band_range_join,
+    # manifest work first, then codecs and dedup.
+    # (text_lang_id, text_boilerplate_segments, sessionize_events and
+    # tpch_q5_local_supplier yielded their slots to the late-round
+    # manifest_update_dv, manifest_merge_dv, docs_chunk_overlap and
+    # stream_upsert_dv entries; they join the r11 cohort.)
+    # The 33 deferred to r11 (asof_prior_view, band_range_join,
     # benchmark_contamination, bucketed_join_revenue, cube_order_stats,
     # cumulative_distinct_users, datasource_grouped_daily,
     # dedup_embedding_cosine, dedup_survivors_by_quality,
@@ -2369,7 +2369,8 @@ _DRIVER_WINDOW_FIRST = [
     # self_lag_join, serving_manifest_ticker_range, session_funnel,
     # session_window_native, stratified_balance_lang,
     # sessionize_events, stream_interval_join, stream_session_windows,
-    # text_boilerplate_segments, text_lang_id), all
+    # text_boilerplate_segments, text_lang_id,
+    # tpch_q5_local_supplier), all
     # pytest-parity-covered, are at the age bound next round and MUST
     # front the r11 window --
     "manifest_change_feed", "manifest_restore",
@@ -2379,7 +2380,6 @@ _DRIVER_WINDOW_FIRST = [
     "mm_decode_png", "mm_payload_features", "mm_payload_grid",
     "dedup_ngram_jaccard", "dedup_simhash",
     "tpch_q1_pricing_summary", "tpch_q3_topk_revenue",
-    "tpch_q5_local_supplier",
 ]
 
 

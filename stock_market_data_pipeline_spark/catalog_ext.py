@@ -130,6 +130,20 @@ def stream_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return upsert_replay(spark, sf_dir)
 
 
+@q("stream_upsert_dv", STREAM_UPSERT_SQL)
+def stream_upsert_dv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LOW-SHUFFLE form of stream_upsert_rollup: every micro-batch
+    merges via merge_batch(mode='dv') — matched rows dead-marked by
+    deletion vectors, batch rows appended, ledger + DVs + files in ONE
+    atomic commit.  Terminal state must equal the same single-copy
+    batch oracle; the entry raises unless duplicate delivery actually
+    produced deletion vectors (merge-on-read happened) — the
+    steady-state CDC write shape at 100 TB, where each micro-batch
+    touches a sliver of rows across many large partitions."""
+    from .streaming.events import upsert_replay
+    return upsert_replay(spark, sf_dir, mode="dv")
+
+
 @q("stream_manifest_append", STREAM_UPSERT_SQL)
 def stream_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once streaming file sink (§2.9): foreachBatch appends

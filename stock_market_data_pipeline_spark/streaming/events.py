@@ -123,7 +123,8 @@ def dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "user_id", "event_type", "value", "props")
 
 
-def upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+def upsert_replay(spark: SparkSession, sf_dir: str,
+                  mode: str = "rewrite") -> DataFrame:
     """foreachBatch MERGE upsert through the engine's default
     transactional write path (manifest.ManifestTable.merge_batch): the
     stream is replayed in multiple micro-batches; every batch MERGEs
@@ -144,6 +145,14 @@ def upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-pruned merge holds by construction: event_date derives
     from the event's own immutable ts, so every re-delivery of an
     event_id carries the same event_date.
+
+    ``mode="dv"`` routes every batch through the LOW-SHUFFLE merge
+    (matched rows dead-marked by deletion vectors, update rows
+    appended — manifest.merge_batch(mode='dv')): identical terminal
+    state, write cost O(matched + batch rows) per micro-batch instead
+    of re-staging every touched partition — the steady-state CDC shape
+    at 100 TB, where each micro-batch touches a sliver of rows across
+    many large partitions.
 
     Returns the terminal per-type rollup of the target table.
     """
@@ -166,7 +175,7 @@ def upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         updates = (batch_df.dropDuplicates(["event_id"])
                    .withColumn("event_date", F.to_date("ts")))
         table.merge_batch(spark, updates, ["event_id"],
-                          "events_upsert", batch_id)
+                          "events_upsert", batch_id, mode=mode)
 
     with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
         q = (stream.writeStream.foreachBatch(do_batch)
@@ -174,6 +183,19 @@ def upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
              .trigger(availableNow=True).start())
         q.awaitTermination()
 
+    if mode == "dv":
+        # the duplicate delivery re-merged batch 1's rows, so the
+        # low-shuffle path MUST have dead-marked matched live rows —
+        # green means merge-on-read actually happened, not that the
+        # rewrite path quietly ran
+        mf = table._raw()
+        n_dv = sum(r.get("dv_rows", 0)
+                   for r in mf["partitions"].values()
+                   if isinstance(r, dict))
+        if n_dv == 0:
+            raise RuntimeError(
+                "dv-mode streaming merge left no deletion vectors — "
+                "duplicate delivery should have dead-marked rows")
     final = table.read(spark)
     return (final.groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
