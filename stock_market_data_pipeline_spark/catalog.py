@@ -2326,7 +2326,7 @@ _DRIVER_WINDOW_FIRST = [
     # finished rather than dropped, then completed with the UPDATE
     # half) --
     "manifest_delete_dv", "manifest_update_dv", "manifest_merge_dv",
-    "docs_chunk_overlap", "stream_upsert_dv",
+    "docs_chunk_overlap", "stream_upsert_dv", "mm_decode_jpeg_color",
     # -- group 1: the 25 entries last driver-green in r7 that sat out
     # the r8 and r9 windows — at the policy's age bound, the staleness
     # test (tests/test_registration_order.py) fails the build unless
@@ -2350,17 +2350,19 @@ _DRIVER_WINDOW_FIRST = [
     "manifest_bloom_pointlookup", "manifest_ivm_from_cdf",
     "mm_decode_jpeg", "manifest_delete_where",
     "manifest_count_pushdown",
-    # -- group 3: the r8-checked cohort (age 2 this round); 15 of 48
+    # -- group 3: the r8-checked cohort (age 2 this round); 14 of 48
     # fit — table-layer and streaming entries nearest this round's
     # manifest work first, then codecs and dedup.
-    # (text_lang_id, text_boilerplate_segments, sessionize_events and
-    # tpch_q5_local_supplier yielded their slots to the late-round
-    # manifest_update_dv, manifest_merge_dv, docs_chunk_overlap and
-    # stream_upsert_dv entries; they join the r11 cohort.)
-    # The 33 deferred to r11 (asof_prior_view, band_range_join,
+    # (text_lang_id, text_boilerplate_segments, sessionize_events,
+    # tpch_q5_local_supplier and dedup_simhash yielded their slots to
+    # the late-round manifest_update_dv, manifest_merge_dv,
+    # docs_chunk_overlap, stream_upsert_dv and mm_decode_jpeg_color
+    # entries; they join the r11 cohort.)
+    # The 34 deferred to r11 (asof_prior_view, band_range_join,
     # benchmark_contamination, bucketed_join_revenue, cube_order_stats,
     # cumulative_distinct_users, datasource_grouped_daily,
-    # dedup_embedding_cosine, dedup_survivors_by_quality,
+    # dedup_embedding_cosine, dedup_simhash,
+    # dedup_survivors_by_quality,
     # docs_length_band_filter, docs_unigram_logprob,
     # events_hopping_counts, events_json_props, except_intersect_keys,
     # fct_trading_momentum_small, histogram_prices,
@@ -2378,7 +2380,7 @@ _DRIVER_WINDOW_FIRST = [
     "stream_upsert_rollup", "stream_hourly_rollup",
     "stream_stateful_user_totals", "stream_dedup_events",
     "mm_decode_png", "mm_payload_features", "mm_payload_grid",
-    "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_ngram_jaccard",
     "tpch_q1_pricing_summary", "tpch_q3_topk_revenue",
 ]
 

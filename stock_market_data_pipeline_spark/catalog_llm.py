@@ -1470,6 +1470,44 @@ def mm_decode_jpeg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int").alias("within_tolerance"))
 
 
+MM_DECODE_JPEG_COLOR_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, 'image' AS modality,
+       CAST((doc_id % 2 + 1) * 16 AS INTEGER) AS meta_width,
+       CAST((doc_id % 3 + 1) * 16 AS INTEGER) AS meta_height,
+       CAST((doc_id % 2 + 1) * 16 * (doc_id % 3 + 1) * 16 * 3
+            AS BIGINT) AS n_pixels,
+       CAST(1 AS INTEGER) AS within_tolerance
+FROM documents
+""".strip()
+
+
+@q("mm_decode_jpeg_color", MM_DECODE_JPEG_COLOR_SQL)
+def mm_decode_jpeg_color_q(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """REAL COLOR JPEG decode end-to-end (ITU T.81 baseline + T.871
+    YCbCr, 4:2:0 chroma subsampling) — everything the grayscale entry
+    cannot exercise: the interleaved MCU scan (four Y blocks + Cb +
+    Cr per 16x16), per-component DC predictors, multi-table DQT/DHT
+    parsing with per-component selectors, chroma upsampling and color
+    conversion.  The fixture is chroma-smooth (one Cb/Cr per 2x2,
+    clip-free ranges), so 4:2:0 loses nothing by construction and the
+    in-entry RAISE gates on pure codec error (JPEG_COLOR_TOL=8;
+    an interleave/upsample defect shears whole blocks — error in the
+    hundreds).  The oracle pins the exactly-predictable facts: dims,
+    RGB sample count (w*h*3), tolerance verdict."""
+    docs = _t(spark, sf_dir, "documents")
+    report = multimodal.jpeg_color_roundtrip_report(docs)
+    worst = report.agg(F.max("max_abs_err")).first()[0]
+    if worst is None or worst > multimodal.JPEG_COLOR_TOL:
+        raise RuntimeError(
+            f"color JPEG roundtrip error {worst} exceeds tolerance "
+            f"{multimodal.JPEG_COLOR_TOL} — decoder defect")
+    return report.select(
+        "doc_id", "modality", "meta_width", "meta_height", "n_pixels",
+        (F.col("max_abs_err") <= F.lit(multimodal.JPEG_COLOR_TOL))
+        .cast("int").alias("within_tolerance"))
+
+
 @q("mm_decode_wav", MM_DECODE_WAV_SQL)
 def mm_decode_wav_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode end-to-end: stdlib wave-writer payloads

@@ -373,6 +373,38 @@ def _dct_matrix():
     return c
 
 
+def _jpeg_emit_block(app, zz: list, prev_dc: int,
+                     dc_strs: list, ac_strs: dict) -> int:
+    """Emit one quantized-zigzag block's DC-difference + AC run-length
+    Huffman symbols (as bit strings via ``app``); returns the block's
+    DC for the caller's per-component predictor.  Shared by the gray
+    and the interleaved-color encoders."""
+    diff = zz[0] - prev_dc
+    s = int(diff).bit_length() if diff else 0
+    app(dc_strs[s])
+    if s:
+        app(format(diff if diff >= 0
+                   else diff + (1 << s) - 1, f"0{s}b"))
+    run = 0
+    zrl_str, eob_str = ac_strs[0xF0], ac_strs[0x00]
+    last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+    for k in range(1, last_nz + 1):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            app(zrl_str)                      # ZRL
+            run -= 16
+        s = v.bit_length() if v > 0 else (-v).bit_length()
+        app(ac_strs[(run << 4) | s]
+            + format(v if v >= 0 else v + (1 << s) - 1, f"0{s}b"))
+        run = 0
+    if last_nz < 63:
+        app(eob_str)                          # EOB
+    return zz[0]
+
+
 def _jpeg_encode_gray(px, quant: int = 1) -> bytes:
     """Minimal-but-REAL baseline JFIF encoder for one 8-bit grayscale
     image whose dims are multiples of 8 (ITU T.81 baseline DCT):
@@ -398,10 +430,6 @@ def _jpeg_encode_gray(px, quant: int = 1) -> bytes:
     # join + int() + to_bytes + stuffing pass at the end — no per-bit
     # or per-8-bit Python flush loop, and no quadratic big-int growth
     parts: list[str] = []
-
-    def size_of(v: int) -> int:
-        return int(v).bit_length() if v else 0
-
     prev_dc = 0
     shifted = px.astype(np.float64) - 128.0
     # ALL blocks transformed/quantized in one einsum (C @ b @ C.T per
@@ -413,33 +441,9 @@ def _jpeg_encode_gray(px, quant: int = 1) -> bytes:
     qblocks = np.clip(np.rint(coefs / quant), -1023, 1023) \
         .astype(np.int64)                     # AC category <= 10
     zz_idx = [r * 8 + c_ for r, c_ in _ZIGZAG]
-    zrl_str, eob_str = ac_strs[0xF0], ac_strs[0x00]
     app = parts.append
     for zz in qblocks.reshape(-1, 64)[:, zz_idx].tolist():
-            diff = zz[0] - prev_dc
-            prev_dc = zz[0]
-            s = size_of(diff)
-            app(dc_strs[s])
-            if s:
-                app(format(diff if diff >= 0
-                           else diff + (1 << s) - 1, f"0{s}b"))
-            run = 0
-            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
-            for k in range(1, last_nz + 1):
-                v = zz[k]
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    app(zrl_str)              # ZRL
-                    run -= 16
-                s = v.bit_length() if v > 0 else (-v).bit_length()
-                app(ac_strs[(run << 4) | s]
-                    + format(v if v >= 0 else v + (1 << s) - 1,
-                             f"0{s}b"))
-                run = 0
-            if last_nz < 63:
-                app(eob_str)                  # EOB
+        prev_dc = _jpeg_emit_block(app, zz, prev_dc, dc_strs, ac_strs)
     bitstr = "".join(parts)
     pad = (-len(bitstr)) % 8
     bitstr += "1" * pad                       # spec: pad with 1-bits
@@ -464,6 +468,93 @@ def _jpeg_encode_gray(px, quant: int = 1) -> bytes:
             + bytes(bits) + b"\xff\xd9")
 
 
+#: JFIF YCbCr <-> RGB (ITU T.871) coefficient sets, shared by the
+#: color encoder and decoder so the roundtrip error is pure codec
+_YCC_FWD = ((0.299, 0.587, 0.114),
+            (-0.168736, -0.331264, 0.5),
+            (0.5, -0.418688, -0.081312))
+
+
+def _jpeg_encode_color(rgb, quant: int = 1,
+                       chroma_quant: int = 2) -> bytes:
+    """REAL baseline JFIF COLOR encoder (ITU T.81/T.871): RGB ->
+    YCbCr, 4:2:0 chroma subsampling (2x2 mean), per-component quant
+    tables (id 0 luma / id 1 chroma), and the interleaved MCU scan
+    the grayscale path never exercises — each 16x16 MCU emits four Y
+    blocks then Cb then Cr, with independent per-component DC
+    predictors.  Dims must be multiples of 16 (one full MCU grid)."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = rgb.shape
+    assert h % 16 == 0 and w % 16 == 0
+    f = rgb.astype(np.float64)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    (a1, a2, a3), (b1, b2, b3), (c1, c2, c3) = _YCC_FWD
+    y = a1 * r + a2 * g + a3 * b
+    cb = b1 * r + b2 * g + b3 * b + 128.0
+    cr = c1 * r + c2 * g + c3 * b + 128.0
+    cb2 = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    cr2 = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    C = _dct_matrix()
+    zz_idx = [rr * 8 + cc for rr, cc in _ZIGZAG]
+
+    def plane_zz(p, q):
+        hh, ww = p.shape
+        blocks = ((p - 128.0).reshape(hh // 8, 8, ww // 8, 8)
+                  .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
+        coefs = np.einsum("ij,njk,lk->nil", C, blocks, C)
+        qb = np.clip(np.rint(coefs / q), -1023, 1023).astype(np.int64)
+        return (qb.reshape(-1, 64)[:, zz_idx]
+                .reshape(hh // 8, ww // 8, 64))
+
+    yz = plane_zz(y, quant)
+    cbz = plane_zz(cb2, chroma_quant)
+    crz = plane_zz(cr2, chroma_quant)
+    dc_strs = [format(i, "04b") for i in range(len(_JPEG_DC_SYMS))]
+    ac_strs = {s: format(i, "08b")
+               for i, s in enumerate(_JPEG_AC_SYMS)}
+    parts: list[str] = []
+    app = parts.append
+    prev = {1: 0, 2: 0, 3: 0}
+    for my in range(h // 16):
+        for mx in range(w // 16):
+            for v, h_ in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                prev[1] = _jpeg_emit_block(
+                    app, yz[my * 2 + v, mx * 2 + h_].tolist(),
+                    prev[1], dc_strs, ac_strs)
+            prev[2] = _jpeg_emit_block(app, cbz[my, mx].tolist(),
+                                       prev[2], dc_strs, ac_strs)
+            prev[3] = _jpeg_emit_block(app, crz[my, mx].tolist(),
+                                       prev[3], dc_strs, ac_strs)
+    bitstr = "".join(parts)
+    pad = (-len(bitstr)) % 8
+    bitstr += "1" * pad
+    raw = int(bitstr, 2).to_bytes(len(bitstr) // 8, "big") \
+        if bitstr else b""
+    bits = raw.replace(b"\xff", b"\xff\x00")
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(0xFFDB, bytes([0x00]) + bytes([quant] * 64)
+              + bytes([0x01]) + bytes([chroma_quant] * 64))
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 3)
+              + bytes([1, 0x22, 0])          # Y: 2x2 sampling, qt 0
+              + bytes([2, 0x11, 1])          # Cb: 1x1, qt 1
+              + bytes([3, 0x11, 1]))         # Cr: 1x1, qt 1
+    dht_dc = seg(0xFFC4, bytes([0x00])
+                 + bytes(12 if i == 3 else 0 for i in range(16))
+                 + bytes(_JPEG_DC_SYMS))
+    dht_ac = seg(0xFFC4, bytes([0x10])
+                 + bytes(162 if i == 7 else 0 for i in range(16))
+                 + bytes(_JPEG_AC_SYMS))
+    sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return (b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos
+            + bytes(bits) + b"\xff\xd9")
+
+
 def _decode_jpeg(payload: bytes) -> "object":
     """REAL baseline JPEG decode (ITU T.81 baseline DCT, 8-bit
     grayscale, single scan) — stdlib/numpy only, no PIL: marker walk,
@@ -480,8 +571,9 @@ def _decode_jpeg(payload: bytes) -> "object":
 
     if payload[:2] != b"\xff\xd8":
         raise ValueError(f"not a JPEG: {payload[:2]!r}")
-    pos, quant, dims, huff = 2, None, None, {}
-    data = None
+    pos, dims, huff = 2, None, {}
+    qtabs: dict[int, "np.ndarray"] = {}
+    comps = scan = data = None
     while pos < len(payload):
         (marker,) = struct.unpack(">H", payload[pos:pos + 2])
         if marker == 0xFFD9:
@@ -496,39 +588,68 @@ def _decode_jpeg(payload: bytes) -> "object":
                 f"{ln - 2}B, {len(body)}B present")
         pos += 2 + ln
         if marker == 0xFFDB:
-            if body[0] & 0xF0:
-                raise ValueError("only 8-bit quant tables supported")
-            quant = np.array(list(body[1:65]), dtype=np.int64)
+            i = 0
+            while i < len(body):      # a DQT may carry several tables
+                if body[i] & 0xF0:
+                    raise ValueError("only 8-bit quant tables supported")
+                qtabs[body[i] & 0x0F] = np.array(
+                    list(body[i + 1:i + 65]), dtype=np.int64)
+                i += 65
         elif marker == 0xFFC0:
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
-            if prec != 8 or ncomp != 1:
+            if prec != 8 or ncomp not in (1, 3):
                 raise ValueError(
-                    f"only 8-bit single-component baseline, got "
-                    f"precision={prec} components={ncomp}")
+                    f"only 8-bit baseline with 1 (grayscale) or 3 "
+                    f"(YCbCr) components, got precision={prec} "
+                    f"components={ncomp}")
+            comps = []
+            for ci in range(ncomp):
+                cid, samp, qid = body[6 + 3 * ci:9 + 3 * ci]
+                comps.append((cid, samp >> 4, samp & 0x0F, qid))
             dims = (h, w)
         elif marker == 0xFFC4:
-            tclass = body[0] >> 4
-            counts = list(body[1:17])
-            syms = list(body[17:17 + sum(counts)])
-            # canonical table grouped BY CODE LENGTH: decode peeks one
-            # whole length-group at a time (one int() per group, not
-            # one dict probe per bit) — ~5x over a bit-at-a-time walk
-            table: dict[int, dict[int, int]] = {}
-            code, i = 0, 0
-            for bit_len in range(1, 17):
-                if counts[bit_len - 1]:
-                    group = table.setdefault(bit_len, {})
-                    for _ in range(counts[bit_len - 1]):
-                        group[code] = syms[i]
-                        code += 1
-                        i += 1
-                code <<= 1
-            huff[tclass] = sorted(table.items())
+            i = 0
+            while i < len(body):      # a DHT may carry several tables
+                tclass, tid = body[i] >> 4, body[i] & 0x0F
+                counts = list(body[i + 1:i + 17])
+                nsym = sum(counts)
+                syms = list(body[i + 17:i + 17 + nsym])
+                # canonical table grouped BY CODE LENGTH: decode peeks
+                # one whole length-group at a time (one int() per
+                # group, not one dict probe per bit)
+                table: dict[int, dict[int, int]] = {}
+                code, j = 0, 0
+                for bit_len in range(1, 17):
+                    if counts[bit_len - 1]:
+                        group = table.setdefault(bit_len, {})
+                        for _ in range(counts[bit_len - 1]):
+                            group[code] = syms[j]
+                            code += 1
+                            j += 1
+                    code <<= 1
+                huff[(tclass, tid)] = sorted(table.items())
+                i += 17 + nsym
         elif marker == 0xFFDA:
+            ns = body[0]
+            scan = {}
+            for ci in range(ns):
+                cid, sel = body[1 + 2 * ci], body[2 + 2 * ci]
+                scan[cid] = (sel >> 4, sel & 0x0F)
             data = payload[pos:]
             break
-    if quant is None or dims is None or 0 not in huff or 1 not in huff:
+    if (not qtabs or dims is None or comps is None or scan is None
+            or not any(k[0] == 0 for k in huff)
+            or not any(k[0] == 1 for k in huff)):
         raise ValueError("missing DQT/SOF0/DHT/SOS")
+    for cid, _, _, qid in comps:
+        if qid not in qtabs or cid not in scan:
+            raise ValueError(
+                f"component {cid} references missing quant table or "
+                f"scan selector")
+        dc_t, ac_t = scan[cid]
+        if (0, dc_t) not in huff or (1, ac_t) not in huff:
+            raise ValueError(
+                f"component {cid} references missing Huffman table")
     h, w = dims
 
     # bit reader with byte destuffing, stopping at EOI.  The destuffed
@@ -553,9 +674,9 @@ def _decode_jpeg(payload: bytes) -> "object":
             if stream else "")
     bitpos = 0
 
-    def read_huff(tclass: int) -> int:
+    def read_huff(tbl) -> int:
         nonlocal bitpos
-        for bit_len, group in huff[tclass]:
+        for bit_len, group in tbl:
             code = int(bits[bitpos:bitpos + bit_len], 2)
             sym = group.get(code)
             if sym is not None:
@@ -573,33 +694,78 @@ def _decode_jpeg(payload: bytes) -> "object":
 
     C = _dct_matrix()
     zz_flat = [r * 8 + c for r, c in _ZIGZAG]
-    out = np.zeros((h, w), dtype=np.int64)
-    prev_dc = 0
-    for by in range(0, h, 8):
-        for bx in range(0, w, 8):
-            coef = np.zeros(64, dtype=np.int64)
-            s = read_huff(0)
-            prev_dc += read_val(s)
-            coef[0] = prev_dc
-            k = 1
-            while k < 64:
-                sym = read_huff(1)
-                if sym == 0x00:                 # EOB
-                    break
-                if sym == 0xF0:                 # ZRL
-                    k += 16
-                    continue
-                k += sym >> 4
-                if k > 63:
-                    raise ValueError("AC run past block end")
-                coef[k] = read_val(sym & 0x0F)
-                k += 1
-            deq = np.zeros(64, dtype=np.float64)
-            deq[zz_flat] = coef * quant
-            block = C.T @ deq.reshape(8, 8) @ C + 128.0
-            out[by:by + 8, bx:bx + 8] = np.clip(
-                np.rint(block), 0, 255).astype(np.int64)
-    return out.reshape(-1)
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    mcus_x = -(-w // (hmax * 8))
+    mcus_y = -(-h // (vmax * 8))
+    planes = {cid: np.zeros((mcus_y * vs * 8, mcus_x * hs * 8),
+                            dtype=np.int64)
+              for cid, hs, vs, _ in comps}
+    prev_dc = {cid: 0 for cid, _, _, _ in comps}
+
+    def decode_block(dc_tbl, ac_tbl, q, prev: int):
+        coef = np.zeros(64, dtype=np.int64)
+        s = read_huff(dc_tbl)
+        dc = prev + read_val(s)               # DC prediction
+        coef[0] = dc
+        k = 1
+        while k < 64:
+            sym = read_huff(ac_tbl)
+            if sym == 0x00:                     # EOB
+                break
+            if sym == 0xF0:                     # ZRL
+                k += 16
+                continue
+            k += sym >> 4
+            if k > 63:
+                raise ValueError("AC run past block end")
+            coef[k] = read_val(sym & 0x0F)
+            k += 1
+        deq = np.zeros(64, dtype=np.float64)
+        deq[zz_flat] = coef * q
+        return dc, C.T @ deq.reshape(8, 8) @ C + 128.0
+
+    # the scan is MCU-interleaved in SOF component order (T.81 A.2.3;
+    # with one component this degenerates to the plain block raster)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for cid, hs, vs, qid in comps:
+                dc_tbl = huff[(0, scan[cid][0])]
+                ac_tbl = huff[(1, scan[cid][1])]
+                q = qtabs[qid]
+                for v in range(vs):
+                    for h_ in range(hs):
+                        prev_dc[cid], block = decode_block(
+                            dc_tbl, ac_tbl, q, prev_dc[cid])
+                        by = (my * vs + v) * 8
+                        bx = (mx * hs + h_) * 8
+                        planes[cid][by:by + 8, bx:bx + 8] = np.clip(
+                            np.rint(block), 0, 255).astype(np.int64)
+
+    def comp_plane(cid, hs, vs):
+        cw = -(-w * hs // hmax)
+        ch = -(-h * vs // vmax)
+        p = planes[cid][:ch, :cw]
+        if hs != hmax or vs != vmax:
+            if hmax % hs or vmax % vs:
+                raise ValueError(
+                    f"unsupported sampling ratio {hs}x{vs} vs "
+                    f"{hmax}x{vmax}")
+            p = p.repeat(vmax // vs, axis=0).repeat(hmax // hs, axis=1)
+        return p[:h, :w].astype(np.float64)
+
+    if len(comps) == 1:
+        cid, hs, vs, _ = comps[0]
+        return comp_plane(cid, hs, vs).astype(np.int64).reshape(-1)
+    (yid, yh, yv, _), (cbid, ch_, cv, _), (crid, rh, rv, _) = comps
+    y = comp_plane(yid, yh, yv)
+    cb = comp_plane(cbid, ch_, cv) - 128.0
+    cr = comp_plane(crid, rh, rv) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.int64).reshape(-1)
 
 
 def jpeg_payload_table(docs: DataFrame) -> DataFrame:
@@ -680,6 +846,76 @@ def jpeg_roundtrip_report(docs: DataFrame) -> DataFrame:
     # parallelism first; this is THE lesson for every per-row-expensive
     # mapInPandas stage at 100 TB: partition count, not codec
     # micro-optimization, is the first-order term.
+    spark = docs.sparkSession
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    return (docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        "text")
+            .repartition(n_parts)
+            .mapInPandas(batches, schema=schema))
+
+
+#: color-roundtrip tolerance: the fixture is chroma-SMOOTH (one Cb/Cr
+#: per 2x2 pixel block, ranges chosen so the RGB construction never
+#: clips), so 4:2:0 subsampling loses nothing by construction and the
+#: measured error is pure codec (two quantization/IDCT passes + two
+#: color conversions).  Measured max on the synthetic corpus is 5;
+#: 8 leaves headroom while still catching real defects (an MCU
+#: interleave or upsample bug shears whole blocks, error in the
+#: hundreds).
+JPEG_COLOR_TOL = 8
+
+
+def jpeg_color_roundtrip_report(docs: DataFrame) -> DataFrame:
+    """Per-doc COLOR JPEG encode->decode roundtrip (ITU T.81 baseline
+    + T.871 YCbCr, 4:2:0): dims, decoded sample count (w*h*3 RGB) and
+    max |decoded - source|.  The fixture derives a chroma-smooth RGB
+    image from the text bytes (luma varies per pixel, chroma per 2x2
+    block, ranges clip-free), so subsampling is exactly invertible and
+    the tolerance gate measures the CODEC — the interleaved-MCU scan,
+    per-component DC predictors, dual quant tables and chroma
+    upsampling the grayscale path never exercises."""
+    schema = ("doc_id long, modality string, meta_width int, "
+              "meta_height int, n_pixels long, max_abs_err long")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = np.frombuffer(
+                    text.encode("ascii", errors="replace"),
+                    dtype=np.uint8).astype(np.float64)
+                n = len(raw)
+                w = (int(doc_id) % 2 + 1) * 16
+                h = (int(doc_id) % 3 + 1) * 16
+                y = (80 + raw[np.arange(h * w) % n] % 97) \
+                    .reshape(h, w)
+                nsub = (h // 2) * (w // 2)
+                cb = np.repeat(np.repeat(
+                    (112 + raw[(np.arange(nsub) + 13) % n] % 33)
+                    .reshape(h // 2, w // 2), 2, 0), 2, 1)
+                cr = np.repeat(np.repeat(
+                    (112 + raw[(np.arange(nsub) + 29) % n] % 33)
+                    .reshape(h // 2, w // 2), 2, 0), 2, 1)
+                r = y + 1.402 * (cr - 128)
+                g = (y - 0.344136 * (cb - 128)
+                     - 0.714136 * (cr - 128))
+                b = y + 1.772 * (cb - 128)
+                rgb = np.rint(np.stack([r, g, b], -1)) \
+                    .astype(np.uint8)
+                decoded = _decode_jpeg(_jpeg_encode_color(rgb))
+                err = int(np.abs(
+                    decoded - rgb.reshape(-1).astype(np.int64)).max())
+                rows.append({"doc_id": int(doc_id),
+                             "modality": "image",
+                             "meta_width": w, "meta_height": h,
+                             "n_pixels": int(decoded.size),
+                             "max_abs_err": err})
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "modality", "meta_width", "meta_height",
+                "n_pixels", "max_abs_err"])
+
     spark = docs.sparkSession
     n_parts = max(spark.sparkContext.defaultParallelism, 8)
     return (docs.select(F.col("doc_id").cast("long").alias("doc_id"),

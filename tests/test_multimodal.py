@@ -103,3 +103,74 @@ def test_zigzag_matches_itu_t81_known_vector():
         21, 34, 37, 47, 50, 56, 59, 61,
         35, 36, 48, 49, 57, 58, 62, 63]
     assert sorted(flat) == list(range(64))
+
+
+def test_jpeg_color_roundtrip_and_structure():
+    """Color baseline JPEG: the emitted container really is 3-component
+    4:2:0 (SOF says so), the decoder reconstructs within the pure-codec
+    tolerance on a chroma-smooth image, and grayscale files still
+    decode unchanged through the generalized path."""
+    import struct
+
+    import numpy as np
+
+    from stock_market_data_pipeline_spark.llm.multimodal import (
+        JPEG_COLOR_TOL,
+        _decode_jpeg,
+        _jpeg_encode_color,
+        _jpeg_encode_gray,
+    )
+
+    rng = np.random.default_rng(11)
+    h, w = 48, 32
+    y = rng.integers(80, 177, size=(h, w)).astype(np.float64)
+    cb = np.repeat(np.repeat(rng.integers(112, 145, size=(h // 2, w // 2))
+                             .astype(np.float64), 2, 0), 2, 1)
+    cr = np.repeat(np.repeat(rng.integers(112, 145, size=(h // 2, w // 2))
+                             .astype(np.float64), 2, 0), 2, 1)
+    r = y + 1.402 * (cr - 128)
+    g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+    b = y + 1.772 * (cb - 128)
+    rgb = np.rint(np.stack([r, g, b], -1)).astype(np.uint8)
+    blob = _jpeg_encode_color(rgb)
+    # SOF0 declares 3 components with 2x2 luma sampling
+    pos = 2
+    sof = None
+    while pos < len(blob):
+        (marker,) = struct.unpack(">H", blob[pos:pos + 2])
+        (ln,) = struct.unpack(">H", blob[pos + 2:pos + 4])
+        if marker == 0xFFC0:
+            sof = blob[pos + 4:pos + 2 + ln]
+            break
+        pos += 2 + ln
+    prec, hh, ww, ncomp = struct.unpack(">BHHB", sof[:6])
+    assert (prec, hh, ww, ncomp) == (8, h, w, 3)
+    assert sof[6:9] == bytes([1, 0x22, 0])        # Y 2x2, quant 0
+    assert sof[9:12] == bytes([2, 0x11, 1])       # Cb 1x1, quant 1
+    dec = _decode_jpeg(blob)
+    assert dec.size == h * w * 3
+    err = int(np.abs(dec - rgb.reshape(-1).astype(np.int64)).max())
+    assert err <= JPEG_COLOR_TOL, err
+    # grayscale unchanged through the generalized decoder
+    px = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    gdec = _decode_jpeg(_jpeg_encode_gray(px))
+    assert gdec.size == 256
+    assert int(np.abs(gdec - px.reshape(-1).astype(np.int64)).max()) <= 4
+
+
+def test_jpeg_color_spark_report(spark):
+    from pyspark.sql import functions as F
+
+    from stock_market_data_pipeline_spark.llm.multimodal import (
+        JPEG_COLOR_TOL,
+        jpeg_color_roundtrip_report,
+    )
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .limit(40))
+    rep = jpeg_color_roundtrip_report(docs)
+    rows = rep.collect()
+    assert len(rows) == 40
+    assert all(r["n_pixels"] == r["meta_width"] * r["meta_height"] * 3
+               for r in rows)
+    assert rep.agg(F.max("max_abs_err")).first()[0] <= JPEG_COLOR_TOL
