@@ -93,6 +93,11 @@ ENTRIES = [
     # zero partition rewrites and exact dv_rows accounting AT THIS
     # SCALE, where a rewrite-mode plan would re-stage every month)
     "manifest_delete_dv", "manifest_update_dv", "manifest_merge_dv",
+    # round-10 additions: context-window chunking (50k docs -> ~14x
+    # chunk rows), the exactly-once LOW-SHUFFLE streaming merge over
+    # 1M events x duplicate delivery, and the color-JPEG roundtrip
+    # (3x the pixel volume of the grayscale entry, interleaved MCUs)
+    "docs_chunk_overlap", "stream_upsert_dv", "mm_decode_jpeg_color",
 ]
 
 
