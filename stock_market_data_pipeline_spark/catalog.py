@@ -919,6 +919,61 @@ def manifest_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark).drop("trade_month")
 
 
+MANIFEST_WAP_SQL = f"""
+{oracles.BARS_SQL}
+""".strip()
+
+
+@q("manifest_wap_publish", MANIFEST_WAP_SQL)
+def manifest_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH through a manifest branch (Iceberg branch
+    + fast-forward; the isolation the reference's dbt build-test-swap
+    lacks — ``dbt run`` publishes the mart BEFORE ``dbt test`` judges
+    it, so a failed audit leaves the bad build live, §3.2): the bars
+    fact is created from the pre-1997 months, the 1997+ backfill is
+    appended to an invisible ``audit`` branch, AUDITED there (row
+    delta, NULL-free close — the dbt-generic-test shape), and only
+    then fast-forward-published in one atomic metadata commit.  The
+    entry RAISES unless isolation actually held (main's version AND
+    row count unchanged while the branch carried the backfill), the
+    publish was exactly base+1, and the published commit's change
+    feed replays exactly the appended rows (single-commit branches
+    keep their CDF through the publish — metadata-only to verify).
+    Branch cut and publish write one small JSON each — on the 100 TB
+    table this flow costs the backfill's own bytes plus two metadata
+    files, never a copy of the table.  The oracle is the full bar
+    build, so hash equality proves the published snapshot is
+    byte-equal to the never-branched build."""
+    from .manifest import ManifestTable
+    from .scratch import scratch_dir
+
+    bars = bars_from_lineitem(_t(spark, sf_dir, "lineitem")).withColumn(
+        "trade_month", F.date_format("trade_date", "yyyy-MM"))
+    base, backfill = (bars.where(F.col("trade_month") < "1997-01"),
+                      bars.where(F.col("trade_month") >= "1997-01"))
+    table = ManifestTable.create(
+        base, scratch_dir("manifest_wap_"), ts="trade_month")
+    v0, n_base = table.version(), table.read(spark).count()
+    branch = table.create_branch("audit")
+    branch.append(backfill, cdf=True)
+    # -- audit (on the branch, invisible to main) --------------------
+    audited = branch.read(spark)
+    n_new = audited.count() - n_base
+    if n_new <= 0 or n_new != backfill.count():
+        raise RuntimeError(f"audit failed: branch row delta {n_new}")
+    if audited.where(F.col("close").isNull()).count():
+        raise RuntimeError("audit failed: NULL close on the branch")
+    # -- isolation: main never saw the unaudited write ---------------
+    if table.version() != v0 or table.read(spark).count() != n_base:
+        raise RuntimeError("branch write leaked into main pre-publish")
+    out = table.publish_branch("audit")
+    if out != {"published_version": v0 + 1, "commits": 1}:
+        raise RuntimeError(f"publish was not a clean fast-forward: {out}")
+    if table.changes(spark, v0 + 1).count() != n_new:
+        raise RuntimeError("published commit lost the branch's CDF")
+    return table.read(spark).drop("trade_month")
+
+
 MANIFEST_SERVE_SQL = f"""
 SELECT * FROM ({oracles.BARS_SQL}) b
 WHERE ticker BETWEEN 1 AND 40
@@ -2327,6 +2382,7 @@ _DRIVER_WINDOW_FIRST = [
     # half) --
     "manifest_delete_dv", "manifest_update_dv", "manifest_merge_dv",
     "docs_chunk_overlap", "stream_upsert_dv", "mm_decode_jpeg_color",
+    "manifest_wap_publish",
     # -- group 1: the 25 entries last driver-green in r7 that sat out
     # the r8 and r9 windows — at the policy's age bound, the staleness
     # test (tests/test_registration_order.py) fails the build unless
@@ -2350,15 +2406,16 @@ _DRIVER_WINDOW_FIRST = [
     "manifest_bloom_pointlookup", "manifest_ivm_from_cdf",
     "mm_decode_jpeg", "manifest_delete_where",
     "manifest_count_pushdown",
-    # -- group 3: the r8-checked cohort (age 2 this round); 14 of 48
+    # -- group 3: the r8-checked cohort (age 2 this round); 13 of 48
     # fit — table-layer and streaming entries nearest this round's
     # manifest work first, then codecs and dedup.
     # (text_lang_id, text_boilerplate_segments, sessionize_events,
-    # tpch_q5_local_supplier and dedup_simhash yielded their slots to
-    # the late-round manifest_update_dv, manifest_merge_dv,
-    # docs_chunk_overlap, stream_upsert_dv and mm_decode_jpeg_color
-    # entries; they join the r11 cohort.)
-    # The 34 deferred to r11 (asof_prior_view, band_range_join,
+    # tpch_q5_local_supplier, dedup_simhash and tpch_q3_topk_revenue
+    # yielded their slots to the late-round manifest_update_dv,
+    # manifest_merge_dv, docs_chunk_overlap, stream_upsert_dv,
+    # mm_decode_jpeg_color and manifest_wap_publish entries; they
+    # join the r11 cohort.)
+    # The 35 deferred to r11 (asof_prior_view, band_range_join,
     # benchmark_contamination, bucketed_join_revenue, cube_order_stats,
     # cumulative_distinct_users, datasource_grouped_daily,
     # dedup_embedding_cosine, dedup_simhash,
@@ -2372,7 +2429,7 @@ _DRIVER_WINDOW_FIRST = [
     # session_window_native, stratified_balance_lang,
     # sessionize_events, stream_interval_join, stream_session_windows,
     # text_boilerplate_segments, text_lang_id,
-    # tpch_q5_local_supplier), all
+    # tpch_q3_topk_revenue, tpch_q5_local_supplier), all
     # pytest-parity-covered, are at the age bound next round and MUST
     # front the r11 window --
     "manifest_change_feed", "manifest_restore",
@@ -2381,7 +2438,7 @@ _DRIVER_WINDOW_FIRST = [
     "stream_stateful_user_totals", "stream_dedup_events",
     "mm_decode_png", "mm_payload_features", "mm_payload_grid",
     "dedup_ngram_jaccard",
-    "tpch_q1_pricing_summary", "tpch_q3_topk_revenue",
+    "tpch_q1_pricing_summary",
 ]
 
 

@@ -122,6 +122,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -130,6 +131,12 @@ from pyspark.sql import functions as F
 _PT = "__pt"
 _MANIFEST_DIR = "_manifests"
 _SHARD_DIR = os.path.join(_MANIFEST_DIR, "shards")
+#: branch names become filename segments between ``branch-`` and
+#: ``.manifest-``; the charset excludes ``.`` so the prefix parse is
+#: unambiguous, and the names sort stably.
+_BRANCH_RE = re.compile(r"[A-Za-z0-9_\-]{1,64}")
+_BRANCH_FILE_RE = re.compile(
+    r"branch-([A-Za-z0-9_\-]{1,64})\.manifest-(\d{8})\.json")
 #: on-disk layout version this reader/writer speaks.  2 was a single
 #: JSON document mapping partition value -> inline file-entry list;
 #: 3 shards the file lists into immutable per-partition shard files
@@ -796,7 +803,8 @@ class ManifestTable:
     through an atomically-swapped, stats-bearing manifest."""
 
     def __init__(self, root: str, ts: str | None,
-                 backend: CommitBackend | None = None):
+                 backend: CommitBackend | None = None,
+                 branch: str | None = None):
         #: partition column name, or None for an UNPARTITIONED table
         #: (small dims, key-only marts): all rows live in one pseudo-
         #: partition "__all"; every op keeps its contract, partition
@@ -809,20 +817,52 @@ class ManifestTable:
         #: (e.g. a posix maintenance job beside coordinator-backed
         #: ingest) still serialize correctly.
         self.backend = backend or PosixLinkBackend()
+        #: bound branch name, or None for the main (published) chain.
+        #: A branch-bound table routes EVERY manifest name through
+        #: ``branch-{name}.manifest-{v}.json`` — a namespace main's
+        #: ``max(manifest-*)`` listing never sees — so the whole write
+        #: surface (append, merge, delete_where, compact, set_bloom,
+        #: add_columns, restore, changes …) works on the branch
+        #: unchanged and stays INVISIBLE to main readers until
+        #: :meth:`publish_branch` fast-forwards it (write-audit-
+        #: publish, §2.11).
+        self.branch = branch
+        if branch is not None and not _BRANCH_RE.fullmatch(branch):
+            raise ValueError(
+                f"branch name {branch!r} must match "
+                f"{_BRANCH_RE.pattern} (it becomes a filename segment)")
 
     # -- manifest plumbing -------------------------------------------
 
     def _mdir(self) -> str:
         return os.path.join(self.root, _MANIFEST_DIR)
 
+    def _mprefix(self) -> str:
+        """Manifest filename prefix for this table's chain: the main
+        chain's ``manifest-`` or a branch's ``branch-{name}.manifest-``
+        (sorts AFTER no 8-digit version could, and fails main's
+        ``startswith('manifest-')`` filters, so branch snapshots can
+        never be mistaken for published ones)."""
+        if self.branch is None:
+            return "manifest-"
+        return f"branch-{self.branch}.manifest-"
+
+    def _mname(self, version: int) -> str:
+        return f"{self._mprefix()}{version:08d}.json"
+
     def _current_name(self) -> str:
-        """The live manifest = the highest committed version.  One
-        driver-side listing of ``_manifests/`` (a handful of small
-        files between vacuums)."""
+        """The live manifest = the highest committed version ON THIS
+        TABLE'S CHAIN (main or bound branch).  One driver-side listing
+        of ``_manifests/`` (a handful of small files between
+        vacuums)."""
+        pre = self._mprefix()
         names = [m for m in os.listdir(self._mdir())
-                 if m.startswith("manifest-") and m.endswith(".json")]
+                 if m.startswith(pre) and m.endswith(".json")
+                 and m[len(pre):-len(".json")].isdigit()]
         if not names:
-            raise FileNotFoundError(f"no committed manifest in {self.root}")
+            where = (f"branch {self.branch!r} of {self.root}"
+                     if self.branch else self.root)
+            raise FileNotFoundError(f"no committed manifest in {where}")
         return max(names)
 
     def _raw(self, name: str | None = None) -> dict:
@@ -997,7 +1037,7 @@ class ManifestTable:
             if base_version > 0:
                 try:
                     bloom = self._raw(
-                        f"manifest-{base_version:08d}.json").get("bloom")
+                        self._mname(base_version)).get("bloom")
                 except (FileNotFoundError, OSError):
                     bloom = None    # base vacuumed mid-flight: spec lost
         mdir = self._mdir()
@@ -1046,10 +1086,16 @@ class ManifestTable:
                 if pb is not None:
                     refs[value]["bloom"] = pb
         version = base_version + 1
-        name = f"manifest-{version:08d}.json"
+        name = self._mname(version)
         body = {"version": version, "ts": self.ts, "format": _FORMAT,
                 "partitions": refs, "streams": streams or {},
                 "schema": schema or []}
+        if self.branch is not None:
+            # carry the branch's cut point (recorded by create_branch,
+            # inherited commit-to-commit): publish_branch needs it to
+            # decide whether the fast-forward is still a fast-forward
+            body["branch"] = self._raw(
+                self._mname(base_version))["branch"]
         if bloom:
             body["bloom"] = bloom
         if cdf is not None:
@@ -1465,8 +1511,10 @@ class ManifestTable:
         manifest files still on disk (vacuum trims history to the live
         snapshot)."""
         out = []
+        pre = self._mprefix()
         for m in sorted(os.listdir(self._mdir())):
-            if not (m.startswith("manifest-") and m.endswith(".json")):
+            if not (m.startswith(pre) and m.endswith(".json")
+                    and m[len(pre):-len(".json")].isdigit()):
                 continue
             mf = self._raw(m)           # ref counts: no shard loads
             refs = list(mf["partitions"].values())
@@ -2029,7 +2077,7 @@ class ManifestTable:
         vacuum retention, same as time travel; a commit made without
         ``cdf=True`` raises a clear error rather than silently
         returning an empty (wrong) change set."""
-        mf = self._raw(f"manifest-{version:08d}.json")
+        mf = self._raw(self._mname(version))
         if "cdf" not in mf:
             raise FileNotFoundError(
                 f"{self.root} version {version}: committed without "
@@ -2259,7 +2307,7 @@ class ManifestTable:
         shard; only changed partitions load their (two) shards for the
         path diff — O(changed), not O(table)."""
         new = self._raw(manifest_name)
-        old = self._raw(f"manifest-{since_version:08d}.json")
+        old = self._raw(self._mname(since_version))
         out: list[str] = []
         for value, ref in new["partitions"].items():
             old_ref = old["partitions"].get(value)
@@ -2311,11 +2359,149 @@ class ManifestTable:
         with FileNotFoundError instead of resurrecting dangling
         refs."""
         mf = self._raw()
-        old = self._raw(f"manifest-{version:08d}.json")
+        old = self._raw(self._mname(version))
         self._commit(dict(old["partitions"]),
                      base_version=mf["version"],
                      streams=old.get("streams", {}),
                      schema=old.get("schema"))
+
+    # -- write-audit-publish branches --------------------------------
+
+    def _publish_body(self, name: str, body: dict) -> None:
+        """Write ``body`` fsynced to a hidden temp file and publish it
+        under ``name`` through the table's :class:`CommitBackend` —
+        the same two steps :meth:`_commit` ends with, shared by the
+        branch operations (which publish bodies they did not
+        assemble)."""
+        mdir = self._mdir()
+        tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex[:12]}")
+        with open(tmp, "w") as f:
+            f.write(json.dumps(body, sort_keys=True))
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            self.backend.publish(mdir, name, tmp)
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+
+    def create_branch(self, name: str) -> "ManifestTable":
+        """Cut an isolated WRITE-AUDIT-PUBLISH branch at the current
+        snapshot (Iceberg branch / Delta+dbt's build-test-swap,
+        §3.2's dbt workflow: ``dbt run`` builds, ``dbt test`` audits,
+        only then does the mart go live — the reference runs that
+        sequence with no isolation, so a failed test leaves the bad
+        build PUBLISHED; here the audit happens on an invisible
+        chain).  The branch starts as a metadata-only COPY of the
+        live manifest (shards and data files are immutable and
+        shared — cutting a branch on a 100 TB table writes one small
+        JSON file), named ``branch-{name}.manifest-{v}.json`` — a
+        namespace main's ``max(manifest-*)`` listing never matches,
+        so nothing on the branch is visible to main readers.
+
+        Returns a branch-bound :class:`ManifestTable`: every write
+        op (append, merge, delete_where, set_bloom, add_columns,
+        compact, restore …) works on it unchanged, committing
+        ``branch-{name}.manifest-{v+1}`` … under the SAME optimistic
+        backend CAS as main (two writers racing the same branch
+        version: one wins, one gets :class:`CommitConflict`)."""
+        if self.branch is not None:
+            raise RuntimeError("create_branch runs on the main table")
+        if not _BRANCH_RE.fullmatch(name):
+            raise ValueError(
+                f"branch name {name!r} must match {_BRANCH_RE.pattern}")
+        if name in self.branches():
+            raise RuntimeError(
+                f"branch {name!r} already exists; publish_branch or "
+                "drop_branch it before cutting it again")
+        raw = self._raw()
+        body = {k: v for k, v in raw.items()
+                if k not in ("cdf", "cdf_kind")}
+        body["branch"] = {"name": name, "base": raw["version"]}
+        self._publish_body(
+            f"branch-{name}.manifest-{raw['version']:08d}.json", body)
+        return ManifestTable(self.root, self.ts, self.backend,
+                             branch=name)
+
+    def branches(self) -> dict[str, dict]:
+        """Live branches: name → {"base": cut version, "head": branch
+        head version, "commits": writes since the cut}.  One listing
+        of ``_manifests/``."""
+        heads: dict[str, int] = {}
+        for m in os.listdir(self._mdir()):
+            g = _BRANCH_FILE_RE.fullmatch(m)
+            if g:
+                heads[g.group(1)] = max(heads.get(g.group(1), -1),
+                                        int(g.group(2)))
+        out = {}
+        for name, head in heads.items():
+            info = self._raw(
+                f"branch-{name}.manifest-{head:08d}.json")["branch"]
+            out[name] = {"base": info["base"], "head": head,
+                         "commits": head - info["base"]}
+        return out
+
+    def publish_branch(self, name: str) -> dict:
+        """The PUBLISH step of write-audit-publish: fast-forward main
+        to the audited branch head in ONE atomic commit.  The branch's
+        final state (partitions, schema, bloom spec, DV sidecars,
+        stream high-water marks) becomes ``manifest-{main+1}.json``
+        through the normal backend CAS — so a publish races cleanly
+        against every other main writer.  Strictly a FAST-FORWARD:
+        if main advanced past the branch's cut point the publish
+        raises :class:`CommitConflict` (publishing would silently
+        drop those commits); re-cut the branch against the new
+        snapshot and re-run the audit — the audit's verdict on stale
+        inputs is stale too, which is why there is no auto-rebase.
+
+        A multi-commit branch publishes as a SQUASH: the published
+        commit carries no row-level change set (``changes()`` on it
+        raises), because no single branch commit's CDF describes the
+        whole delta.  A single-commit branch keeps its CDF — the
+        common audit shape (one write, audit, publish) stays fully
+        change-feed-readable.  Returns {"published_version",
+        "commits"}; a branch with zero commits publishes nothing
+        (the audit inspected an unchanged copy) and returns
+        published_version None."""
+        if self.branch is not None:
+            raise RuntimeError("publish_branch runs on the main table")
+        bt = ManifestTable(self.root, self.ts, self.backend,
+                           branch=name)
+        head = bt._raw(bt._current_name())
+        info = head["branch"]
+        ncommits = head["version"] - info["base"]
+        if ncommits == 0:
+            return {"published_version": None, "commits": 0}
+        main_v = self.version()
+        if main_v != info["base"]:
+            raise CommitConflict(
+                f"main advanced to v{main_v} since branch {name!r} "
+                f"was cut at v{info['base']}; re-create the branch "
+                "against the new snapshot and re-run the audit")
+        body = {k: v for k, v in head.items() if k != "branch"}
+        if ncommits != 1:
+            body.pop("cdf", None)
+            body.pop("cdf_kind", None)
+        body["version"] = main_v + 1
+        self._publish_body(self._mname(main_v + 1), body)
+        return {"published_version": main_v + 1, "commits": ncommits}
+
+    def drop_branch(self, name: str) -> int:
+        """Abandon a branch (the audit FAILED): remove its manifest
+        chain.  Data files staged only by branch commits become
+        unreferenced orphans — reclaimed by :meth:`vacuum` under the
+        normal retention rules, exactly like a crashed writer's
+        stage.  Main is untouched.  Returns the number of branch
+        snapshots removed."""
+        if self.branch is not None:
+            raise RuntimeError("drop_branch runs on the main table")
+        n = 0
+        for m in sorted(os.listdir(self._mdir())):
+            g = _BRANCH_FILE_RE.fullmatch(m)
+            if g and g.group(1) == name:
+                os.remove(os.path.join(self._mdir(), m))
+                n += 1
+        return n
 
     def _stage_dv(self, hits: DataFrame) -> dict[str, list]:
         """Stage DELETION-VECTOR sidecars: ``hits`` carries (__pt,
@@ -2899,16 +3085,30 @@ class ManifestTable:
         import shutil
         import time
 
+        if self.branch is not None:
+            raise RuntimeError("vacuum runs on the main table (it is "
+                               "branch-aware: branch heads are live)")
         now = time.time()
         raw = self._raw()
         current = self._current_name()
+        # every branch's HEAD is live regardless of age — an
+        # unpublished audit branch must never have its data reclaimed
+        # out from under it (drop_branch is the explicit way to
+        # abandon one); non-head branch snapshots age out like
+        # historical main manifests
+        branch_heads = {
+            f"branch-{n}.manifest-{b['head']:08d}.json"
+            for n, b in self.branches().items()}
         # snapshots whose referenced files/shards must survive: the
         # live manifest plus every historical one inside retention
-        retained_names = [current]
+        retained_names = [current, *sorted(branch_heads)]
         for m in sorted(os.listdir(self._mdir())):
             full = os.path.join(self._mdir(), m)
             if (os.path.isfile(full) and m != current
-                    and m.startswith("manifest-") and m.endswith(".json")
+                    and m not in branch_heads
+                    and (m.startswith("manifest-")
+                         or _BRANCH_FILE_RE.fullmatch(m))
+                    and m.endswith(".json")
                     and (now - os.path.getmtime(full)) < retention_seconds):
                 retained_names.append(m)
         live_rel: set = set()
@@ -2981,7 +3181,8 @@ class ManifestTable:
             full = os.path.join(self._mdir(), m)
             if not os.path.isfile(full):
                 continue                      # shards/ handled below
-            stale_manifest = (m.startswith("manifest-")
+            stale_manifest = ((m.startswith("manifest-")
+                               or _BRANCH_FILE_RE.fullmatch(m))
                               and m not in retained)
             crash_tmp = (m.startswith(".tmp-")
                          and (now - os.path.getmtime(full))
