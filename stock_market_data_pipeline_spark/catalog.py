@@ -974,6 +974,142 @@ def manifest_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark).drop("trade_month")
 
 
+MANIFEST_META_SQL = f"""
+SELECT strftime(trade_date, '%Y-%m') AS trade_month,
+       CAST(COUNT(*) AS BIGINT) AS physical_rows,
+       CAST(SUM(CASE WHEN ticker % 7 = 3 THEN 1 ELSE 0 END)
+            AS BIGINT) AS deleted_rows,
+       CAST(SUM(CASE WHEN ticker % 7 = 3 THEN 0 ELSE 1 END)
+            AS BIGINT) AS live_rows
+FROM ({oracles.BARS_SQL}) b
+GROUP BY 1
+""".strip()
+
+
+@q("manifest_meta_tables", MANIFEST_META_SQL)
+def manifest_meta_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA INSPECTION tables (Iceberg ``db.t.partitions`` /
+    ``db.t.files`` / ``DESCRIBE HISTORY``; SURVEY §2.11): after a
+    merge-on-read DV delete, ``meta_partitions`` reports per-partition
+    physical/live/dead-marked rows straight from the COMMIT OBJECT —
+    zero data I/O, O(#partitions) driver work at any table size — and
+    this entry returns THOSE numbers, oracled against DuckDB counting
+    the real data.  Hash equality proves the table's own metadata
+    bookkeeping (file stats at commit, DV row accounting at delete)
+    is physically true, which is the property every metadata-driven
+    fast path (count_where, stat_bounds, incremental cutoffs, vacuum)
+    stands on.  In-entry gates: the three inspection surfaces must
+    agree with each other (files' physical rows fold to partitions';
+    snapshots' live totals match v0 -> v1), with the DV delete's own
+    report, and with an actual read."""
+    from .manifest import ManifestTable
+    from .scratch import scratch_dir
+
+    bars = bars_from_lineitem(_t(spark, sf_dir, "lineitem")).withColumn(
+        "trade_month", F.date_format("trade_date", "yyyy-MM"))
+    table = ManifestTable.create(
+        bars, scratch_dir("manifest_meta_"), ts="trade_month")
+    v0 = table.version()
+    out = table.delete_where(spark, F.expr("pmod(ticker, 7) = 3"),
+                             mode="dv")
+    parts = table.meta_partitions(spark).collect()
+    files = table.meta_files(spark).collect()
+    snaps = sorted(table.meta_snapshots(spark).collect(),
+                   key=lambda r: r["version"])
+    phys = {r["partition"]: r["live_rows"] + r["deleted_rows"]
+            for r in parts}
+    file_phys: dict[str, int] = {}
+    for r in files:
+        file_phys[r["partition"]] = file_phys.get(r["partition"], 0) \
+            + r["rows"]
+    if file_phys != phys:
+        raise RuntimeError("files table disagrees with partitions table")
+    n_live, n_dead = (sum(r["live_rows"] for r in parts),
+                      sum(r["deleted_rows"] for r in parts))
+    if n_dead != out["rows_deleted"]:
+        raise RuntimeError(
+            f"partitions table shows {n_dead} dead rows, delete "
+            f"reported {out['rows_deleted']}")
+    if [(s["version"], s["rows"]) for s in snaps] != \
+            [(v0, n_live + n_dead), (v0 + 1, n_live)]:
+        raise RuntimeError(f"snapshot history wrong: {snaps}")
+    if n_live != table.read(spark).count():
+        raise RuntimeError("metadata live count != actual read")
+    return spark.createDataFrame(
+        [(r["partition"], r["live_rows"] + r["deleted_rows"],
+          r["deleted_rows"], r["live_rows"]) for r in parts],
+        schema="trade_month string, physical_rows bigint, "
+               "deleted_rows bigint, live_rows bigint")
+
+
+RUNNER_WAP_SQL = f"""
+SELECT * FROM ({oracles.BARS_SQL}) b
+WHERE trade_date < DATE '1997-07-01'
+""".strip()
+
+
+@q("runner_wap_audit", RUNNER_WAP_SQL)
+def runner_wap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The model runner's blocking `dbt test` stage (S11 + §3.2): an
+    incremental mart declares checks.py-shaped AUDITS, and the runner
+    lands every refresh on an invisible manifest branch, audits the
+    full post-write state there, and fast-forward-publishes only on a
+    clean verdict — the reference's DAG runs `dbt run` then `dbt
+    test` (daily_stock_pipeline_dag.py:30-55), so its failed test
+    leaves the bad mart already live.  Three runs: the pre-1997 base
+    CREATES the table (audited pre-create — nothing is live to
+    isolate), a POISONED backfill (NULL closes) must raise
+    AuditFailed while main's version, rows and branch list stay
+    byte-untouched, then the clean backfill publishes as exactly one
+    fast-forward commit.  The oracle is the straight bar build over
+    the full range, so hash equality proves the audited, branched,
+    twice-attempted pipeline converges to the never-failed build."""
+    from .manifest import ManifestTable
+    from .runner import AuditFailed, Model, Runner
+    from .scratch import scratch_dir
+
+    bars = bars_from_lineitem(_t(spark, sf_dir, "lineitem")).withColumn(
+        "trade_month", F.date_format("trade_date", "yyyy-MM"))
+    base = bars.where(F.col("trade_month") < "1997-01")
+    good = bars.where(F.col("trade_month").between("1997-01", "1997-06"))
+    poisoned = good.withColumn("close", F.lit(None).cast("double"))
+    audits = {
+        "not_null_close": lambda df: df.where(F.col("close").isNull()),
+        "volume_non_negative": lambda df: df.where(F.col("volume") < 0),
+    }
+    wh = scratch_dir("runner_wap_")
+
+    def run_once(batch):
+        r = Runner(spark, wh)
+        r.register(Model(
+            "bars_wap", lambda s, built: batch,
+            materialization="incremental",
+            unique_key=["ticker", "trade_date", "trade_month"],
+            partition_by=["trade_month"], audits=audits))
+        return r.run()["bars_wap"]
+
+    run_once(base)
+    table = ManifestTable(f"{wh}/bars_wap", "trade_month")
+    v0, n0 = table.version(), table.read(spark).count()
+    try:
+        run_once(poisoned)
+    except AuditFailed as e:
+        if "not_null_close" not in e.failures:
+            raise RuntimeError(f"wrong audit verdict: {e.failures}")
+    else:
+        raise RuntimeError("poisoned backfill was published")
+    if (table.version(), table.read(spark).count()) != (v0, n0):
+        raise RuntimeError("failed audit mutated the live table")
+    if table.branches():
+        raise RuntimeError("failed audit left its branch behind")
+    run_once(good)
+    if table.version() != v0 + 1:
+        raise RuntimeError(
+            f"publish was not one fast-forward commit: "
+            f"v{v0} -> v{table.version()}")
+    return table.read(spark).drop("trade_month")
+
+
 MANIFEST_SERVE_SQL = f"""
 SELECT * FROM ({oracles.BARS_SQL}) b
 WHERE ticker BETWEEN 1 AND 40
@@ -2382,7 +2518,7 @@ _DRIVER_WINDOW_FIRST = [
     # half) --
     "manifest_delete_dv", "manifest_update_dv", "manifest_merge_dv",
     "docs_chunk_overlap", "stream_upsert_dv", "mm_decode_jpeg_color",
-    "manifest_wap_publish",
+    "manifest_wap_publish", "runner_wap_audit", "manifest_meta_tables",
     # -- group 1: the 25 entries last driver-green in r7 that sat out
     # the r8 and r9 windows — at the policy's age bound, the staleness
     # test (tests/test_registration_order.py) fails the build unless
@@ -2406,19 +2542,20 @@ _DRIVER_WINDOW_FIRST = [
     "manifest_bloom_pointlookup", "manifest_ivm_from_cdf",
     "mm_decode_jpeg", "manifest_delete_where",
     "manifest_count_pushdown",
-    # -- group 3: the r8-checked cohort (age 2 this round); 13 of 48
+    # -- group 3: the r8-checked cohort (age 2 this round); 11 of 48
     # fit — table-layer and streaming entries nearest this round's
     # manifest work first, then codecs and dedup.
     # (text_lang_id, text_boilerplate_segments, sessionize_events,
-    # tpch_q5_local_supplier, dedup_simhash and tpch_q3_topk_revenue
-    # yielded their slots to the late-round manifest_update_dv,
-    # manifest_merge_dv, docs_chunk_overlap, stream_upsert_dv,
-    # mm_decode_jpeg_color and manifest_wap_publish entries; they
-    # join the r11 cohort.)
-    # The 35 deferred to r11 (asof_prior_view, band_range_join,
+    # tpch_q5_local_supplier, dedup_simhash, tpch_q3_topk_revenue,
+    # tpch_q1_pricing_summary and dedup_ngram_jaccard yielded their
+    # slots to the late-round manifest_update_dv, manifest_merge_dv,
+    # docs_chunk_overlap, stream_upsert_dv, mm_decode_jpeg_color,
+    # manifest_wap_publish, runner_wap_audit and manifest_meta_tables
+    # entries; they join the r11 cohort.)
+    # The 37 deferred to r11 (asof_prior_view, band_range_join,
     # benchmark_contamination, bucketed_join_revenue, cube_order_stats,
     # cumulative_distinct_users, datasource_grouped_daily,
-    # dedup_embedding_cosine, dedup_simhash,
+    # dedup_embedding_cosine, dedup_ngram_jaccard, dedup_simhash,
     # dedup_survivors_by_quality,
     # docs_length_band_filter, docs_unigram_logprob,
     # events_hopping_counts, events_json_props, except_intersect_keys,
@@ -2429,7 +2566,8 @@ _DRIVER_WINDOW_FIRST = [
     # session_window_native, stratified_balance_lang,
     # sessionize_events, stream_interval_join, stream_session_windows,
     # text_boilerplate_segments, text_lang_id,
-    # tpch_q3_topk_revenue, tpch_q5_local_supplier), all
+    # tpch_q1_pricing_summary, tpch_q3_topk_revenue,
+    # tpch_q5_local_supplier), all
     # pytest-parity-covered, are at the age bound next round and MUST
     # front the r11 window --
     "manifest_change_feed", "manifest_restore",
@@ -2437,8 +2575,6 @@ _DRIVER_WINDOW_FIRST = [
     "stream_upsert_rollup", "stream_hourly_rollup",
     "stream_stateful_user_totals", "stream_dedup_events",
     "mm_decode_png", "mm_payload_features", "mm_payload_grid",
-    "dedup_ngram_jaccard",
-    "tpch_q1_pricing_summary",
 ]
 
 

@@ -1529,6 +1529,58 @@ class ManifestTable:
                         "streams": mf.get("streams", {})})
         return out
 
+    # ------------------------------------------ inspection tables
+
+    def meta_partitions(self, spark: SparkSession) -> DataFrame:
+        """PARTITIONS inspection table (Iceberg ``db.t.partitions`` /
+        Delta ``DESCRIBE DETAIL`` analog): one row per live partition
+        — files, live rows (deletion-vector-aware), dead-marked rows,
+        bytes, DV sidecar count — built from the COMMIT OBJECT alone:
+        O(#partitions) driver-side dict reads, no shard loads, no data
+        I/O.  On the 100 TB table this answers "how big / how skewed /
+        how delete-laden is each partition" for the cost of one small
+        JSON file."""
+        mf = self._raw()
+        rows = [(v, int(r["files"]),
+                 int(r["rows"] - r.get("dv_rows", 0)),
+                 int(r.get("dv_rows", 0)), int(r["bytes"]),
+                 len(r.get("dv", [])))
+                for v, r in sorted(mf["partitions"].items())]
+        return spark.createDataFrame(
+            rows, schema="partition string, files bigint, "
+                         "live_rows bigint, deleted_rows bigint, "
+                         "bytes bigint, dv_files int")
+
+    def meta_files(self, spark: SparkSession) -> DataFrame:
+        """FILES inspection table (Iceberg ``db.t.files`` analog): one
+        row per live data file — partition, relative path, physical
+        rows, bytes, and the per-column zone map as a JSON string.
+        Hydrates each partition's shard (O(metadata), proportional to
+        file count) but never touches a data page; row counts are the
+        file's PHYSICAL rows — deletion vectors are partition-level
+        sidecars, visible in :meth:`meta_partitions`."""
+        import json as _json
+
+        mf = self._raw()
+        rows = [(v, e["path"], int(e["rows"]), int(e["bytes"]),
+                 _json.dumps(e["stats"], sort_keys=True, default=str))
+                for v in sorted(mf["partitions"])
+                for e in self._entries(mf, v)]
+        return spark.createDataFrame(
+            rows, schema="partition string, path string, rows bigint, "
+                         "bytes bigint, stats_json string")
+
+    def meta_snapshots(self, spark: SparkSession) -> DataFrame:
+        """SNAPSHOTS inspection table (``DESCRIBE HISTORY``):
+        :meth:`history` as a DataFrame — version, manifest file,
+        partition/file/live-row counts, oldest first."""
+        rows = [(int(h["version"]), h["manifest"],
+                 int(h["partitions"]), int(h["files"]), int(h["rows"]))
+                for h in self.history()]
+        return spark.createDataFrame(
+            rows, schema="version bigint, manifest string, "
+                         "partitions bigint, files bigint, rows bigint")
+
     def stat_bounds(self, col: str,
                     manifest_name: str | None = None) -> tuple | None:
         """Table-wide [min, max] of ``col`` folded from the per-file

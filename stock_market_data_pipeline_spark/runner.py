@@ -52,6 +52,20 @@ LAYER_SCHEMAS = {
 }
 
 
+class AuditFailed(RuntimeError):
+    """A model's audit returned violations: the build was NOT
+    published.  Carries {audit_name: violation_count} for every
+    failing audit (all audits run before the verdict, so one run
+    reports every broken invariant, not just the first)."""
+
+    def __init__(self, model: str, failures: dict[str, int]):
+        self.model, self.failures = model, failures
+        super().__init__(
+            f"model {model!r} failed audit(s) "
+            + ", ".join(f"{k} ({v} violations)"
+                        for k, v in sorted(failures.items())))
+
+
 @dataclass
 class Model:
     name: str
@@ -59,6 +73,19 @@ class Model:
     materialization: str = "view"          # view | table | incremental
     depends_on: list[str] = field(default_factory=list)
     unique_key: list[str] | None = None    # incremental only
+    #: WRITE-AUDIT-PUBLISH (the `dbt test` stage, but BLOCKING — the
+    #: reference's Airflow DAG runs `dbt run` then `dbt test`
+    #: (daily_stock_pipeline_dag.py:30-55), so a failed test leaves
+    #: the bad build already live; here a failed audit publishes
+    #: NOTHING).  Each audit is a checks.py-shaped predicate:
+    #: df -> violations DataFrame, empty == pass.  Path-based
+    #: table/incremental models audit on an isolated manifest BRANCH
+    #: (the full post-write state, invisible to readers) and publish
+    #: by atomic fast-forward; view/catalog sinks audit the candidate
+    #: frame before any write (no branch layer there — the audit
+    #: still gates every publish, it just can't see sidecar state).
+    audits: dict[str, Callable[[DataFrame], DataFrame]] = field(
+        default_factory=dict)
     #: layout for table/incremental sinks — date partitioning gives the
     #: dashboards' key+range predicates (P9) partition pruning, the
     #: Spark analog of cluster_by=['ticker'] + date micro-partitions
@@ -101,6 +128,17 @@ class Runner:
     def _table_path(self, name: str) -> str:
         return os.path.join(self.warehouse, name)
 
+    def _audit(self, model: Model, df: DataFrame) -> None:
+        """Run every audit against ``df`` (the would-be-published
+        state); raise :class:`AuditFailed` naming ALL failing audits.
+        One Spark action per audit — each violations frame is a
+        filter over the already-built state, so the audit stage costs
+        reads, never a rebuild."""
+        failures = {name: n for name, fn in model.audits.items()
+                    if (n := fn(df).count())}
+        if failures:
+            raise AuditFailed(model.name, failures)
+
     # ------------------------------------------ catalog-table sinks
 
     def _materialize_catalog(self, model: Model,
@@ -124,6 +162,10 @@ class Runner:
 
         exists = spark.catalog.tableExists(qualified)
         if model.materialization == "table" or not exists:
+            # audit the candidate BEFORE the write: catalog sinks have
+            # no branch layer, but a failed audit still publishes
+            # nothing (vs dbt, where the bad table is already live)
+            self._audit(model, df)
             create(df)
         else:  # incremental into an existing table
             from .incremental import merge_upsert
@@ -144,6 +186,9 @@ class Runner:
                 # partition-pruned read of only the touched slice
                 current = spark.table(qualified).where(pred)
                 merged = merge_upsert(current, df, keys)
+                # audit the merged slice pre-insert (untouched
+                # partitions passed their own audit when published)
+                self._audit(model, merged)
                 # cut lineage: the insert overwrites partitions the
                 # merge plan reads
                 merged = merged.localCheckpoint(eager=True)
@@ -163,6 +208,7 @@ class Runner:
                     spark.conf.set(key, prior)
             else:
                 merged = merge_upsert(spark.table(qualified), df, keys)
+                self._audit(model, merged)
                 merged = merged.localCheckpoint(eager=True)
                 create(merged)
         out = spark.table(qualified)
@@ -177,6 +223,7 @@ class Runner:
         if model.materialization not in ("view", "table", "incremental"):
             raise ValueError(model.materialization)
         if model.materialization == "view":
+            self._audit(model, df)   # fail -> view never registered
             df.createOrReplaceTempView(model.name)
             return df
         if model.schema:
@@ -212,16 +259,53 @@ class Runner:
             ts = None
         exists = os.path.isdir(os.path.join(path, "_manifests"))
         if not exists:
+            # first build: nothing is live yet, so there is nothing to
+            # isolate — audit the candidate, then create (fail ->
+            # no table at all)
+            self._audit(model, df)
             table = ManifestTable.create(df, path, ts=ts)
         else:
             table = ManifestTable(path, ts)
-            if model.materialization == "table":
+            if model.audits:
+                self._materialize_wap(model, table, df)
+            elif model.materialization == "table":
                 table.overwrite(df)               # atomic full refresh
             else:
                 table.merge(self.spark, df, model.unique_key or ["id"])
         out = table.read(self.spark)
         out.createOrReplaceTempView(model.name)
         return out
+
+    def _materialize_wap(self, model: Model, table, df: DataFrame) -> None:
+        """WRITE-AUDIT-PUBLISH for an existing path-based model: the
+        refresh/merge lands on an invisible ``wap`` manifest branch,
+        audits read the branch's FULL post-write state (DV sidecars,
+        schema evolution and all — what a reader would actually see
+        after publish), and only a clean verdict fast-forwards main.
+        A failed audit drops the branch: main's snapshot, version and
+        change feed are untouched, and the branch's staged files age
+        out through vacuum like any crashed writer's.  A ``wap``
+        branch left by a run that died mid-audit is dropped and
+        re-cut — its half-audited state is stale by definition.
+
+        Cost at 100 TB: the branch cut and the publish are one small
+        JSON file each; the write itself costs exactly what the
+        unaudited write costs.  The audit stage re-reads only what
+        the audits scan."""
+        if "wap" in table.branches():
+            table.drop_branch("wap")
+        branch = table.create_branch("wap")
+        try:
+            if model.materialization == "table":
+                branch.overwrite(df)
+            else:
+                branch.merge(self.spark, df, model.unique_key or ["id"])
+            self._audit(model, branch.read(self.spark))
+        except BaseException:
+            table.drop_branch("wap")
+            raise
+        table.publish_branch("wap")
+        table.drop_branch("wap")
 
     def run(self) -> dict[str, DataFrame]:
         """Build every model in dependency order; returns name -> df."""
