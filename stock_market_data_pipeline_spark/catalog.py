@@ -1042,6 +1042,77 @@ def manifest_meta_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
                "deleted_rows bigint, live_rows bigint")
 
 
+DATASOURCE_MANIFEST_SQL = f"""
+SELECT * FROM ({oracles.BARS_SQL}) b
+WHERE NOT (ticker % 7 = 3)
+  AND trade_date BETWEEN DATE '1997-03-01' AND DATE '1997-08-31'
+  AND ticker IN (5, 20, 40)
+""".strip()
+
+
+@q("datasource_manifest_scan", DATASOURCE_MANIFEST_SQL)
+def datasource_manifest_scan(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """ManifestTable as a FIRST-CLASS Spark source
+    (`spark.read.format("manifest")`, manifest_datasource.py — Spark 4
+    Python DataSource with Catalyst filter pushdown): a plain
+    `df.where(...)` on the loaded frame hands its conjuncts to the
+    source, which replays them through `scan_plan` — partition-value
+    pruning on the month, zone maps, and per-file BLOOM membership
+    probes for the ticker IN-list — and plans ONE task per surviving
+    file, with that partition's deletion vectors applied executor-side
+    as a positional mask.  The entry RAISES unless the task count
+    equals scan_plan's file list (pruning actually reached Spark's
+    scheduler), months outside the range were partition-pruned, and
+    the bloom index skipped files the zone maps could not.  The
+    oracle applies the same predicates AND the DV'd residue-class
+    delete in SQL: hash equality proves pushdown pruned a superset
+    and Spark's residual filter did the exact cut — on a 100 TB
+    table this is the difference between touching 3 tickers' files
+    and scanning every file of six months."""
+    from .manifest import ManifestTable
+    from .manifest_datasource import ManifestDataSource
+    from .scratch import scratch_dir
+
+    bars = bars_from_lineitem(_t(spark, sf_dir, "lineitem")).withColumn(
+        "trade_month", F.date_format("trade_date", "yyyy-MM"))
+    table = ManifestTable.create(
+        bars, scratch_dir("manifest_ds_"), ts="trade_month",
+        bloom={"cols": ["ticker"], "m": 1 << 14, "k": 5})
+    table.delete_where(spark, F.expr("pmod(ticker, 7) = 3"), mode="dv")
+
+    lo, hi, keys = "1997-03-01", "1997-08-31", [5, 20, 40]
+    plan = table.scan_plan({"trade_month": ("1997-03", "1997-08"),
+                            "trade_date": (lo, hi), "ticker": keys})
+    total = sum(r["files"] for r in table._raw()["partitions"].values())
+    if not (plan["partitions_pruned"] > 0 and plan["bloom_skipped"] > 0
+            and 0 < len(plan["files"]) < total):
+        raise RuntimeError(f"scan not pruned: {plan} of {total} files")
+
+    spark.dataSource.register(ManifestDataSource)
+    key_, prior = ("spark.sql.python.filterPushdown.enabled",
+                   spark.conf.get("spark.sql.python.filterPushdown."
+                                  "enabled", "false"))
+    spark.conf.set(key_, "true")
+    try:
+        out = (spark.read.format("manifest").load(table.root)
+               .where(F.col("trade_date").between(lo, hi)
+                      & F.col("ticker").isin(keys)
+                      & F.col("trade_month").between("1997-03",
+                                                     "1997-08")))
+        ntasks = out.rdd.getNumPartitions()
+        if ntasks != len(plan["files"]):
+            raise RuntimeError(
+                f"pushdown did not reach the scheduler: {ntasks} "
+                f"tasks vs {len(plan['files'])} planned files")
+        # materialize inside the conf scope: the lazy frame would
+        # otherwise re-plan after `prior` is restored
+        out = out.drop("trade_month").localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(key_, prior)
+    return out
+
+
 RUNNER_WAP_SQL = f"""
 SELECT * FROM ({oracles.BARS_SQL}) b
 WHERE trade_date < DATE '1997-07-01'
@@ -2519,6 +2590,7 @@ _DRIVER_WINDOW_FIRST = [
     "manifest_delete_dv", "manifest_update_dv", "manifest_merge_dv",
     "docs_chunk_overlap", "stream_upsert_dv", "mm_decode_jpeg_color",
     "manifest_wap_publish", "runner_wap_audit", "manifest_meta_tables",
+    "datasource_manifest_scan",
     # -- group 1: the 25 entries last driver-green in r7 that sat out
     # the r8 and r9 windows — at the policy's age bound, the staleness
     # test (tests/test_registration_order.py) fails the build unless
@@ -2542,17 +2614,18 @@ _DRIVER_WINDOW_FIRST = [
     "manifest_bloom_pointlookup", "manifest_ivm_from_cdf",
     "mm_decode_jpeg", "manifest_delete_where",
     "manifest_count_pushdown",
-    # -- group 3: the r8-checked cohort (age 2 this round); 11 of 48
+    # -- group 3: the r8-checked cohort (age 2 this round); 10 of 48
     # fit — table-layer and streaming entries nearest this round's
     # manifest work first, then codecs and dedup.
     # (text_lang_id, text_boilerplate_segments, sessionize_events,
     # tpch_q5_local_supplier, dedup_simhash, tpch_q3_topk_revenue,
-    # tpch_q1_pricing_summary and dedup_ngram_jaccard yielded their
-    # slots to the late-round manifest_update_dv, manifest_merge_dv,
-    # docs_chunk_overlap, stream_upsert_dv, mm_decode_jpeg_color,
-    # manifest_wap_publish, runner_wap_audit and manifest_meta_tables
-    # entries; they join the r11 cohort.)
-    # The 37 deferred to r11 (asof_prior_view, band_range_join,
+    # tpch_q1_pricing_summary, dedup_ngram_jaccard and
+    # mm_payload_grid yielded their slots to the late-round
+    # manifest_update_dv, manifest_merge_dv, docs_chunk_overlap,
+    # stream_upsert_dv, mm_decode_jpeg_color, manifest_wap_publish,
+    # runner_wap_audit, manifest_meta_tables and
+    # datasource_manifest_scan entries; they join the r11 cohort.)
+    # The 38 deferred to r11 (asof_prior_view, band_range_join,
     # benchmark_contamination, bucketed_join_revenue, cube_order_stats,
     # cumulative_distinct_users, datasource_grouped_daily,
     # dedup_embedding_cosine, dedup_ngram_jaccard, dedup_simhash,
@@ -2560,6 +2633,7 @@ _DRIVER_WINDOW_FIRST = [
     # docs_length_band_filter, docs_unigram_logprob,
     # events_hopping_counts, events_json_props, except_intersect_keys,
     # fct_trading_momentum_small, histogram_prices,
+    # mm_payload_grid,
     # pairwise_correlation, pivot_priority_year, quantiles_by_brand,
     # sample_hash_split, scalar_max_filter, screener_filter,
     # self_lag_join, serving_manifest_ticker_range, session_funnel,
@@ -2574,7 +2648,7 @@ _DRIVER_WINDOW_FIRST = [
     "manifest_schema_evolution", "fct_momentum_incremental",
     "stream_upsert_rollup", "stream_hourly_rollup",
     "stream_stateful_user_totals", "stream_dedup_events",
-    "mm_decode_png", "mm_payload_features", "mm_payload_grid",
+    "mm_decode_png", "mm_payload_features",
 ]
 
 

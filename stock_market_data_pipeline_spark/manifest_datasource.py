@@ -1,0 +1,223 @@
+"""ManifestTable as a first-class Spark DataSource (Spark 4 Python
+DataSource API, `pyspark.sql.datasource`) — `spark.read.format(
+"manifest").load(root)` with Catalyst-pushed filters driving the
+table layer's OWN pruning.
+
+Why this exists: every other consumer reaches the table through
+``ManifestTable.read(where=...)``, an explicit API.  This module
+closes the loop with Spark's planner — a plain ``df.where(...)`` on
+the loaded frame hands its conjuncts to :meth:`pushFilters` (the
+DSv2 pushdown seam), which translates them into the same ``where``
+dict ``scan_plan`` already serves: partition-value pruning, commit-
+object zone maps, per-file footer stats, and Bloom membership probes
+for equality/IN on indexed columns.  One InputPartition per
+SURVIVING file, so the Spark task count IS the post-pruning file
+count — pruning is observable from the driver as
+``df.rdd.getNumPartitions()``.
+
+Correctness stance: every filter is RETURNED as residual (the API's
+"still needs evaluating" contract) — the source prunes with the
+predicate but never claims exact evaluation, exactly how an engine
+treats zone-map skipping (kept set is a superset; the residual
+predicate runs on top).  Strict bounds (``>``) prune with their
+non-strict range, conservative by construction.
+
+Deletion vectors apply EXECUTOR-SIDE: each partition ships its ref's
+DV sidecar paths; the reader drops dead row positions from its own
+file before emitting Arrow batches, so a merge-on-read DELETE is
+invisible to SQL consumers of the format — same semantics as
+``_read_files``'s anti-join, without a join in the plan (the mask is
+a per-file bitmap, O(file rows)).
+
+Scale notes (100 TB): planning is ``scan_plan`` — commit-object-only
+until a partition survives pruning (shards open on demand); the
+file list never materializes data driver-side.  Reads are
+Arrow-batched columnar, one task per file, tasks independent —
+1000-executor-parallel by construction.  What this Python source
+does NOT give (and the DataFrame API path does): whole-stage
+codegen fusion over the scan and vectorized parquet row groups —
+the honest cost of the Python DSv2 seam, paid only by consumers who
+want the ``format("manifest")`` ergonomics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+
+class ManifestFilePartition(InputPartition):
+    """One surviving data file: absolute path, its manifest-relative
+    address (the DV row-address namespace), and the owning ref's DV
+    sidecar absolute paths (empty when the partition carries none)."""
+
+    def __init__(self, path: str, rel: str, dv_paths: list[str]):
+        self.path, self.rel, self.dv_paths = path, rel, dv_paths
+
+
+class ManifestReader(DataSourceReader):
+    def __init__(self, root: str, columns: list[str]):
+        self.root = root
+        self.columns = columns
+        self.where: dict = {}
+
+    # -- pushdown ---------------------------------------------------
+
+    def pushFilters(self, filters: list[Filter]):
+        """Fold Catalyst's conjuncts into scan_plan's ``where`` dict:
+        EqualTo/In -> value lists (zone maps + Bloom probes),
+        comparisons -> the tightest (lo, hi) range per column.  Every
+        filter is yielded back as residual — pruning keeps a superset,
+        Spark evaluates the exact predicate on the rows."""
+        ranges: dict[str, list] = {}
+        for f in filters:
+            yield f                    # all filters stay residual
+            attr = getattr(f, "attribute", None)
+            if not attr or len(attr) != 1:
+                continue               # nested / non-column: prune-less
+            col, v = attr[0], getattr(f, "value", None)
+            if isinstance(f, EqualTo):
+                self.where.setdefault(col, [])
+                if isinstance(self.where[col], list):
+                    self.where[col].append(v)
+            elif isinstance(f, In):
+                self.where.setdefault(col, [])
+                if isinstance(self.where[col], list):
+                    self.where[col].extend(v)
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                ranges.setdefault(col, [None, None])
+                lo = ranges[col][0]
+                ranges[col][0] = v if lo is None else max(lo, v)
+            elif isinstance(f, (LessThan, LessThanOrEqual)):
+                ranges.setdefault(col, [None, None])
+                hi = ranges[col][1]
+                ranges[col][1] = v if hi is None else min(hi, v)
+        for col, (lo, hi) in ranges.items():
+            # an IN/= spec on the same column is strictly tighter —
+            # keep it; otherwise adopt the folded range
+            if col not in self.where:
+                self.where[col] = (lo, hi)
+
+    # -- planning ---------------------------------------------------
+
+    def partitions(self) -> list[ManifestFilePartition]:
+        from .manifest import ManifestTable
+
+        # ctor ts is irrelevant to reads: scan_plan prunes on the
+        # REAL partition column recorded in the manifest
+        table = ManifestTable(self.root, None)
+        mf = table._raw()
+        plan = table.scan_plan(self._normalized_where())
+        out = []
+        by_value = {v: mf["partitions"][v] for v in plan["partitions"]}
+        rel_to_dv = {}
+        for v, ref in by_value.items():
+            dvs = [os.path.join(self.root, e["path"])
+                   for e in ref.get("dv", [])]
+            for e in table._entries(mf, v):
+                rel_to_dv[e["path"]] = dvs
+        for abspath in plan["files"]:
+            rel = os.path.relpath(abspath, self.root)
+            out.append(ManifestFilePartition(
+                abspath, rel, rel_to_dv.get(rel, [])))
+        return out
+
+    def _normalized_where(self) -> dict:
+        """scan_plan wants (lo, hi) tuples for ranges, lists for
+        IN-lists; date/datetime filter values arrive as Python objects
+        — canonicalize to ISO strings, the manifest stats' form."""
+        import datetime
+
+        def canon(v):
+            if isinstance(v, (datetime.date, datetime.datetime)):
+                return v.isoformat()
+            return v
+
+        out = {}
+        for c, s in self.where.items():
+            if isinstance(s, list):
+                out[c] = [canon(v) for v in s]
+            else:
+                out[c] = (canon(s[0]), canon(s[1]))
+        return out
+
+    # -- execution --------------------------------------------------
+
+    def read(self, partition: ManifestFilePartition):
+        """Executor-side: one parquet file -> Arrow batches, with the
+        partition's deletion vectors applied as a positional mask
+        (rows addressed (rel, row_index) within THIS file drop before
+        anything is emitted)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if partition is None:       # fully-pruned scan: zero files
+            return
+        t = pq.read_table(partition.path, columns=self.columns)
+        if partition.dv_paths:
+            dead: set[int] = set()
+            for p in partition.dv_paths:
+                dv = pq.read_table(p, columns=["rel", "row_index"])
+                rels = dv.column("rel").to_pylist()
+                idxs = dv.column("row_index").to_pylist()
+                dead.update(i for r, i in zip(rels, idxs)
+                            if r == partition.rel)
+            if dead:
+                mask = np.ones(t.num_rows, dtype=bool)
+                hit = np.fromiter((i for i in dead if i < t.num_rows),
+                                  dtype=np.int64)
+                if hit.size:
+                    mask[hit] = False
+                t = t.filter(pa.array(mask))
+        yield from t.to_batches()
+
+
+class ManifestDataSource(DataSource):
+    """``spark.read.format("manifest").load(<table root>)`` (register
+    with ``spark.dataSource.register(ManifestDataSource)``).  The
+    schema is the manifest's pinned (name, type) signature — the same
+    contract every other read path enforces."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "manifest"
+
+    def _root(self) -> str:
+        root = self.options.get("path")
+        if not root:
+            raise ValueError(
+                "manifest source needs a table root: .load(path)")
+        return root
+
+    def _pinned_schema(self) -> list[list[str]]:
+        mdir = os.path.join(self._root(), "_manifests")
+        names = [m for m in os.listdir(mdir)
+                 if m.startswith("manifest-") and m.endswith(".json")
+                 and m[len("manifest-"):-len(".json")].isdigit()]
+        with open(os.path.join(mdir, max(names))) as f:
+            schema = json.load(f).get("schema")
+        if not schema:
+            raise ValueError(
+                f"{self._root()}: manifest carries no pinned schema")
+        return schema
+
+    def schema(self) -> str:
+        return ", ".join(f"`{n}` {t}" for n, t in self._pinned_schema())
+
+    def reader(self, schema) -> ManifestReader:
+        return ManifestReader(self._root(),
+                              [n for n, _ in self._pinned_schema()])
