@@ -1074,11 +1074,21 @@ def datasource_manifest_scan(spark: SparkSession,
     from .manifest_datasource import ManifestDataSource
     from .scratch import scratch_dir
 
-    bars = bars_from_lineitem(_t(spark, sf_dir, "lineitem")).withColumn(
+    lineitem = _t(spark, sf_dir, "lineitem")
+    bars = bars_from_lineitem(lineitem).withColumn(
         "trade_month", F.date_format("trade_date", "yyyy-MM"))
+    # Bloom sized to the PER-FILE key cardinality (~bars per month ≈
+    # lineitem rows / 84 months, 16 bits per element): a fixed m
+    # saturates as sf grows (at sf0.1, ~7k distinct tickers in a
+    # 2^14-bit filter sets ~88% of bits — no probe can exclude), and
+    # an oversized m bloats every shard.  The count is a parquet
+    # metadata read, not a scan.
+    m = 1 << 14
+    while m < 16 * lineitem.count() // 84 and m < (1 << 22):
+        m <<= 1
     table = ManifestTable.create(
         bars, scratch_dir("manifest_ds_"), ts="trade_month",
-        bloom={"cols": ["ticker"], "m": 1 << 14, "k": 5})
+        bloom={"cols": ["ticker"], "m": m, "k": 5})
     table.delete_where(spark, F.expr("pmod(ticker, 7) = 3"), mode="dv")
 
     lo, hi, keys = "1997-03-01", "1997-08-31", [5, 20, 40]
@@ -1111,6 +1121,69 @@ def datasource_manifest_scan(spark: SparkSession,
     finally:
         spark.conf.set(key_, prior)
     return out
+
+
+STREAM_MANIFEST_SOURCE_SQL = oracles.BARS_SQL
+
+
+@q("stream_manifest_source", STREAM_MANIFEST_SOURCE_SQL)
+def stream_manifest_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manifest table as a STRUCTURED STREAMING SOURCE
+    (`spark.readStream.format("manifest")`, manifest_datasource.py —
+    the Delta streaming-source analog; §2.9's ordered-replay shape
+    promoted to a first-class source): offsets are table VERSIONS in
+    Spark's own checkpoint, each micro-batch plans only the files
+    ADDED in (start, end] via the sharded manifest diff — O(changed
+    partitions) planning and O(change volume) reads at any table
+    size, which is what lets a downstream pipeline tail a 100 TB
+    table without rescanning it.  Three availableNow runs against ONE
+    checkpoint: the first replays the pre-1997 base, the second picks
+    up exactly the two backfill commits' rows (the entry RAISES if
+    the delta isn't precisely the appended rows — a rescan would
+    double-count the base), the third emits ZERO (restart
+    idempotency).  The oracle is the full bar build: hash equality
+    proves replay + two incremental batches reassemble the table
+    exactly."""
+    from .manifest import ManifestTable
+    from .manifest_datasource import ManifestDataSource
+    from .scratch import scratch_dir
+
+    bars = bars_from_lineitem(_t(spark, sf_dir, "lineitem")).withColumn(
+        "trade_month", F.date_format("trade_date", "yyyy-MM"))
+    base = bars.where(F.col("trade_month") < "1997-01")
+    slice2 = bars.where(F.col("trade_month").between("1997-01",
+                                                     "1997-06"))
+    slice3 = bars.where(F.col("trade_month") > "1997-06")
+    table = ManifestTable.create(
+        base, scratch_dir("stream_src_"), ts="trade_month")
+    ckpt, sink = scratch_dir("stream_src_ck_"), scratch_dir(
+        "stream_src_out_")
+
+    spark.dataSource.register(ManifestDataSource)
+
+    def run_once() -> int:
+        q_ = (spark.readStream.format("manifest").load(table.root)
+              .writeStream.format("parquet").option("path", sink)
+              .option("checkpointLocation", ckpt)
+              .trigger(availableNow=True).start())
+        q_.awaitTermination(300)
+        if q_.exception():
+            raise RuntimeError(str(q_.exception()))
+        return spark.read.parquet(sink).count()
+
+    n_base = run_once()
+    if n_base != base.count():
+        raise RuntimeError(f"replay read {n_base} rows")
+    table.append(slice2)
+    table.append(slice3)
+    n_after = run_once()
+    if n_after - n_base != slice2.count() + slice3.count():
+        raise RuntimeError(
+            f"incremental batch was not exactly the appended rows: "
+            f"{n_after - n_base}")
+    if run_once() != n_after:
+        raise RuntimeError("an empty trigger re-emitted rows")
+    return spark.read.parquet(sink).drop("trade_month")
 
 
 RUNNER_WAP_SQL = f"""
@@ -2590,7 +2663,7 @@ _DRIVER_WINDOW_FIRST = [
     "manifest_delete_dv", "manifest_update_dv", "manifest_merge_dv",
     "docs_chunk_overlap", "stream_upsert_dv", "mm_decode_jpeg_color",
     "manifest_wap_publish", "runner_wap_audit", "manifest_meta_tables",
-    "datasource_manifest_scan",
+    "datasource_manifest_scan", "stream_manifest_source",
     # -- group 1: the 25 entries last driver-green in r7 that sat out
     # the r8 and r9 windows — at the policy's age bound, the staleness
     # test (tests/test_registration_order.py) fails the build unless
@@ -2614,18 +2687,19 @@ _DRIVER_WINDOW_FIRST = [
     "manifest_bloom_pointlookup", "manifest_ivm_from_cdf",
     "mm_decode_jpeg", "manifest_delete_where",
     "manifest_count_pushdown",
-    # -- group 3: the r8-checked cohort (age 2 this round); 10 of 48
+    # -- group 3: the r8-checked cohort (age 2 this round); 9 of 48
     # fit — table-layer and streaming entries nearest this round's
     # manifest work first, then codecs and dedup.
     # (text_lang_id, text_boilerplate_segments, sessionize_events,
     # tpch_q5_local_supplier, dedup_simhash, tpch_q3_topk_revenue,
-    # tpch_q1_pricing_summary, dedup_ngram_jaccard and
-    # mm_payload_grid yielded their slots to the late-round
+    # tpch_q1_pricing_summary, dedup_ngram_jaccard, mm_payload_grid
+    # and mm_payload_features yielded their slots to the late-round
     # manifest_update_dv, manifest_merge_dv, docs_chunk_overlap,
     # stream_upsert_dv, mm_decode_jpeg_color, manifest_wap_publish,
-    # runner_wap_audit, manifest_meta_tables and
-    # datasource_manifest_scan entries; they join the r11 cohort.)
-    # The 38 deferred to r11 (asof_prior_view, band_range_join,
+    # runner_wap_audit, manifest_meta_tables,
+    # datasource_manifest_scan and stream_manifest_source entries;
+    # they join the r11 cohort.)
+    # The 39 deferred to r11 (asof_prior_view, band_range_join,
     # benchmark_contamination, bucketed_join_revenue, cube_order_stats,
     # cumulative_distinct_users, datasource_grouped_daily,
     # dedup_embedding_cosine, dedup_ngram_jaccard, dedup_simhash,
@@ -2633,7 +2707,7 @@ _DRIVER_WINDOW_FIRST = [
     # docs_length_band_filter, docs_unigram_logprob,
     # events_hopping_counts, events_json_props, except_intersect_keys,
     # fct_trading_momentum_small, histogram_prices,
-    # mm_payload_grid,
+    # mm_payload_features, mm_payload_grid,
     # pairwise_correlation, pivot_priority_year, quantiles_by_brand,
     # sample_hash_split, scalar_max_filter, screener_filter,
     # self_lag_join, serving_manifest_ticker_range, session_funnel,
@@ -2648,7 +2722,7 @@ _DRIVER_WINDOW_FIRST = [
     "manifest_schema_evolution", "fct_momentum_incremental",
     "stream_upsert_rollup", "stream_hourly_rollup",
     "stream_stateful_user_totals", "stream_dedup_events",
-    "mm_decode_png", "mm_payload_features",
+    "mm_decode_png",
 ]
 
 

@@ -48,6 +48,7 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -161,29 +162,128 @@ class ManifestReader(DataSourceReader):
         partition's deletion vectors applied as a positional mask
         (rows addressed (rel, row_index) within THIS file drop before
         anything is emitted)."""
-        import numpy as np
-        import pyarrow as pa
-        import pyarrow.parquet as pq
+        yield from _read_file_partition(partition, self.columns)
 
-        if partition is None:       # fully-pruned scan: zero files
-            return
-        t = pq.read_table(partition.path, columns=self.columns)
-        if partition.dv_paths:
-            dead: set[int] = set()
-            for p in partition.dv_paths:
-                dv = pq.read_table(p, columns=["rel", "row_index"])
-                rels = dv.column("rel").to_pylist()
-                idxs = dv.column("row_index").to_pylist()
-                dead.update(i for r, i in zip(rels, idxs)
-                            if r == partition.rel)
-            if dead:
-                mask = np.ones(t.num_rows, dtype=bool)
-                hit = np.fromiter((i for i in dead if i < t.num_rows),
-                                  dtype=np.int64)
-                if hit.size:
-                    mask[hit] = False
-                t = t.filter(pa.array(mask))
-        yield from t.to_batches()
+
+def _read_file_partition(partition: ManifestFilePartition,
+                         columns: list[str]):
+    """Executor-side file read shared by the batch and streaming
+    readers: one parquet file -> Arrow batches, the partition's
+    deletion vectors applied as a positional mask first."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if partition is None or partition.path is None:
+        return
+    t = pq.read_table(partition.path, columns=columns)
+    if partition.dv_paths:
+        dead: set[int] = set()
+        for p in partition.dv_paths:
+            dv = pq.read_table(p, columns=["rel", "row_index"])
+            rels = dv.column("rel").to_pylist()
+            idxs = dv.column("row_index").to_pylist()
+            dead.update(i for r, i in zip(rels, idxs)
+                        if r == partition.rel)
+        if dead:
+            mask = np.ones(t.num_rows, dtype=bool)
+            hit = np.fromiter((i for i in dead if i < t.num_rows),
+                              dtype=np.int64)
+            if hit.size:
+                mask[hit] = False
+            t = t.filter(pa.array(mask))
+    yield from t.to_batches()
+
+
+class ManifestStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("manifest")`` — the manifest table
+    as a Structured Streaming SOURCE (the Delta streaming-source
+    analog): offsets are table VERSIONS, persisted in Spark's own
+    checkpoint, so a restarted query resumes exactly after the last
+    committed version — exactly-once across restarts for free.  Each
+    micro-batch plans the files ADDED in (start, end] through
+    ``added_files``'s sharded diff (O(changed partitions), not
+    O(table)), one task per file.
+
+    APPEND-ONLY by contract, loudly: a version in range that removed
+    or rewrote live files, or attached deletion vectors, RAISES —
+    file-granular replay of a rewrite would re-emit old rows as new.
+    ``ignoreChanges=true`` opts into Delta's documented relaxation
+    (added files only; rewritten partitions may re-emit their
+    surviving rows).  ``startingVersion`` pins where the stream
+    begins: a version number, or ``latest`` for new-commits-only;
+    default 0 replays the whole table first (Delta's default)."""
+
+    def __init__(self, root: str, columns: list[str], options):
+        self.root, self.columns = root, columns
+        sv = options.get("startingVersion", "0")
+        self.start_latest = str(sv).lower() == "latest"
+        self.start_version = None if self.start_latest else int(sv)
+        self.ignore_changes = (
+            str(options.get("ignoreChanges", "false")).lower()
+            == "true")
+
+    def _table(self):
+        from .manifest import ManifestTable
+
+        return ManifestTable(self.root, None)
+
+    def initialOffset(self) -> dict:
+        if self.start_latest:
+            return {"version": self._table().version()}
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        return {"version": self._table().version()}
+
+    def partitions(self, start: dict, end: dict):
+        table = self._table()
+        s, e = start["version"], end["version"]
+        if e <= s:
+            return [ManifestFilePartition(None, "", [])]
+        new = table._raw(table._mname(e))
+        old = ({"partitions": {}} if s == 0
+               else table._raw(table._mname(s)))
+        if not self.ignore_changes:
+            self._require_append_only(table, old, new, s, e)
+        files = (table.added_files(s, manifest_name=table._mname(e))
+                 if s > 0 else
+                 [os.path.join(self.root, x["path"])
+                  for v in new["partitions"]
+                  for x in table._entries(new, v)])
+        out = [ManifestFilePartition(
+            p, os.path.relpath(p, self.root), []) for p in files]
+        return out or [ManifestFilePartition(None, "", [])]
+
+    def _require_append_only(self, table, old, new, s, e) -> None:
+        for v, old_ref in old["partitions"].items():
+            new_ref = new["partitions"].get(v)
+            bad = None
+            if new_ref is None:
+                bad = "was removed"
+            else:
+                if ([d["path"] for d in old_ref.get("dv", [])]
+                        != [d["path"] for d in new_ref.get("dv", [])]):
+                    bad = "gained/changed deletion vectors"
+                elif old_ref["shard"] != new_ref["shard"]:
+                    kept = {x["path"] for x in table._entries(new, v)}
+                    if not all(x["path"] in kept
+                               for x in table._entries(old, v)):
+                        bad = "rewrote or dropped live files"
+            if bad:
+                raise RuntimeError(
+                    f"{self.root}: partition {v!r} {bad} between "
+                    f"versions {s} and {e}; a file-granular stream "
+                    "would re-emit or lose rows. Pass "
+                    "ignoreChanges=true to stream added files only "
+                    "(Delta's documented relaxation), or feed "
+                    "downstream from changes()/read_incremental.")
+
+    def read(self, partition: ManifestFilePartition):
+        yield from _read_file_partition(partition, self.columns)
+
+    def commit(self, end: dict) -> None:
+        pass                           # offsets live in the checkpoint
 
 
 class ManifestDataSource(DataSource):
@@ -221,3 +321,8 @@ class ManifestDataSource(DataSource):
     def reader(self, schema) -> ManifestReader:
         return ManifestReader(self._root(),
                               [n for n, _ in self._pinned_schema()])
+
+    def streamReader(self, schema) -> ManifestStreamReader:
+        return ManifestStreamReader(
+            self._root(), [n for n, _ in self._pinned_schema()],
+            self.options)

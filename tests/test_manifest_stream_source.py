@@ -1,0 +1,96 @@
+"""`spark.readStream.format("manifest")`: the manifest table as a
+Structured Streaming source — version offsets in Spark's checkpoint
+(exactly-once across restarts), file-granular incremental batches,
+loud refusal of non-append history unless ignoreChanges opts in."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from stock_market_data_pipeline_spark.manifest import ManifestTable
+from stock_market_data_pipeline_spark.manifest_datasource import (
+    ManifestDataSource,
+)
+
+
+def _frame(spark, lo, hi):
+    return (spark.range(lo, hi)
+            .select(F.col("id"),
+                    (F.col("id") % 4).cast("string").alias("pt")))
+
+
+def _run(spark, root, ckpt, out, **options):
+    spark.dataSource.register(ManifestDataSource)
+    s = spark.readStream.format("manifest").options(**options).load(root)
+    q = (s.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    if q.exception():
+        raise RuntimeError(str(q.exception()))
+    return spark.read.parquet(out)
+
+
+def test_stream_replays_then_tails_exactly_once(spark):
+    root, ckpt, out = (tempfile.mkdtemp(prefix=p)
+                       for p in ("ms_t_", "ms_c_", "ms_o_"))
+    t = ManifestTable.create(_frame(spark, 0, 100), root, ts="pt")
+    assert _run(spark, root, ckpt, out).count() == 100
+    t.append(_frame(spark, 100, 150))
+    t.append(_frame(spark, 150, 160))
+    got = _run(spark, root, ckpt, out)
+    assert sorted(r["id"] for r in got.collect()) == list(range(160))
+    # no new commits -> the restarted query emits nothing again
+    assert _run(spark, root, ckpt, out).count() == 160
+
+
+def test_starting_version_latest_skips_history(spark):
+    root, ckpt, out = (tempfile.mkdtemp(prefix=p)
+                       for p in ("ms_t_", "ms_c_", "ms_o_"))
+    t = ManifestTable.create(_frame(spark, 0, 100), root, ts="pt")
+    assert _run(spark, root, ckpt, out,
+                startingVersion="latest").count() == 0
+    t.append(_frame(spark, 100, 120))
+    got = _run(spark, root, ckpt, out, startingVersion="latest")
+    assert sorted(r["id"] for r in got.collect()) == \
+        list(range(100, 120))
+
+
+def test_non_append_history_raises_unless_opted_in(spark):
+    root, ckpt, out = (tempfile.mkdtemp(prefix=p)
+                       for p in ("ms_t_", "ms_c_", "ms_o_"))
+    t = ManifestTable.create(_frame(spark, 0, 100), root, ts="pt")
+    assert _run(spark, root, ckpt, out).count() == 100
+    t.delete_where(spark, F.expr("pmod(id, 9) = 0"), mode="dv")
+    t.append(_frame(spark, 100, 110))
+    # the planner-side refusal surfaces as StreamingQueryException
+    # from awaitTermination, carrying the source's message
+    with pytest.raises(Exception, match="deletion vectors"):
+        _run(spark, root, ckpt, out)
+    # a FRESH query with ignoreChanges streams added files only
+    ckpt2, out2 = (tempfile.mkdtemp(prefix=p)
+                   for p in ("ms_c2_", "ms_o2_"))
+    got = _run(spark, root, ckpt2, out2, startingVersion="latest")
+    assert got.count() == 0       # already at head; nothing re-emitted
+    t.append(_frame(spark, 110, 130))
+    got = _run(spark, root, ckpt2, out2, startingVersion="latest",
+               ignoreChanges="true")
+    assert sorted(r["id"] for r in got.collect()) == \
+        list(range(110, 130))
+
+
+def test_rewrite_compaction_raises(spark):
+    root, ckpt, out = (tempfile.mkdtemp(prefix=p)
+                       for p in ("ms_t_", "ms_c_", "ms_o_"))
+    t = ManifestTable.create(_frame(spark, 0, 100), root, ts="pt")
+    t.append(_frame(spark, 100, 140))
+    assert _run(spark, root, ckpt, out).count() == 140
+    t.compact(spark)                 # rewrites live files
+    t.append(_frame(spark, 140, 150))
+    with pytest.raises(Exception,
+                       match="rewrote|dropped|deletion"):
+        _run(spark, root, ckpt, out)

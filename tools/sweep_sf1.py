@@ -98,6 +98,15 @@ ENTRIES = [
     # 1M events x duplicate delivery, and the color-JPEG roundtrip
     # (3x the pixel volume of the grayscale entry, interleaved MCUs)
     "docs_chunk_overlap", "stream_upsert_dv", "mm_decode_jpeg_color",
+    # round-10 late additions: write-audit-publish through a branch
+    # (branch cut + publish stay metadata-sized while the backfill is
+    # ~6M-row months), the runner's blocking audit stage driving the
+    # same flow twice (one refused, one published), the inspection
+    # tables whose per-partition numbers must stay physically true at
+    # ~6M rows with DVs attached, and the pushdown DataSource whose
+    # task count must equal the pruned file list at 80+ partitions
+    "manifest_wap_publish", "runner_wap_audit",
+    "manifest_meta_tables", "datasource_manifest_scan",
 ]
 
 
