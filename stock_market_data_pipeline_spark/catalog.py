@@ -1186,6 +1186,75 @@ def stream_manifest_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink).drop("trade_month")
 
 
+MANIFEST_TIME_TRAVEL_SQL = oracles.BARS_SQL
+
+
+@q("manifest_time_travel", MANIFEST_TIME_TRAVEL_SQL)
+def manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL through the DataSource (`option("versionAsOf", N)`
+    / `option("tag", name)`, manifest_datasource.py — Delta's reader
+    options + Iceberg's snapshot tags; the recovery/repro story the
+    reference lacks entirely, its dbt rebuild being the only way
+    back): the bars fact is created (v1) and TAGGED `pre_delete`,
+    then a residue class is merge-on-read DELETED (v2) and the schema
+    evolved (v3), then `vacuum(0)` reclaims all untagged history.
+    The tag read must resurrect every row AND the pre-evolution
+    schema — version pins data, deletion vectors, pruning metadata
+    and schema to ONE commit object.  The entry RAISES unless the
+    live read reflects the delete, `versionAsOf=1` equals the tag
+    read, the evolved column is absent from the pinned read, and the
+    tag survived the vacuum (a tag is the explicit keep-this-version
+    retention signal — on a 100 TB table it is what makes `reproduce
+    last quarter's training set` a metadata lookup instead of a
+    rebuild).  The oracle is the untouched full bar build: hash
+    equality proves the pinned snapshot is byte-identical to
+    pre-delete state."""
+    from .manifest import ManifestTable
+    from .manifest_datasource import ManifestDataSource
+    from .scratch import scratch_dir
+
+    bars = bars_from_lineitem(_t(spark, sf_dir, "lineitem")).withColumn(
+        "trade_month", F.date_format("trade_date", "yyyy-MM"))
+    n_total = bars.count()
+    table = ManifestTable.create(
+        bars, scratch_dir("manifest_tt_"), ts="trade_month")     # v1
+    table.create_tag("pre_delete")
+    out = table.delete_where(spark, F.expr("pmod(ticker, 9) = 4"),
+                             mode="dv")                          # v2
+    if out["rows_deleted"] == 0:
+        raise RuntimeError("delete removed nothing; travel untested")
+    table.add_columns([("adjusted", "double")])                  # v3
+    table.vacuum(retention_seconds=0.0)
+    if table.tags() != {"pre_delete": {"version": 1}}:
+        raise RuntimeError(f"tag lost across vacuum: {table.tags()}")
+
+    spark.dataSource.register(ManifestDataSource)
+    key_, prior = ("spark.sql.python.filterPushdown.enabled",
+                   spark.conf.get("spark.sql.python.filterPushdown."
+                                  "enabled", "false"))
+    spark.conf.set(key_, "true")
+    try:
+        tagged = (spark.read.format("manifest")
+                  .option("tag", "pre_delete").load(table.root))
+        if "adjusted" in tagged.columns:
+            raise RuntimeError(
+                "tag read leaked post-pin schema evolution")
+        live = spark.read.format("manifest").load(table.root)
+        if live.count() != n_total - out["rows_deleted"]:
+            raise RuntimeError(
+                "live read does not reflect the DV delete")
+        if (spark.read.format("manifest").option("versionAsOf", 1)
+                .load(table.root).count()) != n_total:
+            raise RuntimeError("versionAsOf=1 missed pre-delete rows")
+        # materialize inside the conf scope: the lazy frame would
+        # otherwise re-plan after `prior` is restored
+        out_df = (tagged.drop("trade_month")
+                  .localCheckpoint(eager=True))
+    finally:
+        spark.conf.set(key_, prior)
+    return out_df
+
+
 RUNNER_WAP_SQL = f"""
 SELECT * FROM ({oracles.BARS_SQL}) b
 WHERE trade_date < DATE '1997-07-01'
@@ -2664,6 +2733,7 @@ _DRIVER_WINDOW_FIRST = [
     "docs_chunk_overlap", "stream_upsert_dv", "mm_decode_jpeg_color",
     "manifest_wap_publish", "runner_wap_audit", "manifest_meta_tables",
     "datasource_manifest_scan", "stream_manifest_source",
+    "manifest_time_travel",
     # -- group 1: the 25 entries last driver-green in r7 that sat out
     # the r8 and r9 windows — at the policy's age bound, the staleness
     # test (tests/test_registration_order.py) fails the build unless
@@ -2687,19 +2757,19 @@ _DRIVER_WINDOW_FIRST = [
     "manifest_bloom_pointlookup", "manifest_ivm_from_cdf",
     "mm_decode_jpeg", "manifest_delete_where",
     "manifest_count_pushdown",
-    # -- group 3: the r8-checked cohort (age 2 this round); 9 of 48
+    # -- group 3: the r8-checked cohort (age 2 this round); 8 of 48
     # fit — table-layer and streaming entries nearest this round's
-    # manifest work first, then codecs and dedup.
+    # manifest work first, then codecs.
     # (text_lang_id, text_boilerplate_segments, sessionize_events,
     # tpch_q5_local_supplier, dedup_simhash, tpch_q3_topk_revenue,
-    # tpch_q1_pricing_summary, dedup_ngram_jaccard, mm_payload_grid
-    # and mm_payload_features yielded their slots to the late-round
-    # manifest_update_dv, manifest_merge_dv, docs_chunk_overlap,
-    # stream_upsert_dv, mm_decode_jpeg_color, manifest_wap_publish,
-    # runner_wap_audit, manifest_meta_tables,
-    # datasource_manifest_scan and stream_manifest_source entries;
-    # they join the r11 cohort.)
-    # The 39 deferred to r11 (asof_prior_view, band_range_join,
+    # tpch_q1_pricing_summary, dedup_ngram_jaccard, mm_payload_grid,
+    # mm_payload_features and mm_decode_png yielded their slots to
+    # the late-round manifest_update_dv, manifest_merge_dv,
+    # docs_chunk_overlap, stream_upsert_dv, mm_decode_jpeg_color,
+    # manifest_wap_publish, runner_wap_audit, manifest_meta_tables,
+    # datasource_manifest_scan, stream_manifest_source and
+    # manifest_time_travel entries; they join the r11 cohort.)
+    # The 40 deferred to r11 (asof_prior_view, band_range_join,
     # benchmark_contamination, bucketed_join_revenue, cube_order_stats,
     # cumulative_distinct_users, datasource_grouped_daily,
     # dedup_embedding_cosine, dedup_ngram_jaccard, dedup_simhash,
@@ -2707,7 +2777,7 @@ _DRIVER_WINDOW_FIRST = [
     # docs_length_band_filter, docs_unigram_logprob,
     # events_hopping_counts, events_json_props, except_intersect_keys,
     # fct_trading_momentum_small, histogram_prices,
-    # mm_payload_features, mm_payload_grid,
+    # mm_decode_png, mm_payload_features, mm_payload_grid,
     # pairwise_correlation, pivot_priority_year, quantiles_by_brand,
     # sample_hash_split, scalar_max_filter, screener_filter,
     # self_lag_join, serving_manifest_ticker_range, session_funnel,
@@ -2722,7 +2792,6 @@ _DRIVER_WINDOW_FIRST = [
     "manifest_schema_evolution", "fct_momentum_incremental",
     "stream_upsert_rollup", "stream_hourly_rollup",
     "stream_stateful_user_totals", "stream_dedup_events",
-    "mm_decode_png",
 ]
 
 

@@ -137,6 +137,9 @@ _SHARD_DIR = os.path.join(_MANIFEST_DIR, "shards")
 _BRANCH_RE = re.compile(r"[A-Za-z0-9_\-]{1,64}")
 _BRANCH_FILE_RE = re.compile(
     r"branch-([A-Za-z0-9_\-]{1,64})\.manifest-(\d{8})\.json")
+#: snapshot tags share the branch charset; ``tag-{name}.json`` is a
+#: tiny pointer body, never matched by the manifest listing globs.
+_TAG_FILE_RE = re.compile(r"tag-([A-Za-z0-9_\-]{1,64})\.json")
 #: on-disk layout version this reader/writer speaks.  2 was a single
 #: JSON document mapping partition value -> inline file-entry list;
 #: 3 shards the file lists into immutable per-partition shard files
@@ -2555,6 +2558,62 @@ class ManifestTable:
                 n += 1
         return n
 
+    # -- snapshot tags ------------------------------------------------
+
+    def create_tag(self, name: str,
+                   version: int | None = None) -> dict:
+        """Pin a named, immutable TAG to a snapshot version (Iceberg's
+        ``create_tag`` / a git tag): ``tag-{name}.json`` records the
+        version; readers resolve it with ``spark.read.format(
+        "manifest").option("tag", name)`` (manifest_datasource) or
+        :meth:`tags`.  A tagged snapshot is PROTECTED from
+        :meth:`vacuum` regardless of age — the tag IS the explicit
+        "keep this version" retention signal, so time travel to it
+        outlives the normal history window (:meth:`drop_tag`
+        releases it).  Tags are immutable pointers: re-tagging a
+        live name raises (drop it first), and creation goes through
+        the commit backend's put-if-absent, so two racing
+        create_tags of one name get one winner and one
+        :class:`CommitConflict`."""
+        if self.branch is not None:
+            raise RuntimeError("create_tag runs on the main table")
+        if not _BRANCH_RE.fullmatch(name):
+            raise ValueError(
+                f"tag name {name!r} must match {_BRANCH_RE.pattern}")
+        v = self.version() if version is None else int(version)
+        mname = self._mname(v)
+        if not os.path.exists(os.path.join(self._mdir(), mname)):
+            raise FileNotFoundError(
+                f"cannot tag v{v}: {mname} does not exist (never "
+                "committed, or already vacuumed)")
+        if name in self.tags():
+            raise RuntimeError(
+                f"tag {name!r} already exists; tags are immutable "
+                "pointers — drop_tag it before re-pointing")
+        self._publish_body(f"tag-{name}.json",
+                           {"tag": name, "version": v})
+        return {"name": name, "version": v}
+
+    def tags(self) -> dict[str, dict]:
+        """Live tags: name → {"version": pinned snapshot version}.
+        One listing of ``_manifests/``."""
+        out = {}
+        for m in sorted(os.listdir(self._mdir())):
+            g = _TAG_FILE_RE.fullmatch(m)
+            if g:
+                with open(os.path.join(self._mdir(), m)) as f:
+                    out[g.group(1)] = {
+                        "version": json.load(f)["version"]}
+        return out
+
+    def drop_tag(self, name: str) -> None:
+        """Release a tag: its snapshot re-joins normal retention
+        ageing on the next :meth:`vacuum`.  KeyError if absent."""
+        path = os.path.join(self._mdir(), f"tag-{name}.json")
+        if not os.path.exists(path):
+            raise KeyError(f"tag {name!r} does not exist")
+        os.remove(path)
+
     def _stage_dv(self, hits: DataFrame) -> dict[str, list]:
         """Stage DELETION-VECTOR sidecars: ``hits`` carries (__pt,
         __rel, __ri) row addresses; one parquet of (rel, row_index)
@@ -3152,12 +3211,19 @@ class ManifestTable:
             f"branch-{n}.manifest-{b['head']:08d}.json"
             for n, b in self.branches().items()}
         # snapshots whose referenced files/shards must survive: the
-        # live manifest plus every historical one inside retention
-        retained_names = [current, *sorted(branch_heads)]
+        # live manifest, every branch head, every TAGGED version
+        # (pinned regardless of age — the tag is the explicit
+        # retention signal; drop_tag releases it), plus every
+        # historical manifest still inside retention
+        tagged = {self._mname(t["version"])
+                  for t in self.tags().values()}
+        retained_names = [current,
+                          *sorted({*branch_heads, *tagged}
+                                  - {current})]
         for m in sorted(os.listdir(self._mdir())):
             full = os.path.join(self._mdir(), m)
             if (os.path.isfile(full) and m != current
-                    and m not in branch_heads
+                    and m not in branch_heads and m not in tagged
                     and (m.startswith("manifest-")
                          or _BRANCH_FILE_RE.fullmatch(m))
                     and m.endswith(".json")

@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -70,9 +71,11 @@ class ManifestFilePartition(InputPartition):
 
 
 class ManifestReader(DataSourceReader):
-    def __init__(self, root: str, columns: list[str]):
+    def __init__(self, root: str, schema: list[list[str]],
+                 manifest_name: str | None = None):
         self.root = root
-        self.columns = columns
+        self.pinned = schema                   # (name, type) pairs
+        self.manifest_name = manifest_name     # time travel (versionAsOf)
         self.where: dict = {}
 
     # -- pushdown ---------------------------------------------------
@@ -120,8 +123,9 @@ class ManifestReader(DataSourceReader):
         # ctor ts is irrelevant to reads: scan_plan prunes on the
         # REAL partition column recorded in the manifest
         table = ManifestTable(self.root, None)
-        mf = table._raw()
-        plan = table.scan_plan(self._normalized_where())
+        mf = table._raw(self.manifest_name)
+        plan = table.scan_plan(self._normalized_where(),
+                               self.manifest_name)
         out = []
         by_value = {v: mf["partitions"][v] for v in plan["partitions"]}
         rel_to_dv = {}
@@ -162,21 +166,62 @@ class ManifestReader(DataSourceReader):
         partition's deletion vectors applied as a positional mask
         (rows addressed (rel, row_index) within THIS file drop before
         anything is emitted)."""
-        yield from _read_file_partition(partition, self.columns)
+        yield from _read_file_partition(partition, self.pinned)
+
+
+def _arrow_type(t: str):
+    """Spark simpleString -> Arrow type, for typing the NULL columns
+    schema evolution adds to files written before it (mirrors
+    ``_read_files``'s read-through-the-pinned-schema reconciliation
+    without a SparkSession, which DSv2 Python workers don't have)."""
+    import pyarrow as pa
+
+    t = t.strip().lower()
+    prim = {
+        "boolean": pa.bool_(), "tinyint": pa.int8(),
+        "smallint": pa.int16(), "int": pa.int32(),
+        "bigint": pa.int64(), "float": pa.float32(),
+        "double": pa.float64(), "string": pa.string(),
+        "binary": pa.binary(), "date": pa.date32(),
+        "timestamp": pa.timestamp("us", tz="UTC"),
+        "timestamp_ntz": pa.timestamp("us"),
+    }
+    if t in prim:
+        return prim[t]
+    m = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", t)
+    if m:
+        return pa.decimal128(int(m.group(1)), int(m.group(2)))
+    m = re.fullmatch(r"array<(.+)>", t)
+    if m:
+        return pa.list_(_arrow_type(m.group(1)))
+    raise NotImplementedError(
+        f"manifest source cannot type evolved column type {t!r}; "
+        "read through ManifestTable.read() instead")
 
 
 def _read_file_partition(partition: ManifestFilePartition,
-                         columns: list[str]):
+                         schema: list[list[str]]):
     """Executor-side file read shared by the batch and streaming
     readers: one parquet file -> Arrow batches, the partition's
-    deletion vectors applied as a positional mask first."""
+    deletion vectors applied as a positional mask first.  ``schema``
+    is the pinned (name, type) signature: columns a pre-evolution
+    file lacks surface as typed NULLs — Delta's metadata-only ADD
+    COLUMNS semantics, same as ``_read_files``."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     if partition is None or partition.path is None:
         return
-    t = pq.read_table(partition.path, columns=columns)
+    names = [n for n, _ in schema]
+    on_disk = set(pq.read_schema(partition.path).names)
+    t = pq.read_table(partition.path,
+                      columns=[n for n in names if n in on_disk])
+    for n, ty in schema:
+        if n not in on_disk:
+            t = t.append_column(n, pa.nulls(t.num_rows,
+                                            _arrow_type(ty)))
+    t = t.select(names)
     if partition.dv_paths:
         dead: set[int] = set()
         for p in partition.dv_paths:
@@ -214,8 +259,8 @@ class ManifestStreamReader(DataSourceStreamReader):
     begins: a version number, or ``latest`` for new-commits-only;
     default 0 replays the whole table first (Delta's default)."""
 
-    def __init__(self, root: str, columns: list[str], options):
-        self.root, self.columns = root, columns
+    def __init__(self, root: str, schema: list[list[str]], options):
+        self.root, self.pinned = root, schema
         sv = options.get("startingVersion", "0")
         self.start_latest = str(sv).lower() == "latest"
         self.start_version = None if self.start_latest else int(sv)
@@ -280,7 +325,7 @@ class ManifestStreamReader(DataSourceStreamReader):
                     "downstream from changes()/read_incremental.")
 
     def read(self, partition: ManifestFilePartition):
-        yield from _read_file_partition(partition, self.columns)
+        yield from _read_file_partition(partition, self.pinned)
 
     def commit(self, end: dict) -> None:
         pass                           # offsets live in the checkpoint
@@ -290,7 +335,14 @@ class ManifestDataSource(DataSource):
     """``spark.read.format("manifest").load(<table root>)`` (register
     with ``spark.dataSource.register(ManifestDataSource)``).  The
     schema is the manifest's pinned (name, type) signature — the same
-    contract every other read path enforces."""
+    contract every other read path enforces.
+
+    Time travel: ``option("versionAsOf", N)`` reads snapshot N
+    (Delta's reader option) — schema, pruning metadata and deletion
+    vectors all come from THAT version's commit object, so an
+    evolved/compacted/deleted-from table reads back exactly as it
+    was; ``option("tag", name)`` resolves a named tag
+    (:meth:`ManifestTable.create_tag`) to its pinned version."""
 
     @classmethod
     def name(cls) -> str:
@@ -303,12 +355,34 @@ class ManifestDataSource(DataSource):
                 "manifest source needs a table root: .load(path)")
         return root
 
+    def _manifest_name(self) -> str | None:
+        """The reader's snapshot pin, from versionAsOf/tag options;
+        None = live snapshot."""
+        v, tag = self.options.get("versionAsOf"), self.options.get("tag")
+        if v is not None and tag is not None:
+            raise ValueError("pass versionAsOf OR tag, not both")
+        if tag is not None:
+            from .manifest import ManifestTable
+
+            tags = ManifestTable(self._root(), None).tags()
+            if tag not in tags:
+                raise ValueError(
+                    f"{self._root()}: no tag {tag!r} "
+                    f"(live tags: {sorted(tags) or 'none'})")
+            v = tags[tag]["version"]
+        if v is None:
+            return None
+        return f"manifest-{int(v):08d}.json"
+
     def _pinned_schema(self) -> list[list[str]]:
-        mdir = os.path.join(self._root(), "_manifests")
-        names = [m for m in os.listdir(mdir)
-                 if m.startswith("manifest-") and m.endswith(".json")
-                 and m[len("manifest-"):-len(".json")].isdigit()]
-        with open(os.path.join(mdir, max(names))) as f:
+        name = self._manifest_name()
+        if name is None:
+            mdir = os.path.join(self._root(), "_manifests")
+            name = max(m for m in os.listdir(mdir)
+                       if m.startswith("manifest-")
+                       and m.endswith(".json")
+                       and m[len("manifest-"):-len(".json")].isdigit())
+        with open(os.path.join(self._root(), "_manifests", name)) as f:
             schema = json.load(f).get("schema")
         if not schema:
             raise ValueError(
@@ -319,10 +393,9 @@ class ManifestDataSource(DataSource):
         return ", ".join(f"`{n}` {t}" for n, t in self._pinned_schema())
 
     def reader(self, schema) -> ManifestReader:
-        return ManifestReader(self._root(),
-                              [n for n, _ in self._pinned_schema()])
+        return ManifestReader(self._root(), self._pinned_schema(),
+                              self._manifest_name())
 
     def streamReader(self, schema) -> ManifestStreamReader:
         return ManifestStreamReader(
-            self._root(), [n for n, _ in self._pinned_schema()],
-            self.options)
+            self._root(), self._pinned_schema(), self.options)

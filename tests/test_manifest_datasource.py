@@ -98,6 +98,105 @@ def test_bloom_membership_prunes_files(spark, pushdown):
     assert [r["pt"] for r in probe.collect()] == ["2"]
 
 
+def test_version_as_of_reads_pre_delete_snapshot(spark, pushdown):
+    """versionAsOf pins data AND deletion vectors to that commit: v1
+    (pre-delete) reads every row back while the live read applies the
+    v2 DV mask."""
+    root, t = _table(spark, dv=False)                       # v1
+    t.delete_where(spark, F.expr("pmod(id, 7) = 0"), mode="dv")  # v2
+    v1 = (spark.read.format("manifest")
+          .option("versionAsOf", 1).load(root))
+    assert sorted(r["id"] for r in v1.collect()) == list(range(3000))
+    live = spark.read.format("manifest").load(root)
+    assert live.count() == sum(1 for i in range(3000) if i % 7)
+
+
+def test_version_as_of_pins_schema_before_evolution(spark, pushdown):
+    """Schema comes from the pinned commit object too: a version cut
+    before add_columns reads back WITHOUT the evolved column."""
+    root, t = _table(spark, dv=False)                       # v1
+    t.add_columns([("w", "double")])                        # v2
+    v1 = (spark.read.format("manifest")
+          .option("versionAsOf", 1).load(root))
+    assert v1.columns == ["id", "pt", "v"]
+    live = spark.read.format("manifest").load(root)
+    assert live.columns == ["id", "pt", "v", "w"]
+    # pre-evolution files surface the evolved column as typed NULLs
+    # (the _read_files reconciliation, mirrored in the Arrow reader)
+    assert live.where(F.col("w").isNull()).count() == 3000
+    assert v1.count() == 3000
+
+
+def test_version_as_of_pushdown_prunes_the_old_snapshot(spark,
+                                                        pushdown):
+    """Filter pushdown plans against the PINNED manifest: task count
+    equals the old snapshot's surviving files, and rows appended
+    after the pin are invisible."""
+    root, t = _table(spark, dv=False)                       # v1
+    extra = (spark.range(3000, 3600)
+             .select(F.col("id"),
+                     (F.col("id") % 10).cast("string").alias("pt"),
+                     (F.col("id") * 2).alias("v")))
+    t.append(extra)                                         # v2
+    d = (spark.read.format("manifest")
+         .option("versionAsOf", 1).load(root))
+    filt = d.where(F.col("pt") == "3")
+    expect_files = len(t.scan_plan({"pt": ["3"]},
+                                   t._mname(1))["files"])
+    assert filt.rdd.getNumPartitions() == expect_files
+    assert sorted(r["id"] for r in filt.collect()) == \
+        [i for i in range(3000) if i % 10 == 3]
+
+
+def test_tag_resolves_and_survives_vacuum(spark, pushdown):
+    """A tag pins its snapshot PAST retention: vacuum(0) reclaims
+    untagged history but the tagged version stays fully readable;
+    drop_tag releases it to the next vacuum."""
+    root, t = _table(spark, dv=False)                       # v1
+    t.create_tag("baseline")
+    t.delete_where(spark, F.expr("id < 1500"))              # v2 rewrite
+    t.vacuum(retention_seconds=0.0)
+    tagged = (spark.read.format("manifest")
+              .option("tag", "baseline").load(root))
+    assert tagged.count() == 3000
+    assert spark.read.format("manifest").load(root).count() == 1500
+    t.drop_tag("baseline")
+    t.vacuum(retention_seconds=0.0)
+    with pytest.raises(Exception):
+        (spark.read.format("manifest")
+         .option("versionAsOf", 1).load(root).count())
+
+
+def test_tag_is_immutable_and_validates(spark, pushdown):
+    root, t = _table(spark, dv=False)
+    t.create_tag("r1")
+    with pytest.raises(RuntimeError, match="immutable"):
+        t.create_tag("r1")
+    with pytest.raises(FileNotFoundError):
+        t.create_tag("ghost", version=99)
+    with pytest.raises(ValueError, match="tag name"):
+        t.create_tag("bad.name")
+    assert t.tags() == {"r1": {"version": 1}}
+    t.drop_tag("r1")
+    with pytest.raises(KeyError):
+        t.drop_tag("r1")
+
+
+def test_version_as_of_and_tag_are_exclusive(spark, pushdown):
+    root, _ = _table(spark, dv=False)
+    with pytest.raises(Exception, match="not both"):
+        (spark.read.format("manifest").option("versionAsOf", 1)
+         .option("tag", "x").load(root).count())
+
+
+def test_unknown_tag_lists_live_tags(spark, pushdown):
+    root, t = _table(spark, dv=False)
+    t.create_tag("known")
+    with pytest.raises(Exception, match="no tag 'nope'"):
+        (spark.read.format("manifest")
+         .option("tag", "nope").load(root).count())
+
+
 def test_date_range_pushdown_canonicalizes(spark, pushdown):
     root = tempfile.mkdtemp(prefix="mds_d_")
     df = (spark.range(0, 365)
