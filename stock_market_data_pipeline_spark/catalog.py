@@ -1255,6 +1255,130 @@ def manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out_df
 
 
+DATASINK_MANIFEST_SQL = oracles.BARS_SQL
+
+
+@q("datasink_manifest_write", DATASINK_MANIFEST_SQL)
+def datasink_manifest_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ManifestTable as a first-class Spark SINK
+    (`df.write.format("manifest")`, manifest_datasource.py — the DSv2
+    two-phase write driven through the manifest commit protocol):
+    executor tasks stage parquet straight into an invisible
+    ``data/txn-*/`` grouped by partition value (step 1 — one Arrow
+    ParquetWriter per value per task, no extra shuffle beyond the
+    plan's own), the driver's ``commit(messages)`` folds footer stats
+    into shard entries and publishes ONE manifest through the backend
+    CAS (steps 2+3) — a failed task/job publishes NOTHING (abort
+    reclaims the txn dir; a crash leaves vacuum orphans).  First
+    write on a fresh root CREATES the table (pins schema + partition
+    column from options); later appends are BLIND (old files all
+    kept, DVs carried, CommitConflict rebases — appends commute).
+    The entry writes the pre-1997 bars (create, v1) then the 1997+
+    backfill (append, v2) and RAISES unless versions/rows/file-set
+    monotonicity hold and the pinned schema matches the frame; the
+    oracle is the full bar build — hash equality proves two DSv2
+    writes reassemble the table exactly."""
+    from .manifest import ManifestTable
+    from .manifest_datasource import ManifestDataSource
+    from .scratch import scratch_dir
+
+    bars = bars_from_lineitem(_t(spark, sf_dir, "lineitem")).withColumn(
+        "trade_month", F.date_format("trade_date", "yyyy-MM"))
+    base = bars.where(F.col("trade_month") < "1997-01")
+    backfill = bars.where(F.col("trade_month") >= "1997-01")
+    root = scratch_dir("manifest_sink_")
+    spark.dataSource.register(ManifestDataSource)
+
+    base.write.format("manifest").option("ts", "trade_month") \
+        .mode("append").save(root)                           # creates v1
+    t = ManifestTable(root, "trade_month")
+    mf1 = t._raw()
+    if mf1["version"] != 1 or mf1["ts"] != "trade_month":
+        raise RuntimeError(f"create-on-first-write broken: {mf1['version']}")
+    want_sig = [[f.name, f.dataType.simpleString()]
+                for f in bars.schema.fields]
+    if sorted(map(tuple, mf1["schema"])) != sorted(map(tuple, want_sig)):
+        raise RuntimeError("first write did not pin the frame schema")
+    files_v1 = {e["path"] for v in mf1["partitions"]
+                for e in t._entries(mf1, v)}
+
+    backfill.write.format("manifest").mode("append").save(root)  # v2
+    mf2 = t._raw()
+    files_v2 = {e["path"] for v in mf2["partitions"]
+                for e in t._entries(mf2, v)}
+    if mf2["version"] != 2 or not files_v1 < files_v2:
+        raise RuntimeError("append rewrote or dropped v1 files")
+    return t.read(spark).drop("trade_month")
+
+
+STREAM_MANIFEST_SINK_SQL = oracles.BARS_SQL
+
+
+@q("stream_manifest_sink", STREAM_MANIFEST_SINK_SQL)
+def stream_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manifest table as an EXACTLY-ONCE STREAMING SINK
+    (`writeStream.format("manifest")`, manifest_datasource.py — the
+    Delta sink analog in DSv2 position): every micro-batch commits
+    its staged files AND its (stream id, batch id) ledger entry in
+    ONE manifest publish, so there is no crash window between "data
+    written" and "batch remembered" — the same atomic-ledger
+    guarantee `merge_batch`/`append_batch` give foreachBatch callers,
+    now available to a plain `writeStream` pipeline with zero user
+    code.  Two availableNow runs against one checkpoint land the
+    pre-1997 base then exactly the backfill (the entry RAISES unless
+    ledger batch ids advanced 0→1, rows are exactly base+backfill,
+    and a DIRECT replay of an already-committed batch id is dropped
+    without publishing); the oracle is the full bar build — hash
+    equality proves the streamed table equals the batch-built one."""
+    from .manifest import ManifestTable
+    from .manifest_datasource import ManifestDataSource, _commit_staged
+    from .scratch import scratch_dir
+
+    bars = bars_from_lineitem(_t(spark, sf_dir, "lineitem")).withColumn(
+        "trade_month", F.date_format("trade_date", "yyyy-MM"))
+    base = bars.where(F.col("trade_month") < "1997-01")
+    backfill = bars.where(F.col("trade_month") >= "1997-01")
+    root = scratch_dir("stream_sink_")
+    srcdir = scratch_dir("stream_sink_src_")
+    ckpt = scratch_dir("stream_sink_ck_")
+    spark.dataSource.register(ManifestDataSource)
+
+    def run_once() -> None:
+        q_ = (spark.readStream.schema(bars.schema)
+              .parquet(srcdir + "/*")
+              .writeStream.format("manifest")
+              .option("path", root).option("ts", "trade_month")
+              .option("streamId", "bars")
+              .option("checkpointLocation", ckpt)
+              .trigger(availableNow=True).start())
+        q_.awaitTermination(300)
+        if q_.exception():
+            raise RuntimeError(str(q_.exception()))
+
+    base.write.parquet(srcdir + "/b1")
+    run_once()
+    t = ManifestTable(root, "trade_month")
+    n_base, want_base = t.read(spark).count(), base.count()
+    if t._raw()["streams"] != {"bars": 0} or n_base != want_base:
+        raise RuntimeError(
+            f"batch 0 not exactly the base: {n_base} rows, "
+            f"ledger {t._raw()['streams']}")
+    backfill.write.parquet(srcdir + "/b2")
+    run_once()
+    mf = t._raw()
+    if mf["streams"] != {"bars": 1}:
+        raise RuntimeError(f"ledger did not advance: {mf['streams']}")
+    if t.read(spark).count() - n_base != backfill.count():
+        raise RuntimeError("batch 1 was not exactly the backfill")
+    # a replayed batch id is recognized from the ledger and dropped
+    if _commit_staged(root, "trade_month", {}, mf["schema"], False,
+                      stream=("bars", 1)) is not False:
+        raise RuntimeError("replayed batch id was not dropped")
+    if t.version() != mf["version"]:
+        raise RuntimeError("replay published a version")
+    return t.read(spark).drop("trade_month")
+
+
 RUNNER_WAP_SQL = f"""
 SELECT * FROM ({oracles.BARS_SQL}) b
 WHERE trade_date < DATE '1997-07-01'
@@ -2733,7 +2857,8 @@ _DRIVER_WINDOW_FIRST = [
     "docs_chunk_overlap", "stream_upsert_dv", "mm_decode_jpeg_color",
     "manifest_wap_publish", "runner_wap_audit", "manifest_meta_tables",
     "datasource_manifest_scan", "stream_manifest_source",
-    "manifest_time_travel",
+    "manifest_time_travel", "datasink_manifest_write",
+    "stream_manifest_sink",
     # -- group 1: the 25 entries last driver-green in r7 that sat out
     # the r8 and r9 windows — at the policy's age bound, the staleness
     # test (tests/test_registration_order.py) fails the build unless
@@ -2757,19 +2882,21 @@ _DRIVER_WINDOW_FIRST = [
     "manifest_bloom_pointlookup", "manifest_ivm_from_cdf",
     "mm_decode_jpeg", "manifest_delete_where",
     "manifest_count_pushdown",
-    # -- group 3: the r8-checked cohort (age 2 this round); 8 of 48
+    # -- group 3: the r8-checked cohort (age 2 this round); 6 of 48
     # fit — table-layer and streaming entries nearest this round's
-    # manifest work first, then codecs.
+    # manifest work first.
     # (text_lang_id, text_boilerplate_segments, sessionize_events,
     # tpch_q5_local_supplier, dedup_simhash, tpch_q3_topk_revenue,
     # tpch_q1_pricing_summary, dedup_ngram_jaccard, mm_payload_grid,
-    # mm_payload_features and mm_decode_png yielded their slots to
-    # the late-round manifest_update_dv, manifest_merge_dv,
+    # mm_payload_features, mm_decode_png, stream_dedup_events and
+    # stream_stateful_user_totals yielded their slots to the
+    # late-round manifest_update_dv, manifest_merge_dv,
     # docs_chunk_overlap, stream_upsert_dv, mm_decode_jpeg_color,
     # manifest_wap_publish, runner_wap_audit, manifest_meta_tables,
-    # datasource_manifest_scan, stream_manifest_source and
-    # manifest_time_travel entries; they join the r11 cohort.)
-    # The 40 deferred to r11 (asof_prior_view, band_range_join,
+    # datasource_manifest_scan, stream_manifest_source,
+    # manifest_time_travel, datasink_manifest_write and
+    # stream_manifest_sink entries; they join the r11 cohort.)
+    # The 42 deferred to r11 (asof_prior_view, band_range_join,
     # benchmark_contamination, bucketed_join_revenue, cube_order_stats,
     # cumulative_distinct_users, datasource_grouped_daily,
     # dedup_embedding_cosine, dedup_ngram_jaccard, dedup_simhash,
@@ -2782,7 +2909,8 @@ _DRIVER_WINDOW_FIRST = [
     # sample_hash_split, scalar_max_filter, screener_filter,
     # self_lag_join, serving_manifest_ticker_range, session_funnel,
     # session_window_native, stratified_balance_lang,
-    # sessionize_events, stream_interval_join, stream_session_windows,
+    # sessionize_events, stream_dedup_events, stream_interval_join,
+    # stream_session_windows, stream_stateful_user_totals,
     # text_boilerplate_segments, text_lang_id,
     # tpch_q1_pricing_summary, tpch_q3_topk_revenue,
     # tpch_q5_local_supplier), all
@@ -2791,7 +2919,6 @@ _DRIVER_WINDOW_FIRST = [
     "manifest_change_feed", "manifest_restore",
     "manifest_schema_evolution", "fct_momentum_incremental",
     "stream_upsert_rollup", "stream_hourly_rollup",
-    "stream_stateful_user_totals", "stream_dedup_events",
 ]
 
 

@@ -46,9 +46,13 @@ import json
 import os
 import re
 
+import uuid
+
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     Filter,
@@ -58,6 +62,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 
@@ -331,6 +336,245 @@ class ManifestStreamReader(DataSourceStreamReader):
         pass                           # offsets live in the checkpoint
 
 
+# -- write path -------------------------------------------------------
+#
+# The DSv2 writer protocol IS the manifest commit protocol: executor
+# tasks stage parquet files into an invisible ``data/txn-*/`` (step 1),
+# the driver's ``commit(messages)`` assembles footer-stat entries and
+# publishes ONE manifest through the backend CAS (steps 2+3).  A failed
+# task or job never publishes — ``abort`` (and vacuum, for crashes)
+# reclaims the txn dir.  Files staged here carry no Bloom filters
+# (building them takes a Spark job the DSv2 commit hook cannot run);
+# per the coverage-gate semantics a filterless file is read always,
+# never wrong-skipped — ``compact()`` upgrades them.
+
+
+class ManifestWriteMessage(WriterCommitMessage):
+    """One task's staged files: [(partition value, rel path), ...]."""
+
+    def __init__(self, files: list):
+        self.files = files
+
+
+def _stage_arrow_batches(root: str, txn: str, ts: str | None,
+                         iterator) -> list:
+    """Executor-side step 1: write this task's Arrow batches into the
+    shared txn dir, one parquet file per partition value, rows grouped
+    by the STRING rendering of the partition column (the manifest's
+    key domain — same cast `_stage` applies).  Returns (value, rel)
+    pairs; nothing here is reader-visible."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    task = uuid.uuid4().hex[:12]
+    writers: dict[str, tuple] = {}      # value -> (writer, rel)
+
+    def _writer_for(value: str, schema: pa.Schema):
+        if value in writers:
+            return writers[value][0]
+        # the same write-boundary rule as ManifestTable._stage: keys
+        # must be filesystem-plain — an escaped or NULL key would
+        # silently miss every raw-value lookup downstream
+        if (not value or "%" in value or "/" in value
+                or "\\" in value or value == "__HIVE_DEFAULT_PARTITION__"):
+            raise ValueError(
+                f"unsupported partition value {value!r}: NULL, empty "
+                "or characters the writer would escape; derive a "
+                "plain partition column (date/month/id) instead")
+        leaf = os.path.join(root, "data", txn, f"__pt={value}")
+        os.makedirs(leaf, exist_ok=True)
+        rel = os.path.join("data", txn, f"__pt={value}",
+                           f"part-{task}.parquet")
+        w = pq.ParquetWriter(os.path.join(root, rel), schema)
+        writers[value] = (w, rel)
+        return w
+
+    for batch in iterator:
+        if batch.num_rows == 0:
+            continue
+        tbl = pa.Table.from_batches([batch])
+        if ts is None:
+            _writer_for("__all", tbl.schema).write_table(tbl)
+            continue
+        if ts not in tbl.column_names:
+            raise ValueError(
+                f"partition column {ts!r} missing from the written "
+                f"frame (has {tbl.column_names})")
+        keys = pc.cast(tbl.column(ts), pa.string())
+        if keys.null_count:
+            raise ValueError(
+                f"unsupported partition value None in column {ts!r}")
+        for v in pc.unique(keys).to_pylist():
+            sub = tbl.filter(pc.equal(keys, v))
+            _writer_for(v, tbl.schema).write_table(sub)
+    out = []
+    for value, (w, rel) in writers.items():
+        w.close()
+        out.append((value, rel))
+    return out
+
+
+def _hydrate_staged(root: str, messages) -> dict[str, list]:
+    """Driver-side: footer-stat entries for every staged file (the
+    same `_file_entry` metadata read `_stage` performs — a few KB per
+    file, no data pages), grouped by partition value."""
+    from .manifest import _file_entry
+
+    staged: dict[str, list] = {}
+    for m in messages:
+        if m is None:
+            continue
+        for value, rel in m.files:
+            staged.setdefault(value, []).append(
+                _file_entry(os.path.join(root, rel), rel))
+    for v in staged:
+        staged[v].sort(key=lambda e: e["path"])
+    return staged
+
+
+def _commit_staged(root: str, ts: str | None, staged: dict,
+                   schema_sig: list, overwrite: bool,
+                   stream: tuple | None = None) -> bool:
+    """Steps 2+3 for the DSv2 write: publish the staged files as one
+    manifest commit.  First commit on a fresh root CREATES the table
+    (pins the frame's schema); append rebases through CommitConflict
+    exactly like :meth:`ManifestTable.append` (blind appends commute),
+    carrying deletion vectors on touched refs; overwrite is the atomic
+    full refresh (schema re-pins).  ``stream`` = (stream_id, batch_id)
+    makes the commit EXACTLY-ONCE through the manifest's stream
+    ledger: a replayed micro-batch is recognized and dropped (its
+    staged files become vacuum orphans — the sink cannot refuse to
+    stage, Spark wrote the data before commit runs).  Returns False
+    for a dropped replay."""
+    from .manifest import CommitConflict, ManifestTable, SchemaMismatch
+
+    t = ManifestTable(root, ts)
+    while True:
+        try:
+            mf = t._raw()
+        except FileNotFoundError:
+            try:
+                t._commit(
+                    staged, base_version=0, schema=schema_sig,
+                    streams={stream[0]: stream[1]} if stream else None)
+                return True
+            except CommitConflict:
+                continue          # create race: rebase onto the winner
+        want = mf.get("schema")
+        if (want and not overwrite
+                and sorted(map(tuple, want))
+                != sorted(map(tuple, schema_sig))):
+            extra = [tuple(c) for c in schema_sig
+                     if list(c) not in want]
+            missing = [tuple(c) for c in want
+                       if list(c) not in schema_sig]
+            raise SchemaMismatch(
+                f"write schema differs from the table's pinned "
+                f"schema: extra/retyped {extra}, missing {missing}")
+        if mf.get("ts") != ts:
+            raise ValueError(
+                f"table is partitioned by {mf.get('ts')!r}, write "
+                f"declared {ts!r}")
+        streams = dict(mf.get("streams", {}))
+        if stream is not None:
+            if streams.get(stream[0], -1) >= stream[1]:
+                return False      # replay: already committed
+            streams[stream[0]] = stream[1]
+        if overwrite:
+            live: dict = dict(staged)
+            schema = schema_sig   # full refresh re-pins (overwrite())
+        else:
+            if not staged:
+                return True       # empty append: no no-op version bump
+            live = dict(mf["partitions"])
+            for value, entries in staged.items():
+                prior_ref = live.get(value)
+                prior = (t._entries(mf, value)
+                         if value in live else [])
+                merged = prior + entries
+                # DVs addressing the kept files ride along (append())
+                if (isinstance(prior_ref, dict)
+                        and prior_ref.get("dv")):
+                    live[value] = {
+                        "entries": merged, "dv": prior_ref["dv"],
+                        "dv_rows": prior_ref.get("dv_rows", 0)}
+                else:
+                    live[value] = merged
+            schema = want or schema_sig
+        try:
+            t._commit(live, base_version=mf["version"],
+                      streams=streams, schema=schema)
+            return True
+        except CommitConflict:
+            continue              # someone else committed; re-evaluate
+
+
+class ManifestBatchWriter(DataSourceArrowWriter):
+    """``df.write.format("manifest")`` — the DSv2 two-phase write as
+    the manifest commit protocol (class docstring above)."""
+
+    def __init__(self, root: str, ts: str | None, overwrite: bool,
+                 schema_sig: list):
+        self.root, self.ts, self.overwrite = root, ts, overwrite
+        self.schema_sig = schema_sig
+        self.txn = f"txn-{uuid.uuid4().hex[:12]}"    # driver-side once
+
+    def write(self, iterator):
+        return ManifestWriteMessage(
+            _stage_arrow_batches(self.root, self.txn, self.ts,
+                                 iterator))
+
+    def commit(self, messages) -> None:
+        _commit_staged(self.root, self.ts,
+                       _hydrate_staged(self.root, messages),
+                       self.schema_sig, overwrite=self.overwrite)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(os.path.join(self.root, "data", self.txn),
+                      ignore_errors=True)
+
+
+class ManifestStreamWriter(DataSourceStreamArrowWriter):
+    """``writeStream.format("manifest")`` — EXACTLY-ONCE streaming
+    sink: every micro-batch commits its files and its (stream id,
+    batch id) ledger entry in ONE manifest publish, so there is no
+    crash window between "data written" and "batch remembered"; a
+    replayed batch (restart re-delivers the last uncommitted one) is
+    recognized from the live manifest and dropped.  The stream id
+    comes from ``option("streamId", ...)`` (falls back to the
+    checkpoint location — distinct queries must not share a ledger
+    key)."""
+
+    def __init__(self, root: str, ts: str | None, schema_sig: list,
+                 stream_id: str):
+        self.root, self.ts = root, ts
+        self.schema_sig = schema_sig
+        self.stream_id = stream_id
+        self.txn = f"txn-{uuid.uuid4().hex[:12]}"
+
+    def write(self, iterator):
+        return ManifestWriteMessage(
+            _stage_arrow_batches(self.root, self.txn, self.ts,
+                                 iterator))
+
+    def commit(self, messages, batchId: int) -> None:
+        _commit_staged(self.root, self.ts,
+                       _hydrate_staged(self.root, messages),
+                       self.schema_sig, overwrite=False,
+                       stream=(self.stream_id, batchId))
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            for _, rel in (m.files if m else []):
+                try:
+                    os.remove(os.path.join(self.root, rel))
+                except OSError:
+                    pass
+
+
 class ManifestDataSource(DataSource):
     """``spark.read.format("manifest").load(<table root>)`` (register
     with ``spark.dataSource.register(ManifestDataSource)``).  The
@@ -399,3 +643,58 @@ class ManifestDataSource(DataSource):
     def streamReader(self, schema) -> ManifestStreamReader:
         return ManifestStreamReader(
             self._root(), self._pinned_schema(), self.options)
+
+    # -- write support ------------------------------------------------
+
+    def _live_manifest(self) -> dict | None:
+        """The live commit object, or None when the root holds no
+        committed table yet (the create-on-first-write path)."""
+        mdir = os.path.join(self._root(), "_manifests")
+        try:
+            names = [m for m in os.listdir(mdir)
+                     if m.startswith("manifest-")
+                     and m.endswith(".json")
+                     and m[len("manifest-"):-len(".json")].isdigit()]
+        except FileNotFoundError:
+            return None
+        if not names:
+            return None
+        with open(os.path.join(mdir, max(names))) as f:
+            return json.load(f)
+
+    def _write_ts(self) -> str | None:
+        """The partition column a write stages under: the table's
+        recorded one when it exists (an ``option("ts", ...)`` naming a
+        different column fails loudly), else ``option("ts", ...)`` for
+        create-on-first-write (None = unpartitioned)."""
+        opt = self.options.get("ts")
+        mf = self._live_manifest()
+        if mf is not None:
+            ts = mf.get("ts")
+            if opt is not None and opt != ts:
+                raise ValueError(
+                    f"table is partitioned by {ts!r}; "
+                    f"option('ts', {opt!r}) conflicts")
+            return ts
+        return opt
+
+    @staticmethod
+    def _schema_sig(schema) -> list:
+        return [[f.name, f.dataType.simpleString()]
+                for f in schema.fields]
+
+    def writer(self, schema, overwrite: bool) -> ManifestBatchWriter:
+        return ManifestBatchWriter(self._root(), self._write_ts(),
+                                   overwrite,
+                                   self._schema_sig(schema))
+
+    def streamWriter(self, schema,
+                     overwrite: bool) -> ManifestStreamWriter:
+        sid = (self.options.get("streamId")
+               or self.options.get("checkpointLocation"))
+        if not sid:
+            raise ValueError(
+                "manifest sink needs option('streamId', ...) (or a "
+                "checkpointLocation) to key its exactly-once ledger")
+        return ManifestStreamWriter(self._root(), self._write_ts(),
+                                    self._schema_sig(schema), sid)

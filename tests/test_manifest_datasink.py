@@ -1,0 +1,281 @@
+"""`df.write.format("manifest")` / `writeStream.format("manifest")`:
+the DSv2 two-phase write driven through the manifest commit protocol —
+create-on-first-write, blind append (DV-carrying, conflict-rebasing),
+atomic overwrite, schema gate, and the exactly-once streaming sink."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import threading
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from stock_market_data_pipeline_spark.manifest import (
+    ManifestTable,
+    SchemaMismatch,
+)
+from stock_market_data_pipeline_spark.manifest_datasource import (
+    ManifestBatchWriter,
+    ManifestDataSource,
+    _commit_staged,
+    _stage_arrow_batches,
+)
+
+
+PUSH = "spark.sql.python.filterPushdown.enabled"
+
+
+@pytest.fixture()
+def sink(spark):
+    spark.dataSource.register(ManifestDataSource)
+    prior = spark.conf.get(PUSH, "false")
+    spark.conf.set(PUSH, "true")
+    yield
+    spark.conf.set(PUSH, prior)
+
+
+def _df(spark, lo=0, hi=1000):
+    return (spark.range(lo, hi)
+            .select(F.col("id"),
+                    (F.col("id") % 7).cast("string").alias("pt"),
+                    (F.col("id") * 2).alias("v")))
+
+
+def test_create_on_first_write_pins_schema_and_ts(spark, sink):
+    root = tempfile.mkdtemp(prefix="dsw_c_")
+    _df(spark).write.format("manifest").option("ts", "pt") \
+        .mode("append").save(root)
+    t = ManifestTable(root, "pt")
+    assert t.version() == 1
+    mf = t._raw()
+    assert mf["ts"] == "pt"
+    assert mf["schema"] == [["id", "bigint"], ["pt", "string"],
+                            ["v", "bigint"]]
+    assert sorted(r["id"] for r in t.read(spark).collect()) == \
+        list(range(1000))
+    # and the round trip through the read side of the same format
+    assert spark.read.format("manifest").load(root).count() == 1000
+
+
+def test_append_accumulates_files_not_rewrites(spark, sink):
+    root = tempfile.mkdtemp(prefix="dsw_a_")
+    _df(spark).write.format("manifest").option("ts", "pt") \
+        .mode("append").save(root)
+    t = ManifestTable(root, "pt")
+    before = {e["path"] for v in t._raw()["partitions"]
+              for e in t._entries(t._raw(), v)}
+    _df(spark, 1000, 1300).write.format("manifest") \
+        .mode("append").save(root)
+    mf = t._raw()
+    after = {e["path"] for v in mf["partitions"]
+             for e in t._entries(mf, v)}
+    assert before < after            # blind append: old files all kept
+    assert t.version() == 2
+    assert t.read(spark).count() == 1300
+
+
+def test_overwrite_is_atomic_full_refresh_and_repins(spark, sink):
+    root = tempfile.mkdtemp(prefix="dsw_o_")
+    _df(spark).write.format("manifest").option("ts", "pt") \
+        .mode("append").save(root)
+    new = (spark.range(0, 50)
+           .select(F.col("id"),
+                   (F.col("id") % 3).cast("string").alias("pt"),
+                   F.lit("x").alias("tag")))       # different schema
+    new.write.format("manifest").mode("overwrite").save(root)
+    t = ManifestTable(root, "pt")
+    assert t.version() == 2
+    assert t._raw()["schema"] == [["id", "bigint"], ["pt", "string"],
+                                  ["tag", "string"]]
+    assert t.read(spark).count() == 50
+
+
+def test_append_schema_mismatch_fails_loudly(spark, sink):
+    root = tempfile.mkdtemp(prefix="dsw_s_")
+    _df(spark).write.format("manifest").option("ts", "pt") \
+        .mode("append").save(root)
+    with pytest.raises(Exception, match="pinned schema"):
+        _df(spark).withColumn("extra", F.lit(1)) \
+            .write.format("manifest").mode("append").save(root)
+    # the failed job published nothing
+    assert ManifestTable(root, "pt").version() == 1
+
+
+def test_append_carries_deletion_vectors(spark, sink):
+    root = tempfile.mkdtemp(prefix="dsw_dv_")
+    t = ManifestTable.create(_df(spark), root, ts="pt")
+    t.delete_where(spark, F.expr("pmod(id, 10) = 0"), mode="dv")
+    dead = [i for i in range(1000) if i % 10 == 0]
+    _df(spark, 1000, 1100).write.format("manifest") \
+        .mode("append").save(root)
+    got = sorted(r["id"] for r in t.read(spark).collect())
+    assert got == [i for i in range(1100)
+                   if not (i < 1000 and i % 10 == 0)]
+    assert not set(dead) & set(got)
+
+
+def test_partition_value_gate_null_and_escaped(spark, sink):
+    root = tempfile.mkdtemp(prefix="dsw_n_")
+    bad = spark.createDataFrame([(1, None)], "id bigint, pt string")
+    with pytest.raises(Exception, match="partition value"):
+        bad.write.format("manifest").option("ts", "pt") \
+            .mode("append").save(root)
+    bad2 = spark.createDataFrame([(1, "a/b")], "id bigint, pt string")
+    with pytest.raises(Exception, match="partition value"):
+        bad2.write.format("manifest").option("ts", "pt") \
+            .mode("append").save(root)
+
+
+def test_ts_option_conflict_fails(spark, sink):
+    root = tempfile.mkdtemp(prefix="dsw_t_")
+    _df(spark).write.format("manifest").option("ts", "pt") \
+        .mode("append").save(root)
+    with pytest.raises(Exception, match="partitioned by"):
+        _df(spark).write.format("manifest").option("ts", "v") \
+            .mode("append").save(root)
+
+
+def test_unpartitioned_write_lands_in_all(spark, sink):
+    root = tempfile.mkdtemp(prefix="dsw_u_")
+    _df(spark, 0, 100).drop("pt").write.format("manifest") \
+        .mode("append").save(root)
+    t = ManifestTable(root, None)
+    assert list(t._raw()["partitions"]) == ["__all"]
+    assert t.read(spark).count() == 100
+
+
+def test_concurrent_appends_both_commit(spark, sink):
+    """Blind appends commute: two concurrent DSv2 writes from the
+    same base both land (one rebases through CommitConflict), no
+    lost update, monotonic versions."""
+    root = tempfile.mkdtemp(prefix="dsw_r_")
+    _df(spark, 0, 100).write.format("manifest").option("ts", "pt") \
+        .mode("append").save(root)
+    errs = []
+
+    def w(lo, hi):
+        try:
+            # fresh py4j threads carry no JVM active-session
+            # thread-local, and Spark looks the PYTHON datasource
+            # registry up through it — harness detail, not engine
+            spark._jvm.org.apache.spark.sql.SparkSession \
+                .setActiveSession(spark._jsparkSession)
+            _df(spark, lo, hi).write.format("manifest") \
+                .mode("append").save(root)
+        except Exception as e:          # pragma: no cover
+            errs.append(e)
+
+    a = threading.Thread(target=w, args=(100, 200))
+    b = threading.Thread(target=w, args=(200, 300))
+    a.start(); b.start(); a.join(); b.join()
+    assert not errs
+    t = ManifestTable(root, "pt")
+    assert t.version() == 3
+    assert sorted(r["id"] for r in t.read(spark).collect()) == \
+        list(range(300))
+
+
+def test_abort_reclaims_the_txn_dir(spark, sink):
+    root = tempfile.mkdtemp(prefix="dsw_ab_")
+    os.makedirs(os.path.join(root, "data"), exist_ok=True)
+    w = ManifestBatchWriter(root, None, False,
+                            [["id", "bigint"]])
+    import pyarrow as pa
+
+    msg = w.write(iter([pa.record_batch({"id": [1, 2, 3]})]))
+    assert msg.files
+    assert os.path.isdir(os.path.join(root, "data", w.txn))
+    w.abort([msg])
+    assert not os.path.exists(os.path.join(root, "data", w.txn))
+
+
+def test_stream_sink_exactly_once(spark, sink):
+    """Two availableNow runs against one checkpoint: batch ids land
+    in the manifest's stream ledger atomically with the files; a
+    direct replay of an already-committed batch id is dropped."""
+    root = tempfile.mkdtemp(prefix="dss_")
+    srcdir = tempfile.mkdtemp(prefix="dss_src_")
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="dss_ck_"), "ck")
+
+    def run():
+        q = (spark.readStream.schema("id bigint, pt string")
+             .parquet(srcdir + "/*")
+             .writeStream.format("manifest")
+             .option("path", root).option("ts", "pt")
+             .option("streamId", "s1")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        if q.exception():
+            raise RuntimeError(str(q.exception()))
+
+    (spark.range(0, 500)
+     .select("id", (F.col("id") % 5).cast("string").alias("pt"))
+     .write.parquet(srcdir + "/b1"))
+    run()
+    t = ManifestTable(root, "pt")
+    assert t.version() == 1
+    assert t._raw()["streams"] == {"s1": 0}
+    assert t.read(spark).count() == 500
+
+    (spark.range(500, 700)
+     .select("id", (F.col("id") % 5).cast("string").alias("pt"))
+     .write.parquet(srcdir + "/b2"))
+    run()
+    assert t._raw()["streams"] == {"s1": 1}
+    assert t.read(spark).count() == 700
+
+    # replayed batch id: recognized from the ledger, nothing published
+    assert _commit_staged(root, "pt", {}, t._raw()["schema"], False,
+                          stream=("s1", 1)) is False
+    assert t.version() == 2
+
+
+def test_stream_sink_ledger_keys_by_checkpoint_when_unnamed(spark,
+                                                            sink):
+    """Without option('streamId') the ledger keys by the checkpoint
+    location (Spark always requires one for DSv2 sinks), so distinct
+    queries never share a ledger key by accident."""
+    root = tempfile.mkdtemp(prefix="dss_k_")
+    srcdir = tempfile.mkdtemp(prefix="dss_k_src_")
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="dss_k_ck_"), "ck")
+    (spark.range(0, 100)
+     .select("id", (F.col("id") % 5).cast("string").alias("pt"))
+     .write.parquet(srcdir + "/b1"))
+    q = (spark.readStream.schema("id bigint, pt string")
+         .parquet(srcdir + "/*")
+         .writeStream.format("manifest")
+         .option("path", root).option("ts", "pt")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    assert q.exception() is None
+    t = ManifestTable(root, "pt")
+    assert t._raw()["streams"] == {ckpt: 0}
+    assert t.read(spark).count() == 100
+
+
+def test_written_files_are_filterless_but_bloom_safe(spark, sink):
+    """A DSv2 append to a bloom-indexed table stages filterless files
+    (the commit hook cannot run the build job): membership probes must
+    KEEP them — read more, never wrong-skip."""
+    root = tempfile.mkdtemp(prefix="dsw_b_")
+    df = (spark.range(0, 2000)
+          .select(F.col("id"),
+                  (F.col("id") % 4).cast("string").alias("pt")))
+    t = ManifestTable.create(df, root, ts="pt",
+                             bloom={"cols": ["id"], "m": 1 << 14,
+                                    "k": 5})
+    (spark.range(2000, 2400)
+     .select(F.col("id"), (F.col("id") % 4).cast("string").alias("pt"))
+     .write.format("manifest").mode("append").save(root))
+    # a probe for an appended-range id must find it
+    plan = t.scan_plan({"id": [2201]})
+    got = t._read_files(spark, plan["files"], t._raw(),
+                        partitions=plan["partitions"]) \
+        .where(F.col("id") == 2201).collect()
+    assert [r["pt"] for r in got] == ["1"]
