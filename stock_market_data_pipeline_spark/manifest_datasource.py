@@ -66,6 +66,22 @@ from pyspark.sql.datasource import (
 )
 
 
+def _opt(options, key: str, default=None):
+    """Case-insensitive option lookup: Spark hands the STREAM reader
+    a lowercased option map (CaseInsensitiveStringMap semantics) while
+    batch reader/writer options keep their case — the same option
+    name must resolve on every path."""
+    if key in options:
+        return options[key]
+    lk = key.lower()
+    if lk in options:
+        return options[lk]
+    for k, v in options.items():
+        if k.lower() == lk:
+            return v
+    return default
+
+
 class ManifestFilePartition(InputPartition):
     """One surviving data file: absolute path, its manifest-relative
     address (the DV row-address namespace), and the owning ref's DV
@@ -262,16 +278,33 @@ class ManifestStreamReader(DataSourceStreamReader):
     (added files only; rewritten partitions may re-emit their
     surviving rows).  ``startingVersion`` pins where the stream
     begins: a version number, or ``latest`` for new-commits-only;
-    default 0 replays the whole table first (Delta's default)."""
+    default 0 replays the whole table first (Delta's default).
+
+    ``maxFilesPerTrigger`` (Delta's option) is ADMISSION CONTROL for
+    STEADY-STATE tailing: each micro-batch admits whole table
+    versions until the admitted file count would exceed the cap, so
+    a hot writer cannot swamp a slow consumer — every incremental
+    batch is bounded.  Version-granular and soft: at least one
+    version always admits (a single huge commit exceeds the cap
+    rather than stalling the stream).  The CATCH-UP batch at
+    (re)start is uncapped by design: the Python DSv2 offset protocol
+    hands ``latestOffset`` no start position, and any reply below a
+    restart checkpoint's offset would rewind the stream (duplicate
+    emission) — so the first planned batch anchors the position and
+    every later batch is bounded.  Bound a deep backfill instead
+    with ``startingVersion`` or a downstream rate limit."""
 
     def __init__(self, root: str, schema: list[list[str]], options):
         self.root, self.pinned = root, schema
-        sv = options.get("startingVersion", "0")
+        sv = _opt(options, "startingVersion", "0")
         self.start_latest = str(sv).lower() == "latest"
         self.start_version = None if self.start_latest else int(sv)
         self.ignore_changes = (
-            str(options.get("ignoreChanges", "false")).lower()
+            str(_opt(options, "ignoreChanges", "false")).lower()
             == "true")
+        self.max_files = int(_opt(options, "maxFilesPerTrigger", 0)
+                             or 0)
+        self._pos: int | None = None    # last end version handed out
 
     def _table(self):
         from .manifest import ManifestTable
@@ -280,15 +313,37 @@ class ManifestStreamReader(DataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         if self.start_latest:
-            return {"version": self._table().version()}
-        return {"version": self.start_version}
+            self._pos = self._table().version()
+        else:
+            self._pos = self.start_version
+        return {"version": self._pos}
 
     def latestOffset(self) -> dict:
-        return {"version": self._table().version()}
+        table = self._table()
+        live = table.version()
+        if self.max_files <= 0 or self._pos is None \
+                or live <= self._pos:
+            return {"version": live}
+        admitted, budget = self._pos, self.max_files
+        while admitted < live:
+            if admitted == 0:   # v1's whole file set, from refs alone
+                mf1 = table._raw(table._mname(1))
+                n = sum(r["files"] for r in mf1["partitions"].values())
+            else:
+                n = len(table.added_files(
+                    admitted, manifest_name=table._mname(admitted + 1)))
+            if n > budget and admitted > self._pos:
+                break           # cap reached; a version never splits
+            admitted += 1
+            budget -= n
+            if budget <= 0:
+                break
+        return {"version": admitted}
 
     def partitions(self, start: dict, end: dict):
         table = self._table()
         s, e = start["version"], end["version"]
+        self._pos = max(self._pos or 0, e)   # admission-control anchor
         if e <= s:
             return [ManifestFilePartition(None, "", [])]
         new = table._raw(table._mname(e))
@@ -333,7 +388,9 @@ class ManifestStreamReader(DataSourceStreamReader):
         yield from _read_file_partition(partition, self.pinned)
 
     def commit(self, end: dict) -> None:
-        pass                           # offsets live in the checkpoint
+        # offsets live in Spark's checkpoint; track the position as
+        # the admission-control anchor (belt to partitions()'s braces)
+        self._pos = max(self._pos or 0, end["version"])
 
 
 # -- write path -------------------------------------------------------
@@ -593,7 +650,7 @@ class ManifestDataSource(DataSource):
         return "manifest"
 
     def _root(self) -> str:
-        root = self.options.get("path")
+        root = _opt(self.options, "path")
         if not root:
             raise ValueError(
                 "manifest source needs a table root: .load(path)")
@@ -602,7 +659,8 @@ class ManifestDataSource(DataSource):
     def _manifest_name(self) -> str | None:
         """The reader's snapshot pin, from versionAsOf/tag options;
         None = live snapshot."""
-        v, tag = self.options.get("versionAsOf"), self.options.get("tag")
+        v, tag = (_opt(self.options, "versionAsOf"),
+                  _opt(self.options, "tag"))
         if v is not None and tag is not None:
             raise ValueError("pass versionAsOf OR tag, not both")
         if tag is not None:
@@ -667,7 +725,7 @@ class ManifestDataSource(DataSource):
         recorded one when it exists (an ``option("ts", ...)`` naming a
         different column fails loudly), else ``option("ts", ...)`` for
         create-on-first-write (None = unpartitioned)."""
-        opt = self.options.get("ts")
+        opt = _opt(self.options, "ts")
         mf = self._live_manifest()
         if mf is not None:
             ts = mf.get("ts")
@@ -690,8 +748,8 @@ class ManifestDataSource(DataSource):
 
     def streamWriter(self, schema,
                      overwrite: bool) -> ManifestStreamWriter:
-        sid = (self.options.get("streamId")
-               or self.options.get("checkpointLocation"))
+        sid = (_opt(self.options, "streamId")
+               or _opt(self.options, "checkpointLocation"))
         if not sid:
             raise ValueError(
                 "manifest sink needs option('streamId', ...) (or a "

@@ -83,6 +83,53 @@ def test_non_append_history_raises_unless_opted_in(spark):
         list(range(110, 130))
 
 
+def test_max_files_per_trigger_bounds_steady_state(spark):
+    """Admission control: with maxFilesPerTrigger set, versions
+    appended while the stream runs arrive in BOUNDED micro-batches
+    (version-granular), not one giant catch-up — 4 appends of 4
+    files each under a 5-file cap need at least 3 batches beyond
+    the initial replay."""
+    import glob
+    import os
+    import time
+
+    root, out = (tempfile.mkdtemp(prefix=p) for p in ("msf_t_",
+                                                      "msf_o_"))
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="msf_c_"), "ck")
+    t = ManifestTable.create(_frame(spark, 0, 400), root, ts="pt")
+    spark.dataSource.register(ManifestDataSource)
+    q = (spark.readStream.format("manifest")
+         .option("maxFilesPerTrigger", "5").load(root)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(processingTime="1 seconds").start())
+
+    def rows():
+        if not glob.glob(out + "/*.parquet"):
+            return 0
+        try:
+            return spark.read.parquet(out).count()
+        except Exception:
+            return 0
+
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline and rows() < 400:
+            time.sleep(2)
+        assert rows() == 400
+        for i in range(4):          # steady state: 4 versions at once
+            t.append(_frame(spark, 400 + i * 100, 500 + i * 100))
+        deadline = time.time() + 180
+        while time.time() < deadline and rows() < 800:
+            time.sleep(2)
+        assert rows() == 800
+    finally:
+        q.stop()
+    commits = [c for c in os.listdir(ckpt + "/commits")
+               if not c.startswith(".")]
+    assert len(commits) >= 4        # 1 replay + >=3 capped batches
+
+
 def test_rewrite_compaction_raises(spark):
     root, ckpt, out = (tempfile.mkdtemp(prefix=p)
                        for p in ("ms_t_", "ms_c_", "ms_o_"))

@@ -107,6 +107,14 @@ ENTRIES = [
     # task count must equal the pruned file list at 80+ partitions
     "manifest_wap_publish", "runner_wap_audit",
     "manifest_meta_tables", "datasource_manifest_scan",
+    # round-10 final additions: the table as a streaming SOURCE
+    # (version offsets over ~80 month-commits of 6M rows), time
+    # travel + tags (the pinned read must resurrect ~6M pre-delete
+    # rows after vacuum(0) reclaimed untagged history), and the DSv2
+    # WRITE paths — batch create+append of the full 6M-row fact and
+    # the exactly-once streaming sink over the same volume
+    "stream_manifest_source", "manifest_time_travel",
+    "datasink_manifest_write", "stream_manifest_sink",
 ]
 
 
