@@ -1284,8 +1284,15 @@ def datasink_manifest_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bars = bars_from_lineitem(_t(spark, sf_dir, "lineitem")).withColumn(
         "trade_month", F.date_format("trade_date", "yyyy-MM"))
-    base = bars.where(F.col("trade_month") < "1997-01")
-    backfill = bars.where(F.col("trade_month") >= "1997-01")
+    # the DSv2 seam cannot inject a shuffle: each task writes one file
+    # per partition value it holds, so the writer-side layout rule is
+    # REPARTITION BY THE PARTITION COLUMN first (the same clustering
+    # _stage applies internally) — without it a 2,656-task plan over
+    # 84 months sprays ~every(task, month) sliver files
+    base = (bars.where(F.col("trade_month") < "1997-01")
+            .repartition(F.col("trade_month")))
+    backfill = (bars.where(F.col("trade_month") >= "1997-01")
+                .repartition(F.col("trade_month")))
     root = scratch_dir("manifest_sink_")
     spark.dataSource.register(ManifestDataSource)
 
@@ -1308,6 +1315,12 @@ def datasink_manifest_write(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for e in t._entries(mf2, v)}
     if mf2["version"] != 2 or not files_v1 < files_v2:
         raise RuntimeError("append rewrote or dropped v1 files")
+    # the repartition-by-partition-column discipline held: each month
+    # carries at most one file per write that touched it
+    if len(files_v2) > 2 * len(mf2["partitions"]):
+        raise RuntimeError(
+            f"writer sprayed sliver files: {len(files_v2)} files for "
+            f"{len(mf2['partitions'])} partitions")
     return t.read(spark).drop("trade_month")
 
 
@@ -1346,6 +1359,10 @@ def stream_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     def run_once() -> None:
         q_ = (spark.readStream.schema(bars.schema)
               .parquet(srcdir + "/*")
+              # writer-side layout rule (stateless shuffle, legal in
+              # a stream): cluster by the partition column so each
+              # micro-batch lands one file per touched month
+              .repartition(F.col("trade_month"))
               .writeStream.format("manifest")
               .option("path", root).option("ts", "trade_month")
               .option("streamId", "bars")

@@ -400,32 +400,77 @@ class ManifestStreamReader(DataSourceStreamReader):
 # the driver's ``commit(messages)`` assembles footer-stat entries and
 # publishes ONE manifest through the backend CAS (steps 2+3).  A failed
 # task or job never publishes — ``abort`` (and vacuum, for crashes)
-# reclaims the txn dir.  Files staged here carry no Bloom filters
-# (building them takes a Spark job the DSv2 commit hook cannot run);
-# per the coverage-gate semantics a filterless file is read always,
-# never wrong-skipped — ``compact()`` upgrades them.
+# reclaims the txn dir.  On a bloom-indexed table each task ALSO
+# builds its files' per-column filters while the rows stream through
+# it (pure-Python md5 — bit-identical to the JVM builder by the
+# module-level hashing contract `_bloom_positions` pins), so DSv2
+# writes are first-class index citizens: probes skip their files
+# exactly like `_stage`-staged ones.
+#
+# LAYOUT RULE: the DSv2 seam cannot inject a shuffle, so each task
+# writes one file per partition value it holds — callers should
+# ``df.repartition(F.col(<partition column>))`` before writing (the
+# clustering ``_stage`` applies internally); without it an N-task
+# plan over M partition values can spray N*M sliver files, the exact
+# read-amplification `_stage`'s docstring warns about at scale.
 
 
 class ManifestWriteMessage(WriterCommitMessage):
-    """One task's staged files: [(partition value, rel path), ...]."""
+    """One task's staged files: [(value, rel path, index)], where
+    index is {"bloom": {col: {word: bits}}, "mk": [m, k]} or None."""
 
     def __init__(self, files: list):
         self.files = files
 
 
+def _canon_arrow(v, dtype: str) -> str | None:
+    """An Arrow scalar rendered exactly as Spark's ``cast(col as
+    string)`` renders it — the bloom canon domain (`_bloom_canon`'s
+    build-side twin; only `_BLOOM_TYPES` reach here)."""
+    if v is None:
+        return None
+    if dtype in ("int", "bigint", "smallint", "tinyint"):
+        return str(int(v))
+    if dtype == "date":
+        return v.isoformat()
+    return str(v)                       # string: identity
+
+
+def _bloom_words(canons, m: int, k: int) -> dict:
+    """Fold canonicalized values into the sparse {word index: 64-bit
+    word} map the manifest stores — SIGNED longs, matching the JVM
+    builder's ``shiftleft``/``bit_or`` output bit-for-bit."""
+    from .manifest import _bloom_positions
+
+    words: dict[int, int] = {}
+    for canon in canons:
+        for pos in _bloom_positions(canon, m, k):
+            words[pos // 64] = words.get(pos // 64, 0) \
+                | (1 << (pos % 64))
+    return {str(w): (b if b < (1 << 63) else b - (1 << 64))
+            for w, b in sorted(words.items())}
+
+
 def _stage_arrow_batches(root: str, txn: str, ts: str | None,
-                         iterator) -> list:
+                         iterator, bloom: dict | None = None,
+                         dtypes: dict | None = None) -> list:
     """Executor-side step 1: write this task's Arrow batches into the
     shared txn dir, one parquet file per partition value, rows grouped
     by the STRING rendering of the partition column (the manifest's
-    key domain — same cast `_stage` applies).  Returns (value, rel)
-    pairs; nothing here is reader-visible."""
+    key domain — same cast `_stage` applies).  With a ``bloom`` spec,
+    each file's per-column filter builds incrementally from the
+    DISTINCT canonicalized keys as batches stream through (NULLs set
+    no bits; an all-NULL file keeps the computed-but-empty {} a probe
+    may skip on — `_attach_blooms`' exact semantics).  Returns
+    (value, rel, index-or-None) triples; nothing is reader-visible."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     task = uuid.uuid4().hex[:12]
     writers: dict[str, tuple] = {}      # value -> (writer, rel)
+    keysets: dict[str, dict] = {}       # value -> {col: set of canon}
+    bcols: list[str] = list(bloom["cols"]) if bloom else []
 
     def _writer_for(value: str, schema: pa.Schema):
         if value in writers:
@@ -447,12 +492,25 @@ def _stage_arrow_batches(root: str, txn: str, ts: str | None,
         writers[value] = (w, rel)
         return w
 
+    def _sink(value: str, sub: "pa.Table"):
+        _writer_for(value, sub.schema).write_table(sub)
+        cols = [c for c in bcols if c in sub.column_names]
+        if not cols:
+            return
+        ks = keysets.setdefault(value, {c: set() for c in cols})
+        for c in cols:
+            dt = (dtypes or {}).get(c, "string")
+            for v in pc.unique(sub.column(c)).to_pylist():
+                canon = _canon_arrow(v, dt)
+                if canon is not None:
+                    ks[c].add(canon)
+
     for batch in iterator:
         if batch.num_rows == 0:
             continue
         tbl = pa.Table.from_batches([batch])
         if ts is None:
-            _writer_for("__all", tbl.schema).write_table(tbl)
+            _sink("__all", tbl)
             continue
         if ts not in tbl.column_names:
             raise ValueError(
@@ -463,28 +521,37 @@ def _stage_arrow_batches(root: str, txn: str, ts: str | None,
             raise ValueError(
                 f"unsupported partition value None in column {ts!r}")
         for v in pc.unique(keys).to_pylist():
-            sub = tbl.filter(pc.equal(keys, v))
-            _writer_for(v, tbl.schema).write_table(sub)
+            _sink(v, tbl.filter(pc.equal(keys, v)))
     out = []
     for value, (w, rel) in writers.items():
         w.close()
-        out.append((value, rel))
+        index = None
+        if value in keysets:
+            index = {"bloom": {c: _bloom_words(ks, bloom["m"],
+                                               bloom["k"])
+                               for c, ks in keysets[value].items()},
+                     "mk": [bloom["m"], bloom["k"]]}
+        out.append((value, rel, index))
     return out
 
 
 def _hydrate_staged(root: str, messages) -> dict[str, list]:
     """Driver-side: footer-stat entries for every staged file (the
     same `_file_entry` metadata read `_stage` performs — a few KB per
-    file, no data pages), grouped by partition value."""
+    file, no data pages), grouped by partition value; each task's
+    executor-built bloom index rides onto its entry."""
     from .manifest import _file_entry
 
     staged: dict[str, list] = {}
     for m in messages:
         if m is None:
             continue
-        for value, rel in m.files:
-            staged.setdefault(value, []).append(
-                _file_entry(os.path.join(root, rel), rel))
+        for value, rel, index in m.files:
+            e = _file_entry(os.path.join(root, rel), rel)
+            if index is not None:
+                e["bloom"] = index["bloom"]
+                e["mk"] = index["mk"]
+            staged.setdefault(value, []).append(e)
     for v in staged:
         staged[v].sort(key=lambda e: e["path"])
     return staged
@@ -572,15 +639,18 @@ class ManifestBatchWriter(DataSourceArrowWriter):
     the manifest commit protocol (class docstring above)."""
 
     def __init__(self, root: str, ts: str | None, overwrite: bool,
-                 schema_sig: list):
+                 schema_sig: list, bloom: dict | None = None):
         self.root, self.ts, self.overwrite = root, ts, overwrite
         self.schema_sig = schema_sig
+        self.bloom = bloom              # pinned spec, or None
+        self.dtypes = dict(schema_sig)
         self.txn = f"txn-{uuid.uuid4().hex[:12]}"    # driver-side once
 
     def write(self, iterator):
         return ManifestWriteMessage(
             _stage_arrow_batches(self.root, self.txn, self.ts,
-                                 iterator))
+                                 iterator, bloom=self.bloom,
+                                 dtypes=self.dtypes))
 
     def commit(self, messages) -> None:
         _commit_staged(self.root, self.ts,
@@ -606,16 +676,19 @@ class ManifestStreamWriter(DataSourceStreamArrowWriter):
     key)."""
 
     def __init__(self, root: str, ts: str | None, schema_sig: list,
-                 stream_id: str):
+                 stream_id: str, bloom: dict | None = None):
         self.root, self.ts = root, ts
         self.schema_sig = schema_sig
         self.stream_id = stream_id
+        self.bloom = bloom              # spec at query start; files
+        self.dtypes = dict(schema_sig)  # record their own (m, k)
         self.txn = f"txn-{uuid.uuid4().hex[:12]}"
 
     def write(self, iterator):
         return ManifestWriteMessage(
             _stage_arrow_batches(self.root, self.txn, self.ts,
-                                 iterator))
+                                 iterator, bloom=self.bloom,
+                                 dtypes=self.dtypes))
 
     def commit(self, messages, batchId: int) -> None:
         _commit_staged(self.root, self.ts,
@@ -625,7 +698,7 @@ class ManifestStreamWriter(DataSourceStreamArrowWriter):
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:
-            for _, rel in (m.files if m else []):
+            for _, rel, _ in (m.files if m else []):
                 try:
                     os.remove(os.path.join(self.root, rel))
                 except OSError:
@@ -741,10 +814,18 @@ class ManifestDataSource(DataSource):
         return [[f.name, f.dataType.simpleString()]
                 for f in schema.fields]
 
+    def _write_bloom(self) -> dict | None:
+        """The table's pinned bloom spec, for executor-side filter
+        builds on DSv2-written files (None on create-on-first-write:
+        set_bloom pins a spec only after the table exists)."""
+        mf = self._live_manifest()
+        return mf.get("bloom") if mf else None
+
     def writer(self, schema, overwrite: bool) -> ManifestBatchWriter:
         return ManifestBatchWriter(self._root(), self._write_ts(),
                                    overwrite,
-                                   self._schema_sig(schema))
+                                   self._schema_sig(schema),
+                                   bloom=self._write_bloom())
 
     def streamWriter(self, schema,
                      overwrite: bool) -> ManifestStreamWriter:
@@ -755,4 +836,5 @@ class ManifestDataSource(DataSource):
                 "manifest sink needs option('streamId', ...) (or a "
                 "checkpointLocation) to key its exactly-once ledger")
         return ManifestStreamWriter(self._root(), self._write_ts(),
-                                    self._schema_sig(schema), sid)
+                                    self._schema_sig(schema), sid,
+                                    bloom=self._write_bloom())

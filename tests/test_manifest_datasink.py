@@ -259,23 +259,65 @@ def test_stream_sink_ledger_keys_by_checkpoint_when_unnamed(spark,
     assert t.read(spark).count() == 100
 
 
-def test_written_files_are_filterless_but_bloom_safe(spark, sink):
-    """A DSv2 append to a bloom-indexed table stages filterless files
-    (the commit hook cannot run the build job): membership probes must
-    KEEP them — read more, never wrong-skip."""
+def test_dsv2_bloom_words_match_jvm_builder(spark, sink):
+    """The executor-side (pure Python md5) filter build is
+    BIT-IDENTICAL to the JVM builder: the same rows staged through
+    ManifestTable._stage and through the DSv2 writer produce the same
+    sparse word maps — including signed-long word encoding and date
+    canon rendering."""
+    import pyarrow as pa
+
+    spec = {"cols": ["id", "d"], "m": 1 << 12, "k": 5}
+    root = tempfile.mkdtemp(prefix="dswb_jvm_")
+    df = (spark.range(0, 500)
+          .select(F.col("id"), F.lit("0").alias("pt"),
+                  F.date_add(F.lit("1997-01-01").cast("date"),
+                             F.col("id").cast("int")).alias("d")))
+    t = ManifestTable.create(df, root, ts="pt", bloom=spec)
+    (e_jvm,) = t._entries(t._raw(), "0")
+    assert e_jvm["bloom"]["id"]          # non-trivial filter
+
+    import datetime
+
+    root2 = tempfile.mkdtemp(prefix="dswb_py_")
+    os.makedirs(os.path.join(root2, "data"))
+    base = datetime.date(1997, 1, 1)
+    batch = pa.record_batch({
+        "id": pa.array(list(range(500)), pa.int64()),
+        "pt": ["0"] * 500,
+        "d": [base + datetime.timedelta(days=i) for i in range(500)]})
+    ((_, _, index),) = _stage_arrow_batches(
+        root2, "txn-x", "pt", iter([batch]), bloom=spec,
+        dtypes={"id": "bigint", "pt": "string", "d": "date"})
+    assert index["mk"] == e_jvm["mk"] == [spec["m"], spec["k"]]
+    assert index["bloom"]["id"] == e_jvm["bloom"]["id"]
+    assert index["bloom"]["d"] == e_jvm["bloom"]["d"]
+
+
+def test_dsv2_append_builds_real_bloom_filters(spark, sink):
+    """A DSv2 append to a bloom-indexed table builds real per-file
+    filters executor-side: a mid-domain ABSENT key skips the appended
+    files (zone maps cannot — the appended range spans it), and a
+    present key is found through the source."""
     root = tempfile.mkdtemp(prefix="dsw_b_")
-    df = (spark.range(0, 2000)
-          .select(F.col("id"),
+    df = (spark.range(0, 1000)
+          .select((F.col("id") * 2).alias("id"),
                   (F.col("id") % 4).cast("string").alias("pt")))
     t = ManifestTable.create(df, root, ts="pt",
                              bloom={"cols": ["id"], "m": 1 << 14,
                                     "k": 5})
-    (spark.range(2000, 2400)
-     .select(F.col("id"), (F.col("id") % 4).cast("string").alias("pt"))
+    (spark.range(1000, 3000)
+     .select((F.col("id") * 2).alias("id"),
+             (F.col("id") % 4).cast("string").alias("pt"))
      .write.format("manifest").mode("append").save(root))
-    # a probe for an appended-range id must find it
-    plan = t.scan_plan({"id": [2201]})
-    got = t._read_files(spark, plan["files"], t._raw(),
-                        partitions=plan["partitions"]) \
-        .where(F.col("id") == 2201).collect()
-    assert [r["pt"] for r in got] == ["1"]
+    mf = t._raw()
+    assert all("bloom" in e and e["mk"] == [1 << 14, 5]
+               for v in mf["partitions"] for e in t._entries(mf, v))
+    # 4001 is odd: inside the appended files' [2000, 5998] zone-map
+    # range, absent from the even domain — only the bloom can skip
+    plan = t.scan_plan({"id": [4001]})
+    assert plan["files"] == [] and plan["bloom_skipped"] > 0
+    # an appended present key reads back through the source
+    got = (spark.read.format("manifest").load(root)
+           .where(F.col("id") == 4002).collect())
+    assert [r["id"] for r in got] == [4002]
