@@ -1365,7 +1365,7 @@ def stream_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
               .repartition(F.col("trade_month"))
               .writeStream.format("manifest")
               .option("path", root).option("ts", "trade_month")
-              .option("streamId", "bars")
+              .option("streamId", "bars").option("cdf", "true")
               .option("checkpointLocation", ckpt)
               .trigger(availableNow=True).start())
         q_.awaitTermination(300)
@@ -1393,6 +1393,12 @@ def stream_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError("replayed batch id was not dropped")
     if t.version() != mf["version"]:
         raise RuntimeError("replay published a version")
+    # option("cdf"): each batch committed its row-level change feed
+    # atomically with the files (insert_files kind, zero extra bytes)
+    if (t.changes(spark, 1).count() != n_base
+            or t.changes(spark, 2)
+            .where(F.col("_change_type") != "insert").count() != 0):
+        raise RuntimeError("sink change feed is not the batch delta")
     return t.read(spark).drop("trade_month")
 
 

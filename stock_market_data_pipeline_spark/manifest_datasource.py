@@ -559,7 +559,8 @@ def _hydrate_staged(root: str, messages) -> dict[str, list]:
 
 def _commit_staged(root: str, ts: str | None, staged: dict,
                    schema_sig: list, overwrite: bool,
-                   stream: tuple | None = None) -> bool:
+                   stream: tuple | None = None,
+                   cdf: bool = False) -> bool:
     """Steps 2+3 for the DSv2 write: publish the staged files as one
     manifest commit.  First commit on a fresh root CREATES the table
     (pins the frame's schema); append rebases through CommitConflict
@@ -570,7 +571,14 @@ def _commit_staged(root: str, ts: str | None, staged: dict,
     ledger: a replayed micro-batch is recognized and dropped (its
     staged files become vacuum orphans — the sink cannot refuse to
     stage, Spark wrote the data before commit runs).  Returns False
-    for a dropped replay."""
+    for a dropped replay.
+
+    ``cdf=True`` publishes the append's ROW-LEVEL change feed at zero
+    extra bytes (the entries reference the commit's own data files —
+    ``append(cdf=True)``'s ``insert_files`` kind; ``changes()`` adds
+    the constant classification).  Ignored for overwrite: a full
+    refresh has no row-level delta a single commit's file list can
+    describe."""
     from .manifest import CommitConflict, ManifestTable, SchemaMismatch
 
     t = ManifestTable(root, ts)
@@ -581,7 +589,10 @@ def _commit_staged(root: str, ts: str | None, staged: dict,
             try:
                 t._commit(
                     staged, base_version=0, schema=schema_sig,
-                    streams={stream[0]: stream[1]} if stream else None)
+                    streams={stream[0]: stream[1]} if stream else None,
+                    cdf=([e for es in staged.values() for e in es]
+                         if cdf else None),
+                    cdf_kind="insert_files")
                 return True
             except CommitConflict:
                 continue          # create race: rebase onto the winner
@@ -628,7 +639,10 @@ def _commit_staged(root: str, ts: str | None, staged: dict,
             schema = want or schema_sig
         try:
             t._commit(live, base_version=mf["version"],
-                      streams=streams, schema=schema)
+                      streams=streams, schema=schema,
+                      cdf=([e for es in staged.values() for e in es]
+                           if cdf and not overwrite else None),
+                      cdf_kind="insert_files")
             return True
         except CommitConflict:
             continue              # someone else committed; re-evaluate
@@ -639,10 +653,12 @@ class ManifestBatchWriter(DataSourceArrowWriter):
     the manifest commit protocol (class docstring above)."""
 
     def __init__(self, root: str, ts: str | None, overwrite: bool,
-                 schema_sig: list, bloom: dict | None = None):
+                 schema_sig: list, bloom: dict | None = None,
+                 cdf: bool = False):
         self.root, self.ts, self.overwrite = root, ts, overwrite
         self.schema_sig = schema_sig
         self.bloom = bloom              # pinned spec, or None
+        self.cdf = cdf
         self.dtypes = dict(schema_sig)
         self.txn = f"txn-{uuid.uuid4().hex[:12]}"    # driver-side once
 
@@ -655,7 +671,8 @@ class ManifestBatchWriter(DataSourceArrowWriter):
     def commit(self, messages) -> None:
         _commit_staged(self.root, self.ts,
                        _hydrate_staged(self.root, messages),
-                       self.schema_sig, overwrite=self.overwrite)
+                       self.schema_sig, overwrite=self.overwrite,
+                       cdf=self.cdf)
 
     def abort(self, messages) -> None:
         import shutil
@@ -676,12 +693,14 @@ class ManifestStreamWriter(DataSourceStreamArrowWriter):
     key)."""
 
     def __init__(self, root: str, ts: str | None, schema_sig: list,
-                 stream_id: str, bloom: dict | None = None):
+                 stream_id: str, bloom: dict | None = None,
+                 cdf: bool = False):
         self.root, self.ts = root, ts
         self.schema_sig = schema_sig
         self.stream_id = stream_id
         self.bloom = bloom              # spec at query start; files
-        self.dtypes = dict(schema_sig)  # record their own (m, k)
+        self.cdf = cdf                  # record their own (m, k)
+        self.dtypes = dict(schema_sig)
         self.txn = f"txn-{uuid.uuid4().hex[:12]}"
 
     def write(self, iterator):
@@ -694,7 +713,8 @@ class ManifestStreamWriter(DataSourceStreamArrowWriter):
         _commit_staged(self.root, self.ts,
                        _hydrate_staged(self.root, messages),
                        self.schema_sig, overwrite=False,
-                       stream=(self.stream_id, batchId))
+                       stream=(self.stream_id, batchId),
+                       cdf=self.cdf)
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:
@@ -821,11 +841,15 @@ class ManifestDataSource(DataSource):
         mf = self._live_manifest()
         return mf.get("bloom") if mf else None
 
+    def _write_cdf(self) -> bool:
+        return str(_opt(self.options, "cdf", "false")).lower() == "true"
+
     def writer(self, schema, overwrite: bool) -> ManifestBatchWriter:
         return ManifestBatchWriter(self._root(), self._write_ts(),
                                    overwrite,
                                    self._schema_sig(schema),
-                                   bloom=self._write_bloom())
+                                   bloom=self._write_bloom(),
+                                   cdf=self._write_cdf())
 
     def streamWriter(self, schema,
                      overwrite: bool) -> ManifestStreamWriter:
@@ -837,4 +861,5 @@ class ManifestDataSource(DataSource):
                 "checkpointLocation) to key its exactly-once ledger")
         return ManifestStreamWriter(self._root(), self._write_ts(),
                                     self._schema_sig(schema), sid,
-                                    bloom=self._write_bloom())
+                                    bloom=self._write_bloom(),
+                                    cdf=self._write_cdf())

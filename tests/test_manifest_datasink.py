@@ -259,6 +259,44 @@ def test_stream_sink_ledger_keys_by_checkpoint_when_unnamed(spark,
     assert t.read(spark).count() == 100
 
 
+def test_dsv2_append_publishes_change_feed(spark, sink):
+    """option('cdf', 'true'): the DSv2 append commits its row-level
+    change feed atomically with the data at zero extra bytes (the
+    insert_files kind — entries reference the commit's own files)."""
+    root = tempfile.mkdtemp(prefix="dsw_cdf_")
+    t = ManifestTable.create(_df(spark), root, ts="pt")      # v1
+    _df(spark, 1000, 1200).write.format("manifest") \
+        .option("cdf", "true").mode("append").save(root)     # v2
+    ch = t.changes(spark, 2)
+    assert set(r["_change_type"] for r in
+               ch.select("_change_type").distinct().collect()) == \
+        {"insert"}
+    assert sorted(r["id"] for r in ch.collect()) == \
+        list(range(1000, 1200))
+
+
+def test_stream_sink_publishes_change_feed_per_batch(spark, sink):
+    root = tempfile.mkdtemp(prefix="dss_cdf_")
+    srcdir = tempfile.mkdtemp(prefix="dss_cdf_src_")
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="dss_cdf_ck_"), "ck")
+    (spark.range(0, 300)
+     .select("id", (F.col("id") % 5).cast("string").alias("pt"))
+     .write.parquet(srcdir + "/b1"))
+    q = (spark.readStream.schema("id bigint, pt string")
+         .parquet(srcdir + "/*")
+         .writeStream.format("manifest")
+         .option("path", root).option("ts", "pt")
+         .option("streamId", "s1").option("cdf", "true")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    assert q.exception() is None
+    t = ManifestTable(root, "pt")
+    ch = t.changes(spark, 1)
+    assert ch.where(F.col("_change_type") != "insert").count() == 0
+    assert ch.count() == 300
+
+
 def test_dsv2_bloom_words_match_jvm_builder(spark, sink):
     """The executor-side (pure Python md5) filter build is
     BIT-IDENTICAL to the JVM builder: the same rows staged through
