@@ -186,8 +186,10 @@ class ManifestReader(DataSourceReader):
         """Executor-side: one parquet file -> Arrow batches, with the
         partition's deletion vectors applied as a positional mask
         (rows addressed (rel, row_index) within THIS file drop before
-        anything is emitted)."""
-        yield from _read_file_partition(partition, self.pinned)
+        anything is emitted); the pushed filters prune row groups by
+        their footer stats before any data page is read."""
+        yield from _read_file_partition(partition, self.pinned,
+                                        self._normalized_where())
 
 
 def _arrow_type(t: str):
@@ -220,14 +222,74 @@ def _arrow_type(t: str):
         "read through ManifestTable.read() instead")
 
 
+def _kept_row_groups(md, where: dict) -> list[int]:
+    """Executor-side ROW-GROUP pruning under the manifest's zone-map
+    discipline: a row group drops only when its footer [min, max] for
+    some constrained column PROVABLY excludes every probe value/range.
+    Same conservative rules as `_file_entry`: binary/Decimal bounds,
+    canon-rewritten string bounds, absent stats, and type-incompatible
+    comparisons all KEEP the group — more I/O, never a missing row
+    (the residual predicate runs Spark-side either way)."""
+    import decimal
+
+    from .manifest import _norm
+
+    kept = []
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        stats = {}
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            stats[col.path_in_schema] = col.statistics
+        drop = False
+        for c, spec in where.items():
+            st = stats.get(c)
+            if st is None or not st.has_min_max:
+                continue
+            if isinstance(st.min, (bytes, decimal.Decimal)) \
+                    or isinstance(st.max, (bytes, decimal.Decimal)):
+                continue
+            lo0, hi0 = _norm(st.min), _norm(st.max)
+            if (isinstance(st.min, str) and lo0 != st.min) \
+                    or (isinstance(st.max, str) and hi0 != st.max):
+                continue           # rewritten raw-string bound
+            try:
+                if isinstance(spec, list):
+                    vals = [v for v in spec if v is not None]
+                    if vals and all(v < lo0 or v > hi0 for v in vals):
+                        drop = True
+                else:
+                    lo, hi = spec
+                    if (hi is not None and hi < lo0) \
+                            or (lo is not None and lo > hi0):
+                        drop = True
+            except TypeError:
+                continue           # incomparable types: keep
+            if drop:
+                break
+        if not drop:
+            kept.append(rg)
+    return kept
+
+
 def _read_file_partition(partition: ManifestFilePartition,
-                         schema: list[list[str]]):
+                         schema: list[list[str]],
+                         where: dict | None = None):
     """Executor-side file read shared by the batch and streaming
     readers: one parquet file -> Arrow batches, the partition's
     deletion vectors applied as a positional mask first.  ``schema``
     is the pinned (name, type) signature: columns a pre-evolution
     file lacks surface as typed NULLs — Delta's metadata-only ADD
-    COLUMNS semantics, same as ``_read_files``."""
+    COLUMNS semantics, same as ``_read_files``.
+
+    ``where`` (the pushed-filter dict the driver pruned files with)
+    additionally prunes ROW GROUPS inside this file by their footer
+    stats — the second granularity tier: driver-side planning drops
+    files, each executor drops the row groups its own file's footer
+    excludes.  On a cluster-by/z-ordered table whose files hold many
+    sorted row groups this turns a point probe from O(file) into
+    O(row group) I/O.  DV row addresses are FILE-absolute, so the
+    positional mask maps global indices through the kept groups."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -235,9 +297,15 @@ def _read_file_partition(partition: ManifestFilePartition,
     if partition is None or partition.path is None:
         return
     names = [n for n, _ in schema]
-    on_disk = set(pq.read_schema(partition.path).names)
-    t = pq.read_table(partition.path,
-                      columns=[n for n in names if n in on_disk])
+    pf = pq.ParquetFile(partition.path)
+    md = pf.metadata
+    kept = (_kept_row_groups(md, where) if where
+            else list(range(md.num_row_groups)))
+    if not kept:
+        return
+    on_disk = set(pf.schema_arrow.names)
+    t = pf.read_row_groups(kept,
+                           columns=[n for n in names if n in on_disk])
     for n, ty in schema:
         if n not in on_disk:
             t = t.append_column(n, pa.nulls(t.num_rows,
@@ -252,12 +320,29 @@ def _read_file_partition(partition: ManifestFilePartition,
             dead.update(i for r, i in zip(rels, idxs)
                         if r == partition.rel)
         if dead:
-            mask = np.ones(t.num_rows, dtype=bool)
-            hit = np.fromiter((i for i in dead if i < t.num_rows),
-                              dtype=np.int64)
-            if hit.size:
-                mask[hit] = False
-            t = t.filter(pa.array(mask))
+            # map FILE-absolute dead positions into the concatenated
+            # kept-row-group frame
+            starts, acc = [], 0
+            for i in range(md.num_row_groups):
+                starts.append(acc)
+                acc += md.row_group(i).num_rows
+            local_base, lacc = {}, 0
+            for i in kept:
+                local_base[i] = lacc
+                lacc += md.row_group(i).num_rows
+            import bisect
+
+            hits = []
+            for g in dead:
+                if g >= acc:
+                    continue
+                rg = bisect.bisect_right(starts, g) - 1
+                if rg in local_base:
+                    hits.append(local_base[rg] + (g - starts[rg]))
+            if hits:
+                mask = np.ones(t.num_rows, dtype=bool)
+                mask[np.asarray(hits, dtype=np.int64)] = False
+                t = t.filter(pa.array(mask))
     yield from t.to_batches()
 
 

@@ -197,6 +197,49 @@ def test_unknown_tag_lists_live_tags(spark, pushdown):
          .option("tag", "nope").load(root).count())
 
 
+def test_row_group_pruning_and_dv_mask_compose(spark, pushdown):
+    """The second pruning tier: pushed filters drop ROW GROUPS inside
+    a kept file by footer stats (a sorted multi-row-group file keeps
+    only the groups spanning the range), while deletion-vector
+    positions — FILE-absolute addresses — still mask correctly after
+    groups are skipped."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from stock_market_data_pipeline_spark.manifest_datasource import (
+        _kept_row_groups,
+    )
+
+    root = tempfile.mkdtemp(prefix="mds_rg_")
+    n = 60000
+    # one partition value, one task, sorted ids -> Arrow hands the
+    # writer ~10k-row batches, each flushed as its own row group
+    df = (spark.range(0, n)
+          .select(F.col("id"), F.lit("0").alias("pt"))
+          .repartition(1).sortWithinPartitions("id"))
+    df.write.format("manifest").option("ts", "pt") \
+        .mode("append").save(root)
+    t = ManifestTable(root, "pt")
+    (e,) = t._entries(t._raw(), "0")
+    md = pq.ParquetFile(os.path.join(root, e["path"])).metadata
+    assert md.num_row_groups >= 4           # multi-group file
+    t.delete_where(spark, F.expr("pmod(id, 1000) = 7"), mode="dv")
+
+    kept = _kept_row_groups(md, {"id": (30000, 30999)})
+    assert 0 < len(kept) < md.num_row_groups    # groups were pruned
+
+    d = spark.read.format("manifest").load(root)
+    got = sorted(r["id"] for r in
+                 d.where(F.col("id").between(30000, 30999)).collect())
+    assert got == [i for i in range(30000, 31000) if i % 1000 != 7]
+    # conservative rules: absent column and incomparable types keep
+    assert _kept_row_groups(md, {"nope": (1, 2)}) == \
+        list(range(md.num_row_groups))
+    assert _kept_row_groups(md, {"id": ("a", "b")}) == \
+        list(range(md.num_row_groups))
+
+
 def test_date_range_pushdown_canonicalizes(spark, pushdown):
     root = tempfile.mkdtemp(prefix="mds_d_")
     df = (spark.range(0, 365)
