@@ -1035,6 +1035,13 @@ def manifest_meta_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(f"snapshot history wrong: {snaps}")
     if n_live != table.read(spark).count():
         raise RuntimeError("metadata live count != actual read")
+    # refs table (Iceberg db.t.refs): main head + snapshot tags
+    table.create_tag("audited")
+    refs = {(r["name"], r["type"]): r["version"]
+            for r in table.meta_refs(spark).collect()}
+    if refs != {("main", "branch"): v0 + 1,
+                ("audited", "tag"): v0 + 1}:
+        raise RuntimeError(f"refs table wrong: {refs}")
     return spark.createDataFrame(
         [(r["partition"], r["live_rows"] + r["deleted_rows"],
           r["deleted_rows"], r["live_rows"]) for r in parts],

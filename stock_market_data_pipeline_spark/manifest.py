@@ -1584,6 +1584,24 @@ class ManifestTable:
             rows, schema="version bigint, manifest string, "
                          "partitions bigint, files bigint, rows bigint")
 
+    def meta_refs(self, spark: SparkSession) -> DataFrame:
+        """REFS inspection table (Iceberg ``db.t.refs`` analog): one
+        row per named pointer into the snapshot history — the main
+        head, every live write-audit-publish BRANCH (name, head, cut
+        base, commits since the cut) and every snapshot TAG (pinned
+        version; vacuum-exempt).  Driver-side listing of
+        ``_manifests/`` plus one small JSON read per ref — no shard
+        loads, no data I/O at any table size."""
+        rows = [("main", "branch", int(self.version()), None, None)]
+        for name, b in sorted(self.branches().items()):
+            rows.append((name, "branch", int(b["head"]),
+                         int(b["base"]), int(b["commits"])))
+        for name, t in sorted(self.tags().items()):
+            rows.append((name, "tag", int(t["version"]), None, None))
+        return spark.createDataFrame(
+            rows, schema="name string, type string, version bigint, "
+                         "base bigint, commits bigint")
+
     def stat_bounds(self, col: str,
                     manifest_name: str | None = None) -> tuple | None:
         """Table-wide [min, max] of ``col`` folded from the per-file

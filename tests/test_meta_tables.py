@@ -57,6 +57,31 @@ def test_meta_tables_agree_across_surfaces(spark):
         list(range(snaps[0]["version"], snaps[0]["version"] + 3))
 
 
+def test_meta_refs_lists_main_branches_and_tags(spark):
+    """REFS table (Iceberg db.t.refs analog): main head + live WAP
+    branches (head/base/commits) + snapshot tags, each a small JSON
+    read — and it tracks drop/publish lifecycle."""
+    root = tempfile.mkdtemp(prefix="meta_r_")
+    table = ManifestTable.create(_frame(spark, 0, 60), root, ts="pt")
+    table.create_tag("v1")
+    bt = table.create_branch("audit")
+    bt.append(_frame(spark, 60, 90))
+
+    refs = {(r["name"], r["type"]): r
+            for r in table.meta_refs(spark).collect()}
+    assert refs[("main", "branch")]["version"] == 1
+    a = refs[("audit", "branch")]
+    assert (a["version"], a["base"], a["commits"]) == (2, 1, 1)
+    assert refs[("v1", "tag")]["version"] == 1
+
+    table.publish_branch("audit")
+    table.drop_branch("audit")
+    table.drop_tag("v1")
+    refs2 = {r["name"] for r in table.meta_refs(spark).collect()}
+    assert refs2 == {"main"}
+    assert table.meta_refs(spark).collect()[0]["version"] == 2
+
+
 def test_meta_partitions_reads_no_shards(spark, monkeypatch):
     """The partition-level surface is commit-object-only: hydrating a
     shard from meta_partitions is a scale bug (O(#files) driver reads
