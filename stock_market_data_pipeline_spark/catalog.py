@@ -1409,6 +1409,78 @@ def stream_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read(spark).drop("trade_month")
 
 
+STREAM_CHANGE_FEED_SQL = f"""
+SELECT b.*, 'insert' AS _change_type,
+       CAST(2 AS BIGINT) AS _commit_version
+FROM ({oracles.BARS_SQL}) b
+WHERE trade_date >= DATE '1997-01-01'
+UNION ALL
+SELECT b.*, 'delete' AS _change_type,
+       CAST(3 AS BIGINT) AS _commit_version
+FROM ({oracles.BARS_SQL}) b
+WHERE ticker % 9 = 4
+""".strip()
+
+
+@q("stream_change_feed", STREAM_CHANGE_FEED_SQL)
+def stream_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING the ROW-LEVEL change feed
+    (`option("readChangeFeed", "true")`, manifest_datasource.py —
+    Delta's readChangeFeed in DSv2 position): the stream emits each
+    commit's classified change rows (table schema + `_change_type` +
+    `_commit_version`) straight from the change-set files the writes
+    committed — an append's feed at ZERO extra bytes (insert_files
+    kind), a DV delete's as its real removed rows — so a downstream
+    incremental view folds O(changes) per trigger instead of
+    rescanning the table (the IVM consumption shape, now wired to a
+    plain readStream).  The entry creates the pre-1997 bars (v1),
+    appends the 1997+ backfill with cdf (v2), merge-on-read DELETES a
+    ticker residue class with cdf (v3), streams the feed from
+    startingVersion=1, and RAISES unless the fold invariant holds:
+    v1 snapshot + inserts - deletes == the live table, row-for-row
+    count.  The oracle reproduces the exact feed relation (inserts =
+    the backfill tagged v2; deletes = the residue class tagged v3) —
+    hash equality proves the streamed feed is byte-true to the
+    writes."""
+    from .manifest import ManifestTable
+    from .manifest_datasource import ManifestDataSource
+    from .scratch import scratch_dir
+
+    bars = bars_from_lineitem(_t(spark, sf_dir, "lineitem")).withColumn(
+        "trade_month", F.date_format("trade_date", "yyyy-MM"))
+    base = bars.where(F.col("trade_month") < "1997-01")
+    backfill = bars.where(F.col("trade_month") >= "1997-01")
+    table = ManifestTable.create(
+        base, scratch_dir("stream_cdf_"), ts="trade_month")     # v1
+    table.append(backfill, cdf=True)                            # v2
+    out = table.delete_where(spark, F.expr("pmod(ticker, 9) = 4"),
+                             cdf=True, mode="dv")               # v3
+    if out["rows_deleted"] == 0:
+        raise RuntimeError("delete removed nothing; feed untested")
+    sink, ckpt = (scratch_dir("stream_cdf_out_"),
+                  scratch_dir("stream_cdf_ck_"))
+    spark.dataSource.register(ManifestDataSource)
+    q_ = (spark.readStream.format("manifest")
+          .option("readChangeFeed", "true")
+          .option("startingVersion", "1").load(table.root)
+          .writeStream.format("parquet").option("path", sink)
+          .option("checkpointLocation", ckpt)
+          .trigger(availableNow=True).start())
+    q_.awaitTermination(300)
+    if q_.exception():
+        raise RuntimeError(str(q_.exception()))
+    feed = spark.read.parquet(sink)
+    n_ins = feed.where(F.col("_change_type") == "insert").count()
+    n_del = feed.where(F.col("_change_type") == "delete").count()
+    if n_ins != backfill.count() or n_del != out["rows_deleted"]:
+        raise RuntimeError(
+            f"feed is not the writes: {n_ins} inserts, {n_del} deletes")
+    # fold invariant: base + inserts - deletes == live table
+    if base.count() + n_ins - n_del != table.read(spark).count():
+        raise RuntimeError("feed does not fold to the live table")
+    return feed.drop("trade_month")
+
+
 RUNNER_WAP_SQL = f"""
 SELECT * FROM ({oracles.BARS_SQL}) b
 WHERE trade_date < DATE '1997-07-01'
@@ -2888,7 +2960,7 @@ _DRIVER_WINDOW_FIRST = [
     "manifest_wap_publish", "runner_wap_audit", "manifest_meta_tables",
     "datasource_manifest_scan", "stream_manifest_source",
     "manifest_time_travel", "datasink_manifest_write",
-    "stream_manifest_sink",
+    "stream_manifest_sink", "stream_change_feed",
     # -- group 1: the 25 entries last driver-green in r7 that sat out
     # the r8 and r9 windows — at the policy's age bound, the staleness
     # test (tests/test_registration_order.py) fails the build unless
@@ -2912,21 +2984,22 @@ _DRIVER_WINDOW_FIRST = [
     "manifest_bloom_pointlookup", "manifest_ivm_from_cdf",
     "mm_decode_jpeg", "manifest_delete_where",
     "manifest_count_pushdown",
-    # -- group 3: the r8-checked cohort (age 2 this round); 6 of 48
+    # -- group 3: the r8-checked cohort (age 2 this round); 5 of 48
     # fit — table-layer and streaming entries nearest this round's
     # manifest work first.
     # (text_lang_id, text_boilerplate_segments, sessionize_events,
     # tpch_q5_local_supplier, dedup_simhash, tpch_q3_topk_revenue,
     # tpch_q1_pricing_summary, dedup_ngram_jaccard, mm_payload_grid,
-    # mm_payload_features, mm_decode_png, stream_dedup_events and
-    # stream_stateful_user_totals yielded their slots to the
-    # late-round manifest_update_dv, manifest_merge_dv,
-    # docs_chunk_overlap, stream_upsert_dv, mm_decode_jpeg_color,
-    # manifest_wap_publish, runner_wap_audit, manifest_meta_tables,
-    # datasource_manifest_scan, stream_manifest_source,
-    # manifest_time_travel, datasink_manifest_write and
-    # stream_manifest_sink entries; they join the r11 cohort.)
-    # The 42 deferred to r11 (asof_prior_view, band_range_join,
+    # mm_payload_features, mm_decode_png, stream_dedup_events,
+    # stream_stateful_user_totals and stream_hourly_rollup yielded
+    # their slots to the late-round manifest_update_dv,
+    # manifest_merge_dv, docs_chunk_overlap, stream_upsert_dv,
+    # mm_decode_jpeg_color, manifest_wap_publish, runner_wap_audit,
+    # manifest_meta_tables, datasource_manifest_scan,
+    # stream_manifest_source, manifest_time_travel,
+    # datasink_manifest_write, stream_manifest_sink and
+    # stream_change_feed entries; they join the r11 cohort.)
+    # The 43 deferred to r11 (asof_prior_view, band_range_join,
     # benchmark_contamination, bucketed_join_revenue, cube_order_stats,
     # cumulative_distinct_users, datasource_grouped_daily,
     # dedup_embedding_cosine, dedup_ngram_jaccard, dedup_simhash,
@@ -2939,8 +3012,9 @@ _DRIVER_WINDOW_FIRST = [
     # sample_hash_split, scalar_max_filter, screener_filter,
     # self_lag_join, serving_manifest_ticker_range, session_funnel,
     # session_window_native, stratified_balance_lang,
-    # sessionize_events, stream_dedup_events, stream_interval_join,
-    # stream_session_windows, stream_stateful_user_totals,
+    # sessionize_events, stream_dedup_events, stream_hourly_rollup,
+    # stream_interval_join, stream_session_windows,
+    # stream_stateful_user_totals,
     # text_boilerplate_segments, text_lang_id,
     # tpch_q1_pricing_summary, tpch_q3_topk_revenue,
     # tpch_q5_local_supplier), all
@@ -2948,7 +3022,7 @@ _DRIVER_WINDOW_FIRST = [
     # front the r11 window --
     "manifest_change_feed", "manifest_restore",
     "manifest_schema_evolution", "fct_momentum_incremental",
-    "stream_upsert_rollup", "stream_hourly_rollup",
+    "stream_upsert_rollup",
 ]
 
 

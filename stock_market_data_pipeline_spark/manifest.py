@@ -3081,7 +3081,8 @@ class ManifestTable:
                 min_files: int = 2,
                 cluster_by: list[str] | None = None,
                 zorder_by: list[str] | None = None,
-                max_records_per_file: int | None = None) -> dict:
+                max_records_per_file: int | None = None,
+                partitions: list[str] | None = None) -> dict:
         """Rewrite every partition holding >= ``min_files`` files into
         compacted form and commit the swap atomically — concurrent
         readers keep the old snapshot until the commit link, and time
@@ -3106,7 +3107,15 @@ class ManifestTable:
         cluster key.  Column domains come from the commit object's
         zone maps (no extra scan); mutually exclusive with
         ``cluster_by``.
-        """
+
+        ``partitions`` bounds maintenance to the NAMED partition
+        values (Delta's ``OPTIMIZE WHERE`` shape): at 100 TB a table
+        never compacts whole — the streaming-ingest pattern is
+        "compact yesterday's partition once it stops receiving
+        appends", touching one partition's files while the other 10^4
+        partitions ride along by ref.  Composes with min_files /
+        cluster_by / zorder_by (selection intersects; unknown values
+        raise — a silent no-op would read as maintenance done)."""
         if cluster_by and zorder_by:
             raise ValueError("cluster_by and zorder_by are exclusive")
         mf = self._raw()
@@ -3120,6 +3129,14 @@ class ManifestTable:
                            # exclude DV rows, the fresh ref carries no
                            # dv), freeing the sidecar read tax
                            or r.get("dv")])
+        if partitions is not None:
+            unknown = [v for v in partitions if v not in live]
+            if unknown:
+                raise KeyError(
+                    f"compact(partitions=...) names values not in the "
+                    f"live snapshot: {unknown}")
+            sel = set(partitions)
+            todo_vals = [v for v in todo_vals if v in sel]
         if not todo_vals:
             return {"partitions": 0, "files_before": 0, "files_after": 0}
         files_before = sum(live[v]["files"] for v in todo_vals)

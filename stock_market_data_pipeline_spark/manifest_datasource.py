@@ -91,6 +91,17 @@ class ManifestFilePartition(InputPartition):
         self.path, self.rel, self.dv_paths = path, rel, dv_paths
 
 
+class ManifestCDFPartition(InputPartition):
+    """One change-set file of one commit: ``ctype`` is the constant
+    classification for ``insert_files``-kind commits (the entries ARE
+    the commit's data files), or None when the file physically carries
+    ``_change_type`` (classified merge/delete change sets)."""
+
+    def __init__(self, path: str | None, ctype: str | None,
+                 version: int):
+        self.path, self.ctype, self.version = path, ctype, version
+
+
 class ManifestReader(DataSourceReader):
     def __init__(self, root: str, schema: list[list[str]],
                  manifest_name: str | None = None):
@@ -346,6 +357,36 @@ def _read_file_partition(partition: ManifestFilePartition,
     yield from t.to_batches()
 
 
+def _read_cdf_partition(partition: ManifestCDFPartition,
+                        schema: list[list[str]]):
+    """Executor-side change-set file read: the pinned columns (pre-
+    evolution files NULL-fill) plus ``_change_type`` — the file's own
+    column for classified change sets, the constant for insert_files
+    feeds — and the constant ``_commit_version``."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if partition is None or partition.path is None:
+        return
+    names = [n for n, _ in schema]
+    t = pq.read_table(partition.path)
+    on_disk = set(t.column_names)
+    if partition.ctype is not None:
+        ct = pa.array([partition.ctype] * t.num_rows, pa.string())
+    else:
+        ct = t.column("_change_type")
+    for n, ty in schema:
+        if n not in on_disk:
+            t = t.append_column(n, pa.nulls(t.num_rows,
+                                            _arrow_type(ty)))
+    out = (t.select(names)
+           .append_column("_change_type", ct)
+           .append_column("_commit_version",
+                          pa.array([partition.version] * t.num_rows,
+                                   pa.int64())))
+    yield from out.to_batches()
+
+
 class ManifestStreamReader(DataSourceStreamReader):
     """``spark.readStream.format("manifest")`` — the manifest table
     as a Structured Streaming SOURCE (the Delta streaming-source
@@ -377,7 +418,20 @@ class ManifestStreamReader(DataSourceStreamReader):
     restart checkpoint's offset would rewind the stream (duplicate
     emission) — so the first planned batch anchors the position and
     every later batch is bounded.  Bound a deep backfill instead
-    with ``startingVersion`` or a downstream rate limit."""
+    with ``startingVersion`` or a downstream rate limit.
+
+    ``readChangeFeed=true`` (Delta's reader option) streams the
+    ROW-LEVEL change feed instead of the table rows: each micro-batch
+    emits the (start, end] commits' classified change rows — the
+    table schema plus ``_change_type`` (insert / update_preimage /
+    update_postimage / delete) and ``_commit_version`` — straight
+    from the change-set files the writes committed (``cdf=True`` on
+    merge/delete/append/the DSv2 sink; an append's feed costs zero
+    extra bytes).  A version in range committed WITHOUT cdf raises
+    the same clear error :meth:`ManifestTable.changes` does — a
+    silent gap would corrupt every downstream incremental view.  The
+    append-only guard doesn't apply: rewrites are legal because their
+    row-level deltas are exactly what is being streamed."""
 
     def __init__(self, root: str, schema: list[list[str]], options):
         self.root, self.pinned = root, schema
@@ -386,6 +440,9 @@ class ManifestStreamReader(DataSourceStreamReader):
         self.start_version = None if self.start_latest else int(sv)
         self.ignore_changes = (
             str(_opt(options, "ignoreChanges", "false")).lower()
+            == "true")
+        self.read_cdf = (
+            str(_opt(options, "readChangeFeed", "false")).lower()
             == "true")
         self.max_files = int(_opt(options, "maxFilesPerTrigger", 0)
                              or 0)
@@ -431,6 +488,8 @@ class ManifestStreamReader(DataSourceStreamReader):
         self._pos = max(self._pos or 0, e)   # admission-control anchor
         if e <= s:
             return [ManifestFilePartition(None, "", [])]
+        if self.read_cdf:
+            return self._cdf_partitions(table, s, e)
         new = table._raw(table._mname(e))
         old = ({"partitions": {}} if s == 0
                else table._raw(table._mname(s)))
@@ -443,6 +502,29 @@ class ManifestStreamReader(DataSourceStreamReader):
                   for x in table._entries(new, v)])
         out = [ManifestFilePartition(
             p, os.path.relpath(p, self.root), []) for p in files]
+        return out or [ManifestFilePartition(None, "", [])]
+
+    def _cdf_partitions(self, table, s: int, e: int) -> list:
+        """One task per change-set file of each commit in (s, e]: the
+        entries come straight from each commit object's ``cdf`` key —
+        O(commits) small JSON reads, no shard loads.  A commit in
+        range without a captured change set raises (the
+        :meth:`ManifestTable.changes` contract: a silent gap would
+        corrupt downstream incremental state)."""
+        out = []
+        for v in range(max(s, 0) + 1, e + 1):
+            mf = table._raw(table._mname(v))
+            if "cdf" not in mf:
+                raise RuntimeError(
+                    f"{self.root} version {v}: committed without "
+                    "cdf=True — no row-level change set was captured; "
+                    "enable cdf on every write (merge/delete/append/"
+                    "sink) or start the stream past this version")
+            ctype = ("insert" if mf.get("cdf_kind") == "insert_files"
+                     else None)
+            out.extend(ManifestCDFPartition(
+                os.path.join(self.root, x["path"]), ctype, v)
+                for x in mf["cdf"])
         return out or [ManifestFilePartition(None, "", [])]
 
     def _require_append_only(self, table, old, new, s, e) -> None:
@@ -469,8 +551,11 @@ class ManifestStreamReader(DataSourceStreamReader):
                     "(Delta's documented relaxation), or feed "
                     "downstream from changes()/read_incremental.")
 
-    def read(self, partition: ManifestFilePartition):
-        yield from _read_file_partition(partition, self.pinned)
+    def read(self, partition):
+        if isinstance(partition, ManifestCDFPartition):
+            yield from _read_cdf_partition(partition, self.pinned)
+        else:
+            yield from _read_file_partition(partition, self.pinned)
 
     def commit(self, end: dict) -> None:
         # offsets live in Spark's checkpoint; track the position as
@@ -869,10 +954,23 @@ class ManifestDataSource(DataSource):
                 f"{self._root()}: manifest carries no pinned schema")
         return schema
 
+    def _read_cdf(self) -> bool:
+        return str(_opt(self.options, "readChangeFeed",
+                        "false")).lower() == "true"
+
     def schema(self) -> str:
-        return ", ".join(f"`{n}` {t}" for n, t in self._pinned_schema())
+        cols = list(self._pinned_schema())
+        if self._read_cdf():
+            cols += [["_change_type", "string"],
+                     ["_commit_version", "bigint"]]
+        return ", ".join(f"`{n}` {t}" for n, t in cols)
 
     def reader(self, schema) -> ManifestReader:
+        if self._read_cdf():
+            raise ValueError(
+                "readChangeFeed is a STREAM reader option "
+                "(spark.readStream); for a single commit's batch "
+                "change set use ManifestTable.changes(spark, version)")
         return ManifestReader(self._root(), self._pinned_schema(),
                               self._manifest_name())
 

@@ -326,6 +326,30 @@ def test_append_and_compact(spark, table):
     assert table.compact(spark)["partitions"] == 0
 
 
+def test_compact_partition_targeted(spark, table):
+    """compact(partitions=[...]) — Delta's OPTIMIZE WHERE shape:
+    only the named partitions rewrite; the others ride by ref
+    untouched (the 100 TB incremental-maintenance pattern).  Unknown
+    values raise instead of silently no-op'ing."""
+    table.append(_mkdf(spark, [("CCC", "2024-01-02", 30.0),
+                               ("EEE", "2024-01-03", 50.0)]))
+    table.append(_mkdf(spark, [("DDD", "2024-01-02", 40.0),
+                               ("FFF", "2024-01-03", 60.0)]))
+    mf = table._raw()
+    other_ref = mf["partitions"]["2024-01-03"]["shard"]
+    before = _snap(table.read(spark))
+    out = table.compact(spark, partitions=["2024-01-02"])
+    assert out["partitions"] == 1 and out["files_after"] == 1
+    mf2 = table._raw()
+    assert len(table._entries(mf2, "2024-01-02")) == 1
+    # untargeted partition: same shard ref, still multi-file
+    assert mf2["partitions"]["2024-01-03"]["shard"] == other_ref
+    assert len(table._entries(mf2, "2024-01-03")) == 3
+    assert _snap(table.read(spark)) == before
+    with pytest.raises(KeyError, match="not in the live snapshot"):
+        table.compact(spark, partitions=["2024-99-99"])
+
+
 @BOTH_BACKENDS
 def test_commit_conflict_detected_not_torn(spark, table):
     """Optimistic concurrency: writer B commits between writer A's

@@ -83,6 +83,54 @@ def test_non_append_history_raises_unless_opted_in(spark):
         list(range(110, 130))
 
 
+def test_read_change_feed_streams_row_level_deltas(spark):
+    """readChangeFeed=true: the stream emits the commits' ROW-LEVEL
+    change rows (table schema + _change_type + _commit_version) from
+    the change-set files the writes committed — an insert feed at
+    zero extra bytes, a delete feed classified; a version without a
+    captured change set raises the changes() error."""
+    import os
+
+    root, out = (tempfile.mkdtemp(prefix=p) for p in ("cdf_t_",
+                                                      "cdf_o_"))
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="cdf_c_"), "ck")
+    t = ManifestTable.create(_frame(spark, 0, 100), root, ts="pt")
+    t.append(_frame(spark, 100, 150), cdf=True)              # v2
+    t.delete_where(spark, F.expr("pmod(id, 10) = 3"),
+                   cdf=True)                                 # v3
+    spark.dataSource.register(ManifestDataSource)
+
+    def run(ckpt_, out_, **opts):
+        q = (spark.readStream.format("manifest")
+             .options(**opts).option("readChangeFeed", "true")
+             .load(root)
+             .writeStream.format("parquet").option("path", out_)
+             .option("checkpointLocation", ckpt_)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        if q.exception():
+            raise RuntimeError(str(q.exception()))
+        return spark.read.parquet(out_)
+
+    got = run(ckpt, out, startingVersion="1")
+    assert got.columns[-2:] == ["_change_type", "_commit_version"]
+    by = {(r["_change_type"], r["_commit_version"]): r["cnt"]
+          for r in got.groupBy("_change_type", "_commit_version")
+          .agg(F.count("*").alias("cnt")).collect()}
+    n_deleted = sum(1 for i in range(150) if i % 10 == 3)
+    assert by == {("insert", 2): 50, ("delete", 3): n_deleted}
+    # deleted ids are the real rows, replayable downstream
+    dels = sorted(r["id"] for r in got.where(
+        F.col("_change_type") == "delete").collect())
+    assert dels == [i for i in range(150) if i % 10 == 3]
+
+    # v1 (create) captured no change set: replaying from 0 raises
+    ckpt2, out2 = (tempfile.mkdtemp(prefix=p) for p in ("cdf_c2_",
+                                                        "cdf_o2_"))
+    with pytest.raises(Exception, match="without cdf"):
+        run(ckpt2 + "/ck", out2)
+
+
 def test_max_files_per_trigger_bounds_steady_state(spark):
     """Admission control: with maxFilesPerTrigger set, versions
     appended while the stream runs arrive in BOUNDED micro-batches

@@ -115,6 +115,9 @@ ENTRIES = [
     # the exactly-once streaming sink over the same volume
     "stream_manifest_source", "manifest_time_travel",
     "datasink_manifest_write", "stream_manifest_sink",
+    # the row-level change-feed stream: the feed relation itself is
+    # ~6M insert rows + the deleted residue class, oracled exactly
+    "stream_change_feed",
 ]
 
 
