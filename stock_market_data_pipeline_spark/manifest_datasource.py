@@ -730,7 +730,8 @@ def _hydrate_staged(root: str, messages) -> dict[str, list]:
 def _commit_staged(root: str, ts: str | None, staged: dict,
                    schema_sig: list, overwrite: bool,
                    stream: tuple | None = None,
-                   cdf: bool = False) -> bool:
+                   cdf: bool = False,
+                   merge_schema: bool = False) -> bool:
     """Steps 2+3 for the DSv2 write: publish the staged files as one
     manifest commit.  First commit on a fresh root CREATES the table
     (pins the frame's schema); append rebases through CommitConflict
@@ -748,7 +749,13 @@ def _commit_staged(root: str, ts: str | None, staged: dict,
     ``append(cdf=True)``'s ``insert_files`` kind; ``changes()`` adds
     the constant classification).  Ignored for overwrite: a full
     refresh has no row-level delta a single commit's file list can
-    describe."""
+    describe.
+
+    ``merge_schema=True`` (Delta's ``mergeSchema``): columns the
+    frame carries BEYOND the pinned schema evolve the pin in the
+    SAME commit (``add_columns``' append-only rule — retyped or
+    missing columns still raise; evolution never rewrites a file,
+    old files NULL-fill on read)."""
     from .manifest import CommitConflict, ManifestTable, SchemaMismatch
 
     t = ManifestTable(root, ts)
@@ -767,6 +774,7 @@ def _commit_staged(root: str, ts: str | None, staged: dict,
             except CommitConflict:
                 continue          # create race: rebase onto the winner
         want = mf.get("schema")
+        evolved = None
         if (want and not overwrite
                 and sorted(map(tuple, want))
                 != sorted(map(tuple, schema_sig))):
@@ -774,9 +782,19 @@ def _commit_staged(root: str, ts: str | None, staged: dict,
                      if list(c) not in want]
             missing = [tuple(c) for c in want
                        if list(c) not in schema_sig]
-            raise SchemaMismatch(
-                f"write schema differs from the table's pinned "
-                f"schema: extra/retyped {extra}, missing {missing}")
+            have = {n for n, _ in want}
+            if (merge_schema and not missing
+                    and all(n not in have for n, _ in extra)):
+                # genuinely NEW columns only: evolve the pin in this
+                # same commit (add_columns' append-only rule)
+                evolved = [list(c) for c in want] +                     [list(c) for c in extra]
+            else:
+                raise SchemaMismatch(
+                    f"write schema differs from the table's pinned "
+                    f"schema: extra/retyped {extra}, missing {missing}"
+                    + ("" if merge_schema else
+                       " (new columns can evolve the pin with "
+                       "option('mergeSchema', 'true'))"))
         if mf.get("ts") != ts:
             raise ValueError(
                 f"table is partitioned by {mf.get('ts')!r}, write "
@@ -806,7 +824,7 @@ def _commit_staged(root: str, ts: str | None, staged: dict,
                         "dv_rows": prior_ref.get("dv_rows", 0)}
                 else:
                     live[value] = merged
-            schema = want or schema_sig
+            schema = evolved or want or schema_sig
         try:
             t._commit(live, base_version=mf["version"],
                       streams=streams, schema=schema,
@@ -824,11 +842,12 @@ class ManifestBatchWriter(DataSourceArrowWriter):
 
     def __init__(self, root: str, ts: str | None, overwrite: bool,
                  schema_sig: list, bloom: dict | None = None,
-                 cdf: bool = False):
+                 cdf: bool = False, merge_schema: bool = False):
         self.root, self.ts, self.overwrite = root, ts, overwrite
         self.schema_sig = schema_sig
         self.bloom = bloom              # pinned spec, or None
         self.cdf = cdf
+        self.merge_schema = merge_schema
         self.dtypes = dict(schema_sig)
         self.txn = f"txn-{uuid.uuid4().hex[:12]}"    # driver-side once
 
@@ -842,7 +861,7 @@ class ManifestBatchWriter(DataSourceArrowWriter):
         _commit_staged(self.root, self.ts,
                        _hydrate_staged(self.root, messages),
                        self.schema_sig, overwrite=self.overwrite,
-                       cdf=self.cdf)
+                       cdf=self.cdf, merge_schema=self.merge_schema)
 
     def abort(self, messages) -> None:
         import shutil
@@ -1028,11 +1047,14 @@ class ManifestDataSource(DataSource):
         return str(_opt(self.options, "cdf", "false")).lower() == "true"
 
     def writer(self, schema, overwrite: bool) -> ManifestBatchWriter:
+        ms = str(_opt(self.options, "mergeSchema",
+                      "false")).lower() == "true"
         return ManifestBatchWriter(self._root(), self._write_ts(),
                                    overwrite,
                                    self._schema_sig(schema),
                                    bloom=self._write_bloom(),
-                                   cdf=self._write_cdf())
+                                   cdf=self._write_cdf(),
+                                   merge_schema=ms)
 
     def streamWriter(self, schema,
                      overwrite: bool) -> ManifestStreamWriter:

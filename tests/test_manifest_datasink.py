@@ -105,6 +105,30 @@ def test_append_schema_mismatch_fails_loudly(spark, sink):
     assert ManifestTable(root, "pt").version() == 1
 
 
+def test_merge_schema_evolves_pin_in_same_commit(spark, sink):
+    """option('mergeSchema', 'true'): genuinely NEW columns evolve
+    the pinned schema in the SAME commit (add_columns' append-only
+    rule); old files NULL-fill on read; retypes still raise."""
+    root = tempfile.mkdtemp(prefix="dsw_ms_")
+    _df(spark).write.format("manifest").option("ts", "pt") \
+        .mode("append").save(root)
+    _df(spark, 1000, 1100).withColumn("w", F.lit(1.5)) \
+        .write.format("manifest").option("mergeSchema", "true") \
+        .mode("append").save(root)
+    t = ManifestTable(root, "pt")
+    assert t.version() == 2            # ONE commit evolved + appended
+    assert t._raw()["schema"] == [["id", "bigint"], ["pt", "string"],
+                                  ["v", "bigint"], ["w", "double"]]
+    got = t.read(spark)
+    assert got.where(F.col("w").isNull()).count() == 1000
+    assert got.where(F.col("w") == 1.5).count() == 100
+    # a retyped column is never an evolution
+    bad = _df(spark).withColumn("v", F.col("v").cast("double"))
+    with pytest.raises(Exception, match="pinned schema"):
+        bad.write.format("manifest").option("mergeSchema", "true") \
+            .mode("append").save(root)
+
+
 def test_append_carries_deletion_vectors(spark, sink):
     root = tempfile.mkdtemp(prefix="dsw_dv_")
     t = ManifestTable.create(_df(spark), root, ts="pt")
