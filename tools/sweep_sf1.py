@@ -118,6 +118,9 @@ ENTRIES = [
     # the row-level change-feed stream: the feed relation itself is
     # ~6M insert rows + the deleted residue class, oracled exactly
     "stream_change_feed",
+    # streaming IVM: the fold consumes ~5M backfill inserts + the
+    # update's pre/post images per trigger, never rescanning the base
+    "stream_ivm_view",
 ]
 
 
