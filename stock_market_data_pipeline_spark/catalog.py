@@ -1570,6 +1570,100 @@ def stream_ivm_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state["view"]
 
 
+STREAM_APPLY_CHANGES_SQL = f"""
+SELECT ticker, trade_date, low, high,
+       CASE WHEN ticker % 13 = 3 THEN close + 5.0 ELSE close END
+         AS close,
+       volume, n_trades, has_volume, is_valid_record
+FROM ({oracles.BARS_SQL}) b
+WHERE NOT (ticker % 9 = 4)
+""".strip()
+
+
+@q("stream_apply_changes", STREAM_APPLY_CHANGES_SQL)
+def stream_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC REPLICATION — APPLY CHANGES INTO (Delta Live Tables'
+    apply_changes / the Debezium-consumer shape) composed from this
+    engine's own pieces: a TARGET replica bootstrapped from the
+    source's v1 snapshot stays synchronized by streaming the source's
+    `readChangeFeed` and applying each micro-batch with the
+    exactly-once tombstone MERGE (`merge_batch` +
+    `when_matched_delete`) — sequencing per key by `_commit_version`
+    (latest action wins when one batch carries an update AND a delete
+    for the same key), deletes folded to a NULL-close sentinel the
+    merge's third clause routes to WHEN MATCHED DELETE, batch id +
+    upserts + deletes in ONE target commit.  The source takes a cdf
+    append (v2), a cdf merge-on-read UPDATE (v3) and a cdf DV DELETE
+    (v4); the entry RAISES unless the replica converges to the
+    source's live row count with zero sentinel leakage (an unmatched
+    tombstone would INSERT a null row — the named hazard) and the
+    target's ledger proves the exactly-once path was used.  Oracle:
+    the post-writes state in SQL — hash equality proves the replica
+    IS the source."""
+    from .manifest import ManifestTable
+    from .manifest_datasource import ManifestDataSource
+    from .scratch import scratch_dir
+    from pyspark.sql.window import Window
+
+    bars = (bars_from_lineitem(_t(spark, sf_dir, "lineitem"))
+            .withColumn("trade_month",
+                        F.date_format("trade_date", "yyyy-MM")))
+    base = bars.where(F.col("trade_month") < "1997-01")
+    backfill = bars.where(F.col("trade_month") >= "1997-01")
+    source = ManifestTable.create(
+        base, scratch_dir("cdc_src_"), ts="trade_month")        # v1
+    target = ManifestTable.create(
+        base, scratch_dir("cdc_tgt_"), ts="trade_month")
+    source.append(backfill, cdf=True)                           # v2
+    source.update_where(
+        spark, {"close": F.col("close") + F.lit(5.0)},
+        F.expr("pmod(ticker, 13) = 3"), cdf=True)               # v3
+    out = source.delete_where(spark, F.expr("pmod(ticker, 9) = 4"),
+                              cdf=True, mode="dv")              # v4
+    if out["rows_deleted"] == 0:
+        raise RuntimeError("delete removed nothing; CDC untested")
+
+    keys = ["ticker", "trade_date"]
+
+    def apply(batch_df, batch_id) -> None:
+        # APPLY CHANGES sequencing: latest action per key wins
+        # (_commit_version is the sequence_by column); preimages are
+        # bookkeeping for aggregate folds, not row states
+        w = Window.partitionBy(*keys).orderBy(
+            F.desc("_commit_version"))
+        latest = (batch_df
+                  .where(F.col("_change_type") != "update_preimage")
+                  .withColumn("__rn", F.row_number().over(w))
+                  .where(F.col("__rn") == 1).drop("__rn"))
+        marked = (latest.withColumn(
+            "close", F.when(F.col("_change_type") == "delete",
+                            F.lit(None).cast("double"))
+            .otherwise(F.col("close")))
+            .drop("_change_type", "_commit_version"))
+        target.merge_batch(
+            spark, marked, keys, "cdc", batch_id,
+            when_matched_delete=F.col("close").isNull())
+
+    spark.dataSource.register(ManifestDataSource)
+    q_ = (spark.readStream.format("manifest")
+          .option("readChangeFeed", "true")
+          .option("startingVersion", "1").load(source.root)
+          .writeStream.foreachBatch(apply)
+          .option("checkpointLocation", scratch_dir("cdc_ck_"))
+          .trigger(availableNow=True).start())
+    q_.awaitTermination(300)
+    if q_.exception():
+        raise RuntimeError(str(q_.exception()))
+    replica = target.read(spark)
+    if replica.count() != source.read(spark).count():
+        raise RuntimeError("replica diverged from the source")
+    if replica.where(F.col("close").isNull()).count():
+        raise RuntimeError("tombstone sentinel leaked into the replica")
+    if "cdc" not in target._raw().get("streams", {}):
+        raise RuntimeError("replication bypassed the exactly-once path")
+    return replica.drop("trade_month")
+
+
 RUNNER_WAP_SQL = f"""
 SELECT * FROM ({oracles.BARS_SQL}) b
 WHERE trade_date < DATE '1997-07-01'
@@ -3050,6 +3144,7 @@ _DRIVER_WINDOW_FIRST = [
     "datasource_manifest_scan", "stream_manifest_source",
     "manifest_time_travel", "datasink_manifest_write",
     "stream_manifest_sink", "stream_change_feed", "stream_ivm_view",
+    "stream_apply_changes",
     # -- group 1: the 25 entries last driver-green in r7 that sat out
     # the r8 and r9 windows — at the policy's age bound, the staleness
     # test (tests/test_registration_order.py) fails the build unless
@@ -3073,31 +3168,32 @@ _DRIVER_WINDOW_FIRST = [
     "manifest_bloom_pointlookup", "manifest_ivm_from_cdf",
     "mm_decode_jpeg", "manifest_delete_where",
     "manifest_count_pushdown",
-    # -- group 3: the r8-checked cohort (age 2 this round); 4 of 48
-    # fit — table-layer and streaming entries nearest this round's
-    # manifest work first.
+    # -- group 3: the r8-checked cohort (age 2 this round); 3 of 48
+    # fit — table-layer entries nearest this round's manifest work
+    # first.
     # (text_lang_id, text_boilerplate_segments, sessionize_events,
     # tpch_q5_local_supplier, dedup_simhash, tpch_q3_topk_revenue,
     # tpch_q1_pricing_summary, dedup_ngram_jaccard, mm_payload_grid,
     # mm_payload_features, mm_decode_png, stream_dedup_events,
-    # stream_stateful_user_totals, stream_hourly_rollup and
-    # stream_upsert_rollup yielded
+    # stream_stateful_user_totals, stream_hourly_rollup,
+    # stream_upsert_rollup and fct_momentum_incremental yielded
     # their slots to the late-round manifest_update_dv,
     # manifest_merge_dv, docs_chunk_overlap, stream_upsert_dv,
     # mm_decode_jpeg_color, manifest_wap_publish, runner_wap_audit,
     # manifest_meta_tables, datasource_manifest_scan,
     # stream_manifest_source, manifest_time_travel,
     # datasink_manifest_write, stream_manifest_sink,
-    # stream_change_feed and stream_ivm_view entries; they join the
-    # r11 cohort.)
-    # The 44 deferred to r11 (asof_prior_view, band_range_join,
+    # stream_change_feed, stream_ivm_view and stream_apply_changes
+    # entries; they join the r11 cohort.)
+    # The 45 deferred to r11 (asof_prior_view, band_range_join,
     # benchmark_contamination, bucketed_join_revenue, cube_order_stats,
     # cumulative_distinct_users, datasource_grouped_daily,
     # dedup_embedding_cosine, dedup_ngram_jaccard, dedup_simhash,
     # dedup_survivors_by_quality,
     # docs_length_band_filter, docs_unigram_logprob,
     # events_hopping_counts, events_json_props, except_intersect_keys,
-    # fct_trading_momentum_small, histogram_prices,
+    # fct_momentum_incremental, fct_trading_momentum_small,
+    # histogram_prices,
     # mm_decode_png, mm_payload_features, mm_payload_grid,
     # pairwise_correlation, pivot_priority_year, quantiles_by_brand,
     # sample_hash_split, scalar_max_filter, screener_filter,
@@ -3112,7 +3208,7 @@ _DRIVER_WINDOW_FIRST = [
     # pytest-parity-covered, are at the age bound next round and MUST
     # front the r11 window --
     "manifest_change_feed", "manifest_restore",
-    "manifest_schema_evolution", "fct_momentum_incremental",
+    "manifest_schema_evolution",
 ]
 
 

@@ -121,6 +121,9 @@ ENTRIES = [
     # streaming IVM: the fold consumes ~5M backfill inserts + the
     # update's pre/post images per trigger, never rescanning the base
     "stream_ivm_view",
+    # CDC replication: the replica applies ~5M change rows through
+    # the exactly-once tombstone merge and must hash-match the source
+    "stream_apply_changes",
 ]
 
 
