@@ -915,6 +915,40 @@ class ManifestTable:
     def version(self) -> int:
         return self._raw()["version"]
 
+    def version_at(self, ts) -> int:
+        """Latest version committed AT OR BEFORE ``ts`` (Delta's
+        ``timestampAsOf`` resolution): epoch seconds, or an ISO-8601
+        string — a naive string reads as UTC, deterministically,
+        never the driver's local zone.  Commit stamps come from the
+        commit body (``committed_at``); manifests from before the
+        stamp existed fall back to file mtime.  Raises if every
+        surviving version is newer than ``ts`` (or history was
+        vacuumed past it)."""
+        if isinstance(ts, str):
+            import datetime as _dt
+
+            d = _dt.datetime.fromisoformat(ts)
+            if d.tzinfo is None:
+                d = d.replace(tzinfo=_dt.timezone.utc)
+            ts = d.timestamp()
+        pre, best = self._mprefix(), None
+        for m in sorted(os.listdir(self._mdir())):
+            if not (m.startswith(pre) and m.endswith(".json")
+                    and m[len(pre):-len(".json")].isdigit()):
+                continue
+            body = self._raw(m)
+            at = body.get("committed_at")
+            if at is None:
+                at = os.path.getmtime(os.path.join(self._mdir(), m))
+            if at <= ts:
+                v = body["version"]
+                best = v if best is None else max(best, v)
+        if best is None:
+            raise ValueError(
+                f"{self.root}: no committed version at or before "
+                f"{ts} (too early, or history vacuumed past it)")
+        return best
+
     def _check_schema(self, df: DataFrame, mf: dict) -> None:
         want = mf.get("schema")
         if not want:
@@ -1088,11 +1122,17 @@ class ManifestTable:
                 pb = _fold_bloom(es, bloom["cols"])
                 if pb is not None:
                     refs[value]["bloom"] = pb
+        import time as _time
+
         version = base_version + 1
         name = self._mname(version)
         body = {"version": version, "ts": self.ts, "format": _FORMAT,
                 "partitions": refs, "streams": streams or {},
-                "schema": schema or []}
+                "schema": schema or [],
+                # wall-clock commit stamp (epoch seconds) — the
+                # timestampAsOf resolution domain; informational only,
+                # never part of any correctness decision (clocks skew)
+                "committed_at": round(_time.time(), 3)}
         if self.branch is not None:
             # carry the branch's cut point (recorded by create_branch,
             # inherited commit-to-commit): publish_branch needs it to
@@ -1522,6 +1562,7 @@ class ManifestTable:
             mf = self._raw(m)           # ref counts: no shard loads
             refs = list(mf["partitions"].values())
             out.append({"version": mf["version"], "manifest": m,
+                        "committed_at": mf.get("committed_at"),
                         "partitions": len(refs),
                         "files": sum(r["files"] for r in refs),
                         # LIVE rows: deletion-vector'd rows are gone
@@ -1578,10 +1619,12 @@ class ManifestTable:
         :meth:`history` as a DataFrame — version, manifest file,
         partition/file/live-row counts, oldest first."""
         rows = [(int(h["version"]), h["manifest"],
+                 h.get("committed_at"),
                  int(h["partitions"]), int(h["files"]), int(h["rows"]))
                 for h in self.history()]
         return spark.createDataFrame(
             rows, schema="version bigint, manifest string, "
+                         "committed_at double, "
                          "partitions bigint, files bigint, rows bigint")
 
     def meta_refs(self, spark: SparkSession) -> DataFrame:

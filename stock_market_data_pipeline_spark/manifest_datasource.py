@@ -883,12 +883,16 @@ class ManifestStreamWriter(DataSourceStreamArrowWriter):
 
     def __init__(self, root: str, ts: str | None, schema_sig: list,
                  stream_id: str, bloom: dict | None = None,
-                 cdf: bool = False):
+                 cdf: bool = False, overwrite: bool = False):
         self.root, self.ts = root, ts
         self.schema_sig = schema_sig
         self.stream_id = stream_id
         self.bloom = bloom              # spec at query start; files
         self.cdf = cdf                  # record their own (m, k)
+        #: complete-output-mode sink: each micro-batch REPLACES the
+        #: table (atomic full refresh), still exactly-once through
+        #: the ledger — the aggregate-query sink shape
+        self.overwrite = overwrite
         self.dtypes = dict(schema_sig)
         self.txn = f"txn-{uuid.uuid4().hex[:12]}"
 
@@ -901,7 +905,7 @@ class ManifestStreamWriter(DataSourceStreamArrowWriter):
     def commit(self, messages, batchId: int) -> None:
         _commit_staged(self.root, self.ts,
                        _hydrate_staged(self.root, messages),
-                       self.schema_sig, overwrite=False,
+                       self.schema_sig, overwrite=self.overwrite,
                        stream=(self.stream_id, batchId),
                        cdf=self.cdf)
 
@@ -939,21 +943,29 @@ class ManifestDataSource(DataSource):
         return root
 
     def _manifest_name(self) -> str | None:
-        """The reader's snapshot pin, from versionAsOf/tag options;
-        None = live snapshot."""
-        v, tag = (_opt(self.options, "versionAsOf"),
-                  _opt(self.options, "tag"))
-        if v is not None and tag is not None:
-            raise ValueError("pass versionAsOf OR tag, not both")
-        if tag is not None:
+        """The reader's snapshot pin, from the versionAsOf /
+        timestampAsOf / tag options; None = live snapshot."""
+        v, tag, at = (_opt(self.options, "versionAsOf"),
+                      _opt(self.options, "tag"),
+                      _opt(self.options, "timestampAsOf"))
+        if sum(x is not None for x in (v, tag, at)) > 1:
+            raise ValueError(
+                "pass ONE of versionAsOf, timestampAsOf, tag")
+        if tag is not None or at is not None:
             from .manifest import ManifestTable
 
-            tags = ManifestTable(self._root(), None).tags()
-            if tag not in tags:
-                raise ValueError(
-                    f"{self._root()}: no tag {tag!r} "
-                    f"(live tags: {sorted(tags) or 'none'})")
-            v = tags[tag]["version"]
+            t = ManifestTable(self._root(), None)
+            if at is not None:
+                v = t.version_at(float(at) if str(at)
+                                 .replace(".", "", 1).isdigit()
+                                 else at)
+            else:
+                tags = t.tags()
+                if tag not in tags:
+                    raise ValueError(
+                        f"{self._root()}: no tag {tag!r} "
+                        f"(live tags: {sorted(tags) or 'none'})")
+                v = tags[tag]["version"]
         if v is None:
             return None
         return f"manifest-{int(v):08d}.json"
@@ -1067,4 +1079,5 @@ class ManifestDataSource(DataSource):
         return ManifestStreamWriter(self._root(), self._write_ts(),
                                     self._schema_sig(schema), sid,
                                     bloom=self._write_bloom(),
-                                    cdf=self._write_cdf())
+                                    cdf=self._write_cdf(),
+                                    overwrite=overwrite)

@@ -321,6 +321,44 @@ def test_stream_sink_publishes_change_feed_per_batch(spark, sink):
     assert ch.count() == 300
 
 
+def test_stream_sink_complete_mode_overwrites_per_batch(spark, sink):
+    """outputMode('complete') — the aggregate-query sink shape: each
+    micro-batch atomically REPLACES the table with the full current
+    aggregate, still exactly-once through the ledger."""
+    root = tempfile.mkdtemp(prefix="dss_cm_")
+    srcdir = tempfile.mkdtemp(prefix="dss_cm_src_")
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="dss_cm_ck_"), "ck")
+
+    def run():
+        q = (spark.readStream.schema("id bigint, pt string")
+             .parquet(srcdir + "/*")
+             .groupBy("pt").agg(F.count("*").alias("n"))
+             .writeStream.format("manifest")
+             .option("path", root).option("ts", "pt")
+             .option("streamId", "agg")
+             .option("checkpointLocation", ckpt)
+             .outputMode("complete")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        assert q.exception() is None
+
+    (spark.range(0, 300)
+     .select("id", (F.col("id") % 3).cast("string").alias("pt"))
+     .write.parquet(srcdir + "/b1"))
+    run()
+    t = ManifestTable(root, "pt")
+    assert {r["pt"]: r["n"] for r in t.read(spark).collect()} == \
+        {"0": 100, "1": 100, "2": 100}
+    (spark.range(300, 400)
+     .select("id", (F.col("id") % 3).cast("string").alias("pt"))
+     .write.parquet(srcdir + "/b2"))
+    run()
+    # the SECOND batch REPLACED the table with the new full aggregate
+    got = {r["pt"]: r["n"] for r in t.read(spark).collect()}
+    assert got == {"0": 134, "1": 133, "2": 133}
+    assert t._raw()["streams"] == {"agg": 1}
+
+
 def test_dsv2_bloom_words_match_jvm_builder(spark, sink):
     """The executor-side (pure Python md5) filter build is
     BIT-IDENTICAL to the JVM builder: the same rows staged through

@@ -184,9 +184,32 @@ def test_tag_is_immutable_and_validates(spark, pushdown):
 
 def test_version_as_of_and_tag_are_exclusive(spark, pushdown):
     root, _ = _table(spark, dv=False)
-    with pytest.raises(Exception, match="not both"):
+    with pytest.raises(Exception, match="ONE of"):
         (spark.read.format("manifest").option("versionAsOf", 1)
          .option("tag", "x").load(root).count())
+
+
+def test_timestamp_as_of_resolves_commit_stamps(spark, pushdown):
+    """timestampAsOf (Delta's reader option): resolves the latest
+    version committed at or before the timestamp from the commit
+    bodies' committed_at stamps; too-early timestamps raise."""
+    import time
+
+    root, t = _table(spark, dv=False)                       # v1
+    time.sleep(0.02)                                        # > stamp ms
+    t.append(spark.range(3000, 3100)
+             .select(F.col("id"),
+                     (F.col("id") % 10).cast("string").alias("pt"),
+                     (F.col("id") * 2).alias("v")))         # v2
+    at1 = t._raw(t._mname(1))["committed_at"]
+    assert t.version_at(at1) == 1
+    assert t.version_at(t._raw()["committed_at"]) == 2
+    d = (spark.read.format("manifest")
+         .option("timestampAsOf", str(at1)).load(root))
+    assert d.count() == 3000
+    assert spark.read.format("manifest").load(root).count() == 3100
+    with pytest.raises(Exception, match="at or before"):
+        t.version_at(at1 - 1000.0)
 
 
 def test_unknown_tag_lists_live_tags(spark, pushdown):
