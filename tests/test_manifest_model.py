@@ -35,11 +35,15 @@ _ops = st.lists(
                                                 max_size=3)),
         st.tuples(st.just("append"), st.lists(_row, min_size=1,
                                               max_size=2)),
+        st.tuples(st.just("dsv2_append"), st.lists(_row, min_size=1,
+                                                   max_size=2)),
         st.tuples(st.just("delete"), st.integers(0, 9)),
         st.tuples(st.just("delete_dv"), st.integers(0, 9)),
         st.tuples(st.just("update_dv"), st.integers(0, 9)),
         st.tuples(st.just("overwrite"), st.lists(_row, min_size=1,
                                                  max_size=2)),
+        st.tuples(st.just("dsv2_overwrite"),
+                  st.lists(_row, min_size=1, max_size=2)),
         st.tuples(st.just("restore1"), st.just(None)),
         st.tuples(st.just("compact"), st.just(None)),
         st.tuples(st.just("vacuum"), st.just(None)),
@@ -114,8 +118,17 @@ def test_random_op_sequences_match_dict_model(spark, tmp_path_factory,
                 # merge keeps EVERY update row; duplicates in the
                 # update land as duplicates (same as merge_upsert)
                 model[(t, d)].append((c, venue_val))
-        elif kind == "append":
-            table.append(_mk(spark, payload, venue=evolved))
+        elif kind in ("append", "dsv2_append"):
+            df = _mk(spark, payload, venue=evolved)
+            if kind == "dsv2_append":
+                # the same blind-append semantics through the DSv2
+                # writer protocol (stage-per-task, commit on driver)
+                from stock_market_data_pipeline_spark. \
+                    manifest_datasource import ManifestDataSource
+                spark.dataSource.register(ManifestDataSource)
+                df.write.format("manifest").mode("append").save(root)
+            else:
+                table.append(df)
             for (t, d, c) in payload:
                 model.setdefault((t, d), []).append((c, venue_val))
         elif kind in ("delete", "delete_dv"):
@@ -148,10 +161,18 @@ def test_random_op_sequences_match_dict_model(spark, tmp_path_factory,
             for k in list(model):
                 model[k] = [((c + 100.0, v) if c >= thresh else (c, v))
                             for (c, v) in model[k]]
-        elif kind == "overwrite":
+        elif kind in ("overwrite", "dsv2_overwrite"):
             # full refresh: one commit swaps the entire build; schema
             # re-pins from the written frame (venue iff evolved)
-            table.overwrite(_mk(spark, payload, venue=evolved))
+            df = _mk(spark, payload, venue=evolved)
+            if kind == "dsv2_overwrite":
+                from stock_market_data_pipeline_spark. \
+                    manifest_datasource import ManifestDataSource
+                spark.dataSource.register(ManifestDataSource)
+                df.write.format("manifest").mode("overwrite") \
+                    .save(root)
+            else:
+                table.overwrite(df)
             model = {}
             for (t, d, c) in payload:
                 model.setdefault((t, d), []).append((c, venue_val))
