@@ -3239,11 +3239,15 @@ class ManifestTable:
                 "files_before": files_before,
                 "files_after": sum(len(es) for es in staged.values())}
 
-    def vacuum(self, retention_seconds: float = 86400.0) -> list[str]:
+    def vacuum(self, retention_seconds: float = 86400.0,
+               dry_run: bool = False) -> list[str]:
         """Remove data files not referenced by the LIVE manifest
         (orphans from crashed writers, files replaced by later merges
         or compactions) and historical manifest files.  Returns removed
         paths; reclaim unit is the file, then empty leaf/txn dirs.
+        ``dry_run=True`` (Delta's ``VACUUM ... DRY RUN``) returns the
+        SAME list without deleting anything — the operational
+        pre-check before an irreversible reclaim.
 
         SAFE CONCURRENT WITH IN-FLIGHT WRITERS (VERDICT r7 #3,
         enforced, not assumed): a txn directory with NO live files
@@ -3362,15 +3366,18 @@ class ManifestTable:
                     if rel in live_rel:
                         leaf_live = True
                     else:
-                        os.remove(os.path.join(full, fn))
+                        if not dry_run:
+                            os.remove(os.path.join(full, fn))
                         removed.append(rel)
                 if leaf_live:
                     any_live = True
                 else:
-                    shutil.rmtree(full)
+                    if not dry_run:
+                        shutil.rmtree(full)
                     removed.append(os.path.join("data", txn, leaf))
             if not any_live:
-                shutil.rmtree(txn_dir)
+                if not dry_run:
+                    shutil.rmtree(txn_dir)
                 removed.append(os.path.join("data", txn))
         retained = set(retained_names)
         for m in sorted(os.listdir(self._mdir())):
@@ -3393,7 +3400,8 @@ class ManifestTable:
                      or (now - os.path.getmtime(full))
                      >= retention_seconds))
             if stale_manifest or crash_tmp or consumed_claim:
-                os.remove(full)
+                if not dry_run:
+                    os.remove(full)
                 removed.append(os.path.join(_MANIFEST_DIR, m))
         # shard files: keep the live manifest's; reclaim the rest once
         # aged (young non-live shards may belong to a writer between
@@ -3407,6 +3415,7 @@ class ManifestTable:
                     continue
                 if (now - os.path.getmtime(full)) < retention_seconds:
                     continue
-                os.remove(full)
+                if not dry_run:
+                    os.remove(full)
                 removed.append(rel)
         return removed

@@ -326,6 +326,24 @@ def test_append_and_compact(spark, table):
     assert table.compact(spark)["partitions"] == 0
 
 
+def test_vacuum_dry_run_reports_without_deleting(spark, table):
+    """vacuum(dry_run=True) returns exactly what a real vacuum would
+    reclaim — and deletes nothing: same list on the real pass, table
+    bytes untouched in between."""
+    import os
+
+    table.merge(spark, _mkdf(spark, UPDATES), KEYS)
+    before = _snap(table.read(spark))
+    planned = table.vacuum(retention_seconds=0, dry_run=True)
+    assert planned                      # superseded v1 files exist
+    assert all(os.path.exists(os.path.join(table.root, r))
+               for r in planned if not r.endswith("data"))
+    assert _snap(table.read(spark)) == before
+    real = table.vacuum(retention_seconds=0)
+    assert sorted(real) == sorted(planned)
+    assert _snap(table.read(spark)) == before
+
+
 def test_compact_partition_targeted(spark, table):
     """compact(partitions=[...]) — Delta's OPTIMIZE WHERE shape:
     only the named partitions rewrite; the others ride by ref
