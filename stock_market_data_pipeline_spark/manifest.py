@@ -1704,15 +1704,23 @@ class ManifestTable:
         if dv_entries or keep_pos:
             # ``_metadata.file_path`` is a URI whose slash count varies
             # ("file:///abs" vs "file:/abs" — r9 ADVICE item 2): parse
-            # it like a URI (scheme + any slashes -> one leading "/")
-            # instead of assuming a prefix width, then relativize
-            # against the table root.  Both the DV writer and every
-            # reader derive ``__rel`` HERE, so row addresses stay
-            # stable across table moves and URI renderings.
+            # it like a URI (scheme + any slashes -> one leading "/"),
+            # percent-DECODE it (a root with a space/'#'/… arrives as
+            # "%20"/"%23" and would otherwise fail the root-prefix
+            # check AND diverge from the plain os.path.relpath strings
+            # the DSv2 readers compare DV rels against — r10 ADVICE
+            # item 2; literal "+" is pre-escaped because url_decode
+            # follows form-encoding and would turn it into a space),
+            # then relativize against the table root.  Both the DV
+            # writer and every reader derive ``__rel`` HERE, so row
+            # addresses stay stable across table moves and URI
+            # renderings.
             rootabs = os.path.abspath(self.root)
-            df = (df.withColumn("__p", F.regexp_replace(
-                      F.col("_metadata.file_path"),
-                      "^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/"))
+            df = (df.withColumn("__p", F.url_decode(F.regexp_replace(
+                      F.regexp_replace(
+                          F.col("_metadata.file_path"),
+                          "^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/"),
+                      r"\+", "%2B")))
                   .withColumn("__rel", F.when(
                       F.col("__p").startswith(rootabs + "/"),
                       F.col("__p").substr(

@@ -417,8 +417,11 @@ class ManifestStreamReader(DataSourceStreamReader):
     hands ``latestOffset`` no start position, and any reply below a
     restart checkpoint's offset would rewind the stream (duplicate
     emission) — so the first planned batch anchors the position and
-    every later batch is bounded.  Bound a deep backfill instead
-    with ``startingVersion`` or a downstream rate limit.
+    every later batch is bounded.  The same holds when the position
+    IS known to be 0 (default ``startingVersion``): that batch is a
+    full-snapshot read, planned whole.  Bound a deep backfill instead
+    with ``startingVersion``, :func:`backfill_manifest_stream`, or a
+    downstream rate limit.
 
     ``readChangeFeed=true`` (Delta's reader option) streams the
     ROW-LEVEL change feed instead of the table rows: each micro-batch
@@ -466,20 +469,32 @@ class ManifestStreamReader(DataSourceStreamReader):
         if self.max_files <= 0 or self._pos is None \
                 or live <= self._pos:
             return {"version": live}
+        if self._pos == 0:
+            # Position 0 means the next planned batch is the FULL-
+            # SNAPSHOT replay (partitions() reads the live snapshot at
+            # e when s == 0, not per-version diffs) — capping the walk
+            # here would both mislabel that batch as incremental and
+            # break on vacuum-trimmed early manifests (r10 ADVICE
+            # item 3).  The catch-up batch is uncapped by design;
+            # bound a deep backfill with startingVersion instead.
+            return {"version": live}
         admitted, budget = self._pos, self.max_files
-        while admitted < live:
-            if admitted == 0:   # v1's whole file set, from refs alone
-                mf1 = table._raw(table._mname(1))
-                n = sum(r["files"] for r in mf1["partitions"].values())
-            else:
+        try:
+            while admitted < live:
                 n = len(table.added_files(
                     admitted, manifest_name=table._mname(admitted + 1)))
-            if n > budget and admitted > self._pos:
-                break           # cap reached; a version never splits
-            admitted += 1
-            budget -= n
-            if budget <= 0:
-                break
+                if n > budget and admitted > self._pos:
+                    break       # cap reached; a version never splits
+                admitted += 1
+                budget -= n
+                if budget <= 0:
+                    break
+        except FileNotFoundError:
+            # vacuum trimmed a manifest inside the walk: per-version
+            # file counts are unknowable, so admit through live (the
+            # uncapped path reads diffs against the surviving head
+            # manifest and handles vacuumed history fine)
+            return {"version": live}
         return {"version": admitted}
 
     def partitions(self, start: dict, end: dict):
@@ -495,13 +510,32 @@ class ManifestStreamReader(DataSourceStreamReader):
                else table._raw(table._mname(s)))
         if not self.ignore_changes:
             self._require_append_only(table, old, new, s, e)
-        files = (table.added_files(s, manifest_name=table._mname(e))
-                 if s > 0 else
-                 [os.path.join(self.root, x["path"])
-                  for v in new["partitions"]
-                  for x in table._entries(new, v)])
-        out = [ManifestFilePartition(
-            p, os.path.relpath(p, self.root), []) for p in files]
+        if s > 0:
+            files = table.added_files(s, manifest_name=table._mname(e))
+            out = [ManifestFilePartition(
+                p, os.path.relpath(p, self.root), []) for p in files]
+        else:
+            # Initial CATCH-UP batch: a full-snapshot read at e.  The
+            # snapshot's refs may carry deletion vectors from earlier
+            # delete_where/update_where/merge(mode='dv') commits —
+            # _require_append_only is vacuously skipped here (the
+            # version-0 "old" manifest has no partitions), so the DV
+            # sidecars MUST ride along as per-file positional masks
+            # (mirrors ManifestReader.partitions()'s rel_to_dv map);
+            # dropping them would silently re-emit DV-dead rows
+            # (r10 ADVICE item 1).
+            rel_to_dv: dict = {}
+            for v, ref in new["partitions"].items():
+                dvs = [os.path.join(self.root, d["path"])
+                       for d in ref.get("dv", [])]
+                if dvs:
+                    for x in table._entries(new, v):
+                        rel_to_dv[x["path"]] = dvs
+            out = [ManifestFilePartition(
+                os.path.join(self.root, x["path"]), x["path"],
+                rel_to_dv.get(x["path"], []))
+                for v in new["partitions"]
+                for x in table._entries(new, v)]
         return out or [ManifestFilePartition(None, "", [])]
 
     def _cdf_partitions(self, table, s: int, e: int) -> list:

@@ -71,6 +71,49 @@ def test_dv_rel_addresses_match_driver_relpath(spark, dvt):
     assert rels == expected
 
 
+def test_dv_in_uri_encoded_root_stays_consistent(spark, tmp_path):
+    """r10 ADVICE item 2: a table root with characters Spark
+    URI-encodes (space) must still produce plain root-relative DV
+    addresses — the __rel derivation percent-decodes _metadata.file_path
+    after stripping the scheme, so the stored rels match both the
+    broadcast anti-join read AND the DSv2 readers' os.path.relpath
+    comparisons (a divergence here silently resurrects deleted rows)."""
+    from stock_market_data_pipeline_spark.manifest_datasource import (
+        ManifestDataSource,
+    )
+
+    root = str(tmp_path / "dv table #enc")
+    t = ManifestTable.create(_mkdf(spark, BASE), root, ts="trade_date")
+    out = t.delete_where(spark, "ticker = 'AAA'", mode="dv")
+    assert out["rows_deleted"] == 3
+    # stored rels are plain (decoded, root-relative) paths
+    mf = t._raw()
+    import pyarrow.parquet as pq
+    rels = set()
+    for v in mf["partitions"].values():
+        for d in v.get("dv", []):
+            rels.update(pq.read_table(
+                os.path.join(root, d["path"]),
+                columns=["rel"]).column("rel").to_pylist())
+    assert all("%" not in r and not r.startswith("/") for r in rels)
+    live = {e["path"] for v in mf["partitions"]
+            for e in t._entries(mf, v)}
+    assert rels <= live
+    # both read paths exclude the deleted rows
+    got = _snap(t.read(spark))
+    assert all(r[0] != "AAA" for r in got) and len(got) == 3
+    spark.dataSource.register(ManifestDataSource)
+    push = "spark.sql.python.filterPushdown.enabled"
+    prior = spark.conf.get(push, "false")
+    spark.conf.set(push, "true")
+    try:
+        ds = spark.read.format("manifest").load(root)
+        assert ds.where("ticker = 'AAA'").count() == 0
+        assert ds.count() == 3
+    finally:
+        spark.conf.set(push, prior)
+
+
 def test_dv_second_delete_never_readdresses_dead_rows(spark, dvt):
     dvt.delete_where(spark, "ticker = 'AAA'", mode="dv")
     # overlapping condition: the AAA rows are already dead, so only

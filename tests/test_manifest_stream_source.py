@@ -178,6 +178,49 @@ def test_max_files_per_trigger_bounds_steady_state(spark):
     assert len(commits) >= 4        # 1 replay + >=3 capped batches
 
 
+def test_initial_snapshot_masks_deletion_vectors(spark):
+    """r10 ADVICE item 1 (high): a FRESH-checkpoint stream over a
+    table whose live snapshot carries deletion vectors must NOT
+    re-emit the DV-dead rows — the s==0 catch-up batch attaches each
+    ref's DV sidecars as per-file positional masks, exactly like the
+    batch DSv2 reader."""
+    root, ckpt, out = (tempfile.mkdtemp(prefix=p)
+                       for p in ("msdv_t_", "msdv_c_", "msdv_o_"))
+    t = ManifestTable.create(_frame(spark, 0, 100), root, ts="pt")
+    t.delete_where(spark, F.expr("pmod(id, 9) = 0"), mode="dv")
+    got = _run(spark, root, ckpt, out)
+    live = [i for i in range(100) if i % 9 != 0]
+    assert sorted(r["id"] for r in got.collect()) == live
+    # tailing afterwards stays exactly-once on the same checkpoint
+    t.append(_frame(spark, 100, 120))
+    got = _run(spark, root, ckpt, out)
+    assert sorted(r["id"] for r in got.collect()) == \
+        live + list(range(100, 120))
+
+
+def test_capped_catchup_from_zero_is_uncapped_and_vacuum_safe(spark):
+    """r10 ADVICE item 3: with maxFilesPerTrigger set and the default
+    startingVersion=0, the first batch is the full-snapshot replay —
+    latestOffset must admit through live (not walk per-version diffs,
+    which both caps a batch the docstring promises uncapped and dies
+    on vacuum-trimmed early manifests)."""
+    import os
+
+    root, out = (tempfile.mkdtemp(prefix=p) for p in ("msv_t_",
+                                                      "msv_o_"))
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="msv_c_"), "ck")
+    t = ManifestTable.create(_frame(spark, 0, 100), root, ts="pt")
+    t.append(_frame(spark, 100, 150))        # v2
+    t.compact(spark)                         # v3 rewrites v1/v2 files
+    t.vacuum(retention_seconds=0)            # trims v1/v2 manifests
+    got = _run(spark, root, ckpt, out, maxFilesPerTrigger="2")
+    # one uncapped snapshot batch, all 150 rows, no FileNotFoundError
+    assert got.count() == 150
+    commits = [c for c in os.listdir(ckpt + "/commits")
+               if not c.startswith(".")]
+    assert len(commits) == 1
+
+
 def test_rewrite_compaction_raises(spark):
     root, ckpt, out = (tempfile.mkdtemp(prefix=p)
                        for p in ("ms_t_", "ms_c_", "ms_o_"))
