@@ -9,6 +9,8 @@ header for the cross-engine determinism rules).
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1370,6 +1372,121 @@ def manifest_sql_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set(key_, prior)
     return out
+
+
+BACKFILL_CHUNKED_SQL = f"""
+SELECT * FROM ({oracles.BARS_SQL}) b
+WHERE strftime(trade_date, '%Y-%m') BETWEEN '1997-07' AND '1997-12'
+""".strip()
+
+
+@q("stream_backfill_chunked", BACKFILL_CHUNKED_SQL)
+def stream_backfill_chunked(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """CHUNKED deep backfill through the streaming source (VERDICT
+    r10 #7 — Delta chunks availableNow by maxFilesPerTrigger; the
+    Python DSv2 protocol captures latestOffset once per run, so our
+    engine chunks by STEPPING ``endingVersion`` across bounded
+    availableNow runs, ``backfill_manifest_stream``): six monthly
+    backfill commits land through a 2-file-per-run budget as
+    MULTIPLE bounded batches against ONE checkpoint — the entry
+    RAISES unless the helper took >= 2 runs, the checkpoint holds
+    exactly one commit per run, and a RE-INVOKED backfill resumes
+    at the checkpoint with ZERO runs (exactly-once, no re-read).
+    At 100 TB this is what keeps a month-long catch-up from landing
+    as one executor-swamping batch.  The oracle is the backfilled
+    slice of the bar build: hash equality proves the chunked runs
+    reassemble it exactly once."""
+    from .manifest import ManifestTable
+    from .manifest_datasource import backfill_manifest_stream
+    from .scratch import scratch_dir
+
+    bars = bars_from_lineitem(_t(spark, sf_dir, "lineitem")).withColumn(
+        "trade_month", F.date_format("trade_date", "yyyy-MM"))
+    months = [f"1997-{m:02d}" for m in range(7, 13)]
+    base = bars.where(~F.col("trade_month").isin(months))
+    table = ManifestTable.create(
+        base, scratch_dir("bf_chunk_"), ts="trade_month")
+    for m in months:                            # v2..v7, 1 file each
+        table.append(bars.where(F.col("trade_month") == m))
+    ckpt = os.path.join(scratch_dir("bf_chunk_ck_"), "ck")
+    out = scratch_dir("bf_chunk_out_")
+
+    def start(df):
+        return (df.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True).start())
+
+    runs = backfill_manifest_stream(
+        spark, table.root, start, step_files=2, starting_version=1,
+        checkpoint=ckpt)
+    if runs < 2:
+        raise RuntimeError(
+            f"backfill landed in {runs} run(s) — not chunked")
+    commits = [c for c in os.listdir(ckpt + "/commits")
+               if not c.startswith(".")]
+    if len(commits) != runs:
+        raise RuntimeError(
+            f"{len(commits)} checkpoint commits for {runs} runs")
+    rerun = backfill_manifest_stream(
+        spark, table.root, start, step_files=2, starting_version=1,
+        checkpoint=ckpt)
+    if rerun != 0:
+        raise RuntimeError(
+            f"re-invoked backfill re-ran {rerun} run(s) — the "
+            f"checkpoint resume failed")
+    return spark.read.parquet(out).drop("trade_month")
+
+
+DATASINK_AUTO_LAYOUT_SQL = oracles.BARS_SQL
+
+
+@q("datasink_auto_layout", DATASINK_AUTO_LAYOUT_SQL)
+def datasink_auto_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE-OWNED write layout (VERDICT r10 #4): the DSv2 seam
+    cannot inject a shuffle, so an unrepartitioned N-task frame
+    spanning M partition values would spray ~N×M sliver files —
+    until this round, only a catalog entry asserted the
+    repartition-first rule.  Now the engine owns it twice over:
+    ``write_manifest(df, root, ...)`` injects the
+    repartition-by-partition-value itself (the entry writes the
+    deliberately multi-task bar build through it and RAISES unless
+    every month landed EXACTLY ONE file), and a raw
+    ``df.write.format("manifest")`` of the same sprayed frame is
+    REFUSED at commit with the fix named (RAISE-checked here too —
+    nothing published, metadata-only detection).  At 1000 executors
+    × 2,500 daily partitions this is 2,500 files instead of 2.5M.
+    The oracle is the bar build itself: hash equality proves the
+    engine-injected shuffle changed the LAYOUT, not one row."""
+    from .manifest import ManifestTable
+    from .manifest_datasource import write_manifest
+    from .scratch import scratch_dir
+
+    bars = (bars_from_lineitem(_t(spark, sf_dir, "lineitem"))
+            .withColumn("trade_month",
+                        F.date_format("trade_date", "yyyy-MM"))
+            .repartition(32))           # deliberately sprayed layout
+    root = scratch_dir("auto_layout_")
+    table = write_manifest(bars, root, ts="trade_month")
+    mf = table._raw()
+    per_value = {v: len(table._entries(mf, v))
+                 for v in mf["partitions"]}
+    if any(n != 1 for n in per_value.values()):
+        raise RuntimeError(
+            f"write_manifest layout not 1 file/value: {per_value}")
+    # the raw seam REFUSES the same sprayed frame, fix named
+    root2 = scratch_dir("auto_layout_raw_")
+    try:
+        bars.write.format("manifest").option("ts", "trade_month") \
+            .mode("append").save(root2)
+        raise RuntimeError("sprayed DSv2 write was not refused")
+    except Exception as e:
+        if "write_manifest" not in str(e):
+            raise
+    if os.path.isdir(os.path.join(root2, "_manifests")):
+        raise RuntimeError("refused write still published a manifest")
+    return table.read(spark).drop("trade_month")
 
 
 STREAM_MANIFEST_SOURCE_SQL = oracles.BARS_SQL
@@ -3376,81 +3493,52 @@ from . import catalog_rel  # noqa: E402,F401  (pivot/cube/unpivot/histogram)
 # have a green row within the last two driver rounds — so no entry's
 # driver check ever ages past 2 rounds (VERDICT r6 "Next round" #4).
 _DRIVER_WINDOW_FIRST = [
-    # -- round 10, group 0: new this round — merge-on-read DELETE and
-    # row-level UPDATE via deletion vectors (r9 ADVICE item 2,
-    # finished rather than dropped, then completed with the UPDATE
-    # half) --
-    "manifest_delete_dv", "manifest_update_dv", "manifest_merge_dv",
-    "docs_chunk_overlap", "stream_upsert_dv", "mm_decode_jpeg_color",
-    "manifest_wap_publish", "runner_wap_audit", "manifest_meta_tables",
-    "datasource_manifest_scan", "stream_manifest_source",
-    "manifest_time_travel", "datasink_manifest_write",
-    "stream_manifest_sink", "stream_change_feed", "stream_ivm_view",
-    "stream_apply_changes",
-    # -- group 1: the 25 entries last driver-green in r7 that sat out
-    # the r8 and r9 windows — at the policy's age bound, the staleness
-    # test (tests/test_registration_order.py) fails the build unless
-    # they front this window --
-    "bollinger_bands", "conditional_agg_daily",
-    "conditional_signal_dates", "distinct_ordered", "gap_fill_daily",
-    "median_summary", "multiway_dim_join", "partition_window_avg",
-    "percent_rank_null_segregated", "qualify_latest_per_key",
-    "ranking_functions", "resample_weekly_ohlc", "rollup_revenue",
-    "running_total", "scd2_asof_snapshot", "scd2_constituents",
-    "smoothed_daily_index", "source_jsonl_roundtrip",
-    "stg_projection_flags", "text_bpe_tokens", "text_tfidf_top_terms",
-    "topk_by_metric", "updown_streaks", "volatility_by_key",
-    "vwap_rolling",
-    # -- group 2: r9-green entries whose backing code changed this
-    # round (the r9 ADVICE fixes): the bloom index stores per-filter
-    # (m, k) and gates attachment on path coverage; the IVM fold is
-    # null-safe; the JPEG zigzag parity flipped to spec; delete/
-    # compact rebases fingerprint (shard, dv); count_where is
-    # DV-aware --
-    "manifest_bloom_pointlookup", "manifest_ivm_from_cdf",
-    "mm_decode_jpeg", "manifest_delete_where",
-    "manifest_count_pushdown",
-    # -- group 3: the r8-checked cohort (age 2 this round); 3 of 48
-    # fit — table-layer entries nearest this round's manifest work
-    # first.
-    # (text_lang_id, text_boilerplate_segments, sessionize_events,
-    # tpch_q5_local_supplier, dedup_simhash, tpch_q3_topk_revenue,
-    # tpch_q1_pricing_summary, dedup_ngram_jaccard, mm_payload_grid,
-    # mm_payload_features, mm_decode_png, stream_dedup_events,
-    # stream_stateful_user_totals, stream_hourly_rollup,
-    # stream_upsert_rollup and fct_momentum_incremental yielded
-    # their slots to the late-round manifest_update_dv,
-    # manifest_merge_dv, docs_chunk_overlap, stream_upsert_dv,
-    # mm_decode_jpeg_color, manifest_wap_publish, runner_wap_audit,
-    # manifest_meta_tables, datasource_manifest_scan,
-    # stream_manifest_source, manifest_time_travel,
-    # datasink_manifest_write, stream_manifest_sink,
-    # stream_change_feed, stream_ivm_view and stream_apply_changes
-    # entries; they join the r11 cohort.)
-    # The 45 deferred to r11 (asof_prior_view, band_range_join,
-    # benchmark_contamination, bucketed_join_revenue, cube_order_stats,
-    # cumulative_distinct_users, datasource_grouped_daily,
-    # dedup_embedding_cosine, dedup_ngram_jaccard, dedup_simhash,
-    # dedup_survivors_by_quality,
-    # docs_length_band_filter, docs_unigram_logprob,
-    # events_hopping_counts, events_json_props, except_intersect_keys,
-    # fct_momentum_incremental, fct_trading_momentum_small,
-    # histogram_prices,
-    # mm_decode_png, mm_payload_features, mm_payload_grid,
-    # pairwise_correlation, pivot_priority_year, quantiles_by_brand,
-    # sample_hash_split, scalar_max_filter, screener_filter,
-    # self_lag_join, serving_manifest_ticker_range, session_funnel,
-    # session_window_native, stratified_balance_lang,
-    # sessionize_events, stream_dedup_events, stream_hourly_rollup,
-    # stream_interval_join, stream_session_windows,
-    # stream_stateful_user_totals, stream_upsert_rollup,
-    # text_boilerplate_segments, text_lang_id,
-    # tpch_q1_pricing_summary, tpch_q3_topk_revenue,
-    # tpch_q5_local_supplier), all
-    # pytest-parity-covered, are at the age bound next round and MUST
-    # front the r11 window --
-    "manifest_change_feed", "manifest_restore",
-    "manifest_schema_evolution",
+    # -- round 11, group 0: new this round — the r10 VERDICT "Next
+    # round" features: MERGE WHEN NOT MATCHED BY SOURCE (#3),
+    # SQL-addressable manifest tables + VERSION AS OF (#2), column
+    # mapping rename/widen (#6), chunked availableNow backfill (#7),
+    # engine-owned DSv2 write layout (#4) --
+    "manifest_merge_full_sync", "manifest_sql_select",
+    "manifest_column_mapping", "stream_backfill_chunked",
+    "datasink_auto_layout",
+    # -- group 1: the 45 entries last driver-green in r8 (named by
+    # VERDICT r10 "What's missing" #1) — at the policy's 2-round age
+    # bound, tests/test_registration_order.py fails the build unless
+    # they front this window.  45 + 5 new = exactly 50: no other
+    # slots exist this round. --
+    "asof_prior_view", "band_range_join", "benchmark_contamination",
+    "bucketed_join_revenue", "cube_order_stats",
+    "cumulative_distinct_users", "datasource_grouped_daily",
+    "dedup_embedding_cosine", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_survivors_by_quality", "docs_length_band_filter",
+    "docs_unigram_logprob", "events_hopping_counts",
+    "events_json_props", "except_intersect_keys",
+    "fct_momentum_incremental", "fct_trading_momentum_small",
+    "histogram_prices", "mm_decode_png", "mm_payload_features",
+    "mm_payload_grid", "pairwise_correlation", "pivot_priority_year",
+    "quantiles_by_brand", "sample_hash_split", "scalar_max_filter",
+    "screener_filter", "self_lag_join",
+    "serving_manifest_ticker_range", "session_funnel",
+    "session_window_native", "sessionize_events",
+    "stratified_balance_lang", "stream_dedup_events",
+    "stream_hourly_rollup", "stream_interval_join",
+    "stream_session_windows", "stream_stateful_user_totals",
+    "stream_upsert_rollup", "text_boilerplate_segments",
+    "text_lang_id", "tpch_q1_pricing_summary",
+    "tpch_q3_topk_revenue", "tpch_q5_local_supplier",
+    # -- group 2 (documented, ZERO free slots this round): entries
+    # whose backing code changed in r11 but are r10-green (age 0-1,
+    # inside the staleness bound) — the merge family
+    # (manifest_merge_dv, manifest_delete_dv, manifest_update_dv,
+    # stream_upsert_dv) through the _stage_merge/_merge_dv by-source
+    # refactor, every manifest entry through the _stage/_read_files
+    # column-mapping seams, and the DSv2 write entries through the
+    # commit-time layout guard.  Each is re-proven this round by
+    # pytest (test_merge_by_source.py, test_column_mapping.py,
+    # test_manifest_datasink.py) and by the full r11 sweeps on final
+    # HEAD; they rotate into the r12 window as the then-stalest
+    # cohort (fct_momentum_incremental and stream_upsert_rollup,
+    # also merge-backed, ARE in the window via group 1). --
 ]
 
 
