@@ -231,9 +231,41 @@ def _arrow_type(t: str):
     m = re.fullmatch(r"array<(.+)>", t)
     if m:
         return pa.list_(_arrow_type(m.group(1)))
+    m = re.fullmatch(r"map<(.+)>", t)
+    if m:
+        kv = _split_angle_aware(m.group(1))
+        if len(kv) == 2:
+            return pa.map_(_arrow_type(kv[0]), _arrow_type(kv[1]))
+    m = re.fullmatch(r"struct<(.+)>", t)
+    if m:
+        fields = []
+        for f in _split_angle_aware(m.group(1)):
+            name, _, ft = f.partition(":")
+            fields.append((name.strip(), _arrow_type(ft)))
+        return pa.struct(fields)
     raise NotImplementedError(
         f"manifest source cannot type evolved column type {t!r}; "
         "read through ManifestTable.read() instead")
+
+
+def _split_angle_aware(s: str) -> list[str]:
+    """Split a simpleString type-argument list on top-level commas
+    only (``map<string,array<int>>``'s inner comma must not split) —
+    what lets ``_arrow_type`` recurse into map/struct simpleStrings
+    the way it already does for array."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
 
 
 def _kept_row_groups(md, where: dict) -> list[int]:
