@@ -124,6 +124,18 @@ ENTRIES = [
     # CDC replication: the replica applies ~5M change rows through
     # the exactly-once tombstone merge and must hash-match the source
     "stream_apply_changes",
+    # round-11: the full-snapshot sync (by-source clause probes +
+    # dead-marks across ~80 month-partitions of 6M rows — the entry
+    # asserts merge-on-read shape AT THIS SCALE), raw-SQL serving
+    # through the registered DSv2 view (pushdown task count == pruned
+    # files at 80+ partitions), the metadata-only rename+widen over
+    # the same table (entry asserts zero files touched), the chunked
+    # backfill (6 month-commits of ~70k rows each through a bounded
+    # version walk), and the engine-owned write layout (the sprayed
+    # 32-task frame must land exactly one file per month)
+    "manifest_merge_full_sync", "manifest_sql_select",
+    "manifest_column_mapping", "stream_backfill_chunked",
+    "datasink_auto_layout",
 ]
 
 
