@@ -207,3 +207,82 @@ def test_by_source_exactly_once_merge_batch(spark, t):
     assert t.merge_batch(spark, src, KEYS, "sync", 0,
                          not_matched_by_source_delete=True) is False
     assert t.version() == v
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+@pytest.mark.parametrize("mode", ["rewrite", "dv"])
+def test_by_source_randomized_model(spark, tmp_path, seed, mode):
+    """Randomized model check: for a random target and a random
+    source snapshot, merge(upsert + by-source delete) must equal the
+    model computed row-by-row in Python — matched keys take the
+    source row, unmatched source keys insert, target-only keys
+    delete.  Seeds are fixed (no RNG in-test beyond them) so failures
+    replay."""
+    import random
+
+    rng = random.Random(seed)
+    dates = [f"2024-02-{d:02d}" for d in range(1, 5)]
+    tickers = ["AAA", "BBB", "CCC", "DDD", "EEE"]
+    target = [(t, d, float(rng.randint(1, 99)))
+              for t in tickers for d in dates if rng.random() < 0.7]
+    source = [(t, d, float(rng.randint(100, 199)))
+              for t in tickers for d in dates if rng.random() < 0.6]
+    tab = ManifestTable.create(
+        _mkdf(spark, target), str(tmp_path / f"m{seed}{mode}"),
+        ts="trade_date")
+    tab.merge(spark, _mkdf(spark, source), KEYS,
+              not_matched_by_source_delete=True, mode=mode)
+    # the model: final state IS the source (upserts replace whole
+    # rows; target-only rows die)
+    assert _snap(tab.read(spark)) == _snap(_mkdf(spark, source))
+
+
+@pytest.mark.parametrize("seed", [7, 8])
+def test_by_source_close_out_randomized_model(spark, tmp_path, seed):
+    """Close-out form against the Python model: matched keys take the
+    source row, source-only keys insert, target-only keys keep their
+    close but flag to -1.0 — rewrite and dv modes must agree with the
+    model AND each other."""
+    import random
+
+    rng = random.Random(seed)
+    dates = [f"2024-03-{d:02d}" for d in range(1, 5)]
+    tickers = ["AAA", "BBB", "CCC", "DDD"]
+    target = [(t, d, float(rng.randint(1, 99)))
+              for t in tickers for d in dates if rng.random() < 0.7]
+    source = [(t, d, float(rng.randint(100, 199)))
+              for t in tickers for d in dates if rng.random() < 0.6]
+    expect = sorted(
+        [tuple(r) for r in source]
+        + [(t, d, -1.0) for (t, d, c) in target
+           if (t, d) not in {(x, y) for (x, y, _) in source}])
+    expect = _snap(_mkdf(spark, [(t, d, c) for t, d, c in expect]))
+    for mode in ("rewrite", "dv"):
+        tab = ManifestTable.create(
+            _mkdf(spark, target), str(tmp_path / f"c{seed}{mode}"),
+            ts="trade_date")
+        tab.merge(spark, _mkdf(spark, source), KEYS,
+                  not_matched_by_source_update={"close": "-1.0"},
+                  mode=mode)
+        assert _snap(tab.read(spark)) == expect, mode
+
+
+def test_by_source_composes_with_column_mapping(spark, tmp_path):
+    """Feature intersection: a RENAMED table (colmap active) driven
+    through the full-snapshot sync — the by-source probe, the
+    dead-marking and the close-out assignment all address the logical
+    name while files stay physical."""
+    t = ManifestTable.create(_mkdf(spark, BASE),
+                             str(tmp_path / "cm"), ts="trade_date")
+    t.rename_column("close", "px")
+    src = (_mkdf(spark, SNAPSHOT)
+           .withColumnRenamed("close", "px"))
+    t.merge(spark, src, KEYS,
+            not_matched_by_source_update={"px": "-1.0"}, mode="dv")
+    got = _snap(t.read(spark))
+    expect = _snap(_mkdf(spark, SNAPSHOT + [
+        ("AAA", "2024-01-04", -1.0), ("BBB", "2024-01-04", -1.0),
+        ("BBB", "2024-01-03", -1.0)])
+        .withColumnRenamed("close", "px"))
+    assert got == expect
+    assert t.read(spark).columns == ["ticker", "trade_date", "px"]
