@@ -255,6 +255,13 @@ class CommitConflict(RuntimeError):
     The caller re-runs its merge against the new snapshot."""
 
 
+class ConstraintViolation(RuntimeError):
+    """A write (or an ``add_*`` validation pass over existing data)
+    produced rows that break a table CHECK / NOT NULL constraint.
+    Raised BEFORE the manifest commit, so the violating write is
+    invisible — its staged files age out as vacuum orphans."""
+
+
 class SchemaMismatch(RuntimeError):
     """A write's schema differs from the schema pinned in the manifest.
 
@@ -311,6 +318,18 @@ def _norm(v):
             r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}(\.\d+)?", s):
         s = s.replace(" ", "T", 1)
     return s
+
+
+def _sql_lit(v) -> str:
+    """``v`` as a SQL literal (constraint predicates are stored as
+    SQL text so one renderer serves enforcement, inspection, and the
+    error messages)."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+    return f"'{s}'"
 
 
 def _file_entry(abs_path: str, rel_path: str) -> dict:
@@ -1097,6 +1116,238 @@ class ManifestTable:
             except CommitConflict:
                 continue
 
+    # -- table constraints (Delta CHECK / NOT NULL analog) -----------
+
+    @staticmethod
+    def _constraint_pred(c: dict) -> str:
+        """The SQL predicate a ROW must satisfy under constraint ``c``
+        (logical column names; True/NULL = pass, False = violation —
+        SQL-standard CHECK semantics, same as Delta's)."""
+        if c["kind"] == "sql":
+            return c["expr"]
+        if c["kind"] == "not_null":
+            return f"`{c['col']}` IS NOT NULL"
+        parts = []
+        if c.get("lo") is not None:
+            parts.append(f"`{c['col']}` >= {_sql_lit(c['lo'])}")
+        if c.get("hi") is not None:
+            parts.append(f"`{c['col']}` <= {_sql_lit(c['hi'])}")
+        return " AND ".join(parts) or "true"
+
+    def _enforce_constraints(self, spark: SparkSession, cons: dict,
+                             staged: dict[str, list],
+                             cm: dict) -> None:
+        """Validate freshly-staged files against the table's CHECK /
+        NOT NULL constraints, METADATA-FIRST: a range check is PROVEN
+        per file by its footer zone map (min >= lo and max <= hi) and
+        DISPROVEN by it too — a footer min/max IS a value some row
+        holds, so a bound outside the range raises with ZERO data I/O;
+        NOT NULL is proven by the footer null counts the entries
+        already carry (``nn``).  Only files with an unproven
+        constraint — always the case for free-form SQL checks — are
+        scanned, ONCE, with the violation predicates in a single
+        filtered pass over the new data (never the table).  At 100 TB
+        an append of well-formed data therefore pays no enforcement
+        scan at all for range/NOT NULL constraints.  SQL-standard
+        semantics: a NULL check expression PASSES (declare NOT NULL
+        to reject nulls).  Raises :class:`ConstraintViolation` before
+        anything commits; the staged txn ages out as a vacuum
+        orphan."""
+        scan_files: list[str] = []
+        scan_names: set[str] = set()
+        for value, entries in staged.items():
+            for e in entries:
+                unproven: list[str] = []
+                for name, c in sorted(cons.items()):
+                    if c["kind"] == "sql":
+                        unproven.append(name)
+                        continue
+                    p = cm.get(c["col"], c["col"])
+                    if c["kind"] == "not_null":
+                        if p not in e.get("nn", []):
+                            unproven.append(name)
+                        continue
+                    st = e.get("stats", {}).get(p)
+                    if st is None:
+                        unproven.append(name)
+                        continue
+                    mn, mx = st
+                    lo, hi = c.get("lo"), c.get("hi")
+                    try:
+                        if lo is not None and mn < lo:
+                            raise ConstraintViolation(
+                                f"{self.root}: range check {name!r} "
+                                f"violated (proven by footer stats, no "
+                                f"scan): staged file {e['path']} has "
+                                f"{c['col']} min={mn!r} < {lo!r}; "
+                                f"nothing was committed")
+                        if hi is not None and mx > hi:
+                            raise ConstraintViolation(
+                                f"{self.root}: range check {name!r} "
+                                f"violated (proven by footer stats, no "
+                                f"scan): staged file {e['path']} has "
+                                f"{c['col']} max={mx!r} > {hi!r}; "
+                                f"nothing was committed")
+                    except TypeError:
+                        unproven.append(name)   # incomparable: scan
+                        continue
+                if unproven:
+                    scan_files.append(os.path.join(self.root,
+                                                   e["path"]))
+                    scan_names.update(unproven)
+        if not scan_files:
+            return
+        df = spark.read.parquet(*scan_files)
+        for logical, physical in cm.items():
+            if physical in df.columns and physical != logical:
+                df = df.withColumnRenamed(physical, logical)
+        viol = [(n, self._constraint_pred(cons[n]))
+                for n in sorted(scan_names)]
+        flagged = df.select(
+            F.input_file_name().alias("__file"),
+            *[F.expr(f"coalesce(NOT ({p}), false)").alias(f"__v{i}")
+              for i, (_, p) in enumerate(viol)])
+        import functools as _ft
+        rows = (flagged.filter(_ft.reduce(
+                    lambda a, b: a | b,
+                    [F.col(f"__v{i}") for i in range(len(viol))]))
+                .limit(5).collect())
+        if rows:
+            broke = sorted({viol[i][0] for r in rows
+                            for i in range(len(viol)) if r[f"__v{i}"]})
+            files = sorted({r["__file"] for r in rows})[:3]
+            raise ConstraintViolation(
+                f"{self.root}: write violates constraint(s) {broke} "
+                f"(example file(s): {files}); nothing was committed")
+
+    def _validate_live(self, spark: SparkSession, name: str,
+                       pred: str) -> None:
+        """One-time full validation a NEW constraint must pass over
+        the EXISTING table before it can be adopted (Delta's ALTER
+        TABLE ADD CONSTRAINT behavior): the table is always clean
+        under its own constraints, which is what lets write-time
+        enforcement check only the new rows."""
+        bad = (self.read(spark)
+               .filter(F.expr(f"coalesce(NOT ({pred}), false)"))
+               .limit(5).count())
+        if bad:
+            raise ConstraintViolation(
+                f"{self.root}: cannot add constraint {name!r}: "
+                f"existing rows violate {pred!r}")
+
+    def _adopt_constraint(self, name: str, spec: dict) -> None:
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(f"constraint name {name!r} is not a "
+                             f"plain identifier")
+        while True:
+            mf = self._raw()
+            cons = dict(mf.get("constraints") or {})
+            if name in cons:
+                raise ValueError(
+                    f"constraint {name!r} already exists on "
+                    f"{self.root}")
+            cons[name] = spec
+            try:
+                self._commit(dict(mf["partitions"]),
+                             base_version=mf["version"],
+                             streams=mf.get("streams", {}),
+                             schema=mf.get("schema"),
+                             constraints=cons)
+                return
+            except CommitConflict:
+                continue        # metadata-only: rebase and reapply
+
+    def add_check(self, spark: SparkSession, name: str,
+                  expr: str) -> None:
+        """Delta's ``ALTER TABLE ADD CONSTRAINT name CHECK (expr)``:
+        validate the expression over EXISTING data (one filtered
+        read), then adopt it with one metadata-only commit.  Every
+        subsequent write — append, overwrite, merge, update, the DSv2
+        ``df.write.format("manifest")`` path — enforces it on the new
+        rows before its commit (:meth:`_enforce_constraints`), so the
+        table can never transition to a violating state.  Free-form
+        SQL checks always cost one scan of the NEWLY WRITTEN data per
+        commit; prefer :meth:`add_range_check` where the shape allows
+        — those enforce from footer stats alone."""
+        self._validate_live(spark, name, expr)
+        self._adopt_constraint(name, {"kind": "sql", "expr": expr})
+
+    def add_range_check(self, spark: SparkSession, name: str,
+                        col: str, lo=None, hi=None) -> None:
+        """A structured ``lo <= col <= hi`` CHECK (either bound may be
+        None).  Semantically just a CHECK, but enforcement is
+        METADATA-ONLY for well-formed writes: each staged file's
+        footer zone map proves (or disproves) the range without
+        scanning a row — at scale the difference between "every
+        commit re-reads its output" and "every commit reads a few KB
+        of footers"."""
+        if lo is None and hi is None:
+            raise ValueError("add_range_check needs at least one "
+                             "bound")
+        mf = self._raw()
+        names = {n for n, _ in (mf.get("schema") or [])}
+        if names and col not in names:
+            raise SchemaMismatch(
+                f"add_range_check: no column {col!r} in the pinned "
+                f"schema {sorted(names)}")
+        spec = {"kind": "range", "col": col, "lo": lo, "hi": hi}
+        self._validate_live(spark, name, self._constraint_pred(spec))
+        self._adopt_constraint(name, spec)
+
+    def set_not_null(self, spark: SparkSession, col: str) -> None:
+        """``ALTER TABLE ALTER COLUMN col SET NOT NULL``: validated
+        over existing data once, then enforced per write from the
+        footer null counts the manifest already records (``nn``) —
+        zero data I/O for clean writes.  Constraint name is
+        ``not_null_{col}`` (drop via :meth:`drop_constraint`)."""
+        mf = self._raw()
+        names = {n for n, _ in (mf.get("schema") or [])}
+        if names and col not in names:
+            raise SchemaMismatch(
+                f"set_not_null: no column {col!r} in the pinned "
+                f"schema {sorted(names)}")
+        spec = {"kind": "not_null", "col": col}
+        name = f"not_null_{col}"
+        self._validate_live(spark, name, self._constraint_pred(spec))
+        self._adopt_constraint(name, spec)
+
+    def drop_constraint(self, name: str) -> None:
+        """Remove a constraint with one metadata-only commit (no
+        validation needed: dropping can only widen the legal
+        state)."""
+        while True:
+            mf = self._raw()
+            cons = dict(mf.get("constraints") or {})
+            if name not in cons:
+                raise ValueError(
+                    f"no constraint {name!r} on {self.root} "
+                    f"(have: {sorted(cons)})")
+            del cons[name]
+            try:
+                self._commit(dict(mf["partitions"]),
+                             base_version=mf["version"],
+                             streams=mf.get("streams", {}),
+                             schema=mf.get("schema"),
+                             constraints=cons or None)
+                return
+            except CommitConflict:
+                continue
+
+    def constraints_spec(self) -> dict:
+        """The live constraint set, name -> spec dict."""
+        return dict(self._raw().get("constraints") or {})
+
+    def meta_constraints(self, spark: SparkSession) -> DataFrame:
+        """CONSTRAINTS inspection table: one row per live constraint —
+        name, kind, column (range/not_null kinds), and the row
+        predicate it enforces.  Commit-object read only."""
+        rows = [(n, c["kind"], c.get("col"),
+                 self._constraint_pred(c))
+                for n, c in sorted(self.constraints_spec().items())]
+        return spark.createDataFrame(
+            rows, schema="name string, kind string, column string, "
+                         "predicate string")
+
     def set_bloom(self, cols: list[str], m: int = 1 << 16,
                   k: int = 7) -> None:
         """Pin a per-file Bloom membership index spec (Delta's
@@ -1174,7 +1425,8 @@ class ManifestTable:
                 cdf: list | None = None,
                 cdf_kind: str = "classified",
                 bloom=_BLOOM_CARRY,
-                colmap=_BLOOM_CARRY) -> None:
+                colmap=_BLOOM_CARRY,
+                constraints=_BLOOM_CARRY) -> None:
         """Steps 2+3 of the protocol: write a shard file for every
         partition given as a file-entry LIST (= changed by this
         commit), carry every ref dict through untouched (= unchanged;
@@ -1205,6 +1457,17 @@ class ManifestTable:
                         self._mname(base_version)).get("colmap")
                 except (FileNotFoundError, OSError):
                     colmap = None
+        if constraints is ManifestTable._BLOOM_CARRY:
+            # table constraints carry commit-to-commit like the bloom
+            # spec / colmap; only add_check / add_range_check /
+            # set_not_null / drop_constraint pass them explicitly
+            constraints = None
+            if base_version > 0:
+                try:
+                    constraints = self._raw(
+                        self._mname(base_version)).get("constraints")
+                except (FileNotFoundError, OSError):
+                    constraints = None
         mdir = self._mdir()
         sdir = os.path.join(self.root, _SHARD_DIR)
         os.makedirs(sdir, exist_ok=True)
@@ -1271,6 +1534,8 @@ class ManifestTable:
             body["bloom"] = bloom
         if colmap:
             body["colmap"] = colmap
+        if constraints:
+            body["constraints"] = constraints
         if cdf is not None:
             # this commit's row-level change-set file list, inline (a
             # single write's change files — small); readable via
@@ -1299,7 +1564,8 @@ class ManifestTable:
                cluster_by: list[str] | None = None,
                max_records_per_file: int | None = None,
                drop_after_sort: list[str] | None = None,
-               bloom="auto", colmap="auto") -> dict[str, list]:
+               bloom="auto", colmap="auto",
+               enforce: bool = True) -> dict[str, list]:
         """Stage a txn directory; returns {partition value -> [file
         entries]}.  Nothing staged is reader-visible until _commit.
 
@@ -1378,6 +1644,15 @@ class ManifestTable:
                     entries.append(
                         _file_entry(os.path.join(leaf, fn), rel))
             out[value] = entries
+        cons = (live_mf or {}).get("constraints")
+        if cons and enforce:
+            # constraint gate BEFORE the bloom build: a doomed write
+            # must not pay for an index it will never commit.  Rows
+            # being re-staged from the table itself (compaction, CDF
+            # change files, the kept side of a rewrite delete) pass
+            # enforce=False — they were validated when first written,
+            # and CDF pre-images are change RECORDS, not table rows.
+            self._enforce_constraints(df.sparkSession, cons, out, cm)
         spec = None
         if bloom == "auto":
             spec = (live_mf or {}).get("bloom")
@@ -2291,7 +2566,8 @@ class ManifestTable:
             cdf = upserts.withColumn("_change_type", F.lit("insert"))
         if capture_cdf:
             cdf_entries = [e for es in
-                           self._stage(cdf, bloom=None).values()
+                           self._stage(cdf, bloom=None,
+                                       enforce=False).values()
                            for e in es]
         return self._stage(merged), cdf_entries, set(touched)
 
@@ -2570,7 +2846,8 @@ class ManifestTable:
         cdf_entries = None
         if cdf:
             cdf_entries = [e for es in
-                           self._stage(cdf_frame, bloom=None).values()
+                           self._stage(cdf_frame, bloom=None,
+                                       enforce=False).values()
                            for e in es]
         if _crash_before_commit:
             raise CrashInjected(
@@ -3257,7 +3534,7 @@ class ManifestTable:
         kept = self._read_files(spark, rewrite_files, mf,
                                 partitions=list(counts)).where(
             ~F.coalesce(condition, F.lit(False)))
-        staged = self._stage(kept)
+        staged = self._stage(kept, enforce=False)
         cdf_entries = None
         if cdf:
             # the deleted rows, classified — Delta CDF's delete rows
@@ -3267,7 +3544,8 @@ class ManifestTable:
                        .where(F.coalesce(condition, F.lit(False)))
                        .withColumn("_change_type", F.lit("delete")))
             cdf_entries = [e for es in
-                           self._stage(deleted, bloom=None).values()
+                           self._stage(deleted, bloom=None,
+                                       enforce=False).values()
                            for e in es]
         if _crash_before_commit:
             raise CrashInjected("writer died after staging, before commit")
@@ -3333,7 +3611,8 @@ class ManifestTable:
                        .where(F.coalesce(condition, F.lit(False)))
                        .withColumn("_change_type", F.lit("delete")))
             cdf_entries = [e for es in
-                           self._stage(deleted, bloom=None).values()
+                           self._stage(deleted, bloom=None,
+                                       enforce=False).values()
                            for e in es]
         if _crash_before_commit:
             raise CrashInjected(
@@ -3458,7 +3737,8 @@ class ManifestTable:
                                       F.lit("update_postimage"))
             cdf_entries = [e for es in
                            self._stage(pre.unionByName(post),
-                                       bloom=None).values()
+                                       bloom=None,
+                                       enforce=False).values()
                            for e in es]
         if _crash_before_commit:
             raise CrashInjected(
@@ -3673,7 +3953,8 @@ class ManifestTable:
         staged = self._stage(frame,
                              cluster_by=sort_cols,
                              drop_after_sort=drop_after,
-                             max_records_per_file=max_records_per_file)
+                             max_records_per_file=max_records_per_file,
+                             enforce=False)
         # maintenance-commit conflict resolution (Delta's matrix for
         # OPTIMIZE vs concurrent writers): a competing commit that did
         # not touch any partition THIS compaction rewrote is DISJOINT

@@ -945,6 +945,16 @@ def _commit_staged(root: str, ts: str | None, staged: dict,
             raise ValueError(
                 f"table is partitioned by {mf.get('ts')!r}, write "
                 f"declared {ts!r}")
+        cons = mf.get("constraints")
+        if cons and staged:
+            # the DSv2 write enforces table constraints exactly like
+            # _stage: footer-proven range/NOT NULL checks cost zero
+            # data I/O, SQL checks scan ONLY the staged files.  commit
+            # runs driver-side, so the active session is available.
+            from pyspark.sql import SparkSession
+            t._enforce_constraints(
+                SparkSession.getActiveSession(), cons, staged,
+                mf.get("colmap") or {})
         streams = dict(mf.get("streams", {}))
         if stream is not None:
             if streams.get(stream[0], -1) >= stream[1]:
