@@ -3225,6 +3225,123 @@ class ManifestTable:
                      # schema never had)
                      colmap=old.get("colmap"))
 
+    def clone(self, dest_root: str, version: int | None = None,
+              shallow: bool = True,
+              backend: CommitBackend | None = None) -> "ManifestTable":
+        """Delta's ``CREATE TABLE ... CLONE`` analog: materialize an
+        independent table at ``dest_root`` from this table's snapshot
+        (live, or a pinned ``version`` — time-travel clone).
+
+        ``shallow=True`` (default) is ZERO-COPY: the clone's manifest
+        BORROWS the source's immutable data files by absolute path —
+        driver-side metadata writes only, no data byte moves, O(files)
+        JSON regardless of table size (the operation Delta ships for
+        "test a migration against prod data without copying 100 TB").
+        Writes to the clone stage new files under the CLONE root and
+        never touch the source; a later :meth:`compact` re-homes
+        borrowed files locally ("un-clone").  Deletion-vector sidecars
+        are copied (they are tiny indexes, not data) with their row
+        addresses rewritten to the borrowed files' absolute paths, so
+        DV-dead rows stay dead through every clone read path.
+        ``vacuum`` on the CLONE never reclaims borrowed files (they
+        live outside its data dir); vacuum on the SOURCE can reclaim
+        a borrowed file once the source no longer references it — the
+        standard shallow-clone dependency Delta documents.  Deep-clone
+        or compact the clone before vacuuming the source aggressively.
+
+        ``shallow=False`` copies every referenced data file (and DV
+        sidecar) under the clone root — a self-contained backup with
+        the file layout, footer stats, Bloom indexes and zone maps
+        carried over verbatim (driver-side copy; a petabyte-scale
+        deep clone would distribute the byte copy, but the manifest
+        assembly here is already O(metadata)).
+
+        Either way the clone starts a FRESH history at version 1 with
+        the source's schema, column mapping, Bloom spec and
+        constraints carried; the source's stream ledger is NOT
+        carried (the clone is a new sink identity — replay suppression
+        keyed to the source would silently drop the first batch of
+        any stream re-pointed at the clone), and tags/branches stay
+        with the source."""
+        import shutil
+
+        name = None if version is None else self._mname(version)
+        mf = self._raw(name)
+        dest = ManifestTable(dest_root, mf.get("ts"), backend=backend)
+        if os.path.exists(os.path.join(dest_root, _MANIFEST_DIR)):
+            raise RuntimeError(
+                f"clone destination {dest_root!r} already holds a "
+                f"manifest table")
+        os.makedirs(dest._mdir(), exist_ok=True)
+        # a pure-borrow clone may stage nothing locally, but the data
+        # dir is part of the table layout (vacuum walks it)
+        os.makedirs(os.path.join(dest_root, "data"), exist_ok=True)
+        txn = f"txn-clone-{uuid.uuid4().hex[:12]}"
+        parts: dict[str, list | dict] = {}
+        for value in sorted(mf["partitions"]):
+            ref = mf["partitions"][value]
+            leaf = os.path.join(dest_root, "data", txn,
+                                f"{_PT}={value}")
+            entries, relmap = [], {}
+            for i, e in enumerate(self._entries(mf, value)):
+                ne = dict(e)
+                src_abs = os.path.abspath(
+                    os.path.join(self.root, e["path"]))
+                if shallow:
+                    ne["path"] = src_abs
+                else:
+                    rel = os.path.join("data", txn, f"{_PT}={value}",
+                                       f"clone-{i:05d}.parquet")
+                    os.makedirs(leaf, exist_ok=True)
+                    shutil.copy2(src_abs, os.path.join(dest_root,
+                                                       rel))
+                    ne["path"] = rel
+                    relmap[e["path"]] = rel
+                entries.append(ne)
+            dv_in = (ref.get("dv", [])
+                     if isinstance(ref, dict) else [])
+            if not dv_in:
+                parts[value] = entries
+                continue
+            os.makedirs(leaf, exist_ok=True)
+            dv_out = []
+            for j, d in enumerate(dv_in):
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+                src_dv = os.path.abspath(
+                    os.path.join(self.root, d["path"]))
+                rel = os.path.join("data", txn, f"{_PT}={value}",
+                                   f"dv-{j:05d}.parquet")
+                tbl = pq.read_table(src_dv)
+                if shallow:
+                    rels = [os.path.abspath(
+                                os.path.join(self.root, r))
+                            for r in tbl.column("rel").to_pylist()]
+                else:
+                    rels = []
+                    for r in tbl.column("rel").to_pylist():
+                        if r not in relmap:
+                            raise RuntimeError(
+                                f"clone: DV sidecar {d['path']} "
+                                f"addresses {r!r}, which is not a "
+                                f"live file of partition {value!r}")
+                        rels.append(relmap[r])
+                tbl = tbl.set_column(
+                    tbl.schema.get_field_index("rel"), "rel",
+                    pa.array(rels, pa.string()))
+                pq.write_table(tbl, os.path.join(dest_root, rel))
+                dv_out.append({"path": rel, "rows": tbl.num_rows,
+                               "bytes": os.path.getsize(
+                                   os.path.join(dest_root, rel))})
+            parts[value] = {"entries": entries, "dv": dv_out,
+                            "dv_rows": ref.get("dv_rows", 0)}
+        dest._commit(parts, base_version=0, streams={},
+                     schema=mf.get("schema"),
+                     bloom=mf.get("bloom"),
+                     colmap=mf.get("colmap"),
+                     constraints=mf.get("constraints"))
+        return dest
+
     # -- write-audit-publish branches --------------------------------
 
     def _publish_body(self, name: str, body: dict) -> None:

@@ -163,13 +163,23 @@ class ManifestReader(DataSourceReader):
         out = []
         by_value = {v: mf["partitions"][v] for v in plan["partitions"]}
         rel_to_dv = {}
+        abs_to_rel = {}
         for v, ref in by_value.items():
             dvs = [os.path.join(self.root, e["path"])
                    for e in ref.get("dv", [])]
             for e in table._entries(mf, v):
                 rel_to_dv[e["path"]] = dvs
+                # the entry's OWN path is the file's canonical rel —
+                # for a shallow clone's BORROWED files it is absolute
+                # (outside the table root), and os.path.relpath would
+                # derive a "../.."-form string that matches neither
+                # the dv map keys nor the sidecars' rewritten
+                # addresses (silent DV-row resurrection)
+                abs_to_rel[os.path.abspath(
+                    os.path.join(self.root, e["path"]))] = e["path"]
         for abspath in plan["files"]:
-            rel = os.path.relpath(abspath, self.root)
+            rel = abs_to_rel.get(os.path.abspath(abspath),
+                                 os.path.relpath(abspath, self.root))
             out.append(ManifestFilePartition(
                 abspath, rel, rel_to_dv.get(rel, [])))
         return out
