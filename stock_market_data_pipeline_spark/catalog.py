@@ -3469,6 +3469,7 @@ from . import catalog_llm  # noqa: E402,F401  (registers llm/* entries)
 from . import catalog_ext  # noqa: E402,F401  (streaming + ingest entries)
 from . import catalog_events  # noqa: E402,F401  (event-stream operators)
 from . import catalog_rel  # noqa: E402,F401  (pivot/cube/unpivot/histogram)
+from . import catalog_table  # noqa: E402,F401  (constraints/clone/stats/DFP/text index)
 
 
 # ---------------------------------------------------------------------

@@ -1,0 +1,279 @@
+"""Catalog entries for the round-12 table-layer operations: write-time
+CHECK/NOT NULL constraints, zero-copy CLONE, ANALYZE column
+statistics, dynamic join file pruning, and the word-level text search
+index.
+
+Each entry is oracled end-to-end: the Spark side drives the manifest
+table op (with its scale assertions — pruning counts, zero-copy
+checks, violation raises — enforced in-entry), the DuckDB side
+recomputes the expected CONTENT from the raw parquet, so hash equality
+proves the governed table state, not just a happy path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import oracles
+from .catalog import _t, q
+from .models.mapping import bars_from_lineitem
+from .scratch import scratch_dir
+
+
+def _bars_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (bars_from_lineitem(_t(spark, sf_dir, "lineitem"))
+            .withColumn("trade_month",
+                        F.date_format("trade_date", "yyyy-MM")))
+
+
+MANIFEST_CONSTRAINTS_SQL = f"""
+WITH b AS ({oracles.BARS_SQL})
+SELECT strftime(trade_date, '%Y-%m') AS trade_month,
+       COUNT(*) AS n, CAST(SUM(volume) AS BIGINT) AS vol
+FROM b
+WHERE strftime(trade_date, '%Y-%m') BETWEEN '1997-03' AND '1997-05'
+GROUP BY 1
+""".strip()
+
+
+@q("manifest_constraints", MANIFEST_CONSTRAINTS_SQL)
+def manifest_constraints_q(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Write-time CHECK / NOT NULL constraints (Delta's ALTER TABLE
+    ADD CONSTRAINT; the reference declares the same predicates as
+    POST-HOC dbt tests — not_null/accepted-range blocks in
+    dbt/stock_analytics/models/staging/schema.yml — which flag bad
+    rows only after they landed): adopting validates existing data
+    once; every later write proves its NEW rows before the commit,
+    metadata-first — range + NOT NULL from footer zone maps / null
+    counts at zero data I/O, free-form SQL checks with one scan of
+    the staged files only (never the table; the 100 TB property).
+    The entry RAISES unless a violating append is rejected BEFORE
+    commit with the version/content untouched.  Oracle: the surviving
+    content — base months plus the one valid append — recomputed
+    from raw parquet."""
+    from .manifest import ConstraintViolation, ManifestTable
+
+    bars = _bars_month(spark, sf_dir)
+    base = bars.where(F.col("trade_month").between("1997-03",
+                                                   "1997-04"))
+    t = ManifestTable.create(base, scratch_dir("manifest_cons_"),
+                             ts="trade_month")
+    t.add_range_check(spark, "volume_min", "volume", lo=1)
+    t.add_check(spark, "close_in_band", "close >= low AND close <= high")
+    t.set_not_null(spark, "ticker")
+    t.append(bars.where(F.col("trade_month") == "1997-05"))
+    v = t.version()
+    bad = (bars.where(F.col("trade_month") == "1997-06")
+           .withColumn("volume", -F.col("volume")))
+    try:
+        t.append(bad)
+        raise RuntimeError("violating append was NOT rejected")
+    except ConstraintViolation:
+        pass
+    if t.version() != v:
+        raise RuntimeError("rejected append still moved the version")
+    return (t.read(spark).groupBy("trade_month")
+            .agg(F.count("*").alias("n"),
+                 F.sum("volume").alias("vol"))
+            .select("trade_month", "n", "vol"))
+
+
+MANIFEST_CLONE_SQL = f"""
+WITH b AS ({oracles.BARS_SQL}),
+u AS (
+  SELECT * FROM b
+  WHERE strftime(trade_date, '%Y-%m') BETWEEN '1997-03' AND '1997-05'
+    AND ticker % 11 != 4
+  UNION ALL
+  SELECT * FROM b WHERE strftime(trade_date, '%Y-%m') = '1997-06'
+)
+SELECT strftime(trade_date, '%Y-%m') AS trade_month,
+       COUNT(*) AS n, CAST(SUM(volume) AS BIGINT) AS vol
+FROM u GROUP BY 1
+""".strip()
+
+
+@q("manifest_clone_scan", MANIFEST_CLONE_SQL)
+def manifest_clone_scan_q(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Zero-copy SHALLOW CLONE (Delta CREATE TABLE ... CLONE): the
+    clone's manifest borrows the source's immutable files by absolute
+    path — O(metadata) regardless of data size, the "test against
+    prod without copying 100 TB" operation.  The entry clones a
+    table carrying a merge-on-read DV delete (the sidecars travel,
+    re-addressed), appends a month to the CLONE only, and RAISES
+    unless (a) not one data parquet was copied at clone time (every
+    borrowed entry path is absolute), (b) the source's row count is
+    untouched by the clone-side append, and (c) the DV-dead rows stay
+    dead on the clone.  Oracle: base months minus the deleted residue
+    class plus the appended month, from raw parquet."""
+    import glob
+    import os
+
+    from .manifest import ManifestTable
+
+    bars = _bars_month(spark, sf_dir)
+    base = bars.where(F.col("trade_month").between("1997-03",
+                                                   "1997-05"))
+    src = ManifestTable.create(base, scratch_dir("manifest_clsrc_"),
+                               ts="trade_month")
+    src.delete_where(spark, F.expr("pmod(ticker, 11) = 4"),
+                     mode="dv")
+    n_src = src.read(spark).count()
+    c = src.clone(scratch_dir("manifest_clone_") + "/t")
+    copied = glob.glob(os.path.join(c.root, "data", "**",
+                                    "*.parquet"), recursive=True)
+    # the DV sidecars ride along (small indexes); DATA files must not
+    borrowed = [e["path"] for v in c._raw()["partitions"]
+                for e in c._entries(c._raw(), v)]
+    if any(not os.path.isabs(p) for p in borrowed):
+        raise RuntimeError("clone copied data files (non-absolute "
+                           "entry paths) — not zero-copy")
+    if any("dv-" not in os.path.basename(p) for p in copied):
+        raise RuntimeError(f"unexpected data files under the clone "
+                           f"root: {copied[:3]}")
+    c.append(bars.where(F.col("trade_month") == "1997-06"))
+    if src.read(spark).count() != n_src:
+        raise RuntimeError("clone-side append leaked into the source")
+    return (c.read(spark).groupBy("trade_month")
+            .agg(F.count("*").alias("n"),
+                 F.sum("volume").alias("vol"))
+            .select("trade_month", "n", "vol"))
+
+
+_STATS_COLS = ["o_orderkey", "o_custkey", "o_orderstatus",
+               "o_orderpriority"]
+
+MANIFEST_ANALYZE_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS col_name, COUNT(DISTINCT {c}) AS ndv,\n"
+    f"       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)"
+    f" AS BIGINT) AS nulls,\n"
+    f"       CAST(MIN({c}) AS VARCHAR) AS vmin,"
+    f" CAST(MAX({c}) AS VARCHAR) AS vmax\nFROM orders"
+    for c in _STATS_COLS)
+
+
+@q("manifest_analyze_stats", MANIFEST_ANALYZE_SQL)
+def manifest_analyze_stats_q(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE column statistics: one distributed aggregation
+    records per-column NDV / null count / min / max in the commit
+    object (versioned; meta_column_stats flags staleness) — the
+    optimizer-grade stats zone maps cannot supply, used for join
+    sizing and filter selectivity.  Exact countDistinct here (the
+    audit shape); ``approx=True`` is the HyperLogLog 100 TB default.
+    The entry RAISES unless the stats read back NON-STALE at the
+    analyze commit's own version.  Oracle: the same four per-column
+    aggregates straight off the raw parquet."""
+    from .manifest import ManifestTable
+
+    orders = _t(spark, sf_dir, "orders").select(*_STATS_COLS)
+    t = ManifestTable.create(orders, scratch_dir("manifest_stats_"),
+                             ts=None)
+    t.analyze(spark)
+    stats = t.meta_column_stats(spark)
+    if stats.where(F.col("stale")).count():
+        raise RuntimeError("fresh analyze reads back stale")
+    return (stats.select(F.col("column").alias("col_name"),
+                         "ndv", "nulls", "vmin", "vmax"))
+
+
+MANIFEST_JOIN_PRUNING_SQL = f"""
+WITH b AS ({oracles.BARS_SQL})
+SELECT strftime(b.trade_date, '%Y-%m') AS trade_month,
+       COUNT(*) AS n, CAST(SUM(b.volume) AS BIGINT) AS vol
+FROM b JOIN part p ON b.ticker = p.p_partkey
+WHERE p.p_partkey <= (SELECT MAX(p_partkey) / 10 FROM part)
+  AND strftime(b.trade_date, '%Y-%m') BETWEEN '1997-01' AND '1997-06'
+GROUP BY 1
+""".strip()
+
+
+@q("manifest_join_pruning", MANIFEST_JOIN_PRUNING_SQL)
+def manifest_join_pruning_q(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """DYNAMIC FILE PRUNING for joins (the Delta/Photon DFP shape):
+    the filtered dimension's distinct keys drive the fact manifest's
+    whole skipping stack — zone maps AND per-file Bloom membership —
+    BEFORE the scan, so a key-selective dim join opens only files
+    that can match instead of the whole fact.  Key collection is
+    bounded (``max_keys``, beyond which the spec degrades to the
+    keys' [min, max] range — no unbounded driver collect at any dim
+    size).  The entry RAISES unless files were actually skipped; the
+    join itself (broadcast — the dim is small by construction here)
+    applies the exact predicate, so the pruned read being a superset
+    is invisible.  Oracle: the plain join on raw parquet."""
+    from .manifest import ManifestTable
+
+    bars = _bars_month(spark, sf_dir).where(
+        F.col("trade_month").between("1997-01", "1997-06"))
+    # ticker-clustered layout (the Z-order-one-dimension discipline):
+    # each month's files hold consecutive ticker ranges, so a
+    # key-bounded dim turns zone maps into file drops at ANY scale
+    # factor; the file cap scales with the data so every month holds
+    # several files regardless of sf
+    n = bars.count()
+    fact = ManifestTable.create(
+        bars.repartition("trade_month")
+            .sortWithinPartitions("ticker"),
+        scratch_dir("manifest_dfp_"), ts="trade_month",
+        bloom={"cols": ["ticker"], "m": 1 << 14, "k": 5},
+        max_records_per_file=max(50, n // 18))
+    part = _t(spark, sf_dir, "part")
+    thr = part.agg((F.max("p_partkey") / 10).alias("t")) \
+        .collect()[0]["t"]
+    dim = (part.where(F.col("p_partkey") <= thr)
+           .select(F.col("p_partkey").alias("ticker")))
+    pruned, plan = fact.read_pruned_by_keys(spark, dim, "ticker")
+    total = sum(r["files"]
+                for r in fact._raw()["partitions"].values())
+    if not (plan["skipped"] > 0 and 0 < len(plan["files"]) < total):
+        raise RuntimeError(
+            f"join keys pruned nothing: {len(plan['files'])}/{total} "
+            f"files kept, skipped={plan['skipped']}")
+    return (pruned.join(F.broadcast(dim), "ticker")
+            .groupBy("trade_month")
+            .agg(F.count("*").alias("n"),
+                 F.sum("volume").alias("vol"))
+            .select("trade_month", "n", "vol"))
+
+
+TEXT_SEARCH_SQL = """
+SELECT doc_id, lang
+FROM documents
+WHERE regexp_matches(lower(text), '(^|[^a-z0-9])dup([^a-z0-9]|$)')
+""".strip()
+
+
+@q("text_search_scan", TEXT_SEARCH_SQL)
+def text_search_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-level TEXT SEARCH INDEX: one build job folds each file's
+    distinct words into a per-file Bloom filter (sidecar JSONs on the
+    partition refs); a term search drops whole files whose filter
+    proves the word absent, then applies the exact whole-word
+    predicate to the survivors.  The corpus is CLUSTERED by the
+    needle's presence before the build (the real trick: co-locating
+    rare features is what turns file-granular skipping into a
+    needle-in-haystack accelerator at 100 TB — same discipline as
+    Z-ordering a key).  The entry RAISES unless the search actually
+    skipped files.  Oracle: the same whole-word regex over raw
+    parquet — the index must be an accelerator, never the answer."""
+    from .manifest import ManifestTable
+
+    docs = _t(spark, sf_dir, "documents")
+    clustered = (docs
+                 .withColumn("__has", F.lower(F.col("text")).rlike(
+                     "(^|[^a-z0-9])dup([^a-z0-9]|$)").cast("int"))
+                 .repartition(1)
+                 .sortWithinPartitions("__has", "doc_id")
+                 .drop("__has"))
+    t = ManifestTable.create(clustered,
+                             scratch_dir("manifest_tsearch_"),
+                             ts=None, max_records_per_file=100)
+    t.build_text_index(spark, "text")
+    df, stats = t.search_text(spark, "text", "dup")
+    if not stats["files_pruned"]:
+        raise RuntimeError(f"text index skipped nothing: {stats}")
+    return df.select("doc_id", "lang")

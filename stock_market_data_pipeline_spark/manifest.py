@@ -1426,7 +1426,8 @@ class ManifestTable:
                 cdf_kind: str = "classified",
                 bloom=_BLOOM_CARRY,
                 colmap=_BLOOM_CARRY,
-                constraints=_BLOOM_CARRY) -> None:
+                constraints=_BLOOM_CARRY,
+                colstats=_BLOOM_CARRY) -> None:
         """Steps 2+3 of the protocol: write a shard file for every
         partition given as a file-entry LIST (= changed by this
         commit), carry every ref dict through untouched (= unchanged;
@@ -1457,6 +1458,16 @@ class ManifestTable:
                         self._mname(base_version)).get("colmap")
                 except (FileNotFoundError, OSError):
                     colmap = None
+        if colstats is ManifestTable._BLOOM_CARRY:
+            # analyzed column stats carry too (meta_column_stats
+            # flags them stale past their recorded version)
+            colstats = None
+            if base_version > 0:
+                try:
+                    colstats = self._raw(
+                        self._mname(base_version)).get("colstats")
+                except (FileNotFoundError, OSError):
+                    colstats = None
         if constraints is ManifestTable._BLOOM_CARRY:
             # table constraints carry commit-to-commit like the bloom
             # spec / colmap; only add_check / add_range_check /
@@ -1484,7 +1495,7 @@ class ManifestTable:
                 # must ride along, or the append would silently
                 # resurrect every dv'd row (they address OLD files,
                 # which the append keeps)
-                carry = {k: es[k] for k in ("dv", "dv_rows")
+                carry = {k: es[k] for k in ("dv", "dv_rows", "tidx")
                          if k in es}
                 es = es["entries"]
             shard_rel = os.path.join(
@@ -1536,6 +1547,8 @@ class ManifestTable:
             body["colmap"] = colmap
         if constraints:
             body["constraints"] = constraints
+        if colstats:
+            body["colstats"] = colstats
         if cdf is not None:
             # this commit's row-level change-set file list, inline (a
             # single write's change files — small); readable via
@@ -3075,11 +3088,19 @@ class ManifestTable:
                 # along into the rebuilt ref (the {"entries": ...}
                 # _commit form) — dropping them would resurrect rows
                 if (isinstance(prior_ref, dict)
-                        and prior_ref.get("dv")):
-                    live[value] = {
-                        "entries": merged,
-                        "dv": prior_ref["dv"],
-                        "dv_rows": prior_ref.get("dv_rows", 0)}
+                        and (prior_ref.get("dv")
+                             or prior_ref.get("tidx"))):
+                    keep: dict = {"entries": merged}
+                    if prior_ref.get("dv"):
+                        keep["dv"] = prior_ref["dv"]
+                        keep["dv_rows"] = prior_ref.get("dv_rows", 0)
+                    if prior_ref.get("tidx"):
+                        # the text index still covers the OLD files;
+                        # the appended ones are simply unindexed
+                        # (search keeps them conservatively) until the
+                        # next build_text_index
+                        keep["tidx"] = prior_ref["tidx"]
+                    live[value] = keep
                 else:
                     live[value] = merged
             try:
@@ -3225,6 +3246,332 @@ class ManifestTable:
                      # schema never had)
                      colmap=old.get("colmap"))
 
+    def read_pruned_by_keys(self, spark: SparkSession,
+                            keys: DataFrame, on: str,
+                            max_keys: int = 100_000):
+        """DYNAMIC FILE PRUNING (the Delta/Photon DFP shape, owned by
+        the table layer): before a fact-side scan joins against a
+        filtered dimension, the dimension's DISTINCT join keys drive
+        the manifest's whole skipping stack — partition pruning,
+        partition/file zone maps, and (when a bloom spec covers
+        ``on``) per-file membership filters — so the join reads only
+        the files that can possibly match, instead of the whole
+        table.  At 100 TB this is the difference between "scan 10^5
+        files, shuffle, then throw 99% away" and "open the handful of
+        files the keys live in".
+
+        ``keys``: any DataFrame carrying column ``on`` (typically the
+        already-filtered dim).  Key collection is bounded: up to
+        ``max_keys`` distinct values travel to the driver as an
+        IN-list spec (the bloom-probe shape); beyond that the spec
+        degrades to the keys' [min, max] RANGE — one aggregate row,
+        still zone-map-prunable, never a collect of unbounded size.
+        Returns ``(df, plan)``: the pruned frame is a SUPERSET of the
+        matching rows (skipping is file-granular) — the JOIN ITSELF
+        is the exact predicate, exactly as engines apply DFP —
+        and ``plan`` is the scan_plan dict so callers/tests can pin
+        the skip counts."""
+        import datetime
+
+        def canon(v):
+            if isinstance(v, (datetime.date, datetime.datetime)):
+                return v.isoformat()
+            return v
+
+        kd = keys.select(on).distinct()
+        if kd.limit(max_keys + 1).count() <= max_keys:
+            vals = [canon(r[0]) for r in kd.collect()
+                    if r[0] is not None]
+            where = {on: vals}
+        else:
+            b = kd.agg(F.min(on).alias("lo"),
+                       F.max(on).alias("hi")).collect()[0]
+            where = {on: (canon(b["lo"]), canon(b["hi"]))}
+        plan = self.scan_plan(where)
+        mf = self._raw()
+        if not plan["files"]:
+            schema = mf.get("schema") or []
+            df = spark.createDataFrame(
+                [], ", ".join(f"`{n}` {t}" for n, t in schema))
+        else:
+            df = self._read_files(spark, plan["files"], mf,
+                                  partitions=plan["partitions"])
+        return df, plan
+
+    def build_text_index(self, spark: SparkSession, col: str,
+                         m: int = 1 << 15, k: int = 5) -> dict:
+        """Build a WORD-LEVEL membership index over a text column —
+        the full-text analog of :meth:`set_bloom`: one Spark job
+        tokenizes every live file's ``col`` (lowercased, split on
+        non-alphanumeric runs), folds each file's distinct words into
+        a Bloom filter JVM-side (the module hashing contract:
+        md5 → two 60-bit halves → Kirsch-Mitzenmacher positions →
+        ``bit_or`` word masks — the exact build :meth:`_attach_blooms`
+        uses, so the driver probe replays it bit-for-bit), and stores
+        one sidecar JSON per partition next to the shards.
+        :meth:`search_text` then drops whole files whose filter proves
+        a term absent — at 100 TB, a needle-term search opens the
+        handful of files that contain the word instead of scanning
+        every text page.  The index is INCREMENTAL-SAFE by
+        conservatism: files appended after the build are simply
+        absent from the map and are always read; rewrites (compact /
+        merge) drop the stale ref key.  Re-run to refresh.  Same
+        coverage gate as the value blooms (r9 ADVICE item 3): only
+        files the build job provably read under the driver-resolved
+        path get a filter; a wordless-but-read file gets ``{}`` (skips
+        every probe, correctly)."""
+        if (m & (m - 1)) != 0 or m < 64:
+            raise ValueError(f"m={m} must be a power of two >= 64")
+        mf = self._raw()
+        cm = mf.get("colmap") or {}
+        p = cm.get(col, col)
+        dtypes = {n: t for n, t in (mf.get("schema") or [])}
+        if dtypes and dtypes.get(col) != "string":
+            raise SchemaMismatch(
+                f"build_text_index: column {col!r} has type "
+                f"{dtypes.get(col)!r}; text indexing wants string")
+        rel_all = [e["path"] for v in mf["partitions"]
+                   for e in self._entries(mf, v)]
+        if not rel_all:
+            return {}
+        import urllib.parse
+
+        def _canon_path(uri: str) -> str:
+            return os.path.abspath(
+                urllib.parse.unquote(urllib.parse.urlparse(uri).path))
+
+        abs_to_rel = {os.path.abspath(os.path.join(self.root, r)): r
+                      for r in rel_all}
+        df = spark.read.parquet(
+            *[os.path.join(self.root, r) for r in rel_all])
+        seen = {_canon_path(r["_f"]) for r in
+                df.select(F.input_file_name().alias("_f"))
+                .distinct().collect()}
+        toks = (df.select(
+                    F.input_file_name().alias("_f"),
+                    F.explode(F.array_distinct(F.split(
+                        F.lower(F.col(p)), "[^a-z0-9]+")))
+                     .alias("_w0"))
+                .where(F.col("_w0") != ""))
+        hexc = F.md5(F.col("_w0"))
+        rows = (toks.select(
+                    "_f",
+                    F.conv(F.substring(hexc, 1, 15), 16, 10)
+                     .cast("long").alias("_h1"),
+                    F.conv(F.substring(hexc, 17, 15), 16, 10)
+                     .cast("long").alias("_h2"))
+                .withColumn("_step", F.expr(f"pmod(_h2, {m}) | 1L"))
+                .withColumn("_pos", F.explode(F.expr(
+                    f"transform(sequence(0, {k - 1}), "
+                    f"i -> pmod(_h1 + i * _step, {m}))")))
+                .select("_f",
+                        F.expr("cast(_pos div 64 as int)").alias("_w"),
+                        F.expr("shiftleft(1L, cast(pmod(_pos, 64) "
+                               "as int))").alias("_m"))
+                .groupBy("_f", "_w")
+                .agg(F.expr("bit_or(_m)").alias("_b")).collect())
+        per_file: dict[str, dict] = {
+            rel: {} for ab, rel in abs_to_rel.items() if ab in seen}
+        for r in rows:
+            rel = abs_to_rel.get(_canon_path(r["_f"]))
+            if rel is not None and rel in per_file:
+                per_file[rel][str(r["_w"])] = r["_b"]
+        sdir = os.path.join(self.root, _SHARD_DIR)
+        os.makedirs(sdir, exist_ok=True)
+        stats = {"files": len(rel_all), "indexed": len(per_file)}
+        while True:
+            cur = self._raw()
+            parts: dict = {}
+            for value, ref in cur["partitions"].items():
+                es = self._entries(cur, value)
+                fmap = {e["path"]: per_file[e["path"]]
+                        for e in es if e["path"] in per_file}
+                ref2 = dict(ref) if isinstance(ref, dict) else None
+                if ref2 is None:          # in-flight list form: skip
+                    parts[value] = ref
+                    continue
+                if not fmap:
+                    ref2.pop("tidx", None)
+                    parts[value] = ref2
+                    continue
+                shard_rel = os.path.join(
+                    _SHARD_DIR,
+                    f"tidx-{uuid.uuid4().hex[:16]}.json")
+                with open(os.path.join(self.root, shard_rel),
+                          "w") as f:
+                    f.write(json.dumps(fmap, sort_keys=True))
+                    f.flush()
+                    os.fsync(f.fileno())
+                tidx = dict(ref2.get("tidx") or {})
+                tidx[col] = {"shard": shard_rel, "m": m, "k": k}
+                ref2["tidx"] = tidx
+                parts[value] = ref2
+            try:
+                self._commit(parts, base_version=cur["version"],
+                             streams=cur.get("streams", {}),
+                             schema=cur.get("schema"))
+                return stats
+            except CommitConflict:
+                continue        # metadata-only: rebase and reapply
+
+    def search_text(self, spark: SparkSession, col: str, terms,
+                    manifest_name: str | None = None):
+        """Word search over an indexed text column: every term (split
+        into lowercase words) must appear as a WHOLE WORD in ``col``.
+        File skipping comes from the :meth:`build_text_index` sidecars
+        — a file whose filter proves ANY query word absent never
+        reaches Spark's reader; unindexed files (appended post-build,
+        or no index at all) are read conservatively.  Returns
+        ``(df, stats)``: the frame already carries the EXACT word-
+        boundary predicate (the index is only an accelerator, never
+        the answer), stats pins {files, files_pruned} so tests and
+        dashboards can watch index effectiveness."""
+        mf = self._raw(manifest_name)
+        words: list[str] = []
+        for t in (terms if isinstance(terms, (list, tuple, set))
+                  else [terms]):
+            words += [w for w in re.split(r"[^a-z0-9]+",
+                                          str(t).lower()) if w]
+        if not words:
+            raise ValueError(f"no searchable words in {terms!r}")
+        kept_files: list[str] = []
+        kept_parts: list[str] = []
+        total = pruned = 0
+        for value, ref in mf["partitions"].items():
+            tidx = ((ref.get("tidx") or {}).get(col)
+                    if isinstance(ref, dict) else None)
+            fmap: dict = {}
+            if tidx:
+                with open(os.path.join(self.root,
+                                       tidx["shard"])) as f:
+                    fmap = json.load(f)
+            for e in self._entries(mf, value):
+                total += 1
+                bc = fmap.get(e["path"])
+                if bc is not None and any(
+                        _bloom_excluded(bc, [w], "string",
+                                        tidx["m"], tidx["k"])
+                        for w in words):
+                    pruned += 1
+                    continue
+                kept_files.append(os.path.join(self.root, e["path"]))
+                if not kept_parts or kept_parts[-1] != value:
+                    kept_parts.append(value)
+        if not kept_files:
+            schema = mf.get("schema")
+            if not schema:
+                raise FileNotFoundError(
+                    f"{self.root}: nothing to read and no pinned "
+                    f"schema to type an empty result")
+            df = spark.createDataFrame(
+                [], ", ".join(f"`{n}` {t}" for n, t in schema))
+        else:
+            df = self._read_files(spark, kept_files, mf,
+                                  partitions=kept_parts)
+        pred = None
+        for w in words:
+            one = F.lower(F.col(col)).rlike(
+                f"(^|[^a-z0-9]){w}([^a-z0-9]|$)")
+            pred = one if pred is None else (pred & one)
+        return df.where(pred), {"files": total, "files_pruned": pruned}
+
+    def analyze(self, spark: SparkSession,
+                columns: list[str] | None = None,
+                approx: bool = False) -> dict:
+        """``ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS``:
+        one distributed aggregation over the LIVE rows computes, per
+        column, the distinct-value count, null count, and min/max,
+        and records them in the commit object stamped with the
+        version they were computed at — the optimizer-grade stats
+        (NDV for join sizing, null fraction for filter selectivity)
+        that footer zone maps cannot supply.  ``approx=True`` swaps
+        exact ``countDistinct`` (a shuffle per column — fine at audit
+        time, expensive at 100 TB) for HyperLogLog
+        ``approx_count_distinct`` — the scale default, one pass, no
+        shuffle growth with NDV.  Stats carry commit-to-commit;
+        :meth:`meta_column_stats` marks them ``stale`` once the table
+        moves past the analyzed version (re-run to refresh — the
+        Delta/Iceberg stats-freshness contract).  Returns the
+        recorded payload."""
+        mf = self._raw()
+        schema = mf.get("schema") or []
+        if not schema:
+            raise RuntimeError(f"{self.root}: no pinned schema to "
+                               f"analyze")
+        names = [n for n, _ in schema]
+        cols = columns or names
+        missing = [c for c in cols if c not in names]
+        if missing:
+            raise SchemaMismatch(
+                f"analyze: no column(s) {missing} in the pinned "
+                f"schema {names}")
+        df = self.read(spark)
+        ndv = (F.approx_count_distinct if approx else F.countDistinct)
+        aggs = []
+        for c in cols:
+            aggs += [ndv(F.col(c)).alias(f"ndv__{c}"),
+                     F.sum(F.col(c).isNull().cast("long"))
+                      .alias(f"nulls__{c}"),
+                     F.min(F.col(c)).cast("string")
+                      .alias(f"min__{c}"),
+                     F.max(F.col(c)).cast("string")
+                      .alias(f"max__{c}")]
+        row = df.agg(*aggs).collect()[0]
+        stats = {c: {"ndv": int(row[f"ndv__{c}"]),
+                     "nulls": int(row[f"nulls__{c}"] or 0),
+                     "min": row[f"min__{c}"],
+                     "max": row[f"max__{c}"]}
+                 for c in cols}
+        while True:
+            cur = self._raw()
+            # the analyze commit itself changes no data, so stats
+            # computed from the snapshot we read are valid AT the
+            # version this commit creates — unless the table moved
+            # under the scan, in which case they are recorded against
+            # the version actually read and staleness shows honestly
+            payload = {"version": (cur["version"] + 1
+                                   if cur["version"] == mf["version"]
+                                   else mf["version"]),
+                       "approx": bool(approx),
+                       "columns": {**(cur.get("colstats") or {}
+                                      ).get("columns", {}), **stats}}
+            try:
+                self._commit(dict(cur["partitions"]),
+                             base_version=cur["version"],
+                             streams=cur.get("streams", {}),
+                             schema=cur.get("schema"),
+                             colstats=payload)
+                return payload
+            except CommitConflict:
+                continue        # metadata-only: rebase and reapply
+
+    def meta_column_stats(self, spark: SparkSession) -> DataFrame:
+        """COLUMN-STATISTICS inspection table: one row per pinned
+        column — type, analyzed NDV / null count / min / max (NULL
+        until :meth:`analyze` runs for that column), the version the
+        stats were computed at, and whether they are STALE (the table
+        has committed past that version).  Commit-object read only —
+        no shard loads, no data I/O."""
+        mf = self._raw()
+        cs = mf.get("colstats") or {}
+        cur = mf["version"]
+        av = cs.get("version")
+        rows = []
+        for n, t in (mf.get("schema") or []):
+            s = cs.get("columns", {}).get(n)
+            rows.append((
+                n, t,
+                None if s is None else int(s["ndv"]),
+                None if s is None else int(s["nulls"]),
+                None if s is None else s["min"],
+                None if s is None else s["max"],
+                None if s is None else int(av),
+                None if s is None else bool(av < cur)))
+        return spark.createDataFrame(
+            rows, schema="column string, dtype string, ndv bigint, "
+                         "nulls bigint, vmin string, vmax string, "
+                         "analyzed_version bigint, stale boolean")
+
     def clone(self, dest_root: str, version: int | None = None,
               shallow: bool = True,
               backend: CommitBackend | None = None) -> "ManifestTable":
@@ -3298,10 +3645,41 @@ class ManifestTable:
                     ne["path"] = rel
                     relmap[e["path"]] = rel
                 entries.append(ne)
+            extra: dict = {}
+            tidx_in = (ref.get("tidx", {})
+                       if isinstance(ref, dict) else {})
+            if tidx_in:
+                # the text-index sidecars travel too, re-keyed to the
+                # clone's file addresses (absolute borrows / re-homed
+                # copies) so search_text keeps pruning on the clone
+                os.makedirs(os.path.join(dest_root, _SHARD_DIR),
+                            exist_ok=True)
+                tidx_out = {}
+                for tcol, spec in tidx_in.items():
+                    with open(os.path.join(self.root,
+                                           spec["shard"])) as f:
+                        fmap = json.load(f)
+                    if shallow:
+                        fmap = {os.path.abspath(
+                                    os.path.join(self.root, r)): bc
+                                for r, bc in fmap.items()}
+                    else:
+                        fmap = {relmap[r]: bc
+                                for r, bc in fmap.items()
+                                if r in relmap}
+                    shard_rel = os.path.join(
+                        _SHARD_DIR,
+                        f"tidx-{uuid.uuid4().hex[:16]}.json")
+                    with open(os.path.join(dest_root, shard_rel),
+                              "w") as f:
+                        f.write(json.dumps(fmap, sort_keys=True))
+                    tidx_out[tcol] = {**spec, "shard": shard_rel}
+                extra["tidx"] = tidx_out
             dv_in = (ref.get("dv", [])
                      if isinstance(ref, dict) else [])
             if not dv_in:
-                parts[value] = entries
+                parts[value] = ({"entries": entries, **extra}
+                                if extra else entries)
                 continue
             os.makedirs(leaf, exist_ok=True)
             dv_out = []
@@ -3334,7 +3712,8 @@ class ManifestTable:
                                "bytes": os.path.getsize(
                                    os.path.join(dest_root, rel))})
             parts[value] = {"entries": entries, "dv": dv_out,
-                            "dv_rows": ref.get("dv_rows", 0)}
+                            "dv_rows": ref.get("dv_rows", 0),
+                            **extra}
         dest._commit(parts, base_version=0, streams={},
                      schema=mf.get("schema"),
                      bloom=mf.get("bloom"),
@@ -4182,6 +4561,12 @@ class ManifestTable:
             snap = raw if name == current else self._raw(name)
             live_shards |= {r["shard"]
                             for r in snap["partitions"].values()}
+            # text-index sidecars are as live as the refs carrying
+            # them (same rule as DV sidecars)
+            live_shards |= {t["shard"]
+                            for r in snap["partitions"].values()
+                            if isinstance(r, dict)
+                            for t in (r.get("tidx") or {}).values()}
             live_rel |= {e["path"] for v in snap["partitions"]
                          for e in self._entries(snap, v)}
             # deletion-vector sidecars are as live as the refs that
