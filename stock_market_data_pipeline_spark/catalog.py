@@ -3542,6 +3542,24 @@ _DRIVER_WINDOW_FIRST = [
     # also merge-backed, ARE in the window via group 1). --
 ]
 
+#: SATURATION DEFERRAL (round 12): the round-11 driver correctness
+#: artifact never landed (newest on disk is CORRECTNESS_r10.json), so
+#: the 45 r8-stale entries AND the 5 r11-new entries above remain
+#: mandatory — they fill all 50 slots by themselves.  The policy's
+#: tie-break when mandatory entries exceed the window is FIFO over
+#: never-driver-green entries: first registered, first checked.  The
+#: round-12 entries therefore defer EXACTLY ONE artifact round (they
+#: are sweep-proven this round — SWEEP_r12*.json — and front the next
+#: window).  tests/test_registration_order.py asserts this list is
+#: (a) only ever populated when the window is saturated by mandatory
+#: entries, and (b) exactly the never-green entries left over — a
+#: deferral can never hide an aging previously-green entry.
+_DRIVER_WINDOW_DEFERRED = [
+    "manifest_constraints", "manifest_clone_scan",
+    "manifest_analyze_stats", "manifest_join_pruning",
+    "text_search_scan",
+]
+
 
 def _reorder_registration() -> None:
     front = [n for n in _DRIVER_WINDOW_FIRST if n in QUERIES]
