@@ -3558,6 +3558,8 @@ _DRIVER_WINDOW_DEFERRED = [
     "manifest_constraints", "manifest_clone_scan",
     "manifest_analyze_stats", "manifest_join_pruning",
     "text_search_scan",
+    # round-12 registrations (FIFO behind the r11 five above):
+    "manifest_hidden_partitioning", "manifest_bucket_transform",
 ]
 
 

@@ -277,3 +277,98 @@ def text_search_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not stats["files_pruned"]:
         raise RuntimeError(f"text index skipped nothing: {stats}")
     return df.select("doc_id", "lang")
+
+
+HIDDEN_PARTITIONING_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+         AS total_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-15'
+GROUP BY 1
+""".strip()
+
+
+@q("manifest_hidden_partitioning", HIDDEN_PARTITIONING_SQL)
+def manifest_hidden_partitioning_q(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """HIDDEN PARTITIONING (Iceberg partition transforms): the events
+    table is created with ``partition="days"`` over its raw timestamp
+    — directories hold days(ts), no derived date column is
+    materialized, and the consumer's predicate on the RAW timestamp
+    still prunes partitions because scan_plan floors the bounds
+    through the same transform.  This is what keeps a per-second
+    event stream from demanding a directory per distinct timestamp
+    (the identity layout's failure mode at 100 TB) while user ETL
+    stays transform-unaware — the reference's consumers filter raw
+    Snowflake columns the same way and rely on micro-partition
+    pruning (data-viz/pages/2_Universe_Screener.py date-range WHERE).
+    The entry RAISES unless the range probe actually pruned
+    partitions.  Oracle: the same window recomputed from raw parquet."""
+    from .manifest import ManifestTable
+
+    events = _t(spark, sf_dir, "events")
+    t = ManifestTable.create(events, scratch_dir("manifest_hp_"),
+                             ts="ts", partition="days")
+    lo, hi = "2024-01-10", "2024-01-15"
+    plan = t.scan_plan({"ts": (lo, hi)})
+    total = len(t._raw()["partitions"])
+    if not (plan["partitions_pruned"] > 0
+            and len(plan["partitions"]) < total):
+        raise RuntimeError(
+            f"hidden partitioning pruned nothing: "
+            f"{len(plan['partitions'])}/{total} partitions kept")
+    return (t.read(spark, where={"ts": (lo, hi)})
+            .where((F.col("ts") >= lo) & (F.col("ts") < hi))
+            .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,6)"))
+                 .cast("double").alias("total_value")))
+
+
+BUCKET_TRANSFORM_SQL = """
+SELECT user_id, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+         AS total_value
+FROM events
+WHERE user_id IN (3, 7)
+GROUP BY user_id
+""".strip()
+
+
+@q("manifest_bucket_transform", BUCKET_TRANSFORM_SQL)
+def manifest_bucket_transform_q(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """BUCKET partition transform (Iceberg ``bucket(N, col)``): events
+    land in crc32(user_id) % 8 directories, so a point lookup on the
+    raw key opens only its hash bucket — the high-cardinality-key
+    layout where value-range directories would be one-row-per-dir
+    nonsense and zone maps cannot prune a hash-scattered key.  The
+    JVM write expression and the Python planner floor through the
+    SAME public hash (java.util.zip.CRC32 == zlib.crc32), asserted
+    in-entry by recomputing the expected bucket ids.  RAISES unless
+    the IN-list probe pruned buckets.  Oracle: the same lookup over
+    raw parquet."""
+    import zlib
+
+    from .manifest import ManifestTable
+
+    events = _t(spark, sf_dir, "events")
+    t = ManifestTable.create(events, scratch_dir("manifest_bkt_"),
+                             ts="user_id", partition=("bucket", 8))
+    keys = [3, 7]
+    plan = t.scan_plan({"user_id": keys})
+    want = sorted({str(zlib.crc32(str(k).encode()) % 8)
+                   for k in keys})
+    if sorted(plan["partitions"]) != want:
+        raise RuntimeError(
+            f"bucket probe kept {plan['partitions']}, wanted {want}")
+    if plan["partitions_pruned"] == 0:
+        raise RuntimeError("bucket probe pruned nothing")
+    return (t.read(spark, where={"user_id": keys})
+            .where(F.col("user_id").isin(keys))
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,6)"))
+                 .cast("double").alias("total_value")))

@@ -620,6 +620,129 @@ def _pt_out_of_range(value: str, lo, hi) -> bool:
     return False
 
 
+_PT_FNS = ("days", "month", "hour", "bucket", "truncate")
+
+
+def _pt_norm_spec(partition) -> dict | None:
+    """Normalize a partition-TRANSFORM spec (Iceberg-style hidden
+    partitioning: the reference's consumers filter raw Snowflake
+    columns and rely on micro-partition pruning; here the analog is a
+    declared transform of the partition-source column, so predicates
+    on the RAW column prune transformed partitions with no derived
+    column materialized in the data).  Accepted forms::
+
+        None                    identity (the classic value-is-the-key)
+        "days" / "month" / "hour"
+        ("bucket", 16)          crc32(value) % 16
+        ("truncate", 4)         string prefix / integer width bucket
+        {"fn": ..., "n": ...}   the stored manifest form
+
+    Returns the canonical dict or None for identity."""
+    if partition is None:
+        return None
+    if isinstance(partition, str):
+        spec = {"fn": partition}
+    elif isinstance(partition, (tuple, list)):
+        spec = {"fn": partition[0], "n": partition[1]}
+    elif isinstance(partition, dict):
+        spec = {k: partition[k] for k in ("fn", "n") if k in partition}
+    else:
+        raise ValueError(f"unsupported partition spec {partition!r}")
+    fn = spec.get("fn")
+    if fn not in _PT_FNS:
+        raise ValueError(
+            f"unknown partition transform {fn!r}; supported: {_PT_FNS}")
+    if fn in ("bucket", "truncate"):
+        n = spec.get("n")
+        if not isinstance(n, int) or n <= 0:
+            raise ValueError(
+                f"partition transform {fn!r} needs a positive integer "
+                f"width/count, got {spec.get('n')!r}")
+    else:
+        spec.pop("n", None)
+    return spec
+
+
+def _pt_expr(pt: dict | None, ts: str, dtype: str | None):
+    """The Spark-side partition-value expression for one row — the
+    write-path twin of :func:`_pt_value` (both MUST floor identically
+    or pruning would silently skip live partitions).  ``dtype`` is the
+    source column's simpleString (drives truncate's int-vs-string
+    form)."""
+    c = F.col(ts)
+    if pt is None:
+        return c.cast("string")
+    fn = pt["fn"]
+    if fn == "days":
+        return F.date_format(c.cast("timestamp"), "yyyy-MM-dd")
+    if fn == "month":
+        return F.date_format(c.cast("timestamp"), "yyyy-MM")
+    if fn == "hour":
+        # dash separator, not a space: partition values become Hive
+        # directory names and _stage rejects anything the writer
+        # escapes
+        return F.date_format(c.cast("timestamp"), "yyyy-MM-dd-HH")
+    if fn == "bucket":
+        # crc32 (java.util.zip.CRC32 == zlib.crc32) over the CAST
+        # string — the one hash both the JVM writer and the Python
+        # planner can compute bit-identically without a UDF
+        return F.pmod(F.crc32(c.cast("string").cast("binary")),
+                      F.lit(pt["n"])).cast("string")
+    if fn == "truncate":
+        if dtype in ("tinyint", "smallint", "int", "bigint"):
+            return (c - F.pmod(c, F.lit(pt["n"]))).cast("long") \
+                .cast("string")
+        return F.substring(c, 1, pt["n"])
+    raise ValueError(f"unknown partition transform {fn!r}")
+
+
+def _pt_value(pt: dict | None, v, dtype: str | None = None) -> str:
+    """Python-side (planner) twin of :func:`_pt_expr`: the partition
+    value a raw column value lands in.  Floor semantics — monotone for
+    the date/truncate family, so transformed RANGE bounds stay a
+    correct superset: r <= hi  =>  floor(r) <= floor(hi)."""
+    s = str(v)
+    if pt is None:
+        return s
+    fn = pt["fn"]
+    if fn == "days":
+        return s[:10]
+    if fn == "month":
+        return s[:7]
+    if fn == "hour":
+        # ISO 'YYYY-MM-DD HH:MM:SS' / 'YYYY-MM-DDTHH:MM'; a date-only
+        # bound floors to hour 00 of that day
+        hh = s[11:13] if len(s) >= 13 else "00"
+        return f"{s[:10]}-{hh}"
+    if fn == "bucket":
+        import zlib
+        return str(zlib.crc32(s.encode("utf-8")) % pt["n"])
+    if fn == "truncate":
+        if dtype in ("tinyint", "smallint", "int", "bigint") \
+                or isinstance(v, int):
+            return str(int(v) - int(v) % pt["n"])
+        return s[:pt["n"]]
+    raise ValueError(f"unknown partition transform {fn!r}")
+
+
+def _pt_where_spec(pt: dict | None, spec, dtype: str | None = None):
+    """Map a pruning spec on the RAW partition-source column to a spec
+    over TRANSFORMED partition values, or None when the transform
+    cannot prune it (a range probe against a hash bucket).  IN-lists
+    transform value-by-value (floor(v) IS v's partition — equality is
+    always prunable); ranges transform both bounds (floor is monotone,
+    the kept set stays a superset of the matching rows' partitions)."""
+    if pt is None:
+        return spec
+    if isinstance(spec, (list, set, frozenset)):
+        return [_pt_value(pt, v, dtype) for v in spec]
+    lo, hi = spec
+    if pt["fn"] == "bucket":
+        return None     # hash order is unrelated to value order
+    return (None if lo is None else _pt_value(pt, lo, dtype),
+            None if hi is None else _pt_value(pt, hi, dtype))
+
+
 def _range_contains(stat: list, lo, hi) -> bool:
     """True iff [stat_lo, stat_hi] lies FULLY inside [lo, hi] (None =
     open bound).  Containment claims must be conservative the other
@@ -826,13 +949,24 @@ class ManifestTable:
 
     def __init__(self, root: str, ts: str | None,
                  backend: CommitBackend | None = None,
-                 branch: str | None = None):
+                 branch: str | None = None,
+                 partition=None):
         #: partition column name, or None for an UNPARTITIONED table
         #: (small dims, key-only marts): all rows live in one pseudo-
         #: partition "__all"; every op keeps its contract, partition
         #: pruning simply never applies.
         self.root = root
         self.ts = ts
+        #: optional partition TRANSFORM over ``ts`` (hidden
+        #: partitioning, :func:`_pt_norm_spec`): the directory value is
+        #: fn(ts) instead of ts itself, and scan_plan prunes from
+        #: predicates on the RAW column by flooring their bounds.
+        #: Persisted in the manifest ("pt"), so readers opening the
+        #: table plain pick it up without being told.
+        self._pt_ctor = _pt_norm_spec(partition)
+        if self._pt_ctor is not None and ts is None:
+            raise ValueError(
+                "a partition transform needs a source column (ts)")
         #: the storage-dependent commit primitive (protocol step 3).
         #: Backends interoperate on one table: every backend's publish
         #: is gated on the final name's absence, so mixed writers
@@ -919,6 +1053,48 @@ class ManifestTable:
             return ref
         with open(os.path.join(self.root, ref["shard"])) as f:
             return json.load(f)
+
+    def _pt(self, mf: dict | None = None) -> dict | None:
+        """Effective partition-transform spec.  The committed
+        manifest's is authoritative (readers need no ctor hint); the
+        ctor's applies only on the create path, before v1 exists.  A
+        ctor spec that CONTRADICTS a committed table raises — silently
+        honoring it would write rows into directories scan_plan prunes
+        under the other spec (wrong results, not just slow ones)."""
+        if mf is None:
+            try:
+                mf = self._raw()
+            except (FileNotFoundError, OSError):
+                return self._pt_ctor
+        stored = mf.get("pt")
+        if stored:
+            if self._pt_ctor is not None and self._pt_ctor != stored:
+                raise ValueError(
+                    f"{self.root}: table committed with partition "
+                    f"transform {stored} but opened declaring "
+                    f"{self._pt_ctor}")
+            return stored
+        if self._pt_ctor is not None:
+            raise ValueError(
+                f"{self.root}: table committed WITHOUT a partition "
+                f"transform; a transform cannot be retrofitted onto "
+                f"existing directories (recreate or clone)")
+        return None
+
+    def _pt_col(self, df: DataFrame | None = None,
+                mf: dict | None = None):
+        """The partition-value Column for this table's rows (every
+        write path's single derivation point).  ``df`` (or the
+        manifest schema when df is None) supplies the source column's
+        dtype — truncate's int-vs-string form needs it."""
+        if self.ts is None:
+            return F.lit("__all")
+        if df is not None:
+            dtype = dict(df.dtypes).get(self.ts)
+        else:
+            dtype = {n: t for n, t in
+                     ((mf or {}).get("schema") or [])}.get(self.ts)
+        return _pt_expr(self._pt(mf), self.ts, dtype)
 
     def manifest(self, name: str | None = None) -> dict:
         """The live manifest (or a named historical one — time
@@ -1479,6 +1655,14 @@ class ManifestTable:
                         self._mname(base_version)).get("constraints")
                 except (FileNotFoundError, OSError):
                     constraints = None
+        # the partition transform is immutable table identity: set at
+        # create (ctor spec), carried verbatim on every later commit
+        pt = self._pt_ctor
+        if base_version > 0:
+            try:
+                pt = self._raw(self._mname(base_version)).get("pt")
+            except (FileNotFoundError, OSError):
+                pt = None
         mdir = self._mdir()
         sdir = os.path.join(self.root, _SHARD_DIR)
         os.makedirs(sdir, exist_ok=True)
@@ -1541,6 +1725,8 @@ class ManifestTable:
             # decide whether the fast-forward is still a fast-forward
             body["branch"] = self._raw(
                 self._mname(base_version))["branch"]
+        if pt:
+            body["pt"] = pt
         if bloom:
             body["bloom"] = bloom
         if colmap:
@@ -1605,8 +1791,7 @@ class ManifestTable:
             live_mf = self._raw()
         except (FileNotFoundError, OSError):
             live_mf = None      # create path: no manifest yet
-        pt = (F.lit("__all") if self.ts is None
-              else F.col(self.ts).cast("string"))
+        pt = self._pt_col(df, live_mf)
         staged = df.withColumn(_PT, pt).repartition(F.col(_PT))
         cm = ((live_mf or {}).get("colmap") or {}) \
             if colmap == "auto" else (colmap or {})
@@ -1821,6 +2006,13 @@ class ManifestTable:
         # after the translation above)
         dtypes = {cm.get(n, n): t for n, t in (mf.get("schema") or [])}
         ts_spec = None if mf["ts"] is None else where.get(mf["ts"])
+        if ts_spec is not None and mf.get("pt"):
+            # hidden partitioning: predicates arrive on the RAW source
+            # column; floor them onto the transformed directory values
+            # (None = this transform cannot prune this spec shape)
+            ts_spec = _pt_where_spec(mf["pt"], ts_spec,
+                                     dtypes.get(cm.get(mf["ts"],
+                                                       mf["ts"])))
         for value, ref in mf["partitions"].items():
             nfiles = ref["files"]
             if ts_spec is not None and _pt_excluded(value, ts_spec):
@@ -1932,13 +2124,22 @@ class ManifestTable:
         and tests pin the metadata-vs-data split."""
         mf = self._raw()
         ts_is_col = (mf["ts"] == col)
+        pt_spec = (lo, hi)
+        if ts_is_col and mf.get("pt"):
+            # hidden partitioning: floor the raw bounds onto the
+            # transformed directory values (bucket → no partition-
+            # grade pruning for a range; stats still skip below)
+            dt = {n: t for n, t in (mf.get("schema") or [])}.get(col)
+            pt_spec = _pt_where_spec(mf["pt"], (lo, hi), dt)
+            if pt_spec is None:
+                ts_is_col = False
         meta_rows = 0
         boundary: list[str] = []
         boundary_parts: list[str] = []
         files_total = files_skipped = shards_opened = 0
         for value, ref in mf["partitions"].items():
             files_total += ref["files"]
-            if ts_is_col and _pt_excluded(value, (lo, hi)):
+            if ts_is_col and _pt_excluded(value, pt_spec):
                 files_skipped += ref["files"]
                 continue
             pstats = ref.get("stats", {})
@@ -2269,14 +2470,38 @@ class ManifestTable:
     def create(cls, df: DataFrame, root: str, ts: str | None,
                backend: CommitBackend | None = None,
                bloom: dict | None = None,
-               max_records_per_file: int | None = None
-               ) -> "ManifestTable":
+               max_records_per_file: int | None = None,
+               partition=None) -> "ManifestTable":
         """Initial materialization: stage everything, commit v1.
         ``bloom`` ({"cols": [...], "m": 2^b, "k": n}) pins the Bloom
         spec from the very first commit so even the initial files
         carry filters (the :meth:`set_bloom`-after-create path leaves
-        v1's files filterless until a rewrite)."""
-        t = cls(root, ts, backend=backend)
+        v1's files filterless until a rewrite).
+
+        ``partition`` declares a HIDDEN-PARTITIONING transform over
+        ``ts`` (:func:`_pt_norm_spec` forms: "days"/"month"/"hour",
+        ("bucket", n), ("truncate", n)) — the Iceberg partition-spec
+        idea re-expressed: directories hold fn(ts), no derived column
+        is materialized, and every reader's predicate on the RAW
+        column still prunes partitions because scan_plan floors the
+        bounds through the same transform.  At 100 TB this is what
+        keeps a per-second event table from creating a directory per
+        timestamp: month/hour grouping happens in table METADATA, not
+        in user ETL."""
+        t = cls(root, ts, backend=backend, partition=partition)
+        if t._pt_ctor is not None:
+            dtypes = {f.name: f.dataType.simpleString()
+                      for f in df.schema.fields}
+            if ts not in dtypes:
+                raise SchemaMismatch(
+                    f"partition source column {ts!r} not in frame")
+            if t._pt_ctor["fn"] in ("bucket", "truncate"):
+                ok = ("string", "tinyint", "smallint", "int", "bigint")
+                if dtypes[ts] not in ok:
+                    raise SchemaMismatch(
+                        f"partition transform {t._pt_ctor['fn']!r} "
+                        f"needs a string/integer source column; "
+                        f"{ts!r} is {dtypes[ts]!r}")
         if bloom is not None:
             if (bloom["m"] & (bloom["m"] - 1)) != 0 or bloom["m"] < 64:
                 raise ValueError(
@@ -2362,8 +2587,7 @@ class ManifestTable:
                  .join(src_keys, keys, "left_anti"))
         if bscond is not None:
             probe = probe.where(F.coalesce(bscond, F.lit(False)))
-        pt = (F.lit("__all") if self.ts is None
-              else F.col(self.ts).cast("string"))
+        pt = self._pt_col(probe, mf)
         return [r[0] for r in
                 probe.select(pt.alias("__v")).distinct().collect()]
 
@@ -2477,7 +2701,7 @@ class ManifestTable:
             touched = [] if updates.isEmpty() else ["__all"]
         else:
             touched = [str(r[0]) for r in
-                       updates.select(F.col(self.ts).cast("string"))
+                       updates.select(self._pt_col(updates, mf))
                        .distinct().collect()]
         orig_touched = list(touched)
         src_keys = None
@@ -2746,7 +2970,7 @@ class ManifestTable:
             touched = [] if updates.isEmpty() else ["__all"]
         else:
             touched = [str(r[0]) for r in
-                       updates.select(F.col(self.ts).cast("string"))
+                       updates.select(self._pt_col(updates, mf))
                        .distinct().collect()]
         orig_touched = list(touched)
         src_keys = None
@@ -2783,8 +3007,7 @@ class ManifestTable:
         prior_files = [os.path.join(self.root, e["path"])
                        for v in live_touched
                        for e in self._entries(mf, v)]
-        pt = (F.lit("__all") if self.ts is None
-              else F.col(self.ts).cast("string"))
+        pt = self._pt_col(updates, mf)
         dv_staged: dict[str, list] = {}
         counts: dict[str, int] = {}
         cdf_frame = None
@@ -4011,8 +4234,7 @@ class ManifestTable:
         if not plan["files"]:
             return {"rows_deleted": 0, "partitions_rewritten": 0,
                     "partitions_dropped": 0}
-        pt = (F.lit("__all") if self.ts is None
-              else F.col(self.ts).cast("string"))
+        pt = self._pt_col(mf=mf)
         if mode == "dv":
             return self._delete_dv(spark, condition, plan, mf, pt,
                                    cdf, _crash_before_commit)
@@ -4198,8 +4420,7 @@ class ManifestTable:
         if not plan["files"]:
             return {"rows_updated": 0, "partitions_rewritten": 0,
                     "partitions_touched": 0}
-        pt = (F.lit("__all") if self.ts is None
-              else F.col(self.ts).cast("string"))
+        pt = self._pt_col(mf=mf)
         hits = (self._read_files(spark, plan["files"], mf,
                                  keep_pos=True,
                                  partitions=plan["partitions"])

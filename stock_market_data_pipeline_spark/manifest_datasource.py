@@ -1239,6 +1239,18 @@ class ManifestDataSource(DataSource):
         mf = self._live_manifest()
         if mf is not None:
             ts = mf.get("ts")
+            if mf.get("pt"):
+                # the executor-side Arrow stager keys files by the
+                # CAST string of the column; a hidden-partitioning
+                # transform would need the same fn replicated in
+                # Arrow compute or rows land in directories
+                # scan_plan prunes elsewhere — wrong results, so
+                # refuse loudly until that path exists
+                raise ValueError(
+                    f"{self._root()}: table uses a partition "
+                    f"transform ({mf['pt']}); format('manifest') "
+                    f"writes don't support transformed tables yet — "
+                    f"write through ManifestTable.append/merge")
             if opt is not None and opt != ts:
                 raise ValueError(
                     f"table is partitioned by {ts!r}; "
