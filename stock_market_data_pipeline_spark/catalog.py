@@ -3470,6 +3470,7 @@ from . import catalog_ext  # noqa: E402,F401  (streaming + ingest entries)
 from . import catalog_events  # noqa: E402,F401  (event-stream operators)
 from . import catalog_rel  # noqa: E402,F401  (pivot/cube/unpivot/histogram)
 from . import catalog_table  # noqa: E402,F401  (constraints/clone/stats/DFP/text index)
+from . import catalog_tpch  # noqa: E402,F401  (TPC-H q4/q7/q8/q13/q15/q16/q18/q19/q22 shapes)
 
 
 # ---------------------------------------------------------------------
@@ -3560,6 +3561,11 @@ _DRIVER_WINDOW_DEFERRED = [
     "text_search_scan",
     # round-12 registrations (FIFO behind the r11 five above):
     "manifest_hidden_partitioning", "manifest_bucket_transform",
+    "tpch_q4_priority_semijoin", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q13_order_distribution",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_cnt",
+    "tpch_q18_large_orders", "tpch_q19_disjunctive_rev",
+    "tpch_q22_anti_join",
 ]
 
 

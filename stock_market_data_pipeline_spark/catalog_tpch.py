@@ -1,0 +1,389 @@
+"""TPC-H-shaped relational operators beyond q1/q3/q5 (catalog.py):
+the semi-join, outer-join-distribution, scalar-max, anti-join,
+disjunctive-predicate and market-share query shapes, adapted to the
+driver's simplified TPC-H-ish schema (no partsupp/comment columns —
+lineitem is the part↔supplier bridge where the original uses
+partsupp).
+
+Why these shapes matter for the engine: each exercises a distinct
+Catalyst plan family a 100 TB user will hit — LeftSemi pushed below an
+aggregate (q4/q18), a selective dim broadcast under a disjunctive OR
+that must NOT collapse to a cross join (q19), a left-outer fact count
+preserving zero groups (q13), a scalar aggregate reused as a filter
+(q15), NOT IN/NOT EXISTS anti joins (q16/q22), and a two-sided
+conditional national flow (q7/q8).  All money math goes through
+DECIMAL(18,4) partial sums (association-order-independent) and is cast
+to double only at the boundary — the repo-wide float-parity rule.
+
+Reference parity: the reference's dbt marts express the same shapes in
+Snowflake SQL (conditional aggregation over joined facts —
+models/marts/agg_daily_market_breadth.sql; key-correlated subqueries —
+analyses/*.sql); these entries prove the engine handles them at
+TPC-H cardinalities with the plans Spark should pick.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import _t, q
+
+_REV_DEC = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))"
+
+
+def _rev():
+    return (F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+
+
+@q("tpch_q4_priority_semijoin", f"""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+  AND o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     WHERE {_REV_DEC} > 90000)
+GROUP BY o_orderpriority
+""")
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-style semi join — orders in a quarter
+    having at least one high-value line, counted by priority (the
+    original's commit<receipt predicate has no column here; a
+    high-value-line predicate keeps the selectivity).  The Spark plan
+    must be a LEFT SEMI hash join on orderkey (one shuffle, no
+    dedup-then-inner-join double shuffle), with the date filter pushed
+    to the orders scan so the semi probe side is already a quarter,
+    not seven years."""
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1996-04-01")))
+    hot = _t(spark, sf_dir, "lineitem").where(
+        _rev() > 90000).select("l_orderkey")
+    return (orders.join(hot, orders.o_orderkey == hot.l_orderkey,
+                        "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count")))
+
+
+@q("tpch_q7_volume_shipping", f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(year FROM l_shipdate) AS l_year,
+         {_REV_DEC} AS volume
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01'
+                                     AND DATE '1997-12-31'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+""")
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: volume shipped between two specific nations by
+    year — the two-sided national-flow join where the nation dim joins
+    the fact TWICE under different roles (supplier's vs customer's
+    nation) and the pair predicate couples them.  Both nation joins
+    broadcast; the pair filter applies after both are attached (a
+    residual, not a join key), so the only shuffles are the
+    orderkey/custkey fact joins."""
+    n = _t(spark, sf_dir, "nation")
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.to_date("l_shipdate").between("1996-01-01", "1997-12-31"))
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = n.select(F.col("n_nationkey").alias("s_nkey"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nkey"),
+                  F.col("n_name").alias("cust_nation"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1")
+        & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2")
+        & (F.col("cust_nation") == "NATION_1")
+    )
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+            .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+            .where(pair)
+            .withColumn("l_year", F.year("l_shipdate").cast("bigint"))
+            .groupBy("supp_nation", "cust_nation", "l_year")
+            .agg(F.sum(_rev()).cast("double").alias("revenue")))
+
+
+@q("tpch_q8_market_share", f"""
+SELECT o_year,
+       CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+         / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+         {_REV_DEC} AS volume,
+         n1.n_name AS nation
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region   ON n2.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+) flows
+GROUP BY o_year
+""")
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's market share inside a region by
+    year — conditional aggregation (share = conditional sum / total
+    sum) over an 8-table join.  The division happens ONCE per group on
+    already-exact DECIMAL partials cast to double, so the ratio is
+    bit-stable against the oracle regardless of row order.  Every dim
+    broadcasts; lineitem→orders is the only large shuffle pair."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    n2 = (n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+          .select(F.col("n_nationkey").alias("c_nkey")))
+    n1 = n.select(F.col("n_nationkey").alias("s_nkey"),
+                  F.col("n_name").alias("nation"))
+    flows = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+             .join(o, li.l_orderkey == o.o_orderkey)
+             .join(c, o.o_custkey == c.c_custkey)
+             .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+             .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+             .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey")))
+    vol = _rev()
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (flows
+            .withColumn("o_year", F.year("o_orderdate").cast("bigint"))
+            .groupBy("o_year")
+            .agg((F.sum(F.when(F.col("nation") == "NATION_3", vol)
+                        .otherwise(zero)).cast("double")
+                  / F.sum(vol).cast("double")).alias("mkt_share")))
+
+
+@q("tpch_q13_order_distribution", """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+""")
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count with
+    a join-condition filter — the LEFT OUTER + COUNT(col) idiom where
+    customers with zero qualifying orders must appear as c_count = 0
+    (an inner join silently drops them; COUNT(*) would wrongly count
+    the null row as 1).  Two aggregations, the second over the first's
+    output — tiny, but the first one's shuffle is the honest cost."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").alias("c_count"))
+            .groupBy("c_count")
+            .agg(F.count("*").alias("custdist")))
+
+
+@q("tpch_q15_top_supplier", f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM({_REV_DEC}) AS total_rev
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       CAST(total_rev AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+""")
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the top-revenue supplier in a quarter — a
+    derived aggregate reused twice (once as the join input, once
+    reduced to a scalar MAX that filters it).  The equality comparison
+    runs on the EXACT decimal totals (never on doubles, where two
+    different addition orders could split a tie); the cast to double
+    happens only in the output.  Spark caches nothing: the revenue agg
+    is tiny (one row per supplier) and AQE reuses the exchange."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1996-04-01")))
+    rev = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+           .agg(F.sum(_rev()).alias("total_rev")))
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    s = _t(spark, sf_dir, "supplier")
+    return (s.join(rev, s.s_suppkey == rev.supplier_no)
+            .join(F.broadcast(mx), F.col("total_rev") == F.col("mx"))
+            .select("s_suppkey", "s_name",
+                    F.col("total_rev").cast("double")
+                    .alias("total_revenue")))
+
+
+@q("tpch_q16_supplier_cnt", """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO'
+  AND p_size IN (1, 5, 10, 15)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""")
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    with a NOT IN supplier exclusion (the original's partsupp bridge
+    and comment LIKE become the lineitem bridge and a negative-balance
+    exclusion — same plan shape: anti join against a subquery, then
+    COUNT(DISTINCT) over a selective dim join).  The exclusion list is
+    scalar-small → broadcast LEFT ANTI; the part filter broadcasts;
+    the distinct count is the only shuffle of fact grain."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15))
+    bad = _t(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0).select("s_suppkey")
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(F.broadcast(bad),
+                  li.l_suppkey == bad.s_suppkey, "left_anti")
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+@q("tpch_q18_large_orders", """
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey
+                     HAVING SUM(l_quantity) > 250)
+GROUP BY c_name, c_custkey, o_orderkey, order_date, o_totalprice
+""")
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders — the aggregate-HAVING
+    subquery as a semi-join filter.  The quantity rollup runs ONCE and
+    serves both the HAVING filter and the output sum (self-semi-join
+    on the aggregated frame, not a second lineitem scan); at 100 TB
+    the orderkey aggregate is the natural pre-shuffle combine and the
+    >250 filter cuts it to a sliver before the customer join, which
+    then broadcasts the sliver side."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    per_order = (li.groupBy("l_orderkey")
+                 .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                      .alias("qty")))
+    big = per_order.where(F.col("qty") > 250)
+    return (o.join(big, o.o_orderkey == big.l_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .select("c_name", "c_custkey", "o_orderkey",
+                    F.to_date("o_orderdate").alias("order_date"),
+                    "o_totalprice",
+                    F.col("qty").cast("double").alias("sum_qty")))
+
+
+@q("tpch_q19_disjunctive_rev", f"""
+SELECT CAST(SUM({_REV_DEC}) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity >= 10 AND l_quantity <= 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+       AND l_quantity >= 20 AND l_quantity <= 40)
+""")
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive (OR-of-ANDs) predicates spanning
+    BOTH join sides — the optimizer trap where a naive plan evaluates
+    the OR after a full join.  Catalyst extracts the common
+    brand-membership as a pushable part filter
+    (p_brand IN Brand#1/2/3 implied by the disjunction) and keeps the
+    cross-side conjuncts as join residuals; the part side broadcasts.
+    Single-row output: exact decimal sum cast once."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    d1 = ((F.col("p_brand") == "Brand#1")
+          & F.col("p_size").between(1, 15)
+          & F.col("l_quantity").between(1, 20))
+    d2 = ((F.col("p_brand") == "Brand#2")
+          & F.col("p_size").between(10, 30)
+          & F.col("l_quantity").between(10, 30))
+    d3 = ((F.col("p_brand") == "Brand#3")
+          & F.col("p_size").between(20, 50)
+          & F.col("l_quantity").between(20, 40))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .where(d1 | d2 | d3)
+            .agg(F.sum(_rev()).cast("double").alias("revenue"),
+                 F.count("*").alias("n_items")))
+
+
+@q("tpch_q22_anti_join", """
+WITH pool AS (
+  SELECT * FROM customer WHERE c_nationkey < 10
+),
+avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(*) AS a
+  FROM pool WHERE c_acctbal > 0
+)
+SELECT c_nationkey AS nation_key, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         AS totacctbal
+FROM pool
+WHERE c_acctbal > (SELECT a FROM avg_bal)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND CAST(o_orderdate AS DATE) >= DATE '2000-01-01')
+GROUP BY c_nationkey
+""")
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with NO recent
+    orders — a scalar aggregate filter plus a NOT EXISTS anti join
+    (the original's phone-prefix pool becomes a nationkey pool; the
+    no-orders-at-all clause becomes no-orders-since-2000, because this
+    synthetic workload gives every customer historic orders).  The
+    scalar avg is computed from exact decimal partials THEN divided
+    once (both engines do the identical division); the anti join
+    probes only the recent-orders slice, not the whole orders table."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_nationkey") < 10)
+    recent = _t(spark, sf_dir, "orders").where(
+        F.to_date("o_orderdate") >= F.lit("2000-01-01")
+    ).select("o_custkey")
+    avg_bal = (c.where(F.col("c_acctbal") > 0)
+               .agg((F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                     .cast("double") / F.count("*")).alias("a")))
+    return (c.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("a"))
+            .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+            .groupBy(F.col("c_nationkey").alias("nation_key"))
+            .agg(F.count("*").alias("numcust"),
+                 F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                 .cast("double").alias("totacctbal")))
