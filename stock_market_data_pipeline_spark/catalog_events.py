@@ -374,3 +374,84 @@ def stream_session_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     terminal state equals the batch LAG-based oracle."""
     from .streaming.events import session_replay
     return session_replay(spark, sf_dir, gap="480 minutes")
+
+
+HLL_SQL = """
+WITH h AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS hv
+  FROM events
+),
+ranked AS (
+  SELECT day, hv % 256 AS bucket,
+         CASE WHEN hv // 256 = 0 THEN 53
+              ELSE 52 - length(bin(hv // 256)) + 1 END AS r
+  FROM h
+),
+regs AS (
+  SELECT day, bucket, MAX(r) AS mr FROM ranked GROUP BY day, bucket
+),
+ex AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         COUNT(DISTINCT user_id) AS exact_users
+  FROM events GROUP BY 1
+)
+SELECT day,
+       CAST(256 - COUNT(*) AS BIGINT) AS n_zero_registers,
+       CAST(SUM(mr) AS BIGINT) AS register_sum,
+       exact_users
+FROM regs JOIN ex USING (day)
+GROUP BY day, exact_users
+""".strip()
+
+
+@q("sketch_hll_daily_users", HLL_SQL)
+def sketch_hll_daily_users_q(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """MERGEABLE DISTINCT-COUNT SKETCHES (HyperLogLog, the published
+    Flajolet et al. construction behind approx_count_distinct): one
+    256-register sketch per day over user_id, built with
+    deterministic md5 hashing so the DuckDB oracle rebuilds
+    BYTE-IDENTICAL registers — the parity surface is the exact
+    integer register state (zero-count + register sum per day), the
+    serving surface is the float estimate.  In-entry assertions prove
+    the sketch ESTIMATES: per-day and, after an element-wise-max
+    MERGE of all days into one sketch (the operation that makes a
+    90-day distinct a fold over 90 tiny rows instead of a re-scan at
+    100 TB), within HLL's published error of the exact distinct
+    counts."""
+    from .functions import sketches as S
+
+    ev = read_events(spark, sf_dir)
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    sk = S.hll_registers(ev.select(day, "user_id"),
+                         ["day"], "user_id", p=8)
+    exact = (ev.select(day, "user_id")
+             .groupBy("day")
+             .agg(F.countDistinct("user_id").alias("exact_users")))
+    both = sk.join(exact, "day")
+    # tolerance gate: HLL(p=8) std error is 6.5%; 4 sigma + small-n
+    # slack.  A broken rank/bucket derivation lands far outside.
+    checked = both.withColumn(
+        "est", S.hll_estimate(F.col("hll"), p=8))
+    bad = checked.where(
+        F.abs(F.col("est") - F.col("exact_users"))
+        > 0.3 * F.col("exact_users") + 3).count()
+    if bad:
+        raise RuntimeError(f"{bad} daily HLL estimates outside the "
+                           f"published error envelope")
+    merged = (checked
+              .agg(S.hll_merge_agg("hll").alias("hll"))
+              .withColumn("est", S.hll_estimate(F.col("hll"), p=8))
+              .collect()[0])
+    total_exact = ev.select("user_id").distinct().count()
+    if abs(merged["est"] - total_exact) > 0.3 * total_exact + 3:
+        raise RuntimeError(
+            f"merged HLL estimate {merged['est']:.1f} vs exact "
+            f"{total_exact} outside the error envelope")
+    return (checked.select(
+        "day",
+        S.hll_zeros(F.col("hll")).alias("n_zero_registers"),
+        S.hll_register_sum(F.col("hll")).alias("register_sum"),
+        "exact_users"))

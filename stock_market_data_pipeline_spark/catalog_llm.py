@@ -1526,3 +1526,66 @@ def mm_decode_wav_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("byte_std").alias("sample_std"),
         F.col("byte_min").alias("sample_min"),
         F.col("byte_max").alias("sample_max"))
+
+
+BOILERPLATE_SCRUB_SQL = """
+WITH t AS (
+  SELECT doc_id, str_split(text, ' ') AS w,
+         len(str_split(text, ' ')) // 2 AS nc
+  FROM documents
+),
+seg AS (
+  SELECT doc_id, u.pos AS pos, u.segment AS segment FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN nc >= 1 THEN
+             list_transform(generate_series(0, nc - 1),
+               c -> {'pos': c,
+                     'segment': array_to_string(
+                         list_slice(w, c*2 + 1, c*2 + 2), ' ')})
+           ELSE [] END) AS u
+    FROM t)
+),
+seg_h AS (
+  SELECT doc_id, pos, segment,
+         CAST('0x' || substring(md5(segment), 1, 15) AS BIGINT)
+           AS seg_id
+  FROM seg
+),
+df AS (
+  SELECT seg_id, COUNT(*) AS seg_df
+  FROM (SELECT DISTINCT seg_id, doc_id FROM seg_h) GROUP BY 1
+),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+flagged AS (
+  SELECT doc_id, pos, segment,
+         CAST(seg_df AS DOUBLE) >= 0.04 * n_docs AS is_bp
+  FROM seg_h JOIN df USING (seg_id) CROSS JOIN nd
+),
+agg AS (
+  SELECT doc_id,
+         SUM(CASE WHEN is_bp THEN 1 ELSE 0 END) AS n_bp,
+         array_to_string(list(segment ORDER BY pos)
+                         FILTER (WHERE NOT is_bp), ' ') AS clean_text,
+         COUNT(*) FILTER (WHERE NOT is_bp) AS n_kept
+  FROM flagged GROUP BY doc_id
+)
+SELECT doc_id, md5(clean_text) AS clean_md5,
+       CAST(n_kept * 2 AS BIGINT) AS clean_words,
+       CAST(n_kept AS BIGINT) AS n_kept_segments,
+       CAST(n_bp AS BIGINT) AS n_removed
+FROM agg WHERE n_kept > 0
+""".strip()
+
+
+@q("text_boilerplate_scrub", BOILERPLATE_SCRUB_SQL)
+def boilerplate_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/C4-style boilerplate REMOVAL with reassembly (the apply
+    step after text_boilerplate_segments' detect step): corpus-
+    frequent 2-word segments are dropped and the survivors stitched
+    back in original order — the md5 of the cleaned text is the
+    oracle's equality witness that ordering survived the shuffle.
+    Fully-scrubbed and too-short docs drop out (nothing left to
+    train on).  posexplode -> vocabulary-grain df shuffle ->
+    doc-grain array_sort reassembly; no window, no driver state."""
+    return textops.boilerplate_scrub(
+        _t(spark, sf_dir, "documents"), chunk_words=2, df_frac=0.04)

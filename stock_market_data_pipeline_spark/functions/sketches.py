@@ -1,0 +1,122 @@
+"""Mergeable distinct-count sketches (HyperLogLog), Catalyst-native.
+
+Why a table engine needs these at 100 TB: COUNT(DISTINCT) over a year
+of events re-shuffles the raw key space every time the window moves.
+A per-partition (per-day) HLL register array is a few hundred bytes,
+MERGEABLE by element-wise max — so "distinct users last 90 days" is a
+fold over 90 stored sketch rows instead of a re-scan, and backfilling
+one late day only rebuilds that day's sketch.  This is the published
+HyperLogLog construction (Flajolet/Fusy/Gandouet/Meunier 2007, the
+same algorithm behind Spark's own approx_count_distinct), implemented
+deterministically: md5-based 60-bit hashing (the repo-wide
+cross-engine hash idiom — manifest.py's Bloom filters and
+llm/dedup.py's shingle ids use the same 15-hex-char fold), so a DuckDB
+oracle can rebuild byte-identical registers.
+
+Everything is built-in-function column math — explode-free, UDF-free:
+one shuffle to (keys, bucket) grain, one to keys grain for the dense
+array.  The estimator uses the standard bias-corrected formula with
+the small-range linear-counting correction; its output is a double and
+is NOT claimed bit-stable across engines (libm ln/pow differ) — exact
+integer register state is the parity surface, the estimate is the
+serving surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hll_hash(col: Column) -> Column:
+    """Deterministic 60-bit hash: first 15 hex chars of md5 of the
+    value's canonical string.  DuckDB twin:
+    ``CAST('0x' || substring(md5(CAST(x AS VARCHAR)), 1, 15) AS
+    BIGINT)``."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15),
+                  16, 10).cast("long")
+
+
+def hll_registers(df: DataFrame, keys: list[str], col: str,
+                  p: int = 8) -> DataFrame:
+    """Per-group HLL register arrays: ``keys + [hll: array<int>]``
+    with 2**p registers.  bucket = low p bits of the hash; rank =
+    leading-zero count of the remaining (60-p) bits + 1, computed
+    EXACTLY via binary-string length (no float log2 — a log2(2^k)
+    rounding down at a power of two would understate ranks on both
+    engines differently)."""
+    m = 1 << p
+    width = 60 - p
+    h = hll_hash(F.col(col))
+    # high 60-p bits via shiftright — a float division here would
+    # round through double's 53-bit mantissa and corrupt low bits
+    w = F.shiftright(h, p)
+    msb = F.length(F.conv(w.cast("string"), 10, 2))
+    rank = (F.when(w == 0, width + 1)
+            .otherwise(width - msb + 1)).cast("int")
+    per_bucket = (df
+                  .withColumn("__b", (h % m).cast("int"))
+                  .withColumn("__r", rank)
+                  .groupBy(*keys, "__b")
+                  .agg(F.max("__r").alias("__mr")))
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("__map"), i.cast("int")), F.lit(0)))
+    return (per_bucket
+            .groupBy(*keys)
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("__b", "__mr")))
+                .alias("__map"))
+            .select(*keys, dense.cast("array<int>").alias("hll")))
+
+
+def hll_merge(a: Column, b: Column) -> Column:
+    """Element-wise register max — the HLL union.  Associative and
+    commutative, so daily sketches roll up to months/years in any
+    order; NULL-safe (a missing side passes the other through)."""
+    return (F.when(a.isNull(), b).when(b.isNull(), a)
+            .otherwise(F.zip_with(a, b, lambda x, y: F.greatest(x, y))))
+
+
+def hll_merge_agg(col: str) -> Column:
+    """Aggregate form of the union: fold register arrays grouped
+    under one key into a single sketch (collect + sequential
+    zip_with fold — the group's sketch count is the ROLLUP grain,
+    days-per-month scale, never row scale)."""
+    return F.aggregate(
+        F.collect_list(col),
+        F.lit(None).cast("array<int>"),
+        lambda acc, x: F.when(acc.isNull(), x).otherwise(
+            F.zip_with(acc, x, lambda a, b: F.greatest(a, b))))
+
+
+def hll_estimate(hll: Column, p: int = 8) -> Column:
+    """Cardinality estimate: alpha_m * m^2 / sum(2^-reg) with the
+    small-range linear-counting correction (E <= 2.5m and empty
+    registers present -> m * ln(m / zeros)).  Standard error is
+    ~1.04/sqrt(m) (6.5% at p=8)."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    inv = F.aggregate(
+        hll, F.lit(0.0),
+        lambda acc, x: acc + F.pow(F.lit(2.0), -x.cast("double")))
+    raw = F.lit(alpha * m * m) / inv
+    zeros = F.size(F.filter(hll, lambda x: x == 0))
+    return F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros))\
+        .otherwise(raw)
+
+
+def hll_zeros(hll: Column) -> Column:
+    """Count of never-hit registers (exact integer — part of the
+    cross-engine parity surface)."""
+    return F.size(F.filter(hll, lambda x: x == 0)).cast("long")
+
+
+def hll_register_sum(hll: Column) -> Column:
+    """Sum of register values (exact integer — with :func:`hll_zeros`
+    a compact equality witness for the whole register array)."""
+    return F.aggregate(hll, F.lit(0).cast("long"),
+                       lambda acc, x: acc + x)

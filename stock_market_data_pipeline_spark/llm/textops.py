@@ -239,6 +239,73 @@ def boilerplate_segments(docs: DataFrame, chunk_words: int = 2,
     )
 
 
+def boilerplate_scrub(docs: DataFrame, chunk_words: int = 2,
+                      df_frac: float = 0.04) -> DataFrame:
+    """Corpus-frequent segment REMOVAL with document reassembly — the
+    step CCNet/C4 actually apply after detection
+    (:func:`boilerplate_segments` only flags): boilerplate segments
+    are dropped and the surviving segments are stitched back in
+    original order, so downstream training data carries the cleaned
+    text, not a ratio.
+
+    Output is doc-grain: the cleaned text's md5 (a strong equality
+    witness that the reassembly order is exact), surviving word
+    count, and how many segments were removed.  Documents whose
+    every segment was boilerplate (or that were too short to segment)
+    drop out — there is nothing left to train on.
+
+    Scale: segments explode map-side WITH their position; the df
+    count is one vocabulary-grain shuffle; reassembly is one shuffle
+    back to doc grain where ``array_sort`` over (pos, segment)
+    structs restores order executor-side — no window, no driver
+    involvement, and skew is bounded because a document's segment
+    count is bounded by its own length."""
+    w = words_col()
+    n_chunks = F.floor(F.size(w) / chunk_words).cast("int")
+    chunks = F.when(
+        n_chunks >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda c: F.concat_ws(
+                " ", F.slice(w, c * chunk_words + 1, chunk_words)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    seg = docs.select(
+        "doc_id", F.posexplode(chunks).alias("pos", "segment"))
+    seg = seg.withColumn("seg_id", hex_id(F.col("segment")))
+    df_tbl = (seg.select("seg_id", "doc_id").distinct()
+              .groupBy("seg_id").agg(F.count("*").alias("seg_df")))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    flagged = (seg.join(df_tbl, "seg_id")
+               .join(F.broadcast(n_docs))
+               .withColumn(
+                   "is_bp",
+                   (F.col("seg_df").cast("double")
+                    >= F.lit(df_frac) * F.col("n_docs"))))
+    # collect_list drops the NULLs the when() leaves on boilerplate
+    # rows; array_sort on (pos, segment) structs restores document
+    # order executor-side
+    kept = F.array_sort(F.collect_list(
+        F.when(~F.col("is_bp"), F.struct("pos", "segment"))))
+    return (flagged
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_total"),
+                 F.sum(F.col("is_bp").cast("long")).alias("n_bp"),
+                 kept.alias("kept"))
+            .where(F.size("kept") > 0)
+            .select(
+                "doc_id",
+                F.md5(F.concat_ws(
+                    " ", F.transform(F.col("kept"),
+                                     lambda x: x["segment"])))
+                .alias("clean_md5"),
+                (F.size("kept") * chunk_words).cast("long")
+                .alias("clean_words"),
+                (F.col("n_total") - F.col("n_bp")).cast("long")
+                .alias("n_kept_segments"),
+                F.col("n_bp").cast("long").alias("n_removed")))
+
+
 def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     """Top-k TF-IDF terms per document: tf from an exploded token
     table, document frequency from the distinct (doc, word) grain,
