@@ -3566,7 +3566,7 @@ _DRIVER_WINDOW_DEFERRED = [
     "tpch_q15_top_supplier", "tpch_q16_supplier_cnt",
     "tpch_q18_large_orders", "tpch_q19_disjunctive_rev",
     "tpch_q22_anti_join", "sketch_hll_daily_users",
-    "text_boilerplate_scrub",
+    "text_boilerplate_scrub", "manifest_partition_evolution",
 ]
 
 

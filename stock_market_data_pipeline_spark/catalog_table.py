@@ -372,3 +372,83 @@ def manifest_bucket_transform_q(spark: SparkSession,
             .agg(F.count("*").alias("n"),
                  F.sum(F.col("value").cast("decimal(18,6)"))
                  .cast("double").alias("total_value")))
+
+
+PARTITION_EVOLUTION_SQL = f"""
+WITH b AS ({{BARS}}),
+kept AS (
+  SELECT * FROM b
+  WHERE trade_date >= DATE '1997-01-01'
+    AND trade_date < DATE '1997-05-01'
+    AND NOT (ticker % 7 = 3
+             AND trade_date >= DATE '1997-02-01'
+             AND trade_date < DATE '1997-03-01')
+)
+SELECT strftime(trade_date, '%Y-%m') AS trade_month,
+       COUNT(*) AS n, CAST(SUM(volume) AS BIGINT) AS vol
+FROM kept GROUP BY 1
+""".strip()
+
+
+@q("manifest_partition_evolution",
+   PARTITION_EVOLUTION_SQL.replace("{BARS}", oracles.BARS_SQL))
+def manifest_partition_evolution_q(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """PARTITION-SPEC EVOLUTION (Iceberg's metadata-only
+    repartitioning — the second half of VERDICT r10 "What's missing"
+    #4, column mapping being the first): a daily-partitioned bars
+    table evolves to MONTH partitions in one metadata commit — zero
+    data rewritten, old day-directories stay live and keep pruning
+    under THEIR spec while new writes land monthly; a later
+    delete_where that touches old-era days migrates exactly those to
+    the active spec (lazy migration).  In-entry RAISES pin the
+    scale-relevant facts: the evolution commit moved no data files,
+    a date-range probe prunes correctly across BOTH eras, and the
+    rewrite migrated only the partitions it touched.  Oracle: the
+    surviving content recomputed from raw parquet."""
+    from .manifest import ManifestTable
+
+    bars = bars_from_lineitem(_t(spark, sf_dir, "lineitem"))
+    base = bars.where(
+        (F.col("trade_date") >= F.lit("1997-01-01"))
+        & (F.col("trade_date") < F.lit("1997-04-01")))
+    t = ManifestTable.create(base, scratch_dir("manifest_pe_"),
+                             ts="trade_date", partition="days")
+    files_before = {v: r["files"]
+                    for v, r in t._raw()["partitions"].items()}
+    t.evolve_partition("month")
+    mf = t._raw()
+    if {v: r["files"] for v, r in mf["partitions"].items()} \
+            != files_before:
+        raise RuntimeError("evolution rewrote data files")
+    if mf["pt_history"] != [{"fn": "days"}, {"fn": "month"}]:
+        raise RuntimeError(f"bad history: {mf.get('pt_history')}")
+    t.append(bars.where(
+        (F.col("trade_date") >= F.lit("1997-04-01"))
+        & (F.col("trade_date") < F.lit("1997-05-01"))))
+    # cross-era range probe: old-era February days + nothing of the
+    # (single, month-keyed) April ref outside the range
+    plan = t.scan_plan({"trade_date": ("1997-02-01", "1997-02-28")})
+    if not (plan["partitions_pruned"] > 0
+            and all(v.startswith("1997-02") for v in
+                    plan["partitions"])):
+        raise RuntimeError(f"cross-era pruning failed: {plan}")
+    t.delete_where(
+        spark,
+        "ticker % 7 = 3 AND trade_date >= '1997-02-01' "
+        "AND trade_date < '1997-03-01'",
+        where={"trade_date": ("1997-02-01", "1997-02-28")})
+    mf = t._raw()
+    # lazy migration: the touched February days merged into 1997-02
+    # under the ACTIVE spec; untouched January days stayed era-0
+    if "1997-02" not in mf["partitions"] \
+            or mf["partitions"]["1997-02"].get("pid") != 1:
+        raise RuntimeError("delete did not migrate touched partitions")
+    if not any(v.startswith("1997-01-")
+               for v in mf["partitions"]):
+        raise RuntimeError("untouched old-era partitions vanished")
+    return (t.read(spark)
+            .groupBy(F.date_format("trade_date", "yyyy-MM")
+                     .alias("trade_month"))
+            .agg(F.count("*").alias("n"),
+                 F.sum("volume").alias("vol")))

@@ -1239,7 +1239,7 @@ class ManifestDataSource(DataSource):
         mf = self._live_manifest()
         if mf is not None:
             ts = mf.get("ts")
-            if mf.get("pt"):
+            if mf.get("pt") or mf.get("pt_history"):
                 # the executor-side Arrow stager keys files by the
                 # CAST string of the column; a hidden-partitioning
                 # transform would need the same fn replicated in

@@ -252,21 +252,19 @@ def test_dv_conflict_raises_when_touched_partition_changed(spark, dvt):
     between scan and commit must surface CommitConflict, not rebase."""
     mf = dvt._raw()
     plan = dvt.scan_plan()
-    pt = F.col(dvt.ts).cast("string")
     _sibling(dvt).append(_mkdf(spark, [("EEE", "2024-01-02", 50.0)]))
     with pytest.raises(CommitConflict, match="row position"):
-        dvt._delete_dv(spark, F.expr("ticker = 'AAA'"), plan, mf, pt,
+        dvt._delete_dv(spark, F.expr("ticker = 'AAA'"), plan, mf,
                        False, False)
 
 
 def test_dv_conflict_rebases_over_disjoint_commit(spark, dvt):
     mf = dvt._raw()
     plan = dvt.scan_plan()
-    pt = F.col(dvt.ts).cast("string")
     # competitor creates a brand-new partition: disjoint, rebase
     _sibling(dvt).append(_mkdf(spark, [("EEE", "2024-01-09", 50.0)]))
     out = dvt._delete_dv(spark, F.expr("ticker = 'AAA'"), plan, mf,
-                         pt, False, False)
+                         False, False)
     assert out["rows_deleted"] == 3
     got = _snap(dvt.read(spark))
     assert len(got) == 4 and ("EEE", ) in {(r[0],) for r in got}
