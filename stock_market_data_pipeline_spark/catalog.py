@@ -3567,6 +3567,7 @@ _DRIVER_WINDOW_DEFERRED = [
     "tpch_q18_large_orders", "tpch_q19_disjunctive_rev",
     "tpch_q22_anti_join", "sketch_hll_daily_users",
     "text_boilerplate_scrub", "manifest_partition_evolution",
+    "embedding_kmeans_clusters",
 ]
 
 

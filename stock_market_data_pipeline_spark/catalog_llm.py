@@ -1589,3 +1589,94 @@ def boilerplate_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-grain array_sort reassembly; no window, no driver state."""
     return textops.boilerplate_scrub(
         _t(spark, sf_dir, "documents"), chunk_words=2, df_frac=0.04)
+
+
+KMEANS_SQL = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+           AS vm
+  FROM embeddings
+),
+init AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+           AS cid, vm AS c
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)
+),
+d1 AS (
+  SELECT e.vec_id, init.cid,
+         list_sum(list_transform(generate_series(1, 64),
+           i -> (e.vm[i] - init.c[i]) * (e.vm[i] - init.c[i])))
+           AS dist
+  FROM e CROSS JOIN init
+),
+a1 AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cid) AS rn
+    FROM d1) WHERE rn = 1
+),
+ex AS (
+  SELECT a1.cluster,
+         CAST(generate_subscripts(e.vm, 1) AS BIGINT) AS pos,
+         unnest(e.vm) AS v
+  FROM e JOIN a1 USING (vec_id)
+),
+upd AS (
+  SELECT cluster, pos,
+         CAST((SUM(v) - ((SUM(v) % COUNT(*) + COUNT(*)) % COUNT(*)))
+              // COUNT(*) AS BIGINT) AS c
+  FROM ex GROUP BY cluster, pos
+),
+c2 AS (
+  SELECT init.cid, COALESCE(u.c, init.c) AS c
+  FROM init LEFT JOIN (
+    SELECT cluster AS cid, list(c ORDER BY pos) AS c
+    FROM upd GROUP BY cluster) u USING (cid)
+),
+d2 AS (
+  SELECT e.vec_id, c2.cid,
+         list_sum(list_transform(generate_series(1, 64),
+           i -> (e.vm[i] - c2.c[i]) * (e.vm[i] - c2.c[i]))) AS dist
+  FROM e CROSS JOIN c2
+),
+a2 AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cid) AS rn
+    FROM d2) WHERE rn = 1
+)
+SELECT CAST(cluster AS INTEGER) AS cluster,
+       COUNT(*) AS n_vectors,
+       CAST(SUM(e.vm[1]) AS BIGINT) AS sum_dim0
+FROM e JOIN a2 USING (vec_id)
+GROUP BY cluster
+""".strip()
+
+
+@q("embedding_kmeans_clusters", KMEANS_SQL)
+def embedding_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC CLUSTERING: deterministic quantized k-means (Lloyd's,
+    k=8, two assignment passes) over the embedding column — the
+    bucketing step a curation pipeline runs before per-cluster dedup
+    or balanced sampling.  Coordinates quantize to exact BIGINTs
+    (floor(x*1e6)), distances and centroid means stay in integer
+    arithmetic with deterministic tie-breaks, so the DuckDB oracle
+    REPLAYS the full iteration bit-for-bit — an iterative ML
+    algorithm under the same exact-hash gate as every SQL entry.
+    Scale shape: assignment broadcasts a k x d integer matrix into a
+    map-side expression (no cross join on the Spark side, no shuffle);
+    the update aggregates to (cluster, dim) grain — k*d rows."""
+    from .llm import clustering
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = clustering.kmeans_quantized(emb, "embedding", "vec_id",
+                                      k=8, iters=2)
+    vm0 = clustering.quantize(F.col("embedding"))[0]
+    return (out.select("cluster", vm0.alias("vm0"))
+            .groupBy("cluster")
+            .agg(F.count("*").alias("n_vectors"),
+                 F.sum("vm0").alias("sum_dim0")))
