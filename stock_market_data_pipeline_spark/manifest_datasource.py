@@ -740,10 +740,39 @@ def _bloom_words(canons, m: int, k: int) -> dict:
             for w, b in sorted(words.items())}
 
 
+def _pt_arrow_keys(keys, pt: dict | None, ts_dtype: str | None):
+    """Transform the per-row raw partition keys (cast-string Arrow
+    array) into directory values under a hidden-partitioning spec —
+    the Arrow twin of manifest._pt_value (which remains the single
+    source of truth: the slow path maps every DISTINCT raw key
+    through it, so the two can never diverge; days/month take the
+    vectorized prefix-slice shortcut that is definitionally equal).
+    Identity returns the keys unchanged."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if pt is None:
+        return keys
+    fn = pt["fn"]
+    if fn == "days":
+        return pc.utf8_slice_codeunits(keys, 0, 10)
+    if fn == "month":
+        return pc.utf8_slice_codeunits(keys, 0, 7)
+    from .manifest import _pt_value
+
+    u = pc.unique(keys)
+    uvals = u.to_pylist()
+    lut = pa.array([_pt_value(pt, v, ts_dtype) for v in uvals],
+                   pa.string())
+    return pc.take(lut, pc.index_in(keys, value_set=u))
+
+
 def _stage_arrow_batches(root: str, txn: str, ts: str | None,
                          iterator, bloom: dict | None = None,
                          dtypes: dict | None = None,
-                         colmap: dict | None = None) -> list:
+                         colmap: dict | None = None,
+                         pt: dict | None = None,
+                         ts_dtype: str | None = None) -> list:
     """Executor-side step 1: write this task's Arrow batches into the
     shared txn dir, one parquet file per partition value, rows grouped
     by the STRING rendering of the partition column (the manifest's
@@ -812,10 +841,19 @@ def _stage_arrow_batches(root: str, txn: str, ts: str | None,
             raise ValueError(
                 f"partition column {ts!r} missing from the written "
                 f"frame (has {tbl.column_names})")
-        keys = pc.cast(tbl.column(ts), pa.string())
+        kcol = tbl.column(ts)
+        if (pt is not None and pa.types.is_timestamp(kcol.type)
+                and kcol.type.tz is not None):
+            # Spark stamps Arrow timestamps with the SESSION zone:
+            # recover the wall clock so the transformed directory
+            # value matches the JVM path's date_format rendering
+            # (and the planner's _pt_value over session-local bounds)
+            kcol = pc.local_timestamp(kcol)
+        keys = pc.cast(kcol, pa.string())
         if keys.null_count:
             raise ValueError(
                 f"unsupported partition value None in column {ts!r}")
+        keys = _pt_arrow_keys(keys, pt, ts_dtype)
         for v in pc.unique(keys).to_pylist():
             _sink(v, tbl.filter(pc.equal(keys, v)))
     out = []
@@ -887,7 +925,8 @@ def _commit_staged(root: str, ts: str | None, staged: dict,
                    schema_sig: list, overwrite: bool,
                    stream: tuple | None = None,
                    cdf: bool = False,
-                   merge_schema: bool = False) -> bool:
+                   merge_schema: bool = False,
+                   pt: dict | None = None) -> bool:
     """Steps 2+3 for the DSv2 write: publish the staged files as one
     manifest commit.  First commit on a fresh root CREATES the table
     (pins the frame's schema); append rebases through CommitConflict
@@ -955,6 +994,19 @@ def _commit_staged(root: str, ts: str | None, staged: dict,
             raise ValueError(
                 f"table is partitioned by {mf.get('ts')!r}, write "
                 f"declared {ts!r}")
+        if mf.get("pt_history"):
+            raise ValueError(
+                f"{root}: table has evolved partition specs "
+                f"({mf['pt_history']}); format('manifest') writes "
+                f"don't support evolved tables — write through "
+                f"ManifestTable.append/merge")
+        if mf.get("pt") != pt:
+            # an evolve/replace raced between writer construction and
+            # commit: the files were staged under the WRONG transform
+            raise ValueError(
+                f"{root}: partition transform changed mid-write "
+                f"(staged under {pt}, table now {mf.get('pt')}); "
+                f"re-run the write")
         cons = mf.get("constraints")
         if cons and staged:
             # the DSv2 write enforces table constraints exactly like
@@ -1019,8 +1071,11 @@ class ManifestBatchWriter(DataSourceArrowWriter):
                  schema_sig: list, bloom: dict | None = None,
                  cdf: bool = False, merge_schema: bool = False,
                  accept_sprayed: bool = False,
-                 colmap: dict | None = None):
+                 colmap: dict | None = None,
+                 pt: dict | None = None,
+                 ts_dtype: str | None = None):
         self.root, self.ts, self.overwrite = root, ts, overwrite
+        self.pt, self.ts_dtype = pt, ts_dtype
         self.schema_sig = schema_sig
         self.bloom = bloom              # pinned spec, or None
         self.cdf = cdf
@@ -1038,7 +1093,8 @@ class ManifestBatchWriter(DataSourceArrowWriter):
             _stage_arrow_batches(self.root, self.txn, self.ts,
                                  iterator, bloom=self.bloom,
                                  dtypes=self.dtypes,
-                                 colmap=self.colmap))
+                                 colmap=self.colmap,
+                                 pt=self.pt, ts_dtype=self.ts_dtype))
 
     def commit(self, messages) -> None:
         staged = _hydrate_staged(self.root, messages)
@@ -1046,7 +1102,8 @@ class ManifestBatchWriter(DataSourceArrowWriter):
             _check_write_layout(self.root, self.ts, staged)
         _commit_staged(self.root, self.ts, staged,
                        self.schema_sig, overwrite=self.overwrite,
-                       cdf=self.cdf, merge_schema=self.merge_schema)
+                       cdf=self.cdf, merge_schema=self.merge_schema,
+                       pt=self.pt)
 
     def abort(self, messages) -> None:
         import shutil
@@ -1069,8 +1126,11 @@ class ManifestStreamWriter(DataSourceStreamArrowWriter):
     def __init__(self, root: str, ts: str | None, schema_sig: list,
                  stream_id: str, bloom: dict | None = None,
                  cdf: bool = False, overwrite: bool = False,
-                 colmap: dict | None = None):
+                 colmap: dict | None = None,
+                 pt: dict | None = None,
+                 ts_dtype: str | None = None):
         self.root, self.ts = root, ts
+        self.pt, self.ts_dtype = pt, ts_dtype
         self.schema_sig = schema_sig
         self.stream_id = stream_id
         self.bloom = bloom              # spec at query start; files
@@ -1089,14 +1149,15 @@ class ManifestStreamWriter(DataSourceStreamArrowWriter):
             _stage_arrow_batches(self.root, self.txn, self.ts,
                                  iterator, bloom=self.bloom,
                                  dtypes=self.dtypes,
-                                 colmap=self.colmap))
+                                 colmap=self.colmap,
+                                 pt=self.pt, ts_dtype=self.ts_dtype))
 
     def commit(self, messages, batchId: int) -> None:
         _commit_staged(self.root, self.ts,
                        _hydrate_staged(self.root, messages),
                        self.schema_sig, overwrite=self.overwrite,
                        stream=(self.stream_id, batchId),
-                       cdf=self.cdf)
+                       cdf=self.cdf, pt=self.pt)
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:
@@ -1239,18 +1300,6 @@ class ManifestDataSource(DataSource):
         mf = self._live_manifest()
         if mf is not None:
             ts = mf.get("ts")
-            if mf.get("pt") or mf.get("pt_history"):
-                # the executor-side Arrow stager keys files by the
-                # CAST string of the column; a hidden-partitioning
-                # transform would need the same fn replicated in
-                # Arrow compute or rows land in directories
-                # scan_plan prunes elsewhere — wrong results, so
-                # refuse loudly until that path exists
-                raise ValueError(
-                    f"{self._root()}: table uses a partition "
-                    f"transform ({mf['pt']}); format('manifest') "
-                    f"writes don't support transformed tables yet — "
-                    f"write through ManifestTable.append/merge")
             if opt is not None and opt != ts:
                 raise ValueError(
                     f"table is partitioned by {ts!r}; "
@@ -1273,11 +1322,38 @@ class ManifestDataSource(DataSource):
     def _write_cdf(self) -> bool:
         return str(_opt(self.options, "cdf", "false")).lower() == "true"
 
+    def _write_pt(self, schema) -> tuple:
+        """(transform spec, source-column dtype) a write must stage
+        under — from the live manifest (DSv2 writes cannot CREATE a
+        transformed table; use ManifestTable.create(partition=...)).
+        Evolved tables (a spec HISTORY) refuse here; single-era
+        transformed tables stage through the same _pt_value recipe
+        the planner prunes with.  TIMESTAMP sources are rendered in
+        the SESSION zone by the stager (Arrow batches carry the
+        session tz on their timestamp type; pc.local_timestamp
+        recovers the wall clock), matching the JVM write path's
+        date_format rendering under any session zone."""
+        mf = self._live_manifest()
+        if mf is None:
+            return None, None
+        if mf.get("pt_history"):
+            raise ValueError(
+                f"{self._root()}: table has evolved partition specs; "
+                f"format('manifest') writes don't support evolved "
+                f"tables — write through ManifestTable.append/merge")
+        pt = mf.get("pt")
+        if pt is None:
+            return None, None
+        ts = mf.get("ts")
+        dtype = {n: t for n, t in (mf.get("schema") or [])}.get(ts)
+        return pt, dtype
+
     def writer(self, schema, overwrite: bool) -> ManifestBatchWriter:
         ms = str(_opt(self.options, "mergeSchema",
                       "false")).lower() == "true"
         sprayed = str(_opt(self.options, "acceptSprayedLayout",
                            "false")).lower() == "true"
+        pt, ts_dtype = self._write_pt(schema)
         return ManifestBatchWriter(self._root(), self._write_ts(),
                                    overwrite,
                                    self._schema_sig(schema),
@@ -1287,7 +1363,8 @@ class ManifestDataSource(DataSource):
                                    accept_sprayed=sprayed,
                                    colmap=(None if overwrite else
                                            (self._live_manifest() or
-                                            {}).get("colmap")))
+                                            {}).get("colmap")),
+                                   pt=pt, ts_dtype=ts_dtype)
 
     def streamWriter(self, schema,
                      overwrite: bool) -> ManifestStreamWriter:
@@ -1297,6 +1374,7 @@ class ManifestDataSource(DataSource):
             raise ValueError(
                 "manifest sink needs option('streamId', ...) (or a "
                 "checkpointLocation) to key its exactly-once ledger")
+        pt, ts_dtype = self._write_pt(schema)
         return ManifestStreamWriter(self._root(), self._write_ts(),
                                     self._schema_sig(schema), sid,
                                     bloom=self._write_bloom(),
@@ -1304,7 +1382,8 @@ class ManifestDataSource(DataSource):
                                     overwrite=overwrite,
                                     colmap=(None if overwrite else
                                             (self._live_manifest() or
-                                             {}).get("colmap")))
+                                             {}).get("colmap")),
+                                    pt=pt, ts_dtype=ts_dtype)
 
 
 _TT_RE = re.compile(

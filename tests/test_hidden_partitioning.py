@@ -192,7 +192,7 @@ def test_transform_survives_commits_and_time_travel(spark, tmp_path):
     assert new["partitions"] == ["2024-07"]
 
 
-def test_dsv2_read_prunes_and_write_refuses(spark, tmp_path):
+def test_dsv2_read_prunes_and_write_lands_transformed(spark, tmp_path):
     df = _bars(spark)
     root = str(tmp_path / "t")
     t = ManifestTable.create(df, root, "trade_date",
@@ -202,10 +202,65 @@ def test_dsv2_read_prunes_and_write_refuses(spark, tmp_path):
         "SELECT count(*) AS c FROM hp_sql_t "
         "WHERE trade_date >= '2024-05-01'").first()["c"]
     assert got == df.where("trade_date >= '2024-05-01'").count()
-    with pytest.raises(Exception, match="transform"):
-        (df.limit(1).write.format("manifest")
-         .mode("append").save(root))
+    # the DSv2 write stages under the SAME transform the planner
+    # prunes with — new rows land in their month directory
+    extra = spark.createDataFrame(
+        [("2024-08-09", "T7", 7.0), ("2024-08-10", "T7", 8.0)],
+        df.schema)
+    extra.write.format("manifest").mode("append").save(root)
+    mf = t._raw()
+    assert "2024-08" in mf["partitions"]
+    assert mf["partitions"]["2024-08"]["rows"] == 2
+    plan = t.scan_plan({"trade_date": ("2024-08-01", None)})
+    assert plan["partitions"] == ["2024-08"]
+    assert t.read(spark).count() == df.count() + 2
     spark.catalog.dropTempView("hp_sql_t")
+
+
+def test_dsv2_write_bucket_and_truncate_match_planner(spark, tmp_path):
+    import zlib
+
+    df = _bars(spark)
+    root = str(tmp_path / "b")
+    t = ManifestTable.create(df, root, "ticker",
+                             partition=("bucket", 8))
+    more = spark.createDataFrame(
+        [("2024-09-01", "ZZZ", 1.0)], df.schema)
+    more.write.format("manifest").mode("append").save(root)
+    want = str(zlib.crc32(b"ZZZ") % 8)
+    plan = t.scan_plan({"ticker": ["ZZZ"]})
+    assert plan["partitions"] == [want]
+    assert (t.read(spark, where={"ticker": ["ZZZ"]})
+            .where("ticker = 'ZZZ'").count()) == 1
+
+
+def test_dsv2_write_timestamp_days_renders_session_zone(
+        spark, tmp_path):
+    """Both write paths must file a timestamp row under the SAME
+    session-local day directory under a non-UTC session: the JVM path
+    renders via date_format in the session zone; the Arrow stager
+    recovers the wall clock with pc.local_timestamp (Spark stamps the
+    batches' timestamp type with the session zone)."""
+    prior = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        df = spark.createDataFrame(
+            [("2024-03-01 23:30:00", 1.0)],
+            "event_ts string, v double").withColumn(
+            "event_ts", F.col("event_ts").cast("timestamp"))
+        root = str(tmp_path / "tz")
+        t = ManifestTable.create(df, root, "event_ts",
+                                 partition="days")
+        assert sorted(t._raw()["partitions"]) == ["2024-03-01"]
+        more = spark.createDataFrame(
+            [("2024-03-02 08:00:00", 2.0)], "event_ts string, v double"
+        ).withColumn("event_ts", F.col("event_ts").cast("timestamp"))
+        more.write.format("manifest").mode("append").save(root)
+        assert sorted(t._raw()["partitions"]) == [
+            "2024-03-01", "2024-03-02"]
+        assert t.read(spark).count() == 2
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prior)
 
 
 def test_ctor_mismatch_and_retrofit_raise(spark, tmp_path):

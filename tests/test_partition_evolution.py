@@ -255,7 +255,7 @@ def test_dsv2_write_refuses_evolved_identity(spark, tmp_path):
         ManifestDataSource,
     )
     spark.dataSource.register(ManifestDataSource)
-    with pytest.raises(Exception, match="transform"):
+    with pytest.raises(Exception, match="evolved"):
         (df.limit(1).write.format("manifest")
          .mode("append").save(root))       # …but eras are not
 
