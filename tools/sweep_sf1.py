@@ -136,6 +136,25 @@ ENTRIES = [
     "manifest_merge_full_sync", "manifest_sql_select",
     "manifest_column_mapping", "stream_backfill_chunked",
     "datasink_auto_layout",
+    # round-12: hidden partitioning over 1M events (days-transform
+    # directories + bucket hash lookups — partition-grade pruning
+    # must hold at 30 day-dirs / 8 hash buckets of 1M rows),
+    # partition-spec evolution over ~85 day-partitions of bars with
+    # a cross-era delete migration, the TPC-H shape batch over 6M
+    # lineitem, the mergeable-HLL register parity over 1M events
+    # (15k distinct users — the sketch's error envelope is asserted
+    # in-entry at this scale), the boilerplate scrub's order-exact
+    # reassembly over 50k docs, and the deterministic k-means over
+    # 5k vectors (the oracle replays both Lloyd passes exactly)
+    "manifest_hidden_partitioning", "manifest_bucket_transform",
+    "manifest_partition_evolution",
+    "tpch_q4_priority_semijoin", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q13_order_distribution",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_cnt",
+    "tpch_q18_large_orders", "tpch_q19_disjunctive_rev",
+    "tpch_q22_anti_join",
+    "sketch_hll_daily_users", "text_boilerplate_scrub",
+    "embedding_kmeans_clusters",
 ]
 
 
