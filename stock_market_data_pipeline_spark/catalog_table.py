@@ -213,13 +213,17 @@ def manifest_join_pruning_q(spark: SparkSession,
     # each month's files hold consecutive ticker ranges, so a
     # key-bounded dim turns zone maps into file drops at ANY scale
     # factor; the file cap scales with the data so every month holds
-    # several files regardless of sf
+    # several files regardless of sf.  cluster_by MUST go through
+    # create() — a pre-sorted input does not survive _stage's
+    # anti-sliver repartition (the r12 sf0.1 sweep caught exactly
+    # that: unclustered files spanned the whole ticker domain and
+    # only the Bloom filters were skipping, which saturate once the
+    # dim's key count approaches the per-file distinct count)
     n = bars.count()
     fact = ManifestTable.create(
-        bars.repartition("trade_month")
-            .sortWithinPartitions("ticker"),
-        scratch_dir("manifest_dfp_"), ts="trade_month",
+        bars, scratch_dir("manifest_dfp_"), ts="trade_month",
         bloom={"cols": ["ticker"], "m": 1 << 14, "k": 5},
+        cluster_by=["ticker"],
         max_records_per_file=max(50, n // 18))
     part = _t(spark, sf_dir, "part")
     thr = part.agg((F.max("p_partkey") / 10).alias("t")) \

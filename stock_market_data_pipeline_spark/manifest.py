@@ -2645,12 +2645,20 @@ class ManifestTable:
                backend: CommitBackend | None = None,
                bloom: dict | None = None,
                max_records_per_file: int | None = None,
-               partition=None) -> "ManifestTable":
+               partition=None,
+               cluster_by: list[str] | None = None) -> "ManifestTable":
         """Initial materialization: stage everything, commit v1.
         ``bloom`` ({"cols": [...], "m": 2^b, "k": n}) pins the Bloom
         spec from the very first commit so even the initial files
         carry filters (the :meth:`set_bloom`-after-create path leaves
         v1's files filterless until a rewrite).
+
+        ``cluster_by`` sorts rows on the named columns WITHIN each
+        partition before the first files are written (see
+        :meth:`_stage`) — the only way to get a clustered v1:
+        pre-sorting the input frame does NOT survive, because _stage
+        repartitions on the partition value (the anti-sliver rule)
+        and that shuffle destroys any upstream ordering.
 
         ``partition`` declares a HIDDEN-PARTITIONING transform over
         ``ts`` (:func:`_pt_norm_spec` forms: "days"/"month"/"hour",
@@ -2689,6 +2697,7 @@ class ManifestTable:
                         f"{dtypes.get(c)!r}; supported: "
                         f"{sorted(_BLOOM_TYPES)}")
         parts = t._stage(df, bloom=bloom,
+                         cluster_by=cluster_by,
                          max_records_per_file=max_records_per_file)
         t._commit(parts, base_version=0, schema=_schema_sig(df),
                   bloom=bloom)
