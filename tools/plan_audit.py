@@ -94,6 +94,26 @@ AUDITED = {
         "(signed micros sums) full-outer-joined onto the "
         "aggregate-sized view — no scan of the base table anywhere "
         "in the update path; update cost O(changes) + O(view)."),
+    "tpch_q4_priority_semijoin": (
+        "LEFT SEMI hash join on orderkey (r12) — not a "
+        "dedup-then-inner-join double shuffle; the quarter filter is "
+        "pushed to the orders scan so the probe side is already "
+        "bounded before the join."),
+    "tpch_q13_order_distribution": (
+        "LEFT OUTER preserving zero-order customers (r12): the "
+        "priority filter rides the join's streamed side, COUNT(col) "
+        "ignores the null row; second aggregate runs over the "
+        "customer-grain output of the first."),
+    "tpch_q19_disjunctive_rev": (
+        "Disjunctive OR-of-ANDs across both join sides (r12): part "
+        "broadcasts, the cross-side disjunction stays a residual "
+        "filter after the BHJ — no cartesian product, no "
+        "OR-expansion into a union of scans."),
+    "embedding_kmeans_clusters": (
+        "Deterministic k-means (r12): assignment is a MAP-SIDE "
+        "expression over broadcast k*d integer centroids — no cross "
+        "join, no shuffle; the update aggregates at (cluster, dim) "
+        "grain (k*d rows out) with map-side partials."),
 }
 
 
