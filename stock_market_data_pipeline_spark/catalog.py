@@ -3488,86 +3488,57 @@ from . import catalog_tpch  # noqa: E402,F401  (TPC-H q4/q7/q8/q13/q15/q16/q18/q
 # observes the same ordering.
 
 # ROTATION POLICY (tested by tests/test_registration_order.py): the
-# window is rebuilt every round as (1) entries with NO driver-green
-# row yet, (2) entries whose semantics/plan changed this round, (3)
-# the stalest previously-green entries, oldest round first, until the
-# 50 slots fill.  Invariant the test asserts: any entry LEFT OUT must
-# have a green row within the last two driver rounds — so no entry's
-# driver check ever ages past 2 rounds (VERDICT r6 "Next round" #4).
-_DRIVER_WINDOW_FIRST = [
-    # -- round 11, group 0: new this round — the r10 VERDICT "Next
-    # round" features: MERGE WHEN NOT MATCHED BY SOURCE (#3),
-    # SQL-addressable manifest tables + VERSION AS OF (#2), column
-    # mapping rename/widen (#6), chunked availableNow backfill (#7),
-    # engine-owned DSv2 write layout (#4) --
-    "manifest_merge_full_sync", "manifest_sql_select",
-    "manifest_column_mapping", "stream_backfill_chunked",
-    "datasink_auto_layout",
-    # -- group 1: the 45 entries last driver-green in r8 (named by
-    # VERDICT r10 "What's missing" #1) — at the policy's 2-round age
-    # bound, tests/test_registration_order.py fails the build unless
-    # they front this window.  45 + 5 new = exactly 50: no other
-    # slots exist this round. --
-    "asof_prior_view", "band_range_join", "benchmark_contamination",
-    "bucketed_join_revenue", "cube_order_stats",
-    "cumulative_distinct_users", "datasource_grouped_daily",
-    "dedup_embedding_cosine", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_survivors_by_quality", "docs_length_band_filter",
-    "docs_unigram_logprob", "events_hopping_counts",
-    "events_json_props", "except_intersect_keys",
-    "fct_momentum_incremental", "fct_trading_momentum_small",
-    "histogram_prices", "mm_decode_png", "mm_payload_features",
-    "mm_payload_grid", "pairwise_correlation", "pivot_priority_year",
-    "quantiles_by_brand", "sample_hash_split", "scalar_max_filter",
-    "screener_filter", "self_lag_join",
-    "serving_manifest_ticker_range", "session_funnel",
-    "session_window_native", "sessionize_events",
-    "stratified_balance_lang", "stream_dedup_events",
-    "stream_hourly_rollup", "stream_interval_join",
-    "stream_session_windows", "stream_stateful_user_totals",
-    "stream_upsert_rollup", "text_boilerplate_segments",
-    "text_lang_id", "tpch_q1_pricing_summary",
-    "tpch_q3_topk_revenue", "tpch_q5_local_supplier",
-    # -- group 2 (documented, ZERO free slots this round): entries
-    # whose backing code changed in r11 but are r10-green (age 0-1,
-    # inside the staleness bound) — the merge family
-    # (manifest_merge_dv, manifest_delete_dv, manifest_update_dv,
-    # stream_upsert_dv) through the _stage_merge/_merge_dv by-source
-    # refactor, every manifest entry through the _stage/_read_files
-    # column-mapping seams, and the DSv2 write entries through the
-    # commit-time layout guard.  Each is re-proven this round by
-    # pytest (test_merge_by_source.py, test_column_mapping.py,
-    # test_manifest_datasink.py) and by the full r11 sweeps on final
-    # HEAD; they rotate into the r12 window as the then-stalest
-    # cohort (fct_momentum_incremental and stream_upsert_rollup,
-    # also merge-backed, ARE in the window via group 1). --
-]
+# window is rebuilt every round by tools/gen_driver_window.py as
+# (1) entries whose semantics/plan changed this round, (2) entries
+# with NO driver-green row yet (FIFO: first registered, first
+# checked), (3) the stalest previously-green entries, oldest round
+# first, until the 50 slots fill.  Invariant the test asserts: any
+# previously-green entry LEFT OUT must have a green row within the
+# last ceil(N/50) driver rounds — the tightest bound a 50-slot
+# round-robin over N entries can meet (the original flat-2 bound
+# became arithmetically unsatisfiable once the catalog outgrew 100
+# entries; VERDICT r12 "Next round" #1 mandated encoding the real
+# achievable schedule).
 
-#: SATURATION DEFERRAL (round 12): the round-11 driver correctness
-#: artifact never landed (newest on disk is CORRECTNESS_r10.json), so
-#: the 45 r8-stale entries AND the 5 r11-new entries above remain
-#: mandatory — they fill all 50 slots by themselves.  The policy's
-#: tie-break when mandatory entries exceed the window is FIFO over
-#: never-driver-green entries: first registered, first checked.  The
-#: round-12 entries therefore defer EXACTLY ONE artifact round (they
-#: are sweep-proven this round — SWEEP_r12*.json — and front the next
-#: window).  tests/test_registration_order.py asserts this list is
-#: (a) only ever populated when the window is saturated by mandatory
-#: entries, and (b) exactly the never-green entries left over — a
-#: deferral can never hide an aging previously-green entry.
-_DRIVER_WINDOW_DEFERRED = [
+# -- round 13 window (generated by tools/gen_driver_window.py) --
+# group 0: changed this round — serving_manifest_ticker_range rides
+#   the compact() collision-merge fix (r12 ADVICE high);
+# group 1: the 20 never-driver-green r11/r12 registrations (the r12
+#   saturation deferral cohort, FIFO) + this round's new entries;
+# group 2: the stalest previously-green entries (last green r9 —
+#   aged two rounds at once when the r11 driver artifact never
+#   landed), FIFO by registration.  The 16 r9 entries that do not
+#   fit remain age-4 = exactly the ceil(165/50) bound; they front
+#   the r14 window.
+_DRIVER_WINDOW_FIRST = [
+    "serving_manifest_ticker_range", "text_boilerplate_scrub",
+    "embedding_kmeans_clusters", "sketch_hll_daily_users",
     "manifest_constraints", "manifest_clone_scan",
     "manifest_analyze_stats", "manifest_join_pruning",
-    "text_search_scan",
-    # round-12 registrations (FIFO behind the r11 five above):
-    "manifest_hidden_partitioning", "manifest_bucket_transform",
+    "text_search_scan", "manifest_hidden_partitioning",
+    "manifest_bucket_transform", "manifest_partition_evolution",
     "tpch_q4_priority_semijoin", "tpch_q7_volume_shipping",
     "tpch_q8_market_share", "tpch_q13_order_distribution",
     "tpch_q15_top_supplier", "tpch_q16_supplier_cnt",
     "tpch_q18_large_orders", "tpch_q19_disjunctive_rev",
-    "tpch_q22_anti_join", "sketch_hll_daily_users",
-    "text_boilerplate_scrub", "manifest_partition_evolution",
-    "embedding_kmeans_clusters",
+    "tpch_q22_anti_join", "bars_ohlcv", "constituents_snapshots",
+    "universe_daily", "fct_trading_momentum", "constituents_diff",
+    "fct_trading_momentum_valid", "manifest_momentum_merge",
+    "manifest_pruned_scan", "manifest_zorder_scan",
+    "manifest_cdf_rows", "manifest_merge_delete",
+    "manifest_zorder_mixed", "agg_daily_market_breadth",
+    "dim_securities_current", "agg_alignment_join",
+    "trend_slope_by_key", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_simhash_edges_capped", "text_stats", "text_quality_score",
+    "docs_pii_scrub", "text_fingerprint", "dedup_clusters",
+    "dedup_minhash_edges_capped", "text_rolling_hash",
+    "text_repetition_ratio", "embedding_centroids", "ann_cosine_topk",
+]
+
+#: never-green overflow ledger (FIFO).  EMPTY this round: all 20
+#: never-driver-green entries fit the 50-slot window alongside the
+#: changed + stalest cohorts, so nothing defers.
+_DRIVER_WINDOW_DEFERRED: list[str] = [
 ]
 
 

@@ -456,3 +456,73 @@ def manifest_partition_evolution_q(spark: SparkSession,
                      .alias("trade_month"))
             .agg(F.count("*").alias("n"),
                  F.sum("volume").alias("vol")))
+
+
+DATASINK_EVOLVED_SQL = f"""
+WITH b AS ({oracles.BARS_SQL})
+SELECT strftime(trade_date, '%Y-%m') AS trade_month,
+       COUNT(*) AS n, CAST(SUM(volume) AS BIGINT) AS vol
+FROM b
+WHERE trade_date >= DATE '1997-01-01'
+  AND trade_date < DATE '1997-05-01'
+GROUP BY 1
+""".strip()
+
+
+@q("datasink_evolved_write", DATASINK_EVOLVED_SQL)
+def datasink_evolved_write_q(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """``df.write.format("manifest")`` on a partition-EVOLVED table
+    (VERDICT r12 "Next round" #3 — until this round the DSv2 seam
+    refused any table with a spec history, forcing evolved-table
+    users back to the Python API): the write stages under the ACTIVE
+    spec exactly like ManifestTable.append, old-era refs stay
+    untouched, the new ref is stamped with the active era id, and
+    cross-era pruning still holds.  In-entry RAISES pin each of those
+    facts plus the layout rule (one file per month per write).
+    Oracle: the full four-month content recomputed from raw parquet —
+    hash equality proves the evolved-table DSv2 append lost and
+    duplicated nothing."""
+    from .manifest import ManifestTable
+    from .manifest_datasource import ManifestDataSource
+
+    bars = bars_from_lineitem(_t(spark, sf_dir, "lineitem"))
+    base = bars.where(
+        (F.col("trade_date") >= F.lit("1997-01-01"))
+        & (F.col("trade_date") < F.lit("1997-04-01")))
+    t = ManifestTable.create(base, scratch_dir("datasink_pe_"),
+                             ts="trade_date", partition="days")
+    t.evolve_partition("month")
+    old_refs = dict(t._raw()["partitions"])
+
+    spark.dataSource.register(ManifestDataSource)
+    april = (bars.where(
+        (F.col("trade_date") >= F.lit("1997-04-01"))
+        & (F.col("trade_date") < F.lit("1997-05-01")))
+        # cluster tasks by the ACTIVE transform's value so each month
+        # stages one file (the engine's layout guard enforces this)
+        .repartition(F.date_format("trade_date", "yyyy-MM")))
+    april.write.format("manifest").mode("append").save(t.root)
+
+    mf = t._raw()
+    if mf["partitions"].get("1997-04", {}).get("pid") != 1:
+        raise RuntimeError(
+            f"DSv2 append not stamped active-era: "
+            f"{mf['partitions'].get('1997-04')}")
+    untouched = {v: r for v, r in mf["partitions"].items()
+                 if v != "1997-04"}
+    if untouched != old_refs:
+        raise RuntimeError("DSv2 append disturbed old-era refs")
+    plan = t.scan_plan({"trade_date": ("1997-02-01", "1997-02-28")})
+    if not (plan["partitions_pruned"] > 0
+            and all(v.startswith("1997-02")
+                    for v in plan["partitions"])):
+        raise RuntimeError(f"old-era pruning broke: {plan}")
+    plan = t.scan_plan({"trade_date": ("1997-04-01", "1997-04-30")})
+    if plan["partitions"] != ["1997-04"]:
+        raise RuntimeError(f"active-era pruning broke: {plan}")
+    return (t.read(spark)
+            .groupBy(F.date_format("trade_date", "yyyy-MM")
+                     .alias("trade_month"))
+            .agg(F.count("*").alias("n"),
+                 F.sum("volume").alias("vol")))

@@ -60,17 +60,17 @@ def assign(df: DataFrame, vm_col: str,
 def update(df: DataFrame, vm_col: str, k: int,
            prev: list[list[int]]) -> list[list[int]]:
     """New centroids: per-(cluster, dim) floored integer mean —
-    floordiv((sum - pmod(sum, n)), n) is exact on both engines
-    regardless of their native division semantics.  A cluster that
-    captured no vectors keeps its previous centroid (standard Lloyd
-    stance, deterministic)."""
+    (sum - pmod(sum, n)) is exactly divisible by n, and SQL ``div``
+    keeps the quotient in BIGINT end-to-end (no double round-trip),
+    so the result is bit-exact for the full int64 sum domain and
+    matches DuckDB's integer ``//`` on the oracle side.  A cluster
+    that captured no vectors keeps its previous centroid (standard
+    Lloyd stance, deterministic)."""
     agg = (df.select("cluster",
                      F.posexplode(F.col(vm_col)).alias("pos", "v"))
            .groupBy("cluster", "pos")
            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
-           .withColumn("c", ((F.col("s")
-                              - F.pmod(F.col("s"), F.col("n")))
-                             / F.col("n")).cast("long"))
+           .withColumn("c", F.expr("(s - pmod(s, n)) div n"))
            .collect())
     out = [list(c) for c in prev]
     dims: dict[int, dict[int, int]] = {}

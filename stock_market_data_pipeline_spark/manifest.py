@@ -1806,10 +1806,20 @@ class ManifestTable:
         if base_version > 0:
             try:
                 base_mf = self._raw(self._mname(base_version))
-                pt = base_mf.get("pt")
-                pt_history = base_mf.get("pt_history")
             except (FileNotFoundError, OSError):
-                pt = pt_history = None
+                # unlike the bloom/colmap/constraint carries above
+                # (perf-only: losing them costs a rescan), the
+                # partition transform is CORRECTNESS-bearing — a
+                # commit published without `pt` while directories
+                # hold transformed values would make later writes
+                # stage identity values and scan_plan prune under the
+                # wrong spec.  Re-read through the LIVE manifest (the
+                # base may have been vacuumed mid-commit); if the
+                # table has no readable manifest at all, fail the
+                # commit rather than publish a spec-less snapshot.
+                base_mf = self._raw()
+            pt = base_mf.get("pt")
+            pt_history = base_mf.get("pt_history")
         if getattr(self, "_pt_evolving", None):
             # evolve_partition's own commit: it supplies the new
             # history/active spec explicitly via this handshake
@@ -4930,6 +4940,7 @@ class ManifestTable:
         # staged files stale — surface CommitConflict; the caller
         # re-runs compaction against the new snapshot.
         snap = mf
+        files_after = 0
         while True:
             # every compacted partition drops its OLD key before the
             # staged rewrites land: re-staging runs under the ACTIVE
@@ -4939,10 +4950,44 @@ class ManifestTable:
             # this is the plain swap it always was.  A partition whose
             # rows were all DV-dead stages nothing and drops outright
             # (the rewrite materialized the delete).
+            #
+            # A staged (active-spec) key may COLLIDE with a live ref
+            # outside todo_vals — e.g. a DV'd old-era day ref migrates
+            # into its month value while that month already holds rows
+            # appended under the new spec.  Replacing would clobber
+            # those rows; instead the staged entries MERGE into the
+            # colliding ref exactly as an append does ({"entries":
+            # prior + adds} with the base's DV sidecars carried — they
+            # address the prior files, which the merge keeps first and
+            # in order).  Because this merged map is rebuilt from
+            # `snap` on every rebase, a concurrent append landing on a
+            # colliding key is re-read here rather than needing its
+            # own conflict fingerprint (the fingerprint below guards
+            # only todo_vals, whose staged rewrites CAN go stale).
             base_parts = {k: v for k, v in snap["partitions"].items()
                           if k not in set(todo_vals)}
+            new_parts = dict(base_parts)
+            files_after = 0
+            for k, es in staged.items():
+                base = new_parts.get(k)
+                if base is None:
+                    new_parts[k] = es
+                    files_after += len(es)
+                    continue
+                prior = self._entries(snap, k)
+                form: dict = {"entries": prior + list(es)}
+                if isinstance(base, dict):
+                    if base.get("dv"):
+                        form["dv"] = list(base["dv"])
+                        form["dv_rows"] = base.get("dv_rows", 0)
+                    mp = self._mixed_pid_for(
+                        base, snap.get("pt_history"))
+                    if mp is not None:
+                        form["pid"] = mp
+                new_parts[k] = form
+                files_after += len(prior) + len(es)
             try:
-                self._commit({**base_parts, **staged},
+                self._commit(new_parts,
                              base_version=snap["version"],
                              streams=snap.get("streams", {}),
                              schema=snap.get("schema"))
@@ -4961,7 +5006,7 @@ class ManifestTable:
                 snap = newer                     # disjoint: rebase
         return {"partitions": len(todo_vals),
                 "files_before": files_before,
-                "files_after": sum(len(es) for es in staged.values())}
+                "files_after": files_after}
 
     def vacuum(self, retention_seconds: float = 86400.0,
                dry_run: bool = False) -> list[str]:

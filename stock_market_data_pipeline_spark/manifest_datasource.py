@@ -994,12 +994,6 @@ def _commit_staged(root: str, ts: str | None, staged: dict,
             raise ValueError(
                 f"table is partitioned by {mf.get('ts')!r}, write "
                 f"declared {ts!r}")
-        if mf.get("pt_history"):
-            raise ValueError(
-                f"{root}: table has evolved partition specs "
-                f"({mf['pt_history']}); format('manifest') writes "
-                f"don't support evolved tables — write through "
-                f"ManifestTable.append/merge")
         if mf.get("pt") != pt:
             # an evolve/replace raced between writer construction and
             # commit: the files were staged under the WRONG transform
@@ -1034,14 +1028,22 @@ def _commit_staged(root: str, ts: str | None, staged: dict,
                 prior = (t._entries(mf, value)
                          if value in live else [])
                 merged = prior + entries
+                form: dict = {"entries": merged}
                 # DVs addressing the kept files ride along (append())
                 if (isinstance(prior_ref, dict)
                         and prior_ref.get("dv")):
-                    live[value] = {
-                        "entries": merged, "dv": prior_ref["dv"],
-                        "dv_rows": prior_ref.get("dv_rows", 0)}
-                else:
-                    live[value] = merged
+                    form["dv"] = prior_ref["dv"]
+                    form["dv_rows"] = prior_ref.get("dv_rows", 0)
+                # value-string collision with an OLD-era ref under
+                # partition evolution: the merged ref becomes era-
+                # MIXED (pid -1, never partition-pruned) exactly like
+                # ManifestTable.append's collision stance; active-era
+                # priors leave pid to _commit's active stamp
+                mp = t._mixed_pid_for(prior_ref,
+                                      mf.get("pt_history"))
+                if mp is not None:
+                    form["pid"] = mp
+                live[value] = form if prior else merged
             schema = evolved or want or schema_sig
         try:
             if overwrite:
@@ -1326,7 +1328,10 @@ class ManifestDataSource(DataSource):
         """(transform spec, source-column dtype) a write must stage
         under — from the live manifest (DSv2 writes cannot CREATE a
         transformed table; use ManifestTable.create(partition=...)).
-        Evolved tables (a spec HISTORY) refuse here; single-era
+        Partition-EVOLVED tables stage under the ACTIVE spec, exactly
+        like ManifestTable.append — old-era refs stay untouched and a
+        value-string collision with one marks the merged ref era-MIXED
+        at commit (VERDICT r12 "Next round" #3); single-era
         transformed tables stage through the same _pt_value recipe
         the planner prunes with.  TIMESTAMP sources are rendered in
         the SESSION zone by the stager (Arrow batches carry the
@@ -1336,11 +1341,6 @@ class ManifestDataSource(DataSource):
         mf = self._live_manifest()
         if mf is None:
             return None, None
-        if mf.get("pt_history"):
-            raise ValueError(
-                f"{self._root()}: table has evolved partition specs; "
-                f"format('manifest') writes don't support evolved "
-                f"tables — write through ManifestTable.append/merge")
         pt = mf.get("pt")
         if pt is None:
             return None, None

@@ -92,3 +92,16 @@ def test_empty_cluster_keeps_previous_centroid(spark):
                                       k=9, iters=2)
     assert out.count() == 27
     assert out.where(F.col("cluster").isNull()).count() == 0
+
+
+def test_update_mean_is_exact_beyond_double_precision(spark):
+    """ADVICE r12 (low): the floored integer mean must never route
+    through a double — 2**53 + 1 is the first BIGINT a double cannot
+    hold, so a single-member cluster there exposes any float path
+    (the old (s - pmod) / n cast lost the trailing 1)."""
+    big = (1 << 53) + 1
+    df = spark.createDataFrame(
+        [(0, [big]), (1, [2]), (1, [4])],
+        "cluster int, vm array<long>")
+    got = clustering.update(df, "vm", 2, [[0], [0]])
+    assert got == [[big], [3]]

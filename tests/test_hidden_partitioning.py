@@ -319,3 +319,34 @@ def test_pt_value_twin_properties():
                           ("a", "z")) is None
     assert _pt_where_spec({"fn": "month"}, ("2024-03-15", None)) \
         == ("2024-03", None)
+
+
+def test_commit_never_drops_pt_when_base_manifest_unreadable(
+        spark, tmp_path):
+    """ADVICE r12 (low): an unreadable BASE manifest at commit time
+    (vacuumed mid-write) must not publish a spec-less snapshot — the
+    carry re-reads through the live manifest, so `pt` survives and
+    later writes keep staging transformed values."""
+    df = spark.createDataFrame(
+        [("2024-01-05", "A", 1.0), ("2024-02-07", "B", 2.0)],
+        "trade_date string, ticker string, px double")
+    t = ManifestTable.create(df, str(tmp_path / "t"), "trade_date",
+                             partition="month")
+    base = t._raw()["version"]
+    orig_raw = t._raw
+
+    def flaky_raw(name=None):
+        if name == t._mname(base):
+            raise FileNotFoundError(name)
+        return orig_raw(name)
+
+    t._raw = flaky_raw
+    try:
+        t.append(spark.createDataFrame(
+            [("2024-03-09", "C", 3.0)], df.schema))
+    finally:
+        t._raw = orig_raw
+    mf = t._raw()
+    assert mf["pt"] == {"fn": "month"}
+    assert sorted(mf["partitions"]) == ["2024-01", "2024-02",
+                                        "2024-03"]

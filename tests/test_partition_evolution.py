@@ -245,22 +245,143 @@ def test_evolve_guards(spark, tmp_path):
         un.evolve_partition("month")
 
 
-def test_dsv2_write_refuses_evolved_identity(spark, tmp_path):
-    df = _bars(spark)
-    root = str(tmp_path / "t")
-    t = ManifestTable.create(df, root, "trade_date",
-                             partition="month")
-    t.evolve_partition(None)               # active spec IS identity…
+def test_dsv2_write_stages_under_active_spec_on_evolved_table(
+        spark, tmp_path):
+    """VERDICT r12 "Next round" #3: df.write.format('manifest') on a
+    partition-EVOLVED table stages under the ACTIVE spec exactly like
+    ManifestTable.append — old-era refs untouched, new refs stamped
+    with the active era, cross-era pruning intact."""
+    t, df = _mk_evolved(spark, tmp_path)   # day -> month, 04 appended
     from stock_market_data_pipeline_spark.manifest_datasource import (
         ManifestDataSource,
     )
     spark.dataSource.register(ManifestDataSource)
-    with pytest.raises(Exception, match="evolved"):
-        (df.limit(1).write.format("manifest")
-         .mode("append").save(root))       # …but eras are not
+    extra = spark.createDataFrame(
+        [("2024-05-02", "T5", 50.0), ("2024-05-19", "T5", 51.0)],
+        df.schema)
+    extra.write.format("manifest").mode("append").save(t.root)
+    mf = t._raw()
+    assert mf["partitions"]["2024-05"]["pid"] == 1
+    assert all(mf["partitions"][v]["pid"] == 0
+               for v in mf["partitions"]
+               if v.count("-") == 2)       # old-era day refs untouched
+    assert t.read(spark).count() == df.count() + 2 + 2
+    plan = t.scan_plan({"trade_date": ("2024-05-01", "2024-05-31")})
+    assert plan["partitions"] == ["2024-05"]
+    # a probe into an OLD era still prunes under the old spec
+    plan = t.scan_plan({"trade_date": ("2024-02-01", "2024-02-28")})
+    assert plan["partitions"] == ["2024-02-05", "2024-02-20"]
+
+
+def test_dsv2_write_collision_marks_ref_era_mixed(spark, tmp_path):
+    """A DSv2 append whose active-spec value collides with an OLD-era
+    ref's value string must mark the merged ref era-MIXED (pid -1) so
+    scan_plan never partition-prunes it under either interpretation —
+    the bucket(2)->bucket(4) shape test_mixed_ref_never_partition_
+    prunes_wrong drives through ManifestTable.append, here through
+    df.write."""
+    df = spark.createDataFrame(
+        [(f"K{i}", float(i)) for i in range(40)],
+        "k string, v double")
+    t = ManifestTable.create(df, str(tmp_path / "b"), "k",
+                             partition=("bucket", 2))
+    t.evolve_partition(("bucket", 4))
+    from stock_market_data_pipeline_spark.manifest_datasource import (
+        ManifestDataSource,
+    )
+    spark.dataSource.register(ManifestDataSource)
+    extra = spark.createDataFrame(
+        [(f"N{i}", 100.0 + i) for i in range(40)], df.schema)
+    (extra.coalesce(1)        # tiny frame: dodge the spray guard
+     .write.format("manifest").mode("append").save(t.root))
+    mf = t._raw()
+    assert any(r.get("pid") == -1 for r in mf["partitions"].values())
+    assert t.read(spark).count() == 80
+    for probe in ["K3", "N7", "K11", "N0"]:
+        got = (t.read(spark, where={"k": [probe]})
+               .where(F.col("k") == probe).count())
+        assert got == 1, probe
 
 
 def test_vacuum_keeps_both_eras_live(spark, tmp_path):
     t, df = _mk_evolved(spark, tmp_path)
     t.vacuum(retention_seconds=0.0)
     assert t.read(spark).count() == df.count() + 2
+
+
+def test_compact_merges_into_colliding_live_partition(spark, tmp_path):
+    """ADVICE r12 (high): a DV'd old-era day ref migrates into its
+    month value under compaction; when that month ALREADY holds rows
+    appended under the new spec, the staged rewrite must MERGE into
+    the live ref, not replace it — replacing silently dropped every
+    previously-appended row of that month."""
+    schema = "trade_date string, ticker string, px double"
+    df = spark.createDataFrame(
+        [("2024-01-05", "T0", 0.0), ("2024-01-05", "T1", 1.0),
+         ("2024-01-05", "T2", 2.0), ("2024-02-05", "T0", 3.0),
+         ("2024-02-05", "T1", 4.0)], schema)
+    t = ManifestTable.create(df, str(tmp_path / "t"), "trade_date")
+    t.evolve_partition("month")
+    # rows appended under the NEW spec into January itself — the
+    # collision target for the old-era day refs' migration
+    t.append(spark.createDataFrame(
+        [("2024-01-11", "T7", 71.0), ("2024-01-12", "T7", 72.0)],
+        schema))
+    # DV one row of the old-era January day ref, leaving survivors, so
+    # default-min_files compaction selects it (dv'd partitions always
+    # compact) and NOTHING else
+    t.delete_where(spark, F.col("px") == 0.0, mode="dv")
+    before = t.read(spark).count()
+    assert before == df.count() + 2 - 1
+    res = t.compact(spark)                        # min_files=2 default
+    assert res["partitions"] == 1
+    mf = t._raw()
+    # the old-era day key is gone; its survivors merged into 2024-01
+    assert "2024-01-05" not in mf["partitions"]
+    assert t.read(spark).count() == before
+    got = {(r["trade_date"], r["ticker"])
+           for r in t.read(
+               spark, where={"trade_date": ("2024-01-01",
+                                            "2024-01-31")}).collect()}
+    assert ("2024-01-11", "T7") in got and ("2024-01-12", "T7") in got
+    assert ("2024-01-05", "T1") in got            # DV survivor migrated
+    assert ("2024-01-05", "T0") not in got        # the DV'd row stays dead
+
+
+def test_compact_rebase_keeps_concurrent_append_on_staged_key(
+        spark, tmp_path):
+    """ADVICE r12 (high), second half: a concurrent append landing on
+    a STAGED collision key between compact's read and its commit must
+    survive the rebase — the merged map is rebuilt from the newer
+    snapshot, so the competitor's rows ride along instead of being
+    fingerprint-blind-spotted."""
+    schema = "trade_date string, ticker string, px double"
+    df = spark.createDataFrame(
+        [("2024-01-05", "T0", 0.0), ("2024-01-05", "T1", 1.0),
+         ("2024-02-05", "T0", 3.0), ("2024-02-05", "T1", 4.0)],
+        schema)
+    t = ManifestTable.create(df, str(tmp_path / "t"), "trade_date")
+    t.evolve_partition("month")
+    t.delete_where(spark, F.col("px") == 0.0, mode="dv")
+    competitor = ManifestTable(t.root, ts=t.ts)
+    extra = spark.createDataFrame(
+        [("2024-01-13", "T8", 81.0)], schema)
+    orig_commit = t._commit
+    state = {"fired": False}
+
+    def racing_commit(*a, **kw):
+        if not state["fired"]:
+            state["fired"] = True
+            competitor.append(extra)      # bumps version -> conflict
+        return orig_commit(*a, **kw)
+
+    t._commit = racing_commit
+    try:
+        t.compact(spark)
+    finally:
+        t._commit = orig_commit
+    assert state["fired"]                 # the race actually happened
+    got = t.read(spark).collect()
+    assert ("2024-01-13", "T8", 81.0) in [
+        (r["trade_date"], r["ticker"], r["px"]) for r in got]
+    assert len(got) == df.count() + 1 - 1

@@ -60,9 +60,12 @@ def test_unchecked_entries_inside_driver_window():
     )
     if _DRIVER_WINDOW_DEFERRED:
         current_round = (max(last.values()) + 1) if last else 1
+        bound = -(-len(QUERIES) // 50)      # ceil(N / window), same
+        # honest schedule bound as test_driver_window_staleness_bound
         mandatory_in_window = [
             n for n in window
-            if n not in checked or last.get(n, 0) < current_round - 2]
+            if n not in checked
+            or last.get(n, 0) < current_round - bound]
         assert len(mandatory_in_window) == 50, (
             f"deferred list is non-empty but the window holds only "
             f"{len(mandatory_in_window)} mandatory entries — the "
@@ -74,28 +77,43 @@ def test_unchecked_entries_inside_driver_window():
 
 def test_driver_window_staleness_bound():
     """THE ROTATION POLICY (VERDICT r6 "Next round" #4), asserted, not
-    assumed: every entry OUTSIDE the upcoming driver window must have
-    been driver-green within the last two completed rounds.  With a
-    50-slot window over ~100 entries, perfect alternation gives age
-    0/1; the bound of 2 absorbs window churn from new entries, but an
-    entry can never quietly age out the way rollup_revenue did
-    (green r2, unchecked r3-r6)."""
+    assumed: every previously-green entry OUTSIDE the upcoming driver
+    window must have been driver-green within the last ceil(N/50)
+    completed rounds, N = catalog size.
+
+    LOUD HISTORY OF THIS BOUND (VERDICT r12 "Next round" #1): the
+    original bound was a flat 2 rounds, written when the catalog held
+    ~100 entries and a 50-slot window could revisit everything on
+    alternate rounds.  At 165+ entries that bound is ARITHMETICALLY
+    unsatisfiable — perfect round-robin rotation revisits each entry
+    every ceil(N/50) rounds, so ceil(N/50) is the tightest bound any
+    honest schedule can meet, and that is what this test now encodes.
+    The round-11 driver produced no correctness artifact, which aged
+    two full cohorts simultaneously (45 entries last-green r9, 50
+    last-green r10) — the r13 window is rebuilt stalest-first by
+    tools/gen_driver_window.py (changed-this-round, then never-green
+    FIFO, then oldest-green FIFO) and drains that bubble within the
+    bound.  The bound TIGHTENS automatically if the catalog shrinks
+    and loosens only with real growth — never by editing a constant
+    here."""
     last = _last_green_round()
     if not last:
         return  # round 1: no artifacts yet
     current_round = max(last.values()) + 1
+    bound = -(-len(QUERIES) // 50)          # ceil(N / window)
     window = set(list(QUERIES)[:50])
     offenders = {
         # PREVIOUSLY-GREEN entries only: never-green entries are the
         # in-window / documented-deferral test's domain above
         n: last[n] for n in QUERIES
         if n not in window and n in last
-        and last[n] < current_round - 2
+        and last[n] < current_round - bound
     }
     assert offenders == {}, (
         f"entries outside the round-{current_round} driver window with "
-        f"no green row since round {current_round - 2}: {offenders} — "
-        f"front them in _DRIVER_WINDOW_FIRST")
+        f"no green row since round {current_round - bound}: "
+        f"{offenders} — front them in _DRIVER_WINDOW_FIRST "
+        f"(regenerate with tools/gen_driver_window.py)")
 
 
 def test_oracle_registry_order_mirrors_queries():
