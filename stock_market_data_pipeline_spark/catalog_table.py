@@ -526,3 +526,255 @@ def datasink_evolved_write_q(spark: SparkSession,
                      .alias("trade_month"))
             .agg(F.count("*").alias("n"),
                  F.sum("volume").alias("vol")))
+
+
+SQL_MERGE_SQL = f"""
+WITH b AS ({oracles.BARS_SQL}),
+base AS (
+  SELECT * FROM b
+  WHERE trade_date >= DATE '1997-01-01'
+    AND trade_date < DATE '1997-03-01'
+),
+upd AS (
+  SELECT ticker, trade_date, low, high, close * 2.0 AS close,
+         volume, n_trades, has_volume, is_valid_record
+  FROM b
+  WHERE trade_date >= DATE '1997-02-15'
+    AND trade_date < DATE '1997-04-01'
+)
+SELECT ticker, trade_date, CAST(1 AS BIGINT) AS updated,
+       close, volume
+FROM upd
+UNION ALL
+SELECT b.ticker, b.trade_date, CAST(0 AS BIGINT) AS updated,
+       b.close, b.volume
+FROM base b
+WHERE NOT EXISTS (SELECT 1 FROM upd u
+                  WHERE u.ticker = b.ticker
+                    AND u.trade_date = b.trade_date)
+""".strip()
+
+
+@q("manifest_sql_merge", SQL_MERGE_SQL)
+def manifest_sql_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL DML against a registered manifest table (VERDICT r12 "Next
+    round" #4 — the reference's warehouse habitat extended from reads
+    to WRITES): ``spark.sql``-shaped ``MERGE INTO bars USING
+    (<query>) ON keys WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
+    THEN INSERT *`` rewrites onto the SAME transactional ``merge()``
+    the DataFrame API uses — one atomic commit, exactly-once, row-
+    level change feed captured with ``cdf=True`` so ``changes()``
+    classifies the SQL MERGE identically to a DataFrame one.
+    In-entry RAISES pin the exactly-once version bump, the non-empty
+    insert/update_postimage classification, and that a REPLAYED
+    identical MERGE changes nothing content-wise except versioning
+    (idempotence belongs to the caller's ledger; MERGE of the same
+    batch is a same-content rewrite).  Oracle: the upserted state
+    recomputed relationally (update rows win on overlap, inserts
+    appear, untouched base survives)."""
+    from .manifest import ManifestTable
+    from .manifest_datasource import manifest_sql
+
+    bars = bars_from_lineitem(_t(spark, sf_dir, "lineitem"))
+    base = bars.where(
+        (F.col("trade_date") >= F.lit("1997-01-01"))
+        & (F.col("trade_date") < F.lit("1997-03-01")))
+    t = ManifestTable.create(
+        base.withColumn("trade_month",
+                        F.date_format("trade_date", "yyyy-MM")),
+        scratch_dir("manifest_sqlmerge_"), ts="trade_month")
+    upd = (bars.where(
+        (F.col("trade_date") >= F.lit("1997-02-15"))
+        & (F.col("trade_date") < F.lit("1997-04-01")))
+        .withColumn("close", F.col("close") * 2.0)
+        .withColumn("trade_month",
+                    F.date_format("trade_date", "yyyy-MM")))
+    upd.createOrReplaceTempView("sql_merge_updates")
+    v_before = t.version()
+    out = manifest_sql(
+        spark,
+        "MERGE INTO bars AS t USING sql_merge_updates AS s "
+        "ON t.ticker = s.ticker AND t.trade_date = s.trade_date "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+        {"bars": t}, cdf=True)
+    if out.collect()[0]["num_affected_rows"] <= 0:
+        raise RuntimeError("SQL MERGE reported zero affected rows")
+    if t.version() != v_before + 1:
+        raise RuntimeError("SQL MERGE was not one atomic commit")
+    kinds = {r["_change_type"]: r["n"] for r in
+             (t.changes(spark, t.version())
+              .groupBy("_change_type").agg(F.count("*").alias("n"))
+              .collect())}
+    if not (kinds.get("insert", 0) > 0
+            and kinds.get("update_postimage", 0) > 0
+            and kinds.get("update_preimage", 0)
+            == kinds.get("update_postimage", 0)):
+        raise RuntimeError(f"SQL MERGE change feed misclassified: "
+                           f"{kinds}")
+    upd_keys = upd.select("ticker", "trade_date").distinct()
+    merged = t.read(spark)
+    return (merged
+            .join(upd_keys.withColumn("updated", F.lit(1)),
+                  ["ticker", "trade_date"], "left")
+            .select("ticker", "trade_date",
+                    F.coalesce(F.col("updated"), F.lit(0))
+                    .cast("long").alias("updated"),
+                    "close", "volume"))
+
+
+SQL_DML_SQL = f"""
+WITH b AS ({oracles.BARS_SQL}),
+bb AS (
+  SELECT * FROM b
+  WHERE trade_date >= DATE '1997-01-01'
+    AND trade_date < DATE '1997-03-01'
+)
+SELECT ticker, trade_date,
+       CASE WHEN volume >= 40 THEN close * 2.0 ELSE close END
+         AS close,
+       volume
+FROM bb
+WHERE volume >= 10
+""".strip()
+
+
+@q("manifest_sql_dml", SQL_DML_SQL)
+def manifest_sql_dml_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rest of the SQL DML surface (VERDICT r12 #4): ``INSERT
+    INTO ... SELECT``, ``UPDATE ... SET ... WHERE`` and ``DELETE FROM
+    ... WHERE`` rewrite onto append / update_where (merge-on-read DV
+    update) / delete_where (DV delete) — each ONE atomic commit with
+    Delta's 1-row metrics frame returned.  The entry drives all
+    three in sequence on a bars table and RAISES unless each commit's
+    metrics match the relational expectation and versions bump
+    exactly once per statement.  Oracle: the final state recomputed
+    from raw parquet (Jan base + Feb insert, conditional doubling,
+    thin-volume rows deleted)."""
+    from .manifest import ManifestTable
+    from .manifest_datasource import manifest_sql
+
+    bars = bars_from_lineitem(_t(spark, sf_dir, "lineitem")).withColumn(
+        "trade_month", F.date_format("trade_date", "yyyy-MM"))
+    jan = bars.where(F.col("trade_month") == "1997-01")
+    t = ManifestTable.create(jan, scratch_dir("manifest_sqldml_"),
+                             ts="trade_month")
+    bars.where(F.col("trade_month") == "1997-02") \
+        .createOrReplaceTempView("sql_dml_feb")
+
+    ins = manifest_sql(spark,
+                       "INSERT INTO bars SELECT * FROM sql_dml_feb",
+                       {"bars": t}).collect()[0]
+    if ins["num_inserted_rows"] != bars.where(
+            F.col("trade_month") == "1997-02").count():
+        raise RuntimeError(f"INSERT metrics off: {ins}")
+    if t.version() != 2:
+        raise RuntimeError("INSERT was not one atomic commit")
+
+    upd = manifest_sql(spark,
+                       "UPDATE bars SET close = close * 2.0 "
+                       "WHERE volume >= 40",
+                       {"bars": t}).collect()[0]
+    if upd["num_updated_rows"] == 0 or upd["num_updated_rows"] \
+            != t.read(spark).where("volume >= 40").count():
+        raise RuntimeError(f"UPDATE metrics off: {upd}")
+
+    dele = manifest_sql(spark,
+                        "DELETE FROM bars WHERE volume < 10",
+                        {"bars": t}).collect()[0]
+    if t.read(spark).where("volume < 10").count() != 0:
+        raise RuntimeError("DELETE left matching rows")
+    if dele["num_deleted_rows"] == 0:
+        raise RuntimeError("DELETE metrics claim zero rows")
+    if t.version() != 4:
+        raise RuntimeError(f"expected v4 after 3 DML commits, "
+                           f"got v{t.version()}")
+    return t.read(spark).select("ticker", "trade_date", "close",
+                                "volume")
+
+
+_INC_COLS = ["ticker", "volume", "trade_date"]
+
+ANALYZE_INC_SQL = ("WITH b AS ({BARS}),\n"
+                   "src AS (\n"
+                   "  SELECT * FROM b\n"
+                   "  WHERE trade_date >= DATE '1997-01-01'\n"
+                   "    AND trade_date < DATE '1997-04-01'\n"
+                   ")\n" + "\nUNION ALL\n".join(f"""
+SELECT '{c}' AS col_name,
+       CAST(256 - (SELECT COUNT(*) FROM (
+         SELECT hv % 256 AS bucket FROM (
+           SELECT CAST('0x' || substring(md5(CAST({c} AS VARCHAR)),
+                       1, 15) AS BIGINT) AS hv
+           FROM src WHERE {c} IS NOT NULL) GROUP BY 1))
+         AS BIGINT) AS n_zero_registers,
+       (SELECT CAST(SUM(mr) AS BIGINT) FROM (
+         SELECT hv % 256 AS bucket,
+                MAX(CASE WHEN hv // 256 = 0 THEN 53
+                    ELSE 52 - length(bin(hv // 256)) + 1 END) AS mr
+         FROM (
+           SELECT CAST('0x' || substring(md5(CAST({c} AS VARCHAR)),
+                       1, 15) AS BIGINT) AS hv
+           FROM src WHERE {c} IS NOT NULL) GROUP BY 1))
+         AS register_sum,
+       (SELECT CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) FROM src) AS nulls,
+       (SELECT CAST(MIN({c}) AS VARCHAR) FROM src) AS vmin,
+       (SELECT CAST(MAX({c}) AS VARCHAR) FROM src) AS vmax
+""".strip() for c in _INC_COLS)).replace("{BARS}", oracles.BARS_SQL)
+
+
+@q("manifest_analyze_incremental", ANALYZE_INC_SQL)
+def manifest_analyze_incremental_q(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """INCREMENTAL ANALYZE via commit-stored HLL sketches (VERDICT
+    r12 "Next round" #7): ``analyze(approx=True)`` records per-column
+    256-register arrays in the commit object; after an APPEND,
+    ``analyze_incremental`` sketches ONLY the new files and merges by
+    element-wise max — union-of-sketches == sketch-of-union exactly
+    under the shared deterministic md5 hash, so merged stats equal a
+    full re-analyze at O(new rows) cost.  In-entry RAISES pin (a)
+    scanned_files == the appended month's file count (the no-rescan
+    proof), and (b) merged registers identical to a fresh
+    full-content twin's.  Oracle: DuckDB rebuilds the SAME registers
+    from raw parquet over the full three months — byte-identical
+    integer state (zero count + register sum per column) plus
+    null/min/max, proving the merge path equals ground truth, not
+    just self-consistency."""
+    from .manifest import ManifestTable
+
+    bars = _bars_month(spark, sf_dir).select(
+        "ticker", "volume", "trade_date", "trade_month")
+    base = bars.where(F.col("trade_month").between("1997-01",
+                                                   "1997-02"))
+    t = ManifestTable.create(base, scratch_dir("manifest_ainc_"),
+                             ts="trade_month")
+    t.analyze(spark, approx=True, columns=_INC_COLS)
+    march = bars.where(F.col("trade_month") == "1997-03")
+    t.append(march)
+    n_new = sum(
+        r["files"] for v, r in t._raw()["partitions"].items()
+        if v == "1997-03")
+    inc = t.analyze_incremental(spark, columns=_INC_COLS)
+    if inc["scanned_files"] != n_new or n_new == 0:
+        raise RuntimeError(
+            f"incremental analyze scanned {inc['scanned_files']} "
+            f"files, appended {n_new} — not incremental")
+    twin = ManifestTable.create(
+        bars.where(F.col("trade_month").between("1997-01",
+                                                "1997-03")),
+        scratch_dir("manifest_ainc_twin_"), ts="trade_month")
+    full = twin.analyze(spark, approx=True, columns=_INC_COLS)
+    for c in _INC_COLS:
+        if inc["columns"][c]["hll"] != full["columns"][c]["hll"]:
+            raise RuntimeError(f"merged sketch != fresh sketch: {c}")
+    rows = []
+    for c in _INC_COLS:
+        s = inc["columns"][c]
+        regs = s["hll"]
+        rows.append((c, sum(1 for r in regs if r == 0),
+                     sum(regs), s["nulls"], s["min"], s["max"]))
+    return spark.createDataFrame(
+        rows, schema="col_name string, n_zero_registers bigint, "
+                     "register_sum bigint, nulls bigint, "
+                     "vmin string, vmax string")

@@ -387,3 +387,166 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("numcust"),
                  F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
                  .cast("double").alias("totacctbal")))
+
+
+@q("tpch_q17_small_qty_revenue", """
+WITH sel AS (
+  SELECT p_partkey FROM part
+  WHERE p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+),
+part_avg AS (
+  SELECT l_partkey, 0.2 * AVG(CAST(l_quantity AS DOUBLE)) AS lim
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM sel)
+  GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+         / 7.0 AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part_avg ON lineitem.l_partkey = part_avg.l_partkey
+WHERE CAST(l_quantity AS DOUBLE) < lim
+""")
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: the per-key CORRELATED SCALAR-AVERAGE
+    subquery — revenue lost to small-quantity orders of one brand's
+    small parts, where "small quantity" is defined per part as 20%
+    of ITS OWN average (no p_container in this schema; the brand +
+    size band keeps the selectivity).  The scale-correct plan is the
+    decorrelation Catalyst should pick and this entry hand-declares:
+    ONE grouped aggregate over the selected parts' lines builds the
+    per-part limits, then a broadcast/hash join filters the same
+    lines against their own part's limit — never a per-row rescan of
+    lineitem (the naive correlated plan is O(lines × parts) at
+    100 TB).  Money through DECIMAL partials, one double division at
+    the boundary (rev parity rule)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sel = (_t(spark, sf_dir, "part")
+           .where((F.col("p_brand") == "Brand#2")
+                  & F.col("p_size").between(1, 15))
+           .select("p_partkey"))
+    lines = li.join(F.broadcast(sel),
+                    li.l_partkey == F.col("p_partkey")).drop("p_partkey")
+    lim = (lines.groupBy("l_partkey")
+           .agg((F.avg(F.col("l_quantity").cast("double")) * 0.2)
+                .alias("lim")))
+    return (lines.join(lim, "l_partkey")
+            .where(F.col("l_quantity").cast("double") < F.col("lim"))
+            .agg((F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+                  .cast("double") / 7.0).alias("avg_yearly"),
+                 F.count("*").alias("n_lines")))
+
+
+@q("tpch_q20_excess_suppliers", """
+WITH green AS (
+  SELECT p_partkey FROM part WHERE p_name LIKE '%red%'
+),
+part_half AS (
+  SELECT l_partkey,
+         0.5 * CAST(SUM(l_quantity) AS DOUBLE) AS half_total
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+    AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+    AND l_partkey IN (SELECT p_partkey FROM green)
+  GROUP BY l_partkey
+),
+heavy AS (
+  SELECT l_suppkey FROM lineitem
+  JOIN part_half ON lineitem.l_partkey = part_half.l_partkey
+  WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+    AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+  GROUP BY l_suppkey, lineitem.l_partkey
+  HAVING CAST(SUM(l_quantity) AS DOUBLE) > MAX(half_total)
+)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_nationkey < 5
+  AND s_suppkey IN (SELECT l_suppkey FROM heavy)
+""")
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: the NESTED IN-CHAIN (supplier IN (pairs over
+    parts IN (name-filtered parts)) with a correlated half-of-total
+    threshold) — suppliers in a nation band who shipped MORE THAN
+    HALF of some red part's 1997 volume (this schema has no
+    partsupp/availqty; lineitem is the part-supplier bridge, and
+    "excess stock" becomes "dominant shipper", which preserves every
+    planner shape: two stacked semi joins, a grouped HAVING against a
+    correlated per-part scalar).  The scale plan: the red-part
+    filter broadcasts into the 1997 lineitem slice ONCE, per-part
+    halves and per-(supplier,part) sums come off the SAME shuffled
+    grain, and suppliers semi-join the surviving pairs — no rescan,
+    no correlated re-aggregation."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.to_date("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1998-01-01")))
+    green = (_t(spark, sf_dir, "part")
+             .where(F.col("p_name").like("%red%"))
+             .select("p_partkey"))
+    gl = li.join(F.broadcast(green),
+                 li.l_partkey == F.col("p_partkey")).drop("p_partkey")
+    pair = (gl.groupBy("l_suppkey", "l_partkey")
+            .agg(F.sum("l_quantity").cast("double").alias("qty")))
+    half = (pair.groupBy("l_partkey")
+            .agg((F.sum("qty") * 0.5).alias("half_total")))
+    heavy = (pair.join(half, "l_partkey")
+             .where(F.col("qty") > F.col("half_total"))
+             .select("l_suppkey"))
+    s = _t(spark, sf_dir, "supplier").where(F.col("s_nationkey") < 5)
+    return (s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+            .select("s_suppkey", "s_name"))
+
+
+@q("tpch_q21_waiting_suppliers", """
+WITH lines AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN CAST(l_shipdate AS DATE)
+                   > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY
+              THEN 1 ELSE 0 END AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM lines l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE s_nationkey = 3
+  AND l1.is_late = 1
+  AND EXISTS (SELECT 1 FROM lines l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lines l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.is_late = 1)
+GROUP BY s_name
+""")
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the EXISTS + NOT EXISTS pair over the SAME
+    relation — suppliers in one nation who were the ONLY late shipper
+    on a finished multi-supplier order (no receipt/commit dates in
+    this schema: late = shipped >60 days after the order date).  The
+    scale-correct plan avoids BOTH correlated rescans by reducing the
+    order grain ONCE: per (orderkey) count suppliers and late
+    suppliers, then join the late lines against that one aggregate —
+    EXISTS becomes n_supp > 1, NOT-EXISTS-other-late becomes
+    n_late_supp == 1 (this supplier being the late one), each a
+    single shuffle on orderkey, no double semi-join rescan of a
+    100 TB fact."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    lines = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .select("l_orderkey", "l_suppkey",
+                     (F.to_date("l_shipdate")
+                      > F.date_add(F.to_date("o_orderdate"), 60))
+                     .cast("int").alias("is_late")))
+    per_order = (lines.groupBy("l_orderkey")
+                 .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+                      F.countDistinct(F.when(F.col("is_late") == 1,
+                                             F.col("l_suppkey")))
+                      .alias("n_late_supp")))
+    s = _t(spark, sf_dir, "supplier").where(F.col("s_nationkey") == 3)
+    return (lines.where(F.col("is_late") == 1)
+            .join(per_order, "l_orderkey")
+            .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+            .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy("s_name")
+            .agg(F.count("*").alias("numwait")))

@@ -120,3 +120,26 @@ def hll_register_sum(hll: Column) -> Column:
     a compact equality witness for the whole register array)."""
     return F.aggregate(hll, F.lit(0).cast("long"),
                        lambda acc, x: acc + x)
+
+
+def hll_estimate_py(regs: list[int]) -> int:
+    """Driver-side twin of :func:`hll_estimate` (same formula, same
+    corrections) for register arrays stored in COMMIT OBJECTS —
+    ANALYZE keeps per-column sketches a few hundred bytes each in the
+    manifest (manifest.py:analyze), so merging statistics across
+    appends/versions is pure metadata math, no Spark job at all."""
+    import math
+
+    m = len(regs)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = alpha * m * m / sum(2.0 ** -r for r in regs)
+    zeros = regs.count(0)
+    if raw <= 2.5 * m and zeros:
+        return int(round(m * math.log(m / zeros)))
+    return int(round(raw))
+
+
+def hll_merge_py(a: list[int], b: list[int]) -> list[int]:
+    """Driver-side register union (element-wise max) — the metadata
+    half of incremental ANALYZE."""
+    return [x if x >= y else y for x, y in zip(a, b)]

@@ -1,0 +1,88 @@
+"""Incremental ANALYZE via stored HLL sketches (VERDICT r12 "Next
+round" #7): analyze(approx=True) records per-column register arrays in
+the commit object; analyze_incremental sketches ONLY files appended
+since, and merges — union-of-sketches == sketch-of-union EXACTLY for a
+shared deterministic hash, so the merged registers (and hence NDV)
+must equal a fresh full analyze bit-for-bit, at O(new rows) cost."""
+
+from pyspark.sql import functions as F
+
+from stock_market_data_pipeline_spark.manifest import ManifestTable
+
+
+def _batch(spark, lo, hi):
+    return (spark.range(lo, hi)
+            .select(F.col("id"),
+                    (F.col("id") % 5).cast("string").alias("pt"),
+                    (F.col("id") % 97).alias("grp"),
+                    F.when(F.col("id") % 11 == 0, None)
+                     .otherwise(F.col("id") * 1.5).alias("v")))
+
+
+def test_incremental_equals_full_exactly(spark, tmp_path):
+    t = ManifestTable.create(_batch(spark, 0, 400),
+                             str(tmp_path / "t"), ts="pt")
+    first = t.analyze(spark, approx=True)
+    assert all("hll" in s for s in first["columns"].values())
+    t.append(_batch(spark, 400, 700))
+    inc = t.analyze_incremental(spark)
+    # the incremental proof: only the appended files were read
+    new_files = 5                       # one per pt value in the append
+    assert inc["scanned_files"] == new_files
+    # twin table holding the SAME total content, analyzed fresh
+    twin = ManifestTable.create(_batch(spark, 0, 700),
+                                str(tmp_path / "twin"), ts="pt")
+    full = twin.analyze(spark, approx=True)
+    for c in ("id", "grp", "v", "pt"):
+        assert inc["columns"][c]["hll"] == full["columns"][c]["hll"], c
+        assert inc["columns"][c]["ndv"] == full["columns"][c]["ndv"], c
+        assert inc["columns"][c]["nulls"] == full["columns"][c]["nulls"]
+        assert inc["columns"][c]["min"] == full["columns"][c]["min"]
+        assert inc["columns"][c]["max"] == full["columns"][c]["max"]
+    # approx NDV lands within HLL error (~6.5% at p=8) of the truth
+    truth = {"id": 700, "grp": 97, "pt": 5}
+    for c, n in truth.items():
+        assert abs(inc["columns"][c]["ndv"] - n) <= max(3, 0.15 * n), c
+    # and meta_column_stats reads back NON-stale at the analyze commit
+    meta = {r["column"]: r for r in
+            t.meta_column_stats(spark).collect()}
+    assert meta["id"]["stale"] is False
+    assert meta["id"]["ndv"] == inc["columns"]["id"]["ndv"]
+
+
+def test_incremental_noop_when_fresh(spark, tmp_path):
+    t = ManifestTable.create(_batch(spark, 0, 100),
+                             str(tmp_path / "t"), ts="pt")
+    t.analyze(spark, approx=True)
+    v = t.version()
+    out = t.analyze_incremental(spark)
+    assert out["scanned_files"] == 0
+    assert t.version() == v             # no no-op version bump
+
+
+def test_incremental_falls_back_after_delete(spark, tmp_path):
+    """HLL cannot subtract: any row removal since the analyzed
+    version forces a full re-analyze, loudly (scanned_files == -1)."""
+    t = ManifestTable.create(_batch(spark, 0, 300),
+                             str(tmp_path / "t"), ts="pt")
+    t.analyze(spark, approx=True)
+    t.delete_where(spark, F.expr("pmod(id, 7) = 0"), mode="dv")
+    out = t.analyze_incremental(spark)
+    assert out["scanned_files"] == -1
+    twin = t.read(spark)
+    assert out["columns"]["id"]["nulls"] == 0
+    # post-delete NDV reflects the surviving rows, not the original
+    import math
+    survivors = twin.select("id").distinct().count()
+    assert abs(out["columns"]["id"]["ndv"] - survivors) \
+        <= max(3, 0.15 * survivors)
+
+
+def test_incremental_falls_back_without_prior_sketch(spark, tmp_path):
+    t = ManifestTable.create(_batch(spark, 0, 100),
+                             str(tmp_path / "t"), ts="pt")
+    t.analyze(spark, approx=False)       # exact stats: no registers
+    t.append(_batch(spark, 100, 150))
+    out = t.analyze_incremental(spark)
+    assert out["scanned_files"] == -1
+    assert all("hll" in s for s in out["columns"].values())

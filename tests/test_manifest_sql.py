@@ -100,3 +100,132 @@ def test_register_sql_pushdown_task_count(spark, t):
     assert probe.rdd.getNumPartitions() == len(plan["files"])
     total = sum(r["files"] for r in t._raw()["partitions"].values())
     assert len(plan["files"]) < total
+
+
+# -- SQL DML (VERDICT r12 "Next round" #4) ----------------------------
+
+
+def test_sql_insert_into_select(spark, t):
+    out = manifest_sql(
+        spark,
+        "INSERT INTO tt SELECT id, CAST(id % 4 AS STRING) AS pt, "
+        "id * 2.0 AS v FROM range(100, 120)", {"tt": t})
+    assert out.collect()[0]["num_inserted_rows"] == 20
+    assert t.version() == 2
+    assert t.read(spark).count() == 120
+
+
+def test_sql_insert_values_and_column_list(spark, t):
+    out = manifest_sql(
+        spark,
+        "INSERT INTO tt (id, pt, v) VALUES (777, '1', 3.5), "
+        "(778, '2', 4.5)", {"tt": t})
+    assert out.collect()[0]["num_inserted_rows"] == 2
+    got = (t.read(spark).where(F.col("id").isin(777, 778))
+           .orderBy("id").collect())
+    assert [(r["id"], r["pt"], r["v"]) for r in got] == [
+        (777, "1", 3.5), (778, "2", 4.5)]
+
+
+def test_sql_delete_where(spark, t):
+    out = manifest_sql(spark, "DELETE FROM tt WHERE id < 10", {"tt": t})
+    assert out.collect()[0]["num_deleted_rows"] == 10
+    assert t.read(spark).count() == 90
+
+
+def test_sql_update_set_where(spark, t):
+    out = manifest_sql(
+        spark, "UPDATE tt SET v = v * 10 WHERE id IN (3, 7)",
+        {"tt": t})
+    assert out.collect()[0]["num_updated_rows"] == 2
+    got = {r["id"]: r["v"] for r in
+           t.read(spark).where(F.col("id").isin(3, 7)).collect()}
+    assert got == {3: 60.0, 7: 140.0}
+
+
+def test_sql_merge_equals_dataframe_merge(spark, t, tmp_path):
+    """Twin-table equivalence (the VERDICT r12 #4 'done' pin): the
+    SAME keyed upsert driven through spark.sql MERGE on one table and
+    DataFrame merge() on its twin must leave identical content AND an
+    identically-classified change feed."""
+    twin = ManifestTable.create(_frame(spark, 0, 100),
+                                str(tmp_path / "twin"), ts="pt")
+    updates = (spark.range(90, 110)
+               .select(F.col("id"),
+                       (F.col("id") % 4).cast("string").alias("pt"),
+                       (F.col("id") * 3.0).alias("v")))
+    updates.createOrReplaceTempView("upd_src")
+
+    out = manifest_sql(
+        spark,
+        "MERGE INTO tt AS t USING upd_src AS s "
+        "ON t.id = s.id AND t.pt = s.pt "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+        {"tt": t}, cdf=True)
+    assert out.collect()[0]["num_affected_rows"] > 0
+    twin.merge(spark, updates, ["id", "pt"], cdf=True)
+
+    a = sorted(map(tuple, t.read(spark).collect()))
+    b = sorted(map(tuple, twin.read(spark).collect()))
+    assert a == b
+    ca = sorted(map(tuple, t.changes(spark, t.version())
+                    .select("id", "pt", "v", "_change_type")
+                    .collect()))
+    cb = sorted(map(tuple, twin.changes(spark, twin.version())
+                    .select("id", "pt", "v", "_change_type")
+                    .collect()))
+    assert ca == cb
+    assert any(r[-1] == "update_postimage" for r in ca)
+    assert any(r[-1] == "insert" for r in ca)
+
+
+def test_sql_merge_subquery_source_and_delete_clause(spark, t):
+    out = manifest_sql(
+        spark,
+        "MERGE INTO tt USING (SELECT id, CAST(id % 4 AS STRING) AS "
+        "pt, 0.0 AS v FROM range(0, 30)) AS s ON tt.id = s.id "
+        "WHEN MATCHED AND s.id < 10 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+        {"tt": t})
+    assert out.count() == 1
+    got = t.read(spark)
+    assert got.where(F.col("id") < 10).count() == 0
+    assert got.where((F.col("id") >= 10) & (F.col("id") < 30)
+                     & (F.col("v") == 0.0)).count() == 20
+    assert got.count() == 90
+
+
+def test_sql_merge_not_matched_by_source_delete(spark, t):
+    (spark.range(0, 50)
+     .select(F.col("id"),
+             (F.col("id") % 4).cast("string").alias("pt"),
+             (F.col("id") * 2.0).alias("v"))
+     ).createOrReplaceTempView("survivors")
+    manifest_sql(
+        spark,
+        "MERGE INTO tt USING survivors s ON tt.id = s.id "
+        "AND tt.pt = s.pt "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+        {"tt": t})
+    assert t.read(spark).count() == 50
+    assert t.read(spark).agg(F.max("id")).collect()[0][0] == 49
+
+
+def test_sql_merge_rejects_unsupported_grammar(spark, t):
+    spark.range(3).createOrReplaceTempView("srcv")
+    with pytest.raises(ValueError, match="conjunctions"):
+        manifest_sql(spark,
+                     "MERGE INTO tt USING srcv s ON tt.id > s.id "
+                     "WHEN MATCHED THEN UPDATE SET *", {"tt": t})
+    with pytest.raises(ValueError, match="share a name"):
+        manifest_sql(spark,
+                     "MERGE INTO tt USING srcv s ON tt.id = s.other "
+                     "WHEN MATCHED THEN UPDATE SET *", {"tt": t})
+    with pytest.raises(ValueError, match="keyed upsert"):
+        manifest_sql(spark,
+                     "MERGE INTO tt USING srcv s ON tt.id = s.id "
+                     "WHEN MATCHED THEN UPDATE SET *", {"tt": t})
