@@ -550,3 +550,282 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
             .groupBy("s_name")
             .agg(F.count("*").alias("numwait")))
+
+
+@q("tpch_q6_forecast_revenue", f"""
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: the pure scan-and-aggregate revenue forecast — the
+    predicate-pushdown litmus (date + discount + quantity all reach
+    the parquet scan as PushedFilters; the plan is one
+    WholeStageCodegen span over a pruned scan, zero shuffles beyond
+    the final 1-row agg).  Money through DECIMAL partials."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.where(
+        (F.to_date("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1998-01-01"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24))
+        .agg(F.sum((F.col("l_extendedprice") * F.col("l_discount"))
+                   .cast("decimal(18,4)"))
+             .cast("double").alias("revenue"),
+             F.count("*").alias("n_lines")))
+
+
+@q("tpch_q14_promo_effect", f"""
+SELECT CAST(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                             THEN {_REV_DEC} ELSE CAST(0 AS
+                             DECIMAL(18,4)) END)
+            / SUM({_REV_DEC}) AS DOUBLE) AS promo_pct,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE CAST(l_shipdate AS DATE) >= DATE '1997-03-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1997-04-01'
+""")
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promotion-revenue share for one month — the
+    conditional-numerator / total-denominator single-agg shape over a
+    broadcast part join (the month slice of lineitem is the probe
+    side; part is the broadcast build side at any scale where part
+    fits executor memory, and a shuffled hash join beyond).  BOTH
+    sums are exact DECIMAL partials; ONE double division at the
+    boundary."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.to_date("l_shipdate") >= F.lit("1997-03-01"))
+        & (F.to_date("l_shipdate") < F.lit("1997-04-01")))
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .agg((F.lit(100.0)
+                  * F.sum(F.when(F.col("p_type") == "PROMO", _rev())
+                          .otherwise(zero)).cast("double")
+                  / F.sum(_rev()).cast("double")).alias("promo_pct"),
+                 F.count("*").alias("n_lines")))
+
+
+@q("tpch_q12_priority_by_flag", """
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+  AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 30
+GROUP BY l_returnflag
+""")
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: slow shipments split by priority class — a
+    fact-fact join with a CROSS-TABLE residual predicate (shipdate >
+    orderdate + 30: it cannot push to either scan, only to the join
+    residual) feeding conditional counts grouped by a lineitem
+    attribute (l_returnflag stands in for the absent l_shipmode).
+    One shuffle on orderkey, one on the group key — at 100 TB the
+    orderkey exchange dominates and AQE's skew split is the relief
+    valve."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.to_date("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1998-01-01")))
+    o = _t(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .where(F.to_date("l_shipdate")
+                   > F.date_add(F.to_date("o_orderdate"), 30))
+            .groupBy("l_returnflag")
+            .agg(F.sum(hi.cast("long")).alias("high_line_count"),
+                 F.sum((~hi).cast("long")).alias("low_line_count")))
+
+
+@q("tpch_q10_returned_items", f"""
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM({_REV_DEC}) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1997-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""")
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by lost (returned) revenue in a
+    quarter — the classic snowflake join into a grouped top-k.  The
+    scale plan: the quarter filter pushes to the ORDERS scan (the
+    small side after pruning), returnflag pushes to lineitem, nation
+    broadcasts, and the final ORDER BY ... LIMIT is
+    TakeOrderedAndProject (never a global sort).  Deterministic
+    tie-break on c_custkey so both engines cut the same 20."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.to_date("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.to_date("o_orderdate") < F.lit("1997-04-01")))
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.sum(_rev()).cast("double").alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+            .limit(20))
+
+
+@q("tpch_q9_product_profit", f"""
+SELECT n_name AS nation, EXTRACT(year FROM l_shipdate) AS o_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     - 0.5 * p_retailprice * l_quantity
+                     AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%blue%'
+GROUP BY 1, 2
+""")
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit by supplier nation and
+    year — the widest join tree in the roster (fact + 3 dims; the
+    original's partsupp.ps_supplycost has no table here, so cost =
+    0.5 * p_retailprice * quantity, which preserves the
+    profit-expression-over-joined-columns shape).  Part filters on
+    name BEFORE the join (column-pruned broadcast); profit is ONE
+    DECIMAL expression so partial aggregation stays
+    association-order-free."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = (_t(spark, sf_dir, "part")
+         .where(F.col("p_name").like("%blue%"))
+         .select("p_partkey", "p_retailprice"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey",
+                                             "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+              ).cast("decimal(18,4)")
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("l_shipdate").alias("o_year"))
+            .agg(F.sum(profit).cast("double").alias("sum_profit")))
+
+
+@q("tpch_q11_important_stock", f"""
+WITH pairvals AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(18,4))) AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey = 7
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS partkey, CAST(val AS DOUBLE) AS value
+FROM pairvals
+WHERE val > (SELECT CAST(SUM(val) * 0.001 AS DECIMAL(18,4))
+             FROM pairvals)
+""")
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts holding an outsized share of one
+    nation's supply value — a grouped aggregate compared against a
+    SCALAR FRACTION OF ITS OWN TOTAL (the HAVING-subquery form; no
+    partsupp, so value = that nation's shipped revenue per part).
+    The plan computes the per-part grain ONCE, derives the global
+    threshold from the SAME grain (a 1-row broadcast), and filters —
+    never two scans of the fact.  Both the per-part values and the
+    threshold stay DECIMAL until the boundary so the > comparison is
+    exact on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = (_t(spark, sf_dir, "supplier")
+         .where(F.col("s_nationkey") == 7).select("s_suppkey"))
+    vals = (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .groupBy("l_partkey")
+            .agg(F.sum(_rev()).alias("val")))
+    thresh = vals.agg((F.sum("val") * 0.001)
+                      .cast("decimal(18,4)").alias("cut"))
+    return (vals.join(F.broadcast(thresh),
+                      F.col("val") > F.col("cut"))
+            .select(F.col("l_partkey").alias("partkey"),
+                    F.col("val").cast("double").alias("value")))
+
+
+@q("tpch_q2_min_cost_supplier", """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(CAST(l_extendedprice AS DOUBLE)
+             / CAST(l_quantity AS DOUBLE)) AS unit_cost
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE' AND l_quantity > 0
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT l_partkey, MIN(unit_cost) AS best_cost
+  FROM cost GROUP BY 1
+)
+SELECT p_partkey, s_name, n_name, best_cost AS unit_cost
+FROM cost
+JOIN best ON cost.l_partkey = best.l_partkey
+         AND cost.unit_cost = best.best_cost
+JOIN part     ON cost.l_partkey = p_partkey
+JOIN supplier ON cost.l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_size BETWEEN 10 AND 25 AND p_type = 'LARGE'
+""")
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the CORRELATED-MIN supplier pick — for each
+    sized/typed part, the European supplier(s) offering exactly the
+    regional minimum unit cost (no partsupp: unit cost = the
+    supplier's best observed price-per-unit from lineitem).  The
+    decorrelated plan this entry declares is the one that survives
+    100 TB: per-(part,supplier) mins on ONE shuffled grain, per-part
+    minima derived from that SAME grain, then an equality self-join
+    — Catalyst's rewrite of the original's correlated subquery,
+    hand-written so no per-part rescan can sneak in.  Unit cost stays
+    DOUBLE end-to-end: a single IEEE division is bit-identical on
+    both engines (no sum-order exposure), where a DECIMAL(18,6)
+    rounding of the same ratio sits on half-boundaries."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 0)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = (_t(spark, sf_dir, "region")
+         .where(F.col("r_name") == "EUROPE"))
+    eu_sup = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+              .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+              .select("s_suppkey", "s_name", "n_name"))
+    cost = (li.join(F.broadcast(eu_sup.select("s_suppkey")),
+                    li.l_suppkey == F.col("s_suppkey"))
+            .groupBy("l_partkey", "l_suppkey")
+            .agg(F.min(F.col("l_extendedprice").cast("double")
+                       / F.col("l_quantity").cast("double"))
+                 .alias("unit_cost")))
+    best = (cost.groupBy("l_partkey")
+            .agg(F.min("unit_cost").alias("best_cost"))
+            .withColumnRenamed("l_partkey", "best_partkey"))
+    p = (_t(spark, sf_dir, "part")
+         .where(F.col("p_size").between(10, 25)
+                & (F.col("p_type") == "LARGE"))
+         .select("p_partkey"))
+    return (cost.join(best,
+                      (F.col("l_partkey") == F.col("best_partkey"))
+                      & (F.col("unit_cost") == F.col("best_cost")))
+            .drop("best_partkey")
+            .join(F.broadcast(p), cost.l_partkey == p.p_partkey)
+            .join(F.broadcast(eu_sup),
+                  cost.l_suppkey == eu_sup.s_suppkey)
+            .select("p_partkey", "s_name", "n_name",
+                    F.col("best_cost").alias("unit_cost")))
