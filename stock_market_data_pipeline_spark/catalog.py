@@ -3503,13 +3503,15 @@ from . import catalog_tpch  # noqa: E402,F401  (TPC-H q4/q7/q8/q13/q15/q16/q18/q
 # -- round 13 window (generated by tools/gen_driver_window.py) --
 # group 0: changed this round — serving_manifest_ticker_range rides
 #   the compact() collision-merge fix (r12 ADVICE high);
-# group 1: the 20 never-driver-green r11/r12 registrations (the r12
-#   saturation deferral cohort, FIFO) + this round's new entries;
-# group 2: the stalest previously-green entries (last green r9 —
+# group 1: the 34 never-driver-green entries — the 20-entry r12
+#   saturation-deferral cohort (FIFO) plus this round's 14 new
+#   registrations (DSv2 evolved write, SQL DML, incremental ANALYZE,
+#   the 10 TPC-H shapes completing the 22-query roster);
+# group 2: the 15 stalest previously-green entries (last green r9 —
 #   aged two rounds at once when the r11 driver artifact never
-#   landed), FIFO by registration.  The 16 r9 entries that do not
-#   fit remain age-4 = exactly the ceil(165/50) bound; they front
-#   the r14 window.
+#   landed), FIFO by registration.  The 30 r9 entries that do not
+#   fit sit at exactly the ceil(179/50)=4 bound; they front the r14
+#   window.
 _DRIVER_WINDOW_FIRST = [
     "serving_manifest_ticker_range", "text_boilerplate_scrub",
     "embedding_kmeans_clusters", "sketch_hll_daily_users",
@@ -3521,23 +3523,29 @@ _DRIVER_WINDOW_FIRST = [
     "tpch_q8_market_share", "tpch_q13_order_distribution",
     "tpch_q15_top_supplier", "tpch_q16_supplier_cnt",
     "tpch_q18_large_orders", "tpch_q19_disjunctive_rev",
-    "tpch_q22_anti_join", "bars_ohlcv", "constituents_snapshots",
-    "universe_daily", "fct_trading_momentum", "constituents_diff",
-    "fct_trading_momentum_valid", "manifest_momentum_merge",
-    "manifest_pruned_scan", "manifest_zorder_scan",
-    "manifest_cdf_rows", "manifest_merge_delete",
-    "manifest_zorder_mixed", "agg_daily_market_breadth",
-    "dim_securities_current", "agg_alignment_join",
-    "trend_slope_by_key", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_simhash_edges_capped", "text_stats", "text_quality_score",
-    "docs_pii_scrub", "text_fingerprint", "dedup_clusters",
-    "dedup_minhash_edges_capped", "text_rolling_hash",
-    "text_repetition_ratio", "embedding_centroids", "ann_cosine_topk",
+    "tpch_q22_anti_join", "datasink_evolved_write",
+    "manifest_sql_merge", "manifest_sql_dml",
+    "manifest_analyze_incremental", "tpch_q17_small_qty_revenue",
+    "tpch_q20_excess_suppliers", "tpch_q21_waiting_suppliers",
+    "tpch_q6_forecast_revenue", "tpch_q14_promo_effect",
+    "tpch_q12_priority_by_flag", "tpch_q10_returned_items",
+    "tpch_q9_product_profit", "tpch_q11_important_stock",
+    "tpch_q2_min_cost_supplier", "bars_ohlcv",
+    "constituents_snapshots", "universe_daily", "fct_trading_momentum",
+    "constituents_diff", "fct_trading_momentum_valid",
+    "manifest_momentum_merge", "manifest_pruned_scan",
+    "manifest_zorder_scan", "manifest_cdf_rows",
+    "manifest_merge_delete", "manifest_zorder_mixed",
+    "agg_daily_market_breadth", "dim_securities_current",
+    "agg_alignment_join",
 ]
 
-#: never-green overflow ledger (FIFO).  EMPTY this round: all 20
-#: never-driver-green entries fit the 50-slot window alongside the
-#: changed + stalest cohorts, so nothing defers.
+#: never-green overflow ledger (FIFO).  EMPTY this round: all 34
+#: never-driver-green entries (the r12 saturation cohort plus this
+#: round's 14 new registrations) fit the 50-slot window alongside
+#: the changed entry and the 15 stalest r9 survivors, so nothing
+#: defers.  The remaining 30 r9-cohort entries sit at exactly the
+#: ceil(179/50)=4 staleness bound and front the r14 window.
 _DRIVER_WINDOW_DEFERRED: list[str] = [
 ]
 

@@ -778,3 +778,85 @@ def manifest_analyze_incremental_q(spark: SparkSession,
         rows, schema="col_name string, n_zero_registers bigint, "
                      "register_sum bigint, nulls bigint, "
                      "vmin string, vmax string")
+
+
+_CMS_PROBES = [("user_id", "17"), ("user_id", "41"),
+               ("user_id", "89"), ("event_type", "click"),
+               ("event_type", "error")]
+
+_CMS_EST = """
+SELECT '{col}' AS col_name, '{v}' AS probe,
+       (SELECT MIN(n) FROM (
+          SELECT i, CAST('0x' || substring(
+                   md5(CAST(i AS VARCHAR) || '|'
+                       || CAST({col} AS VARCHAR)), 1, 15)
+                 AS BIGINT) % 256 AS b, COUNT(*) AS n
+          FROM events CROSS JOIN range(4) t(i)
+          WHERE {col} IS NOT NULL GROUP BY 1, 2
+        ) g
+        JOIN (
+          SELECT i AS pi, CAST('0x' || substring(
+                   md5(CAST(i AS VARCHAR) || '|' || '{v}'), 1, 15)
+                 AS BIGINT) % 256 AS pb
+          FROM range(4) t(i)
+        ) p ON g.i = p.pi AND g.b = p.pb) AS estimate,
+       (SELECT COUNT(*) FROM events
+        WHERE CAST({col} AS VARCHAR) = '{v}') AS exact
+""".strip()
+
+CMS_SKEW_SQL = "\nUNION ALL\n".join(
+    _CMS_EST.format(col=c, v=v) for c, v in _CMS_PROBES)
+
+
+@q("sketch_cms_key_skew", CMS_SKEW_SQL)
+def sketch_cms_key_skew_q(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """COUNT-MIN FREQUENCY SKETCHES in ANALYZE (Cormode &
+    Muthukrishnan 2005; functions/sketches.py): 4x256 pure-sum
+    counters per column stored in the commit object, so "how hot is
+    key K?" — the input to every salt-this-join decision at 100 TB —
+    is answered from metadata in O(1) instead of a fact groupBy.
+    The entry sketches a uniform key (user_id, ~67 rows each) and a
+    heavy one (event_type, ~2000 rows each) on a manifest table,
+    probes both through estimate_frequency, and RAISES unless every
+    estimate >= its exact count (CMS never undercounts) and the
+    hot/cold separation is an order of magnitude (the skew signal).
+    Oracle: DuckDB rebuilds the SAME md5 counters and takes the same
+    min-over-rows estimates — exact integer parity of the sketch
+    query surface, not just self-consistency."""
+    from .manifest import ManifestTable
+
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_id", "user_id", "event_type", "value"))
+    t = ManifestTable.create(ev, scratch_dir("manifest_cms_"),
+                             ts=None)
+    t.analyze(spark, approx=True,
+              columns=["user_id", "event_type"],
+              frequencies=["user_id", "event_type"])
+    exact = {("user_id", str(r["user_id"])): r["n"] for r in
+             ev.groupBy("user_id").agg(F.count("*").alias("n"))
+             .collect()}
+    exact.update({("event_type", r["event_type"]): r["n"] for r in
+                  ev.groupBy("event_type")
+                  .agg(F.count("*").alias("n")).collect()})
+    rows = []
+    for col, v in _CMS_PROBES:
+        probe = int(v) if col == "user_id" else v
+        est = t.estimate_frequency(col, probe)
+        ex = exact[(col, v)]
+        if est < ex:
+            raise RuntimeError(
+                f"CMS undercounted {col}={v}: {est} < {ex}")
+        rows.append((col, v, est, ex))
+    cold = max(e for (c, _), e in zip(_CMS_PROBES,
+                                      [r[2] for r in rows])
+               if c == "user_id")
+    hot = min(e for (c, _), e in zip(_CMS_PROBES,
+                                     [r[2] for r in rows])
+              if c == "event_type")
+    if hot < 10 * cold:
+        raise RuntimeError(
+            f"skew signal lost: hot {hot} vs cold {cold}")
+    return spark.createDataFrame(
+        rows, schema="col_name string, probe string, "
+                     "estimate bigint, exact bigint")

@@ -143,3 +143,78 @@ def hll_merge_py(a: list[int], b: list[int]) -> list[int]:
     """Driver-side register union (element-wise max) — the metadata
     half of incremental ANALYZE."""
     return [x if x >= y else y for x, y in zip(a, b)]
+
+
+# -- Count-Min frequency sketches ------------------------------------
+#
+# Why a table engine wants these at 100 TB: join-key SKEW is the
+# single most common scale killer (one hot key -> one straggler
+# task), and deciding "salt this join" requires key frequencies —
+# which normally costs a full groupBy scan of the fact.  A Count-Min
+# sketch (Cormode & Muthukrishnan 2005) is a d x w grid of counters,
+# updated by pure addition, so it is (a) order-independent — the same
+# rows in any distribution give the SAME integers, (b) mergeable
+# across appends/partitions by element-wise add, and (c) a few KB —
+# it lives in the commit object next to the HLL registers, and
+# "how hot is key K?" becomes d array lookups against stored stats,
+# never a scan.  Estimates OVERCOUNT only (min over d rows bounds the
+# error by ~e/w of total rows); an under-estimate is impossible, the
+# property that makes "skip salting" decisions safe.
+#
+# Hashing is the repo-wide md5 idiom (row index salted into the
+# digest), so a DuckDB oracle rebuilds byte-identical counters.
+
+CMS_D, CMS_W = 4, 256
+
+
+def cms_bucket(col: Column, row: int, w: int = CMS_W) -> Column:
+    """Counter index of ``col`` in CMS row ``row``: first 15 hex
+    chars of md5('<row>|' || value), mod w.  DuckDB twin:
+    ``CAST('0x' || substring(md5('<row>|' || CAST(x AS VARCHAR)),
+    1, 15) AS BIGINT) % w``."""
+    return (F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{row}|"), col.cast("string"))),
+        1, 15), 16, 10).cast("long") % w).cast("int")
+
+
+def cms_counters(df: DataFrame, col: str,
+                 d: int = CMS_D, w: int = CMS_W) -> list[list[int]]:
+    """Build the d x w counter grid over ``df[col]`` (NULLs excluded,
+    matching NDV semantics) with ONE Spark job at (row, bucket)
+    grain — d*w <= 1024 result rows regardless of input size.
+    Returns plain ints (the commit-object payload)."""
+    src = df.where(F.col(col).isNotNull())
+    buckets = F.array(*[cms_bucket(F.col(col), i, w)
+                        for i in range(d)])
+    grid = (src.select(F.posexplode(buckets).alias("i", "b"))
+            .groupBy("i", "b").agg(F.count("*").alias("n"))
+            .collect())
+    out = [[0] * w for _ in range(d)]
+    for r in grid:
+        out[r["i"]][r["b"]] = int(r["n"])
+    return out
+
+
+def cms_merge_py(a: list[list[int]],
+                 b: list[list[int]]) -> list[list[int]]:
+    """Element-wise add — the CMS union (exact: counters are pure
+    sums, so merged == rebuilt-over-union, bit for bit)."""
+    return [[x + y for x, y in zip(ra, rb)] for ra, rb in zip(a, b)]
+
+
+def cms_estimate_py(grid: list[list[int]], value,
+                    w: int = CMS_W) -> int:
+    """Frequency estimate of ``value``: min over rows of the value's
+    counter.  Never an undercount; overcount bounded by ~e/w of the
+    total count per row.  Uses the same canonical-string md5 as the
+    build (ints render without sign/width decoration; floats must be
+    queried with the exact stored rendering)."""
+    import hashlib
+
+    est = None
+    for i, row in enumerate(grid):
+        h = int(hashlib.md5(
+            f"{i}|{value}".encode()).hexdigest()[:15], 16)
+        c = row[h % w]
+        est = c if est is None else min(est, c)
+    return est or 0

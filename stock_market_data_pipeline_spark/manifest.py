@@ -3934,7 +3934,8 @@ class ManifestTable:
 
     def analyze(self, spark: SparkSession,
                 columns: list[str] | None = None,
-                approx: bool = False) -> dict:
+                approx: bool = False,
+                frequencies: list[str] | None = None) -> dict:
         """``ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS``:
         one distributed aggregation over the LIVE rows computes, per
         column, the distinct-value count, null count, and min/max,
@@ -3958,7 +3959,16 @@ class ManifestTable:
         :meth:`meta_column_stats` marks them ``stale`` once the table
         moves past the analyzed version (re-run to refresh — the
         Delta/Iceberg stats-freshness contract).  Returns the
-        recorded payload."""
+        recorded payload.
+
+        ``frequencies=[cols]`` additionally stores a Count-Min
+        frequency sketch per named column (functions/sketches.py —
+        4x256 pure-sum counters, order-independent, mergeable by
+        addition): :meth:`estimate_frequency` then answers "how hot
+        is key K?" from the commit object in O(1), the input to a
+        salt-this-join decision that normally costs a full fact
+        groupBy.  Sketched columns merge through
+        :meth:`analyze_incremental` exactly (sums commute)."""
         mf = self._raw()
         schema = mf.get("schema") or []
         if not schema:
@@ -3973,6 +3983,14 @@ class ManifestTable:
                 f"schema {names}")
         df = self.read(spark)
         stats = self._column_stats(df, cols, approx)
+        for c in frequencies or []:
+            if c not in cols:
+                raise SchemaMismatch(
+                    f"analyze(frequencies=...): column {c!r} not in "
+                    f"the analyzed set {cols} (a sketch without base "
+                    f"stats would read back partial)")
+            from .functions import sketches
+            stats[c]["cms"] = sketches.cms_counters(df, c)
         while True:
             cur = self._raw()
             # the analyze commit itself changes no data, so stats
@@ -4056,9 +4074,14 @@ class ManifestTable:
         cols = columns or [n for n, _ in (mf.get("schema") or [])]
         prior = cs.get("columns", {})
         av = cs.get("version")
+        # columns whose prior stats carry a CMS keep it through the
+        # refresh — counters are pure sums, so incremental merge is
+        # EXACT for them, and a full fallback must rebuild them too
+        freq_cols = [c for c in cols if prior.get(c, {}).get("cms")]
         if av is None or any(not prior.get(c, {}).get("hll")
                              for c in cols):
-            out = self.analyze(spark, columns=cols, approx=True)
+            out = self.analyze(spark, columns=cols, approx=True,
+                               frequencies=freq_cols)
             out["scanned_files"] = -1          # full scan, documented
             return out
         if av >= mf["version"]:
@@ -4066,7 +4089,8 @@ class ManifestTable:
         try:
             old = self._raw(self._mname(av))
         except (FileNotFoundError, OSError):
-            out = self.analyze(spark, columns=cols, approx=True)
+            out = self.analyze(spark, columns=cols, approx=True,
+                               frequencies=freq_cols)
             out["scanned_files"] = -1
             return out
         old_entries = {v: self._entries(old, v)
@@ -4083,7 +4107,8 @@ class ManifestTable:
                if isinstance(old["partitions"].get(v), dict) else 0)
             for v, r in mf["partitions"].items())
         if not old_files <= live_files or dv_grew:
-            out = self.analyze(spark, columns=cols, approx=True)
+            out = self.analyze(spark, columns=cols, approx=True,
+                               frequencies=freq_cols)
             out["scanned_files"] = -1
             return out
         new_by_val = {v: [e for e in es if e["path"] not in old_files]
@@ -4111,6 +4136,9 @@ class ManifestTable:
                             if any(regs) else 0),
                     "nulls": p_["nulls"] + f_["nulls"],
                     "min": lo, "max": hi, "hll": regs}
+                if c in freq_cols:
+                    merged[c]["cms"] = sketches.cms_merge_py(
+                        p_["cms"], sketches.cms_counters(frame, c))
         while True:
             cur = self._raw()
             payload = {"version": (cur["version"] + 1
@@ -4128,6 +4156,27 @@ class ManifestTable:
                 return {**payload, "scanned_files": len(paths)}
             except CommitConflict:
                 continue        # metadata-only: rebase and reapply
+
+    def estimate_frequency(self, col: str, value) -> int:
+        """Estimated row count of ``value`` in ``col`` from the
+        Count-Min sketch stored by ``analyze(frequencies=[col])`` —
+        O(1) commit-object lookups, no scan.  NEVER an undercount
+        (CMS guarantees estimate >= truth); overcount bounded by
+        ~e/256 of the column's non-null rows per the published
+        analysis.  This is the 100 TB skew probe: compare against
+        rows/NDV (the mean frequency) to decide whether a join key
+        needs salting BEFORE launching the join.  Raises if no sketch
+        was recorded for the column (an implicit zero would read as
+        'not skewed')."""
+        from .functions import sketches
+
+        cs = (self._raw().get("colstats") or {}).get("columns", {})
+        grid = cs.get(col, {}).get("cms")
+        if not grid:
+            raise RuntimeError(
+                f"{self.root}: no frequency sketch for {col!r} — run "
+                f"analyze(spark, frequencies=[{col!r}]) first")
+        return sketches.cms_estimate_py(grid, value)
 
     @staticmethod
     def _fold_minmax(spark, dtype: str | None, a: tuple, b: tuple):

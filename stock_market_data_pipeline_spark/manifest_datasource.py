@@ -1392,9 +1392,14 @@ _TT_RE = re.compile(
 
 # -- SQL DML over registered manifest tables (VERDICT r12 #4) --------
 _INSERT_RE = re.compile(
-    r"^\s*INSERT\s+INTO\s+([A-Za-z_]\w*)\s*"
+    r"^\s*INSERT\s+(INTO|OVERWRITE(?:\s+TABLE)?)\s+([A-Za-z_]\w*)\s*"
     r"(\(\s*[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*\s*\))?\s*"
     r"((?:SELECT|VALUES|TABLE|FROM|WITH)\b.*)$",
+    re.IGNORECASE | re.DOTALL)
+_CTAS_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+([A-Za-z_]\w*)\s*"
+    r"(?:PARTITIONED\s+BY\s*\(\s*([A-Za-z_]\w*)\s*\)\s*)?"
+    r"AS\s+((?:SELECT|WITH|VALUES|TABLE|FROM)\b.*)$",
     re.IGNORECASE | re.DOTALL)
 _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+([A-Za-z_]\w*)"
@@ -1473,6 +1478,34 @@ def _run_dml(spark, query: str, mts: dict, cdf: bool):
             [tuple(kw.values())],
             ", ".join(f"{k} long" for k in kw))
 
+    m = _CTAS_RE.match(query)
+    if m:
+        replace, name, part_col, select = m.groups()
+        if name not in mts:
+            raise KeyError(f"CTAS target {name!r} not in tables — "
+                           f"pass its root path")
+        from .manifest import ManifestTable
+        root = mts[name].root
+        df = spark.sql(select)
+        n = df.count()
+        try:
+            mts[name]._raw()
+            exists = True
+        except (FileNotFoundError, OSError):
+            exists = False
+        if exists:
+            if not replace:
+                raise ValueError(
+                    f"table {name!r} already exists at {root}; use "
+                    f"CREATE OR REPLACE TABLE")
+            mts[name].overwrite(df)
+            t = mts[name]
+        else:
+            t = ManifestTable.create(df, root, ts=part_col)
+            mts[name] = t
+        t.register(spark, name)
+        return metrics(num_inserted_rows=n)
+
     m = _MERGE_RE.match(query)
     if m:
         name = m.group("target")
@@ -1533,7 +1566,7 @@ def _run_dml(spark, query: str, mts: dict, cdf: bool):
             + (out or {}).get("rows_appended", 0)) or updates.count())
     m = _INSERT_RE.match(query)
     if m:
-        name, cols, select = m.groups()
+        verb, name, cols, select = m.groups()
         if name not in mts:
             raise KeyError(f"INSERT target {name!r} not in tables")
         t = mts[name]
@@ -1563,7 +1596,14 @@ def _run_dml(spark, query: str, mts: dict, cdf: bool):
             df = df.select(*[F.col(n).cast(tp).alias(n)
                              for n, tp in sig])
         n = df.count()
-        t.append(df, cdf=cdf)
+        if verb.upper().startswith("OVERWRITE"):
+            # INSERT OVERWRITE = full-refresh replace (Spark's own
+            # semantics for unpartitioned-spec inserts): one atomic
+            # commit swaps the whole table content, readers keep the
+            # old snapshot until the link
+            t.overwrite(df)
+        else:
+            t.append(df, cdf=cdf)
         return metrics(num_inserted_rows=n)
     m = _DELETE_RE.match(query)
     if m and m.group(1) in mts:
@@ -1603,8 +1643,13 @@ def manifest_sql(spark, query: str, tables: dict,
     ordinary views).  Returns the result DataFrame.
 
     DML (VERDICT r12 "Next round" #4 — the first wall a warehouse-SQL
-    user hits once reads are covered): ``INSERT INTO name SELECT/
-    VALUES ...``, ``DELETE FROM name WHERE ...``, ``UPDATE name SET
+    user hits once reads are covered): ``CREATE [OR REPLACE] TABLE
+    name [PARTITIONED BY (col)] AS SELECT ...`` (the name maps to a
+    root path in ``tables``; the created table registers for the
+    session), ``INSERT INTO name SELECT/
+    VALUES ...``, ``INSERT OVERWRITE name SELECT ...`` (atomic
+    full-refresh replace), ``DELETE FROM name WHERE ...``, ``UPDATE
+    name SET
     ... WHERE ...`` and the schema-aligned ``MERGE INTO name [t]
     USING (<query>)|<view> [s] ON t.k = s.k [AND ...] WHEN MATCHED
     [AND c] THEN UPDATE SET * | DELETE / WHEN NOT MATCHED THEN INSERT
@@ -1625,6 +1670,12 @@ def manifest_sql(spark, query: str, tables: dict,
                   else ManifestTable(t, None))
            for name, t in tables.items()}
     for name, t in mts.items():
+        try:
+            t._raw()
+        except (FileNotFoundError, OSError):
+            # a not-yet-created root is legal input for CTAS only;
+            # any other statement touching it will fail on its own
+            continue
         t.register(spark, name)
 
     dml = _run_dml(spark, query, mts, cdf)

@@ -86,3 +86,42 @@ def test_incremental_falls_back_without_prior_sketch(spark, tmp_path):
     out = t.analyze_incremental(spark)
     assert out["scanned_files"] == -1
     assert all("hll" in s for s in out["columns"].values())
+
+
+def test_cms_frequency_sketch_and_incremental_merge(spark, tmp_path):
+    """Count-Min sketches stored by analyze(frequencies=[...]) answer
+    key-frequency probes from the commit object (never an
+    undercount), and merge through analyze_incremental EXACTLY —
+    counters are pure sums, so merged == rebuilt-over-union bit for
+    bit."""
+    t = ManifestTable.create(_batch(spark, 0, 400),
+                             str(tmp_path / "t"), ts="pt")
+    t.analyze(spark, approx=True, frequencies=["grp"])
+    truth = {r["grp"]: r["n"] for r in
+             (t.read(spark).groupBy("grp")
+              .agg(F.count("*").alias("n")).collect())}
+    for k in (0, 7, 42, 96):
+        est = t.estimate_frequency("grp", k)
+        assert est >= truth[k], (k, est, truth[k])
+        assert est <= truth[k] * 2 + 8, (k, est, truth[k])
+    t.append(_batch(spark, 400, 700))
+    inc = t.analyze_incremental(spark)
+    assert inc["scanned_files"] == 5
+    twin = ManifestTable.create(_batch(spark, 0, 700),
+                                str(tmp_path / "twin"), ts="pt")
+    full = twin.analyze(spark, approx=True, frequencies=["grp"])
+    assert inc["columns"]["grp"]["cms"] == full["columns"]["grp"]["cms"]
+    # the skew-probe decision input: hot key frequency vs mean
+    total = 700
+    mean = total / 97
+    est_hot = t.estimate_frequency("grp", 0)
+    assert est_hot >= total // 97          # >= its true count
+
+
+def test_estimate_frequency_requires_sketch(spark, tmp_path):
+    t = ManifestTable.create(_batch(spark, 0, 50),
+                             str(tmp_path / "t"), ts="pt")
+    t.analyze(spark, approx=True)
+    import pytest
+    with pytest.raises(RuntimeError, match="no frequency sketch"):
+        t.estimate_frequency("grp", 3)

@@ -229,3 +229,38 @@ def test_sql_merge_rejects_unsupported_grammar(spark, t):
         manifest_sql(spark,
                      "MERGE INTO tt USING srcv s ON tt.id = s.id "
                      "WHEN MATCHED THEN UPDATE SET *", {"tt": t})
+
+
+def test_sql_insert_overwrite(spark, t):
+    out = manifest_sql(
+        spark,
+        "INSERT OVERWRITE tt SELECT id, CAST(id % 4 AS STRING) AS "
+        "pt, id * 3.0 AS v FROM range(0, 10)", {"tt": t})
+    assert out.collect()[0]["num_inserted_rows"] == 10
+    got = t.read(spark)
+    assert got.count() == 10
+    assert got.where(F.col("v") != F.col("id") * 3.0).count() == 0
+
+
+def test_sql_ctas_and_replace(spark, t, tmp_path):
+    root = str(tmp_path / "ctas")
+    out = manifest_sql(
+        spark,
+        "CREATE TABLE agg PARTITIONED BY (pt) AS "
+        "SELECT pt, COUNT(*) AS n, SUM(v) AS s FROM tt GROUP BY pt",
+        {"tt": t, "agg": root})
+    assert out.collect()[0]["num_inserted_rows"] == 4
+    made = ManifestTable(root, "pt")
+    assert made._raw()["ts"] == "pt"
+    assert made.read(spark).count() == 4
+    # the CTAS target is queryable by name in the same session
+    assert spark.sql("SELECT COUNT(*) AS n FROM agg").collect()[0]["n"] == 4
+    with pytest.raises(ValueError, match="already exists"):
+        manifest_sql(spark, "CREATE TABLE agg AS SELECT 1 AS x",
+                     {"agg": root})
+    manifest_sql(spark,
+                 "CREATE OR REPLACE TABLE agg AS "
+                 "SELECT pt, COUNT(*) AS n FROM tt GROUP BY pt "
+                 "HAVING pt < '2'",
+                 {"tt": t, "agg": root})
+    assert ManifestTable(root, None).read(spark).count() == 2
