@@ -3503,14 +3503,15 @@ from . import catalog_tpch  # noqa: E402,F401  (TPC-H q4/q7/q8/q13/q15/q16/q18/q
 # -- round 13 window (generated by tools/gen_driver_window.py) --
 # group 0: changed this round — serving_manifest_ticker_range rides
 #   the compact() collision-merge fix (r12 ADVICE high);
-# group 1: the 34 never-driver-green entries — the 20-entry r12
-#   saturation-deferral cohort (FIFO) plus this round's 14 new
+# group 1: the 35 never-driver-green entries — the 20-entry r12
+#   saturation-deferral cohort (FIFO) plus this round's 15 new
 #   registrations (DSv2 evolved write, SQL DML, incremental ANALYZE,
-#   the 10 TPC-H shapes completing the 22-query roster);
-# group 2: the 15 stalest previously-green entries (last green r9 —
+#   CMS frequency sketches, the 10 TPC-H shapes completing the
+#   22-query roster);
+# group 2: the 14 stalest previously-green entries (last green r9 —
 #   aged two rounds at once when the r11 driver artifact never
-#   landed), FIFO by registration.  The 30 r9 entries that do not
-#   fit sit at exactly the ceil(179/50)=4 bound; they front the r14
+#   landed), FIFO by registration.  The 31 r9 entries that do not
+#   fit sit at exactly the ceil(180/50)=4 bound; they front the r14
 #   window.
 _DRIVER_WINDOW_FIRST = [
     "serving_manifest_ticker_range", "text_boilerplate_scrub",
@@ -3530,22 +3531,21 @@ _DRIVER_WINDOW_FIRST = [
     "tpch_q6_forecast_revenue", "tpch_q14_promo_effect",
     "tpch_q12_priority_by_flag", "tpch_q10_returned_items",
     "tpch_q9_product_profit", "tpch_q11_important_stock",
-    "tpch_q2_min_cost_supplier", "bars_ohlcv",
+    "tpch_q2_min_cost_supplier", "sketch_cms_key_skew", "bars_ohlcv",
     "constituents_snapshots", "universe_daily", "fct_trading_momentum",
     "constituents_diff", "fct_trading_momentum_valid",
     "manifest_momentum_merge", "manifest_pruned_scan",
     "manifest_zorder_scan", "manifest_cdf_rows",
     "manifest_merge_delete", "manifest_zorder_mixed",
     "agg_daily_market_breadth", "dim_securities_current",
-    "agg_alignment_join",
 ]
 
-#: never-green overflow ledger (FIFO).  EMPTY this round: all 34
+#: never-green overflow ledger (FIFO).  EMPTY this round: all 35
 #: never-driver-green entries (the r12 saturation cohort plus this
-#: round's 14 new registrations) fit the 50-slot window alongside
-#: the changed entry and the 15 stalest r9 survivors, so nothing
-#: defers.  The remaining 30 r9-cohort entries sit at exactly the
-#: ceil(179/50)=4 staleness bound and front the r14 window.
+#: round's 15 new registrations) fit the 50-slot window alongside
+#: the changed entry and the 14 stalest r9 survivors, so nothing
+#: defers.  The remaining 31 r9-cohort entries sit at exactly the
+#: ceil(180/50)=4 staleness bound and front the r14 window.
 _DRIVER_WINDOW_DEFERRED: list[str] = [
 ]
 

@@ -581,10 +581,10 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q("tpch_q14_promo_effect", f"""
-SELECT CAST(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
                              THEN {_REV_DEC} ELSE CAST(0 AS
-                             DECIMAL(18,4)) END)
-            / SUM({_REV_DEC}) AS DOUBLE) AS promo_pct,
+                             DECIMAL(18,4)) END) AS DOUBLE)
+            / CAST(SUM({_REV_DEC}) AS DOUBLE) AS promo_pct,
        COUNT(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE CAST(l_shipdate AS DATE) >= DATE '1997-03-01'
@@ -596,8 +596,9 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast part join (the month slice of lineitem is the probe
     side; part is the broadcast build side at any scale where part
     fits executor memory, and a shuffled hash join beyond).  BOTH
-    sums are exact DECIMAL partials; ONE double division at the
-    boundary."""
+    sums are exact DECIMAL partials, cast to double BEFORE the
+    100.0-multiply and the division in the same left-to-right order
+    on both engines (a decimal-side multiply drifts 1 ulp)."""
     li = _t(spark, sf_dir, "lineitem").where(
         (F.to_date("l_shipdate") >= F.lit("1997-03-01"))
         & (F.to_date("l_shipdate") < F.lit("1997-04-01")))

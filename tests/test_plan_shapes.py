@@ -302,3 +302,49 @@ def test_dv_read_is_one_broadcast_anti_join(spark, tmp_path):
     t2 = ManifestTable.create(df, str(tmp_path / "clean"),
                               ts="trade_date")
     assert "Join" not in plan_str(t2.read(spark))
+
+
+def test_tpch_decorrelated_shapes_no_cartesian(spark):
+    """The round-13 TPC-H additions must keep their hand-decorrelated
+    plans: no CartesianProduct anywhere; q11's one
+    BroadcastNestedLoopJoin is the 1-row scalar-threshold join (the
+    q22 pattern) and must stay the ONLY nested-loop site."""
+    for name in ("tpch_q2_min_cost_supplier",
+                 "tpch_q17_small_qty_revenue",
+                 "tpch_q20_excess_suppliers",
+                 "tpch_q21_waiting_suppliers",
+                 "tpch_q9_product_profit",
+                 "tpch_q10_returned_items"):
+        p = plan_str(_q(name)(spark, SF_SMALL))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+    p = plan_str(_q("tpch_q11_important_stock")(spark, SF_SMALL))
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_tpch_q21_single_order_grain_aggregate(spark):
+    """q21's EXISTS + NOT EXISTS pair must stay reduced to ONE
+    order-grain aggregate joined back — a correlated rewrite would
+    show as extra semi/anti joins over lineitem."""
+    p = plan_str(_q("tpch_q21_waiting_suppliers")(spark, SF_SMALL))
+    assert "LeftSemi" not in p and "LeftAnti" not in p
+    # lines->join, lines->per_order, per_order->join back: three
+    # orderkey exchanges over ONE logical grain (AQE may reuse at
+    # runtime); a correlated rewrite would add lineitem rescans
+    # beyond this
+    assert len(re.findall(r"Exchange hashpartitioning\(l_orderkey",
+                          p)) <= 3
+    # `lines` (lineitem JOIN orders) evaluates twice — once for the
+    # order-grain aggregate, once for the late-line probe: 2x2 scans
+    # + supplier.  A correlated rewrite adds scans beyond this.
+    assert p.count("FileScan parquet") <= 5
+
+
+def test_tpch_q6_all_predicates_pushed(spark):
+    """q6 is the pushdown litmus: discount and quantity must reach the
+    parquet scan as PushedFilters."""
+    p = plan_str(_q("tpch_q6_forecast_revenue")(spark, SF_SMALL))
+    m = re.search(r"PushedFilters: \[([^\]]*)", p)
+    assert m, "no PushedFilters in scan"
+    assert "l_discount" in m.group(1) and "l_quantity" in m.group(1)

@@ -42,6 +42,19 @@ AUDITED = {
     "tpch_q3_topk_revenue": (
         "Selective dims broadcast; TakeOrderedAndProject for the "
         "bounded sort."),
+    "tpch_q2_min_cost_supplier": (
+        "Correlated-min decorrelated: per-(part,supplier) mins and "
+        "per-part minima derive from ONE shuffled grain, then an "
+        "equality self-join — no per-part rescan; every dim "
+        "broadcasts."),
+    "tpch_q21_waiting_suppliers": (
+        "EXISTS + NOT EXISTS pair reduced to one order-grain "
+        "aggregate (n_supp / n_late_supp) joined back — two "
+        "orderkey exchanges total, no correlated rescans."),
+    "tpch_q17_small_qty_revenue": (
+        "Per-part scalar-average subquery decorrelated: limits from "
+        "one grouped agg over the SAME broadcast-filtered lines, "
+        "then a hash join — never O(lines x parts)."),
     "sessionize_events": (
         "ONE Exchange on user_id serves the LAG flag, the running "
         "session counter, and the per-session rollup (grouping keys "
