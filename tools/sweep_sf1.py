@@ -155,6 +155,21 @@ ENTRIES = [
     "tpch_q22_anti_join",
     "sketch_hll_daily_users", "text_boilerplate_scrub",
     "embedding_kmeans_clusters",
+    # round-13: DSv2 append onto a partition-EVOLVED ~6M-bar table
+    # (cross-era pruning asserted in-entry), SQL MERGE/DML over the
+    # same volume through the manifest_sql rewrite, incremental
+    # ANALYZE (merged sketches must equal a fresh full twin at ~2M
+    # rows scanned incrementally), the CMS skew probe over 1M
+    # events, and the seven TPC-H shapes completing the 22-query
+    # roster over 6M lineitem
+    "datasink_evolved_write", "manifest_sql_merge",
+    "manifest_sql_dml", "manifest_analyze_incremental",
+    "sketch_cms_key_skew",
+    "tpch_q17_small_qty_revenue", "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_suppliers", "tpch_q2_min_cost_supplier",
+    "tpch_q6_forecast_revenue", "tpch_q9_product_profit",
+    "tpch_q10_returned_items", "tpch_q11_important_stock",
+    "tpch_q12_priority_by_flag", "tpch_q14_promo_effect",
 ]
 
 
