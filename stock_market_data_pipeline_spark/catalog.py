@@ -3500,52 +3500,45 @@ from . import catalog_tpch  # noqa: E402,F401  (TPC-H q4/q7/q8/q13/q15/q16/q18/q
 # entries; VERDICT r12 "Next round" #1 mandated encoding the real
 # achievable schedule).
 
-# -- round 13 window (generated by tools/gen_driver_window.py) --
-# group 0: changed this round — serving_manifest_ticker_range rides
-#   the compact() collision-merge fix (r12 ADVICE high);
-# group 1: the 35 never-driver-green entries — the 20-entry r12
-#   saturation-deferral cohort (FIFO) plus this round's 15 new
-#   registrations (DSv2 evolved write, SQL DML, incremental ANALYZE,
-#   CMS frequency sketches, the 10 TPC-H shapes completing the
-#   22-query roster);
-# group 2: the 14 stalest previously-green entries (last green r9 —
-#   aged two rounds at once when the r11 driver artifact never
-#   landed), FIFO by registration.  The 31 r9 entries that do not
-#   fit sit at exactly the ceil(180/50)=4 bound; they front the r14
-#   window.
+# -- round 14 window (generated by tools/gen_driver_window.py) --
+# group 0: changed this round — tpch_q12_priority_by_flag rides the
+#   oracle re-typing fix (VERDICT r13 #1: CAST(SUM(CASE) AS BIGINT)
+#   per §8.6 rule 4 — the only red driver row of r13);
+# group 1: no never-driver-green entries at generation time (new
+#   round-14 registrations are appended to this list as they land —
+#   the generator is re-run before the round closes);
+# group 2: the 49 stalest previously-green entries — the full
+#   r9-cohort (31 entries at exactly the ceil(180/50)=4 bound, named
+#   by test_driver_window_staleness_bound against the r13 artifact)
+#   plus the next-stalest r10 survivors, FIFO by registration.
 _DRIVER_WINDOW_FIRST = [
-    "serving_manifest_ticker_range", "text_boilerplate_scrub",
-    "embedding_kmeans_clusters", "sketch_hll_daily_users",
-    "manifest_constraints", "manifest_clone_scan",
-    "manifest_analyze_stats", "manifest_join_pruning",
-    "text_search_scan", "manifest_hidden_partitioning",
-    "manifest_bucket_transform", "manifest_partition_evolution",
-    "tpch_q4_priority_semijoin", "tpch_q7_volume_shipping",
-    "tpch_q8_market_share", "tpch_q13_order_distribution",
-    "tpch_q15_top_supplier", "tpch_q16_supplier_cnt",
-    "tpch_q18_large_orders", "tpch_q19_disjunctive_rev",
-    "tpch_q22_anti_join", "datasink_evolved_write",
-    "manifest_sql_merge", "manifest_sql_dml",
-    "manifest_analyze_incremental", "tpch_q17_small_qty_revenue",
-    "tpch_q20_excess_suppliers", "tpch_q21_waiting_suppliers",
-    "tpch_q6_forecast_revenue", "tpch_q14_promo_effect",
-    "tpch_q12_priority_by_flag", "tpch_q10_returned_items",
-    "tpch_q9_product_profit", "tpch_q11_important_stock",
-    "tpch_q2_min_cost_supplier", "sketch_cms_key_skew", "bars_ohlcv",
-    "constituents_snapshots", "universe_daily", "fct_trading_momentum",
-    "constituents_diff", "fct_trading_momentum_valid",
-    "manifest_momentum_merge", "manifest_pruned_scan",
-    "manifest_zorder_scan", "manifest_cdf_rows",
-    "manifest_merge_delete", "manifest_zorder_mixed",
-    "agg_daily_market_breadth", "dim_securities_current",
+    "tpch_q12_priority_by_flag", "agg_alignment_join",
+    "trend_slope_by_key", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_simhash_edges_capped", "text_stats", "text_quality_score",
+    "docs_pii_scrub", "text_fingerprint", "dedup_clusters",
+    "dedup_minhash_edges_capped", "text_rolling_hash",
+    "text_repetition_ratio", "embedding_centroids", "ann_cosine_topk",
+    "ann_ivf_topk", "dedup_embedding_edges_capped",
+    "docs_pack_sequences", "docs_source_quality_filter",
+    "mm_decode_ppm", "mm_decode_wav", "seed_csv_constituents",
+    "stream_manifest_append", "serving_screener",
+    "serving_ticker_range", "ingest_pending_dates",
+    "ingest_daily_bars", "serving_freshness", "serving_breadth",
+    "daily_pipeline_run", "unpivot_dim_metrics",
+    "stg_projection_flags", "gap_fill_daily", "resample_weekly_ohlc",
+    "scd2_constituents", "updown_streaks", "ranking_functions",
+    "vwap_rolling", "bollinger_bands", "scd2_asof_snapshot",
+    "manifest_delete_where", "manifest_delete_dv",
+    "manifest_update_dv", "manifest_merge_dv", "manifest_restore",
+    "manifest_wap_publish", "manifest_meta_tables",
+    "datasource_manifest_scan", "stream_manifest_source",
 ]
 
-#: never-green overflow ledger (FIFO).  EMPTY this round: all 35
-#: never-driver-green entries (the r12 saturation cohort plus this
-#: round's 15 new registrations) fit the 50-slot window alongside
-#: the changed entry and the 14 stalest r9 survivors, so nothing
-#: defers.  The remaining 31 r9-cohort entries sit at exactly the
-#: ceil(180/50)=4 staleness bound and front the r14 window.
+#: never-green overflow ledger (FIFO).  EMPTY this round: the r13
+#: driver window + sweep left zero never-driver-green entries, so
+#: the 50 slots go to the one changed entry (the q12 oracle fix)
+#: and the 49 stalest r9/r10 survivors; every outside entry sits
+#: within the ceil(180/50)=4 staleness bound.
 _DRIVER_WINDOW_DEFERRED: list[str] = [
 ]
 
