@@ -202,6 +202,131 @@ def cms_merge_py(a: list[list[int]],
     return [[x + y for x, y in zip(ra, rb)] for ra, rb in zip(a, b)]
 
 
+# -- Deterministic log-histogram quantile sketches --------------------
+#
+# Why a table engine wants these at 100 TB: range-predicate
+# selectivity and "what does p99 latency look like this month" both
+# need QUANTILES, and exact percentile_cont is a full sort-shuffle of
+# the fact — per query.  A mergeable quantile sketch stored next to
+# the HLL/CMS state in the commit object answers from metadata.
+#
+# Construction: the DDSketch bucket family (Masson/Rim/Lee, VLDB
+# 2019 — log-spaced buckets, counts exact, value error relative) on
+# INTEGER-EXACT bucketing, deliberately chosen over KLL: KLL's
+# randomized compaction violates this repo's determinism rule
+# (SURVEY §8.6 — every stored sketch must be bit-replayable by a
+# DuckDB oracle), while log-bucket indices are pure integer math —
+# order-independent, identical on any engine with 64-bit shifts.
+#
+#   quantize    q  = CAST(FLOOR(x * scale) AS BIGINT), a = |q|
+#   linear      a < 128           -> key = a          (exact)
+#   log         a >= 128: bl = bit_length(a)
+#               key = 128 + (bl-8)*32 + ((a >> (bl-6)) - 32)
+#   sign        key = -key when q < 0
+#
+# 32 sub-buckets per octave -> relative value error <= 1/32 from a
+# bucket bound (±1/64 from the midpoint representative); values
+# |q| < 128 are EXACT.  Keys are monotone in the value, so quantile
+# lookup is a cumulative walk; counts are pure sums, so the merge is
+# element-wise addition and merged == rebuilt-over-union, bit for
+# bit (the analyze_incremental property).  Rank error is ZERO at
+# bucket granularity: the returned bucket provably contains the
+# target rank.
+
+DDQ_LINEAR = 128        #: |quantized| below this -> exact bucket
+DDQ_SUB_BITS = 5        #: 2^5 sub-buckets per octave
+
+
+def ddq_buckets(df: DataFrame, col: str,
+                scale: float = 1.0) -> list[list[int]]:
+    """Build the sparse [bucket_key, count] pairs over ``df[col]``
+    (NULLs excluded, matching NDV semantics) with ONE Spark job at
+    bucket grain — <= ~3.8k result rows regardless of input size
+    (56 octaves x 32 sub-buckets + 128 linear, per sign).  DuckDB
+    twin of the key formula::
+
+        q  = CAST(FLOOR(CAST(x AS DOUBLE) * scale) AS BIGINT)
+        a  = abs(q);  bl = length(bin(a))
+        k  = CASE WHEN a < 128 THEN a
+             ELSE 128 + (bl-8)*32 + ((a >> (bl-6)) - 32) END
+        key = CASE WHEN q < 0 THEN -k ELSE k END
+
+    Returns plain ints sorted by key (the commit-object payload)."""
+    src = df.where(F.col(col).isNotNull())
+    rows = (src
+            .select(F.floor(F.col(col).cast("double")
+                            * F.lit(float(scale)))
+                    .cast("long").alias("__q"))
+            .withColumn("__a", F.abs(F.col("__q")))
+            .withColumn("__bl", F.length(
+                F.conv(F.col("__a").cast("string"), 10, 2)))
+            .withColumn("__k", F.when(
+                F.col("__a") < DDQ_LINEAR, F.col("__a"))
+                .otherwise(F.lit(DDQ_LINEAR)
+                           + (F.col("__bl") - 8) * 32
+                           + F.expr("shiftright(__a, __bl - 6) - 32")))
+            .withColumn("__k", F.when(F.col("__q") < 0,
+                                      -F.col("__k"))
+                        .otherwise(F.col("__k")).cast("long"))
+            .groupBy("__k").agg(F.count("*").alias("n"))
+            .collect())
+    return sorted([int(r["__k"]), int(r["n"])] for r in rows)
+
+
+def ddq_merge_py(a: list[list[int]],
+                 b: list[list[int]]) -> list[list[int]]:
+    """Per-key count addition — the sketch union (exact: counts are
+    pure sums, so merged == rebuilt-over-union, bit for bit)."""
+    out: dict[int, int] = {}
+    for k, n in list(a) + list(b):
+        out[k] = out.get(k, 0) + n
+    return sorted([k, n] for k, n in out.items())
+
+
+def ddq_bounds_py(key: int, scale: float = 1.0) -> tuple:
+    """[lower, upper) value bounds of a bucket key, unscaled — the
+    rank-containment surface a test can assert exactly."""
+    s, k = (-1, -key) if key < 0 else (1, key)
+    if k < DDQ_LINEAR:
+        lo, hi = k, k + 1
+    else:
+        bl = 8 + (k - DDQ_LINEAR) // 32
+        sub = (k - DDQ_LINEAR) % 32
+        lo = (32 + sub) << (bl - 6)
+        hi = lo + (1 << (bl - 6))
+    if s < 0:
+        lo, hi = -hi + 1, -lo + 1   # floor-quantized mirror
+    # q = floor(x*scale) = v covers x in [v/scale, (v+1)/scale)
+    return lo / scale, (hi) / scale
+
+
+def ddq_rep_py(key: int, scale: float = 1.0) -> float:
+    """Representative (midpoint) value of a bucket key, unscaled."""
+    lo, hi = ddq_bounds_py(key, scale)
+    return (lo + hi) / 2.0
+
+
+def ddq_quantile_py(buckets: list[list[int]], q: float,
+                    scale: float = 1.0):
+    """Quantile estimate from stored pairs: cumulative walk to the
+    bucket containing rank ceil(q*n), return its midpoint.  The rank
+    is EXACTLY contained (counts are exact); the value error is the
+    bucket width — relative <= 1/32 in the log region, absolute
+    <= 1/scale in the linear region.  None on an empty sketch."""
+    import math
+
+    n = sum(c for _, c in buckets)
+    if not n:
+        return None
+    target = min(n, max(1, math.ceil(q * n)))
+    cum = 0
+    for k, c in sorted(buckets):
+        cum += c
+        if cum >= target:
+            return ddq_rep_py(k, scale)
+    return ddq_rep_py(sorted(buckets)[-1][0], scale)
+
+
 def cms_estimate_py(grid: list[list[int]], value,
                     w: int = CMS_W) -> int:
     """Frequency estimate of ``value``: min over rows of the value's

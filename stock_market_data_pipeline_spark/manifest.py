@@ -4078,7 +4078,9 @@ class ManifestTable:
     def analyze(self, spark: SparkSession,
                 columns: list[str] | None = None,
                 approx: bool = False,
-                frequencies: list[str] | None = None) -> dict:
+                frequencies: list[str] | None = None,
+                quantiles: list[str] | None = None,
+                quantile_scale: float = 1.0) -> dict:
         """``ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS``:
         one distributed aggregation over the LIVE rows computes, per
         column, the distinct-value count, null count, and min/max,
@@ -4111,7 +4113,21 @@ class ManifestTable:
         is key K?" from the commit object in O(1), the input to a
         salt-this-join decision that normally costs a full fact
         groupBy.  Sketched columns merge through
-        :meth:`analyze_incremental` exactly (sums commute)."""
+        :meth:`analyze_incremental` exactly (sums commute).
+
+        ``quantiles=[cols]`` (VERDICT r13 "Next round" #5 — the last
+        member of the stored-stats family: NDV + frequency +
+        quantiles) additionally stores a deterministic log-histogram
+        quantile sketch per named column
+        (functions/sketches.py:ddq_buckets — the DDSketch bucket
+        family on integer-exact keys, chosen over KLL because KLL's
+        randomized compaction is not oracle-replayable): counts are
+        pure sums so incremental merge is EXACT, and
+        :meth:`estimate_quantile` answers "p99 of this column" from
+        the commit object with zero rank error at bucket granularity
+        and <= 1/32 relative value error.  ``quantile_scale`` is the
+        quantization grain (100.0 = cents for price columns); it is
+        stored with the sketch and pinned for later merges."""
         mf = self._raw()
         schema = mf.get("schema") or []
         if not schema:
@@ -4134,6 +4150,17 @@ class ManifestTable:
                     f"stats would read back partial)")
             from .functions import sketches
             stats[c]["cms"] = sketches.cms_counters(df, c)
+        for c in quantiles or []:
+            if c not in cols:
+                raise SchemaMismatch(
+                    f"analyze(quantiles=...): column {c!r} not in "
+                    f"the analyzed set {cols} (a sketch without base "
+                    f"stats would read back partial)")
+            from .functions import sketches
+            stats[c]["ddq"] = {
+                "scale": float(quantile_scale),
+                "buckets": sketches.ddq_buckets(
+                    df, c, float(quantile_scale))}
         while True:
             cur = self._raw()
             # the analyze commit itself changes no data, so stats
@@ -4217,14 +4244,27 @@ class ManifestTable:
         cols = columns or [n for n, _ in (mf.get("schema") or [])]
         prior = cs.get("columns", {})
         av = cs.get("version")
-        # columns whose prior stats carry a CMS keep it through the
-        # refresh — counters are pure sums, so incremental merge is
-        # EXACT for them, and a full fallback must rebuild them too
+        # columns whose prior stats carry a CMS / quantile sketch
+        # keep it through the refresh — counters are pure sums, so
+        # incremental merge is EXACT for them, and a full fallback
+        # must rebuild them too
         freq_cols = [c for c in cols if prior.get(c, {}).get("cms")]
+        ddq_cols = {c: prior[c]["ddq"]["scale"] for c in cols
+                    if prior.get(c, {}).get("ddq")}
+        qscale = (next(iter(ddq_cols.values())) if ddq_cols else 1.0)
+        if len(set(ddq_cols.values())) > 1:
+            # one scale per analyze() call: heterogeneous stored
+            # scales cannot rebuild in a single full fallback
+            raise SchemaMismatch(
+                f"analyze_incremental: stored quantile sketches "
+                f"carry different scales {ddq_cols}; re-analyze "
+                f"them in separate calls")
         if av is None or any(not prior.get(c, {}).get("hll")
                              for c in cols):
             out = self.analyze(spark, columns=cols, approx=True,
-                               frequencies=freq_cols)
+                               frequencies=freq_cols,
+                               quantiles=sorted(ddq_cols),
+                               quantile_scale=qscale)
             out["scanned_files"] = -1          # full scan, documented
             return out
         if av >= mf["version"]:
@@ -4233,7 +4273,9 @@ class ManifestTable:
             old = self._raw(self._mname(av))
         except (FileNotFoundError, OSError):
             out = self.analyze(spark, columns=cols, approx=True,
-                               frequencies=freq_cols)
+                               frequencies=freq_cols,
+                               quantiles=sorted(ddq_cols),
+                               quantile_scale=qscale)
             out["scanned_files"] = -1
             return out
         old_entries = {v: self._entries(old, v)
@@ -4251,7 +4293,9 @@ class ManifestTable:
             for v, r in mf["partitions"].items())
         if not old_files <= live_files or dv_grew:
             out = self.analyze(spark, columns=cols, approx=True,
-                               frequencies=freq_cols)
+                               frequencies=freq_cols,
+                               quantiles=sorted(ddq_cols),
+                               quantile_scale=qscale)
             out["scanned_files"] = -1
             return out
         new_by_val = {v: [e for e in es if e["path"] not in old_files]
@@ -4282,6 +4326,13 @@ class ManifestTable:
                 if c in freq_cols:
                     merged[c]["cms"] = sketches.cms_merge_py(
                         p_["cms"], sketches.cms_counters(frame, c))
+                if c in ddq_cols:
+                    s = p_["ddq"]["scale"]
+                    merged[c]["ddq"] = {
+                        "scale": s,
+                        "buckets": sketches.ddq_merge_py(
+                            p_["ddq"]["buckets"],
+                            sketches.ddq_buckets(frame, c, s))}
         while True:
             cur = self._raw()
             payload = {"version": (cur["version"] + 1
@@ -4320,6 +4371,29 @@ class ManifestTable:
                 f"{self.root}: no frequency sketch for {col!r} — run "
                 f"analyze(spark, frequencies=[{col!r}]) first")
         return sketches.cms_estimate_py(grid, value)
+
+    def estimate_quantile(self, col: str, q: float) -> float:
+        """Quantile estimate of ``col`` from the log-histogram sketch
+        stored by ``analyze(quantiles=[col])`` — a cumulative walk
+        over the commit-object bucket pairs, no scan.  Rank is EXACT
+        at bucket granularity (counts are pure sums); the returned
+        value is the straddling bucket's midpoint, within 1/32
+        relative (log region) or 1/scale absolute (linear region) of
+        a true value at that rank.  This is the 100 TB range-stat
+        probe: "p99 of order value this quarter" or a range
+        predicate's selectivity from metadata, where exact
+        percentile_cont is a full sort-shuffle.  Raises if no sketch
+        was recorded for the column."""
+        from .functions import sketches
+
+        cs = (self._raw().get("colstats") or {}).get("columns", {})
+        ddq = cs.get(col, {}).get("ddq")
+        if not ddq:
+            raise RuntimeError(
+                f"{self.root}: no quantile sketch for {col!r} — run "
+                f"analyze(spark, quantiles=[{col!r}]) first")
+        return sketches.ddq_quantile_py(ddq["buckets"], q,
+                                        ddq["scale"])
 
     @staticmethod
     def _fold_minmax(spark, dtype: str | None, a: tuple, b: tuple):

@@ -121,3 +121,100 @@ def test_boilerplate_scrub_reassembles_in_order(spark):
             == hashlib.md5(exp.encode()).hexdigest()
         assert out[i]["n_removed"] == 1
         assert out[i]["clean_words"] == 4
+
+
+# -- deterministic log-histogram quantile sketch (DDQ) ----------------
+
+
+def test_ddq_keys_monotone_and_exact_linear():
+    from stock_market_data_pipeline_spark.functions.sketches import (
+        ddq_bounds_py,
+        ddq_rep_py,
+    )
+
+    # linear region is EXACT: bucket [k, k+1) at scale 1
+    for k in (0, 1, 77, 127):
+        lo, hi = ddq_bounds_py(k)
+        assert (lo, hi) == (k, k + 1)
+    # log region: bounds tile the line with no gap/overlap and
+    # relative width <= 1/32
+    prev_hi = 128
+    for key in range(128, 128 + 56 * 32):
+        lo, hi = ddq_bounds_py(key)
+        assert lo == prev_hi, key
+        assert hi > lo and (hi - lo) <= lo / 32 + 1e-9, key
+        assert lo <= ddq_rep_py(key) < hi
+        prev_hi = hi
+
+
+def test_ddq_negative_mirror_buckets(spark):
+    """Negative values flow through the sign mirror: buckets tile
+    floor-quantized ranges with no gap or overlap over the whole
+    signed domain, and quantiles come back signed."""
+    from stock_market_data_pipeline_spark.functions.sketches import (
+        ddq_bounds_py,
+        ddq_buckets,
+        ddq_quantile_py,
+    )
+
+    df = spark.range(-500, 500).select(
+        (F.col("id") * 1.7).alias("x"))
+    pairs = ddq_buckets(df, "x", scale=1.0)
+    assert sum(c for _, c in pairs) == 1000
+    # every bucket's bounds contain only values that map to it
+    vals = sorted(r["x"] for r in df.collect())
+    covered = 0
+    for k, c in pairs:
+        lo, hi = ddq_bounds_py(k, 1.0)
+        covered += sum(1 for v in vals if lo <= v < hi)
+    assert covered == 1000
+    med = ddq_quantile_py(pairs, 0.5, 1.0)
+    assert abs(med - vals[499]) <= max(abs(vals[499]) / 32, 1.0)
+    p01 = ddq_quantile_py(pairs, 0.01, 1.0)
+    assert p01 < 0
+
+
+def test_ddq_duckdb_parity_with_negatives(spark):
+    """The cross-engine determinism contract: DuckDB rebuilds the
+    SAME sparse (key, count) pairs via the documented twin SQL,
+    including the sign mirror and both linear/log regions."""
+    import duckdb
+
+    from stock_market_data_pipeline_spark.functions.sketches import (
+        ddq_buckets,
+    )
+
+    pdf = spark.range(-3000, 3000).select(
+        (F.col("id") * 0.37).alias("x")).toPandas()
+    df = spark.createDataFrame(pdf)
+    pairs = ddq_buckets(df, "x", scale=10.0)
+    con = duckdb.connect()
+    con.register("src", pdf)
+    rows = con.execute("""
+WITH q AS (
+  SELECT CAST(FLOOR(CAST(x AS DOUBLE) * 10.0) AS BIGINT) AS q
+  FROM src WHERE x IS NOT NULL
+), k AS (
+  SELECT CASE WHEN q < 0 THEN -kk ELSE kk END AS key FROM (
+    SELECT q, CASE WHEN a < 128 THEN a
+           ELSE 128 + (bl-8)*32 + ((a >> (bl-6)) - 32) END AS kk
+    FROM (SELECT q, abs(q) AS a, length(bin(abs(q))) AS bl FROM q))
+)
+SELECT key, COUNT(*) AS n FROM k GROUP BY 1
+""").fetchall()
+    assert sorted([int(k), int(n)] for k, n in rows) == pairs
+
+
+def test_ddq_merge_associative_and_exact(spark):
+    from stock_market_data_pipeline_spark.functions.sketches import (
+        ddq_buckets,
+        ddq_merge_py,
+    )
+
+    df = spark.range(0, 900).select((F.col("id") * 2.3).alias("x"))
+    full = ddq_buckets(df, "x", 1.0)
+    parts = [ddq_buckets(df.where(f"id % 3 = {i}"), "x", 1.0)
+             for i in range(3)]
+    m1 = ddq_merge_py(ddq_merge_py(parts[0], parts[1]), parts[2])
+    m2 = ddq_merge_py(parts[0], ddq_merge_py(parts[1], parts[2]))
+    assert m1 == m2 == full
