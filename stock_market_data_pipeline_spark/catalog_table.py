@@ -989,6 +989,99 @@ def sketch_ddq_quantiles_q(spark: SparkSession,
         schema="bucket_key bigint, n bigint")
 
 
+DDQ_RANGE_SQL = """
+WITH q AS (
+  SELECT CAST(FLOOR(CAST(value AS DOUBLE) * 100.0) AS BIGINT) AS q
+  FROM events WHERE value IS NOT NULL
+), k AS (
+  SELECT CASE WHEN q < 0 THEN -kk ELSE kk END AS key FROM (
+    SELECT q, CASE WHEN a < 128 THEN a
+           ELSE 128 + (bl-8)*32 + ((a >> (bl-6)) - 32) END AS kk
+    FROM (SELECT q, abs(q) AS a, length(bin(abs(q))) AS bl FROM q))
+), g AS (
+  SELECT key, COUNT(*) AS n FROM k GROUP BY 1
+), d AS (
+  SELECT key, n, plo, plo + pw AS phi FROM (
+    SELECT key, n,
+           CASE WHEN ak < 128 THEN ak
+                ELSE (32 + (ak - 128) % 32)
+                     << ((ak - 128) // 32 + 2) END AS plo,
+           CASE WHEN ak < 128 THEN 1
+                ELSE CAST(1 AS BIGINT)
+                     << ((ak - 128) // 32 + 2) END AS pw
+    FROM (SELECT key, n, abs(key) AS ak FROM g))
+)
+SELECT key AS bucket_key, CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN key >= 0 THEN plo
+                 ELSE -phi + 1 END AS BIGINT) AS q_lo,
+       CAST(CASE WHEN key >= 0 THEN phi
+                 ELSE -plo + 1 END AS BIGINT) AS q_hi
+FROM d
+""".strip()
+
+
+@q("sketch_ddq_range_estimate", DDQ_RANGE_SQL)
+def sketch_ddq_range_estimate_q(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """RANGE-CARDINALITY ESTIMATES from the stored quantile sketch
+    (the second half of VERDICT r13 #5: "feed zone-map-aware range
+    cardinality estimates"): estimate_range_rows answers "how many
+    rows have lo <= col < hi" from the commit object's log-histogram
+    — whole buckets count exactly, the two straddling buckets
+    pro-rata — where a zone map can only say a FILE might overlap.
+    That is the 100 TB cost-based-decision probe (scan vs skip,
+    broadcast vs shuffle on a range-filtered dim) at O(buckets)
+    metadata cost.  The entry RAISES unless, for a spread of ranges
+    over events.value, |estimate - exact| <= the straddling buckets'
+    total count (the provable error bound — whole-bucket counts are
+    exact sums) AND an open-ended full range reproduces the row
+    count exactly.  The returned frame is the sketch state WITH its
+    [q_lo, q_hi) bucket bounds decoded in the QUANTIZED integer
+    domain, and the oracle decodes the same bounds in DuckDB via
+    pure integer shifts — cross-engine parity of the decode formula
+    itself, the surface estimate_range_rows walks."""
+    from .functions import sketches
+    from .manifest import ManifestTable
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    t = ManifestTable.create(ev, scratch_dir("manifest_ddqr_"),
+                             ts=None)
+    t.analyze(spark, approx=True, columns=["value"],
+              quantiles=["value"], quantile_scale=100.0)
+    ddq = t._raw()["colstats"]["columns"]["value"]["ddq"]
+    n_total = sum(c for _, c in ddq["buckets"])
+    live = t.read(spark).where(F.col("value").isNotNull())
+    if t.estimate_range_rows("value", None, None) != n_total:
+        raise RuntimeError("open range must reproduce the sketch "
+                           "total exactly")
+    for lo, hi in ((0.0, 50.0), (50.0, 200.0), (200.0, 1000.0),
+                   (None, 100.0), (100.0, None)):
+        est = t.estimate_range_rows("value", lo, hi)
+        exact = live.where(
+            (F.col("value") >= (lo if lo is not None else -1e18))
+            & (F.col("value") < (hi if hi is not None else 1e18))
+        ).count()
+        straddle = 0
+        for k, c in ddq["buckets"]:
+            blo, bhi = sketches.ddq_bounds_py(k, ddq["scale"])
+            for bound in (lo, hi):
+                if bound is not None and blo < bound < bhi:
+                    straddle += c
+                    break
+        if abs(est - exact) > straddle:
+            raise RuntimeError(
+                f"range estimate broke its error bound at "
+                f"[{lo}, {hi}): est {est}, exact {exact}, "
+                f"straddling {straddle}")
+    rows = []
+    for k, c in ddq["buckets"]:
+        blo, bhi = sketches.ddq_bounds_py(k, 1.0)  # quantized domain
+        rows.append((int(k), int(c), int(blo), int(bhi)))
+    return spark.createDataFrame(
+        rows, schema="bucket_key bigint, n bigint, "
+                     "q_lo bigint, q_hi bigint")
+
+
 @q("sketch_cms_key_skew", CMS_SKEW_SQL)
 def sketch_cms_key_skew_q(spark: SparkSession,
                           sf_dir: str) -> DataFrame:

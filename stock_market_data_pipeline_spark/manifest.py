@@ -4395,6 +4395,38 @@ class ManifestTable:
         return sketches.ddq_quantile_py(ddq["buckets"], q,
                                         ddq["scale"])
 
+    def estimate_range_rows(self, col: str, lo=None, hi=None) -> int:
+        """Estimated row count with ``lo <= col < hi`` from the
+        stored quantile sketch (either bound None = open) — the
+        range-selectivity probe VERDICT r13 #5 named: zone maps can
+        only say "this file MIGHT overlap [lo, hi)", never how many
+        rows do, so a cost-based choice (broadcast vs shuffle, scan
+        vs index) over a range predicate otherwise needs a data
+        pass.  The walk counts whole buckets inside the range and
+        takes the pro-rata share of the two straddling buckets
+        (uniform-within-bucket, the textbook histogram assumption);
+        the error is bounded by the straddlers' counts, and buckets
+        are <= 1/32 relative wide so the estimate degrades only on
+        extremely value-concentrated data.  O(buckets), no scan.
+        Raises if no sketch was recorded for the column."""
+        from .functions import sketches
+
+        cs = (self._raw().get("colstats") or {}).get("columns", {})
+        ddq = cs.get(col, {}).get("ddq")
+        if not ddq:
+            raise RuntimeError(
+                f"{self.root}: no quantile sketch for {col!r} — run "
+                f"analyze(spark, quantiles=[{col!r}]) first")
+        total = 0.0
+        for k, c in ddq["buckets"]:
+            blo, bhi = sketches.ddq_bounds_py(k, ddq["scale"])
+            left = blo if lo is None else max(blo, float(lo))
+            right = bhi if hi is None else min(bhi, float(hi))
+            if right <= left:
+                continue
+            total += c * (right - left) / (bhi - blo)
+        return int(round(total))
+
     @staticmethod
     def _fold_minmax(spark, dtype: str | None, a: tuple, b: tuple):
         """TYPED min/max fold of two string-rendered bounds pairs —

@@ -1431,6 +1431,18 @@ _ALTER_TYPE_RE = re.compile(
     r"([A-Za-z_]\w*)\s+TYPE\s+([A-Za-z_]\w*(?:\s*\(\s*\d+\s*"
     r"(?:,\s*\d+\s*)?\))?)\s*;?\s*$",
     re.IGNORECASE)
+_ALTER_ADD_CHECK_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+ADD\s+CONSTRAINT\s+"
+    r"([A-Za-z_]\w*)\s+CHECK\s*\((.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+_ALTER_DROP_CON_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+DROP\s+CONSTRAINT\s+"
+    r"([A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE)
+_ALTER_NOT_NULL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+ALTER\s+COLUMN\s+"
+    r"([A-Za-z_]\w*)\s+SET\s+NOT\s+NULL\s*;?\s*$",
+    re.IGNORECASE)
 
 
 def _run_ddl(spark, query: str, mts: dict):
@@ -1449,7 +1461,14 @@ def _run_ddl(spark, query: str, mts: dict):
       :meth:`ManifestTable.drop_column`;
     - ``ALTER TABLE t ALTER COLUMN c TYPE w`` ->
       :meth:`ManifestTable.widen_column` (safe widenings only — a
-      lossy retype raises exactly like the Python API).
+      lossy retype raises exactly like the Python API);
+    - ``ALTER TABLE t ADD CONSTRAINT n CHECK (expr)`` ->
+      :meth:`ManifestTable.add_check` (validates existing rows
+      first, one filtered read — the only non-metadata-only form);
+    - ``ALTER TABLE t DROP CONSTRAINT n`` ->
+      :meth:`ManifestTable.drop_constraint`;
+    - ``ALTER TABLE t ALTER COLUMN c SET NOT NULL`` ->
+      :meth:`ManifestTable.set_not_null`.
 
     The table's session view re-registers after the change so a
     follow-up ``SELECT`` in the same session serves the new schema.
@@ -1500,6 +1519,32 @@ def _run_ddl(spark, query: str, mts: dict):
             raise KeyError(f"ALTER TABLE target {name!r} not in "
                            f"tables")
         mts[name].widen_column(col, re.sub(r"\s+", "", new_type))
+        return done(mts[name], name)
+    m = _ALTER_ADD_CHECK_RE.match(query)
+    if m:
+        name, cname, expr = m.groups()
+        if name not in mts:
+            raise KeyError(f"ALTER TABLE target {name!r} not in "
+                           f"tables")
+        # Delta's ADD CONSTRAINT: validates existing rows (one
+        # filtered read), then enforces on every later write
+        mts[name].add_check(spark, cname, expr.strip())
+        return done(mts[name], name)
+    m = _ALTER_DROP_CON_RE.match(query)
+    if m:
+        name, cname = m.groups()
+        if name not in mts:
+            raise KeyError(f"ALTER TABLE target {name!r} not in "
+                           f"tables")
+        mts[name].drop_constraint(cname)
+        return done(mts[name], name)
+    m = _ALTER_NOT_NULL_RE.match(query)
+    if m:
+        name, col = m.groups()
+        if name not in mts:
+            raise KeyError(f"ALTER TABLE target {name!r} not in "
+                           f"tables")
+        mts[name].set_not_null(spark, col)
         return done(mts[name], name)
     return None
 

@@ -392,3 +392,68 @@ def test_sql_timestamp_as_of_join_both_forms(spark, t):
         f"JOIN t TIMESTAMP AS OF '{iso}' b ON a.id = b.id",
         {"t": t}).collect()[0]
     assert got["n"] == 100                       # v1 ∩ v2 on id
+
+
+def test_sql_add_check_and_drop_constraint(spark, t):
+    from stock_market_data_pipeline_spark.manifest import (
+        ConstraintViolation,
+    )
+
+    manifest_sql(spark,
+                 "ALTER TABLE t ADD CONSTRAINT v_nonneg "
+                 "CHECK (v >= 0)", {"t": t})
+    assert "v_nonneg" in t._raw()["constraints"]
+    with pytest.raises(ConstraintViolation):
+        manifest_sql(
+            spark,
+            "INSERT INTO t VALUES (999, '3', -1.0)", {"t": t})
+    # a failed INSERT commits nothing
+    assert spark.sql("SELECT COUNT(*) AS n FROM t") \
+        .collect()[0]["n"] == 100
+    manifest_sql(spark, "ALTER TABLE t DROP CONSTRAINT v_nonneg",
+                 {"t": t})
+    manifest_sql(spark, "INSERT INTO t VALUES (999, '3', -1.0)",
+                 {"t": t})
+    assert t.read(spark).count() == 101
+    # adding a check existing rows violate raises (Delta's rule)
+    with pytest.raises(ConstraintViolation, match="existing rows"):
+        manifest_sql(spark,
+                     "ALTER TABLE t ADD CONSTRAINT v_pos "
+                     "CHECK (v >= 0)", {"t": t})
+
+
+def test_sql_set_not_null(spark, t):
+    from stock_market_data_pipeline_spark.manifest import (
+        ConstraintViolation,
+    )
+
+    manifest_sql(spark,
+                 "ALTER TABLE t ALTER COLUMN v SET NOT NULL",
+                 {"t": t})
+    cons = t._raw()["constraints"]
+    assert any(c["kind"] == "not_null" and c["col"] == "v"
+               for c in cons.values())
+    with pytest.raises(ConstraintViolation):
+        manifest_sql(spark,
+                     "INSERT INTO t VALUES (999, '3', NULL)",
+                     {"t": t})
+
+
+def test_estimate_range_rows_from_sketch(spark, t):
+    t.analyze(spark, approx=True, columns=["v"], quantiles=["v"],
+              quantile_scale=1.0)
+    # v = id * 2.0 over id in [0, 100): exact answers are knowable
+    for lo, hi in ((0, 50), (50, 120), (None, 100), (120, None),
+                   (None, None)):
+        est = t.estimate_range_rows("v", lo, hi)
+        exact = t.read(spark).where(
+            (F.col("v") >= (lo if lo is not None else -1e18))
+            & (F.col("v") < (hi if hi is not None else 1e18))
+        ).count()
+        # straddling-bucket pro-rata error: generous absolute bound
+        # at this tiny scale, exactness in the linear region
+        assert abs(est - exact) <= max(4, exact * 0.1), \
+            (lo, hi, est, exact)
+    import pytest as _pt
+    with _pt.raises(RuntimeError, match="no quantile sketch"):
+        t.estimate_range_rows("id", 0, 10)
