@@ -1443,6 +1443,28 @@ _ALTER_NOT_NULL_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+ALTER\s+COLUMN\s+"
     r"([A-Za-z_]\w*)\s+SET\s+NOT\s+NULL\s*;?\s*$",
     re.IGNORECASE)
+_OPTIMIZE_RE = re.compile(
+    r"^\s*OPTIMIZE\s+([A-Za-z_]\w*)"
+    r"(?:\s+ZORDER\s+BY\s*\(\s*([A-Za-z_]\w*"
+    r"(?:\s*,\s*[A-Za-z_]\w*)*)\s*\))?\s*;?\s*$",
+    re.IGNORECASE)
+_VACUUM_RE = re.compile(
+    r"^\s*VACUUM\s+([A-Za-z_]\w*)"
+    r"(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?"
+    r"(?:\s+(DRY\s+RUN))?\s*;?\s*$",
+    re.IGNORECASE)
+_ANALYZE_RE = re.compile(
+    r"^\s*ANALYZE\s+TABLE\s+([A-Za-z_]\w*)\s+COMPUTE\s+STATISTICS"
+    r"(?:\s+FOR\s+COLUMNS\s+([A-Za-z_]\w*"
+    r"(?:\s*,\s*[A-Za-z_]\w*)*))?\s*;?\s*$",
+    re.IGNORECASE)
+_HISTORY_RE = re.compile(
+    r"^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE)
+_RESTORE_RE = re.compile(
+    r"^\s*RESTORE\s+TABLE\s+([A-Za-z_]\w*)\s+TO\s+VERSION\s+AS\s+OF"
+    r"\s+(\d+)\s*;?\s*$",
+    re.IGNORECASE)
 
 
 def _run_ddl(spark, query: str, mts: dict):
@@ -1470,10 +1492,22 @@ def _run_ddl(spark, query: str, mts: dict):
     - ``ALTER TABLE t ALTER COLUMN c SET NOT NULL`` ->
       :meth:`ManifestTable.set_not_null`.
 
-    The table's session view re-registers after the change so a
+    Utility statements (the Delta operational surface, same literal
+    spellings):
+
+    - ``OPTIMIZE t [ZORDER BY (c, ...)]`` -> :meth:`compact` —
+      returns (partitions_compacted, files_before, files_after);
+    - ``VACUUM t [RETAIN n HOURS] [DRY RUN]`` -> :meth:`vacuum` —
+      returns the removed (or would-remove) paths;
+    - ``ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS a, b]`` ->
+      :meth:`analyze` (approx/HLL mode — the 100 TB default) —
+      returns the per-column stats frame;
+    - ``DESCRIBE HISTORY t`` -> :meth:`meta_snapshots`;
+    - ``RESTORE TABLE t TO VERSION AS OF n`` -> :meth:`restore`.
+
+    The table's session view re-registers after a schema change so a
     follow-up ``SELECT`` in the same session serves the new schema.
-    Returns a 1-row acknowledgment frame, or None when ``query`` is
-    not DDL."""
+    Returns a result frame, or None when ``query`` is not DDL."""
     def done(t, name):
         t.register(spark, name)
         return spark.createDataFrame([(name, t.version())],
@@ -1545,6 +1579,60 @@ def _run_ddl(spark, query: str, mts: dict):
             raise KeyError(f"ALTER TABLE target {name!r} not in "
                            f"tables")
         mts[name].set_not_null(spark, col)
+        return done(mts[name], name)
+    m = _OPTIMIZE_RE.match(query)
+    if m:
+        name, zcols = m.groups()
+        if name not in mts:
+            raise KeyError(f"OPTIMIZE target {name!r} not in tables")
+        z = ([c.strip() for c in zcols.split(",")] if zcols
+             else None)
+        out = mts[name].compact(spark, zorder_by=z)
+        mts[name].register(spark, name)
+        return spark.createDataFrame(
+            [(name, int(out.get("partitions", 0)),
+              int(out.get("files_before", 0)),
+              int(out.get("files_after", 0)))],
+            "table_name string, partitions_compacted long, "
+            "files_before long, files_after long")
+    m = _VACUUM_RE.match(query)
+    if m:
+        name, hours, dry = m.groups()
+        if name not in mts:
+            raise KeyError(f"VACUUM target {name!r} not in tables")
+        retention = (float(hours) * 3600.0 if hours else 86400.0)
+        removed = mts[name].vacuum(retention_seconds=retention,
+                                   dry_run=bool(dry))
+        return spark.createDataFrame([(p,) for p in removed],
+                                     "path string")
+    m = _ANALYZE_RE.match(query)
+    if m:
+        name, collist = m.groups()
+        if name not in mts:
+            raise KeyError(f"ANALYZE target {name!r} not in tables")
+        cols = ([c.strip() for c in collist.split(",")]
+                if collist else None)
+        out = mts[name].analyze(spark, columns=cols, approx=True)
+        rows = [(c, int(s["ndv"]), int(s["nulls"]),
+                 s["min"], s["max"])
+                for c, s in sorted(out["columns"].items())
+                if cols is None or c in cols]
+        return spark.createDataFrame(
+            rows, "column string, ndv long, nulls long, "
+                  "min string, max string")
+    m = _HISTORY_RE.match(query)
+    if m:
+        name = m.group(1)
+        if name not in mts:
+            raise KeyError(f"DESCRIBE HISTORY target {name!r} not "
+                           f"in tables")
+        return mts[name].meta_snapshots(spark)
+    m = _RESTORE_RE.match(query)
+    if m:
+        name, v = m.groups()
+        if name not in mts:
+            raise KeyError(f"RESTORE target {name!r} not in tables")
+        mts[name].restore(int(v))
         return done(mts[name], name)
     return None
 

@@ -457,3 +457,73 @@ def test_estimate_range_rows_from_sketch(spark, t):
     import pytest as _pt
     with _pt.raises(RuntimeError, match="no quantile sketch"):
         t.estimate_range_rows("id", 0, 10)
+
+
+def test_sql_optimize_and_zorder(spark, t):
+    # fragment: three appends -> multiple files per partition
+    t.append(_frame(spark, 100, 130))
+    t.append(_frame(spark, 130, 160))
+    out = manifest_sql(spark, "OPTIMIZE t", {"t": t}).collect()[0]
+    assert out["partitions_compacted"] == 4
+    assert out["files_after"] < out["files_before"]
+    assert t.read(spark).count() == 160
+    # ZORDER form clusters within partitions: a compacted file's
+    # rows come back sorted on the zorder column (single-dimension
+    # z-values are order-preserving), the property that makes its
+    # footer [min, max] tight when the file later splits
+    t2root = t.root + "_z"
+    t2 = ManifestTable.create(_frame(spark, 0, 2000), t2root,
+                              ts="pt")
+    t2.append(_frame(spark, 2000, 4000))
+    manifest_sql(spark, "OPTIMIZE tz ZORDER BY (v)", {"tz": t2})
+    import os
+
+    import pyarrow.parquet as pq
+    mf = t2._raw()
+    probe = next(e["path"] for v in sorted(mf["partitions"])
+                 for e in t2._entries(mf, v))
+    vs = pq.read_table(os.path.join(t2.root, probe),
+                       columns=["v"])["v"].to_pylist()
+    assert len(vs) == 1000 and vs == sorted(vs)
+
+
+def test_sql_vacuum_dry_run_and_retain(spark, t):
+    t.append(_frame(spark, 100, 130))
+    manifest_sql(spark, "OPTIMIZE t", {"t": t})
+    dry = manifest_sql(spark, "VACUUM t RETAIN 0 HOURS DRY RUN",
+                       {"t": t}).collect()
+    assert dry                                  # replaced files listed
+    import os
+    assert all(os.path.exists(os.path.join(t.root, r["path"]))
+               or os.path.exists(r["path"]) for r in dry)
+    gone = manifest_sql(spark, "VACUUM t RETAIN 0 HOURS",
+                        {"t": t}).collect()
+    assert {r["path"] for r in gone} >= {r["path"] for r in dry}
+    assert t.read(spark).count() == 130         # live data intact
+
+
+def test_sql_analyze_and_describe_history(spark, t):
+    stats = {r["column"]: r for r in manifest_sql(
+        spark, "ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMNS "
+               "id, v", {"t": t}).collect()}
+    assert set(stats) == {"id", "v"}
+    assert abs(stats["id"]["ndv"] - 100) <= 15  # HLL error
+    assert stats["id"]["nulls"] == 0
+    hist = manifest_sql(spark, "DESCRIBE HISTORY t",
+                        {"t": t}).collect()
+    # v1 create + v2 analyze commit
+    assert [r["version"] for r in hist] == [1, 2]
+
+
+def test_sql_restore_table(spark, t):
+    t.append(_frame(spark, 100, 150))            # v2
+    manifest_sql(spark, "DELETE FROM t WHERE id < 50", {"t": t})
+    assert t.read(spark).count() == 100
+    out = manifest_sql(spark,
+                       "RESTORE TABLE t TO VERSION AS OF 2",
+                       {"t": t}).collect()[0]
+    assert out["version"] == 4                   # restore is a commit
+    assert t.read(spark).count() == 150
+    # the re-registered view serves the restored state
+    assert spark.sql("SELECT COUNT(*) AS n FROM t") \
+        .collect()[0]["n"] == 150
