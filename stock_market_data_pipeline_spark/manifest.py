@@ -364,17 +364,25 @@ def _file_entry(abs_path: str, rel_path: str) -> dict:
                 nn_bad.add(name)
             if st is None or not st.has_min_max:
                 continue
-            if isinstance(st.min, (bytes, decimal.Decimal)) \
-                    or isinstance(st.max, (bytes, decimal.Decimal)):
+            try:
+                smin, smax = st.min, st.max
+            except Exception:
+                # pyarrow cannot decode statistics for some physical
+                # types (e.g. FIXED_LEN_BYTE_ARRAY decimals raise
+                # ArrowNotImplementedError on access): the column
+                # carries no zone map (more I/O, never a wrong skip)
+                continue
+            if isinstance(smin, (bytes, decimal.Decimal)) \
+                    or isinstance(smax, (bytes, decimal.Decimal)):
                 # binary: undecoded. Decimal: a float coercion could
                 # round a true bound and wrong-skip, a str() one
                 # compares lexicographically — neither is safe, so the
                 # column simply carries no zone map (more I/O, never a
                 # missing row)
                 continue
-            lo, hi = _norm(st.min), _norm(st.max)
-            if (isinstance(st.min, str) and lo != st.min) \
-                    or (isinstance(st.max, str) and hi != st.max):
+            lo, hi = _norm(smin), _norm(smax)
+            if (isinstance(smin, str) and lo != smin) \
+                    or (isinstance(smax, str) and hi != smax):
                 # a RAW STRING bound that canonicalization rewrote:
                 # storing it breaks ordering against this column's
                 # unrewritten values (' ' < 'T' spans other printable

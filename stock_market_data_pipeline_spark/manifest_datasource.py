@@ -1465,6 +1465,11 @@ _RESTORE_RE = re.compile(
     r"^\s*RESTORE\s+TABLE\s+([A-Za-z_]\w*)\s+TO\s+VERSION\s+AS\s+OF"
     r"\s+(\d+)\s*;?\s*$",
     re.IGNORECASE)
+_CREATE_EMPTY_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+([A-Za-z_]\w*)\s*"
+    r"\(\s*(.*?)\s*\)\s*"
+    r"(?:PARTITIONED\s+BY\s*\(\s*([A-Za-z_]\w*)\s*\)\s*)?;?\s*$",
+    re.IGNORECASE | re.DOTALL)
 
 
 def _run_ddl(spark, query: str, mts: dict):
@@ -1634,6 +1639,33 @@ def _run_ddl(spark, query: str, mts: dict):
             raise KeyError(f"RESTORE target {name!r} not in tables")
         mts[name].restore(int(v))
         return done(mts[name], name)
+    m = _CREATE_EMPTY_RE.match(query)
+    if m:
+        from .manifest import ManifestTable
+        name, collist, part_col = m.groups()
+        if name not in mts:
+            raise KeyError(f"CREATE TABLE target {name!r} not in "
+                           f"tables — pass its root path")
+        try:
+            mts[name]._raw()
+            raise ValueError(f"table {name!r} already exists at "
+                             f"{mts[name].root}")
+        except (FileNotFoundError, OSError):
+            pass
+        cols = []
+        for term in re.split(r",(?![^()]*\))", collist):
+            parts = term.strip().split(None, 1)
+            if len(parts) != 2:
+                raise ValueError(
+                    f"CREATE TABLE column {term.strip()!r}: "
+                    f"expected 'name type'")
+            cols.append((parts[0],
+                         re.sub(r"\s+", "", parts[1].lower())))
+        ddl = ", ".join(f"`{n}` {tp}" for n, tp in cols)
+        empty = spark.createDataFrame([], ddl)
+        t = ManifestTable.create(empty, mts[name].root, ts=part_col)
+        mts[name] = t
+        return done(t, name)
     return None
 
 # -- SQL DML over registered manifest tables (VERDICT r12 #4) --------

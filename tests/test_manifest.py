@@ -1647,3 +1647,36 @@ def test_full_crud_cdf_and_ivm(spark, table):
     view = apply_cdf_delta(view, feed, keys, sums)
     assert _snap(view) == _snap(sum_count_view(table.read(spark),
                                                keys, sums))
+
+
+def test_decimal_columns_stage_without_zone_maps(spark, tmp_path):
+    """Parquet decimal statistics are undecodable driver-side
+    (pyarrow raises on access for FIXED_LEN_BYTE_ARRAY decimals):
+    staging must still succeed — the column simply carries NO zone
+    map (reads more, never skips wrong) while other columns keep
+    theirs, and values round-trip exactly."""
+    from pyspark.sql import functions as F
+
+    from stock_market_data_pipeline_spark.manifest import (
+        ManifestTable,
+    )
+
+    df = (spark.range(0, 40)
+          .select(F.col("id"),
+                  (F.col("id") % 2).cast("string").alias("pt"),
+                  (F.col("id") * 7 / 4).cast("decimal(12, 2)")
+                  .alias("px")))
+    t = ManifestTable.create(df, str(tmp_path / "dec"), ts="pt")
+    mf = t._raw()
+    for v in mf["partitions"]:
+        for e in t._entries(mf, v):
+            assert "px" not in e["stats"]      # no unsafe zone map
+            assert "id" in e["stats"]          # others keep theirs
+            assert "px" in e["nn"]             # null-free is provable
+    got = t.read(spark)
+    assert dict(got.dtypes)["px"] == "decimal(12,2)"
+    import decimal
+    assert got.agg(F.sum("px")).collect()[0][0] == sum(
+        (decimal.Decimal(i * 7) / 4).quantize(
+            decimal.Decimal("0.01"),
+            rounding=decimal.ROUND_HALF_UP) for i in range(40))

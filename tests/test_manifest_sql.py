@@ -527,3 +527,26 @@ def test_sql_restore_table(spark, t):
     # the re-registered view serves the restored state
     assert spark.sql("SELECT COUNT(*) AS n FROM t") \
         .collect()[0]["n"] == 150
+
+
+def test_sql_create_empty_typed_table(spark, t, tmp_path):
+    root = str(tmp_path / "fresh")
+    out = manifest_sql(
+        spark,
+        "CREATE TABLE fresh (id bigint, pt string, "
+        "px decimal(10, 2)) PARTITIONED BY (pt)",
+        {"t": t, "fresh": root}).collect()[0]
+    assert out["table_name"] == "fresh" and out["version"] == 1
+    got = spark.sql("SELECT * FROM fresh")
+    assert got.count() == 0
+    assert dict(got.dtypes) == {"id": "bigint", "pt": "string",
+                                "px": "decimal(10,2)"}
+    # the empty pin gates later writes like any pinned schema
+    manifest_sql(spark,
+                 "INSERT INTO fresh VALUES (1, 'a', 9.50), "
+                 "(2, 'b', 3.25)", {"fresh": root})
+    assert spark.sql("SELECT SUM(px) AS s FROM fresh") \
+        .collect()[0]["s"] is not None
+    with pytest.raises(ValueError, match="already exists"):
+        manifest_sql(spark, "CREATE TABLE fresh (x bigint)",
+                     {"fresh": root})
