@@ -3576,41 +3576,40 @@ from . import catalog_tpch  # noqa: E402,F401  (TPC-H q4/q7/q8/q13/q15/q16/q18/q
 # group 0: changed this round — tpch_q12_priority_by_flag rides the
 #   oracle re-typing fix (VERDICT r13 #1: CAST(SUM(CASE) AS BIGINT)
 #   per §8.6 rule 4 — the only red driver row of r13);
-# group 1: no never-driver-green entries at generation time (new
-#   round-14 registrations are appended to this list as they land —
-#   the generator is re-run before the round closes);
-# group 2: the 49 stalest previously-green entries — the full
-#   r9-cohort (31 entries at exactly the ceil(180/50)=4 bound, named
+# group 1: the 5 new round-14 registrations (DROP COLUMN, SQL DDL,
+#   SQL maintenance, the two quantile-sketch entries), never
+#   driver-green, FIFO;
+# group 2: the stalest previously-green entries — the full r9
+#   cohort (31 entries at exactly the ceil(185/50)=4 bound, named
 #   by test_driver_window_staleness_bound against the r13 artifact)
 #   plus the next-stalest r10 survivors, FIFO by registration.
 _DRIVER_WINDOW_FIRST = [
-    "tpch_q12_priority_by_flag", "agg_alignment_join",
-    "trend_slope_by_key", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_simhash_edges_capped", "text_stats", "text_quality_score",
-    "docs_pii_scrub", "text_fingerprint", "dedup_clusters",
-    "dedup_minhash_edges_capped", "text_rolling_hash",
-    "text_repetition_ratio", "embedding_centroids", "ann_cosine_topk",
-    "ann_ivf_topk", "dedup_embedding_edges_capped",
-    "docs_pack_sequences", "docs_source_quality_filter",
-    "mm_decode_ppm", "mm_decode_wav", "seed_csv_constituents",
-    "stream_manifest_append", "serving_screener",
-    "serving_ticker_range", "ingest_pending_dates",
+    "tpch_q12_priority_by_flag", "manifest_drop_column",
+    "manifest_sql_ddl", "manifest_sql_maintenance",
+    "sketch_ddq_quantiles", "sketch_ddq_range_estimate",
+    "agg_alignment_join", "trend_slope_by_key", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_simhash_edges_capped", "text_stats",
+    "text_quality_score", "docs_pii_scrub", "text_fingerprint",
+    "dedup_clusters", "dedup_minhash_edges_capped",
+    "text_rolling_hash", "text_repetition_ratio",
+    "embedding_centroids", "ann_cosine_topk", "ann_ivf_topk",
+    "dedup_embedding_edges_capped", "docs_pack_sequences",
+    "docs_source_quality_filter", "mm_decode_ppm", "mm_decode_wav",
+    "seed_csv_constituents", "stream_manifest_append",
+    "serving_screener", "serving_ticker_range", "ingest_pending_dates",
     "ingest_daily_bars", "serving_freshness", "serving_breadth",
     "daily_pipeline_run", "unpivot_dim_metrics",
     "stg_projection_flags", "gap_fill_daily", "resample_weekly_ohlc",
     "scd2_constituents", "updown_streaks", "ranking_functions",
     "vwap_rolling", "bollinger_bands", "scd2_asof_snapshot",
     "manifest_delete_where", "manifest_delete_dv",
-    "manifest_update_dv", "manifest_merge_dv", "manifest_restore",
-    "manifest_wap_publish", "manifest_meta_tables",
-    "datasource_manifest_scan", "stream_manifest_source",
+    "manifest_update_dv", "manifest_merge_dv",
 ]
 
-#: never-green overflow ledger (FIFO).  EMPTY this round: the r13
-#: driver window + sweep left zero never-driver-green entries, so
-#: the 50 slots go to the one changed entry (the q12 oracle fix)
-#: and the 49 stalest r9/r10 survivors; every outside entry sits
-#: within the ceil(180/50)=4 staleness bound.
+#: never-green overflow ledger (FIFO).  EMPTY this round: the 50
+#: slots hold the one changed entry (the q12 oracle fix), all 5 new
+#: registrations, and the 44 stalest r9/r10 survivors; every
+#: outside entry sits within the ceil(185/50)=4 staleness bound.
 _DRIVER_WINDOW_DEFERRED: list[str] = [
 ]
 
