@@ -4472,11 +4472,19 @@ class ManifestTable:
                 None if s is None else s["min"],
                 None if s is None else s["max"],
                 None if s is None else int(av),
-                None if s is None else bool(av < cur)))
+                None if s is None else bool(av < cur),
+                # which stored sketches exist for the column — the
+                # capability surface of metadata-priced answers (NDV
+                # / frequency / quantile+range)
+                None if s is None else bool(s.get("hll")),
+                None if s is None else bool(s.get("cms")),
+                None if s is None else bool(s.get("ddq"))))
         return spark.createDataFrame(
             rows, schema="column string, dtype string, ndv bigint, "
                          "nulls bigint, vmin string, vmax string, "
-                         "analyzed_version bigint, stale boolean")
+                         "analyzed_version bigint, stale boolean, "
+                         "has_hll boolean, has_cms boolean, "
+                         "has_quantiles boolean")
 
     def clone(self, dest_root: str, version: int | None = None,
               shallow: bool = True,

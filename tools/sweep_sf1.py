@@ -170,6 +170,16 @@ ENTRIES = [
     "tpch_q6_forecast_revenue", "tpch_q9_product_profit",
     "tpch_q10_returned_items", "tpch_q11_important_stock",
     "tpch_q12_priority_by_flag", "tpch_q14_promo_effect",
+    # round-14: metadata-only DROP COLUMN + fresh-physical re-add
+    # over ~6M bars (entry asserts zero files touched and NULL-fill
+    # at scale), the SQL DDL lifecycle + both literal time-travel
+    # forms over the same table, the SQL maintenance cycle
+    # (OPTIMIZE/VACUUM/ANALYZE/HISTORY) on a fragmented 3-month
+    # table, and the quantile-sketch pair over 1M events (bit-exact
+    # bucket-state parity + rank containment asserted in-entry)
+    "manifest_drop_column", "manifest_sql_ddl",
+    "manifest_sql_maintenance", "sketch_ddq_quantiles",
+    "sketch_ddq_range_estimate",
 ]
 
 
