@@ -240,10 +240,15 @@ DDQ_SUB_BITS = 5        #: 2^5 sub-buckets per octave
 def ddq_buckets(df: DataFrame, col: str,
                 scale: float = 1.0) -> list[list[int]]:
     """Build the sparse [bucket_key, count] pairs over ``df[col]``
-    (NULLs excluded, matching NDV semantics) with ONE Spark job at
-    bucket grain — <= ~3.8k result rows regardless of input size
-    (56 octaves x 32 sub-buckets + 128 linear, per sign).  DuckDB
-    twin of the key formula::
+    (NULLs excluded, matching NDV semantics; NaN and +/-Infinity are
+    excluded too — Spark's non-ANSI long cast would silently bucket
+    NaN at 0 and Inf at the extreme key while DuckDB ERRORS on the
+    same cast, so non-finite values have no replayable bucket and a
+    sketch that counted them could never be oracle-verified) with
+    ONE Spark job at bucket grain — <= ~3.8k result rows regardless
+    of input size (56 octaves x 32 sub-buckets + 128 linear, per
+    sign).  DuckDB twin of the key formula (add ``AND isfinite(x)``
+    to the WHERE when the data may carry non-finite doubles)::
 
         q  = CAST(FLOOR(CAST(x AS DOUBLE) * scale) AS BIGINT)
         a  = abs(q);  bl = length(bin(a))
@@ -252,7 +257,9 @@ def ddq_buckets(df: DataFrame, col: str,
         key = CASE WHEN q < 0 THEN -k ELSE k END
 
     Returns plain ints sorted by key (the commit-object payload)."""
-    src = df.where(F.col(col).isNotNull())
+    xd = F.col(col).cast("double")
+    src = df.where(xd.isNotNull() & ~F.isnan(xd)
+                   & (xd > float("-inf")) & (xd < float("inf")))
     rows = (src
             .select(F.floor(F.col(col).cast("double")
                             * F.lit(float(scale)))
@@ -324,7 +331,9 @@ def ddq_quantile_py(buckets: list[list[int]], q: float,
         cum += c
         if cum >= target:
             return ddq_rep_py(k, scale)
-    return ddq_rep_py(sorted(buckets)[-1][0], scale)
+    raise AssertionError(
+        "unreachable: target <= n, so the cumulative walk must "
+        "cross it")
 
 
 def cms_estimate_py(grid: list[list[int]], value,

@@ -1271,10 +1271,7 @@ class ManifestTable:
             schema = [list(c) for c in (mf.get("schema") or [])]
             have = {n for n, _ in schema}
             colmap = dict(mf.get("colmap") or {})
-            # every physical name a live file may carry data under
-            occupied = ({colmap.get(n, n) for n in have}
-                        | set(colmap.values())
-                        | set(mf.get("retired") or []))
+            occupied = self._occupied_physicals(mf)
             mapped = False
             for n, t in new_cols:
                 if n in have:
@@ -1306,6 +1303,21 @@ class ManifestTable:
                 return
             except CommitConflict:
                 continue        # metadata-only: rebase and reapply
+
+    @staticmethod
+    def _occupied_physicals(mf: dict) -> set:
+        """Every physical name a LIVE file may carry data under:
+        each schema column's physical (colmap-resolved), every
+        colmap value, and the ``retired`` ledger (drop_column's
+        ghosts).  THE collision rule for binding a new logical
+        column to a physical name — shared by :meth:`add_columns`
+        and the DSv2 mergeSchema guard so the two can never drift
+        and silently re-open the dropped-data resurrection hole."""
+        colmap = mf.get("colmap") or {}
+        return ({colmap.get(n, n)
+                 for n, _ in (mf.get("schema") or [])}
+                | set(colmap.values())
+                | set(mf.get("retired") or []))
 
     def drop_column(self, col: str) -> None:
         """METADATA-ONLY column drop (VERDICT r13 "Next round" #3 —
@@ -4259,33 +4271,39 @@ class ManifestTable:
         freq_cols = [c for c in cols if prior.get(c, {}).get("cms")]
         ddq_cols = {c: prior[c]["ddq"]["scale"] for c in cols
                     if prior.get(c, {}).get("ddq")}
-        qscale = (next(iter(ddq_cols.values())) if ddq_cols else 1.0)
-        if len(set(ddq_cols.values())) > 1:
-            # one scale per analyze() call: heterogeneous stored
-            # scales cannot rebuild in a single full fallback
-            raise SchemaMismatch(
-                f"analyze_incremental: stored quantile sketches "
-                f"carry different scales {ddq_cols}; re-analyze "
-                f"them in separate calls")
-        if av is None or any(not prior.get(c, {}).get("hll")
-                             for c in cols):
-            out = self.analyze(spark, columns=cols, approx=True,
-                               frequencies=freq_cols,
-                               quantiles=sorted(ddq_cols),
-                               quantile_scale=qscale)
+
+        def _full_fallback() -> dict:
+            # one analyze() call carries ONE quantile scale, but the
+            # stored sketches may legitimately carry several (each
+            # column keeps the scale it was analyzed at): rebuild
+            # per scale group — extra calls only re-scan the group's
+            # columns, and the payload merges per column
+            groups: dict[float, list[str]] = {}
+            for c, s in ddq_cols.items():
+                groups.setdefault(s, []).append(c)
+            scales = sorted(groups)
+            out = self.analyze(
+                spark, columns=cols, approx=True,
+                frequencies=freq_cols,
+                quantiles=sorted(groups[scales[0]]) if scales else [],
+                quantile_scale=scales[0] if scales else 1.0)
+            for s in scales[1:]:
+                out = self.analyze(spark, columns=sorted(groups[s]),
+                                   approx=True,
+                                   quantiles=sorted(groups[s]),
+                                   quantile_scale=s)
             out["scanned_files"] = -1          # full scan, documented
             return out
+
+        if av is None or any(not prior.get(c, {}).get("hll")
+                             for c in cols):
+            return _full_fallback()
         if av >= mf["version"]:
             return {**cs, "scanned_files": 0}  # already fresh
         try:
             old = self._raw(self._mname(av))
         except (FileNotFoundError, OSError):
-            out = self.analyze(spark, columns=cols, approx=True,
-                               frequencies=freq_cols,
-                               quantiles=sorted(ddq_cols),
-                               quantile_scale=qscale)
-            out["scanned_files"] = -1
-            return out
+            return _full_fallback()
         old_entries = {v: self._entries(old, v)
                        for v in old["partitions"]}
         old_files = {e["path"] for es in old_entries.values()
@@ -4300,12 +4318,7 @@ class ManifestTable:
                if isinstance(old["partitions"].get(v), dict) else 0)
             for v, r in mf["partitions"].items())
         if not old_files <= live_files or dv_grew:
-            out = self.analyze(spark, columns=cols, approx=True,
-                               frequencies=freq_cols,
-                               quantiles=sorted(ddq_cols),
-                               quantile_scale=qscale)
-            out["scanned_files"] = -1
-            return out
+            return _full_fallback()
         new_by_val = {v: [e for e in es if e["path"] not in old_files]
                       for v, es in live_entries.items()}
         paths = [p if os.path.isabs(p) else os.path.join(self.root, p)
@@ -4400,8 +4413,16 @@ class ManifestTable:
             raise RuntimeError(
                 f"{self.root}: no quantile sketch for {col!r} — run "
                 f"analyze(spark, quantiles=[{col!r}]) first")
-        return sketches.ddq_quantile_py(ddq["buckets"], q,
-                                        ddq["scale"])
+        out = sketches.ddq_quantile_py(ddq["buckets"], q,
+                                       ddq["scale"])
+        if out is None:
+            # a recorded-but-empty sketch (all rows NULL/non-finite
+            # at analyze time): an implicit None would TypeError far
+            # from the cause in any caller doing arithmetic on it
+            raise RuntimeError(
+                f"{self.root}: quantile sketch for {col!r} is empty "
+                f"(no finite non-null rows were analyzed)")
+        return out
 
     def estimate_range_rows(self, col: str, lo=None, hi=None) -> int:
         """Estimated row count with ``lo <= col < hi`` from the

@@ -988,10 +988,7 @@ def _commit_staged(root: str, ts: str | None, staged: dict,
                 # history) cannot evolve here — old files hold stale
                 # data under it and would resurrect on read;
                 # add_columns allocates a fresh physical instead.
-                cmap = mf.get("colmap") or {}
-                phys = ({cmap.get(n, n) for n in have}
-                        | set(cmap.values())
-                        | set(mf.get("retired") or []))
+                phys = ManifestTable._occupied_physicals(mf)
                 clash = [n for n, _ in extra if n in phys]
                 if clash:
                     raise SchemaMismatch(
@@ -1518,82 +1515,74 @@ def _run_ddl(spark, query: str, mts: dict):
         return spark.createDataFrame([(name, t.version())],
                                      "table_name string, version long")
 
-    m = _ALTER_ADD_RE.match(query)
-    if m:
-        name, collist = m.groups()
+    def require(name, verb):
         if name not in mts:
-            raise KeyError(f"ALTER TABLE target {name!r} not in "
-                           f"tables")
+            raise KeyError(f"{verb} target {name!r} not in tables")
+        return mts[name]
+
+    def parse_cols(collist, what):
         cols = []
         for term in re.split(r",(?![^()]*\))", collist):
             parts = term.strip().split(None, 1)
             if len(parts) != 2:
                 raise ValueError(
-                    f"ADD COLUMNS term {term.strip()!r}: expected "
-                    f"'name type'")
+                    f"{what} {term.strip()!r}: expected 'name type'")
             cols.append((parts[0], re.sub(r"\s+", "",
                                           parts[1].lower())))
-        mts[name].add_columns(cols)
-        return done(mts[name], name)
+        return cols
+
+    m = _ALTER_ADD_RE.match(query)
+    if m:
+        name, collist = m.groups()
+        t = require(name, "ALTER TABLE")
+        t.add_columns(parse_cols(collist, "ADD COLUMNS term"))
+        return done(t, name)
     m = _ALTER_RENAME_RE.match(query)
     if m:
         name, old, new = m.groups()
-        if name not in mts:
-            raise KeyError(f"ALTER TABLE target {name!r} not in "
-                           f"tables")
-        mts[name].rename_column(old, new)
-        return done(mts[name], name)
+        t = require(name, "ALTER TABLE")
+        t.rename_column(old, new)
+        return done(t, name)
     m = _ALTER_DROP_RE.match(query)
     if m:
         name, col = m.groups()
-        if name not in mts:
-            raise KeyError(f"ALTER TABLE target {name!r} not in "
-                           f"tables")
-        mts[name].drop_column(col)
-        return done(mts[name], name)
+        t = require(name, "ALTER TABLE")
+        t.drop_column(col)
+        return done(t, name)
     m = _ALTER_TYPE_RE.match(query)
     if m:
         name, col, new_type = m.groups()
-        if name not in mts:
-            raise KeyError(f"ALTER TABLE target {name!r} not in "
-                           f"tables")
-        mts[name].widen_column(col, re.sub(r"\s+", "", new_type))
-        return done(mts[name], name)
+        t = require(name, "ALTER TABLE")
+        t.widen_column(col, re.sub(r"\s+", "", new_type))
+        return done(t, name)
     m = _ALTER_ADD_CHECK_RE.match(query)
     if m:
         name, cname, expr = m.groups()
-        if name not in mts:
-            raise KeyError(f"ALTER TABLE target {name!r} not in "
-                           f"tables")
+        t = require(name, "ALTER TABLE")
         # Delta's ADD CONSTRAINT: validates existing rows (one
         # filtered read), then enforces on every later write
-        mts[name].add_check(spark, cname, expr.strip())
-        return done(mts[name], name)
+        t.add_check(spark, cname, expr.strip())
+        return done(t, name)
     m = _ALTER_DROP_CON_RE.match(query)
     if m:
         name, cname = m.groups()
-        if name not in mts:
-            raise KeyError(f"ALTER TABLE target {name!r} not in "
-                           f"tables")
-        mts[name].drop_constraint(cname)
-        return done(mts[name], name)
+        t = require(name, "ALTER TABLE")
+        t.drop_constraint(cname)
+        return done(t, name)
     m = _ALTER_NOT_NULL_RE.match(query)
     if m:
         name, col = m.groups()
-        if name not in mts:
-            raise KeyError(f"ALTER TABLE target {name!r} not in "
-                           f"tables")
-        mts[name].set_not_null(spark, col)
-        return done(mts[name], name)
+        t = require(name, "ALTER TABLE")
+        t.set_not_null(spark, col)
+        return done(t, name)
     m = _OPTIMIZE_RE.match(query)
     if m:
         name, zcols = m.groups()
-        if name not in mts:
-            raise KeyError(f"OPTIMIZE target {name!r} not in tables")
+        t = require(name, "OPTIMIZE")
         z = ([c.strip() for c in zcols.split(",")] if zcols
              else None)
-        out = mts[name].compact(spark, zorder_by=z)
-        mts[name].register(spark, name)
+        out = t.compact(spark, zorder_by=z)
+        t.register(spark, name)
         return spark.createDataFrame(
             [(name, int(out.get("partitions", 0)),
               int(out.get("files_before", 0)),
@@ -1603,21 +1592,41 @@ def _run_ddl(spark, query: str, mts: dict):
     m = _VACUUM_RE.match(query)
     if m:
         name, hours, dry = m.groups()
-        if name not in mts:
-            raise KeyError(f"VACUUM target {name!r} not in tables")
+        t = require(name, "VACUUM")
         retention = (float(hours) * 3600.0 if hours else 86400.0)
-        removed = mts[name].vacuum(retention_seconds=retention,
-                                   dry_run=bool(dry))
+        removed = t.vacuum(retention_seconds=retention,
+                           dry_run=bool(dry))
         return spark.createDataFrame([(p,) for p in removed],
                                      "path string")
     m = _ANALYZE_RE.match(query)
     if m:
         name, collist = m.groups()
-        if name not in mts:
-            raise KeyError(f"ANALYZE target {name!r} not in tables")
+        t = require(name, "ANALYZE")
         cols = ([c.strip() for c in collist.split(",")]
                 if collist else None)
-        out = mts[name].analyze(spark, columns=cols, approx=True)
+        # analyze() replaces each column's stats dict wholesale, and
+        # SQL has no syntax to name sketches — REBUILD whatever
+        # sketches the analyzed columns already carry (a routine
+        # maintenance statement must never silently strip the
+        # frequency/quantile capability a column had)
+        prior = (t._raw().get("colstats") or {}).get("columns", {})
+        scope = cols or [c for c, _ in (t._raw().get("schema")
+                                        or [])]
+        freq = [c for c in scope if prior.get(c, {}).get("cms")]
+        groups: dict = {}
+        for c in scope:
+            ddq = prior.get(c, {}).get("ddq")
+            if ddq:
+                groups.setdefault(ddq["scale"], []).append(c)
+        scales = sorted(groups)
+        out = t.analyze(
+            spark, columns=cols, approx=True, frequencies=freq,
+            quantiles=sorted(groups[scales[0]]) if scales else [],
+            quantile_scale=scales[0] if scales else 1.0)
+        for s in scales[1:]:
+            out = t.analyze(spark, columns=sorted(groups[s]),
+                            approx=True, quantiles=sorted(groups[s]),
+                            quantile_scale=s)
         rows = [(c, int(s["ndv"]), int(s["nulls"]),
                  s["min"], s["max"])
                 for c, s in sorted(out["columns"].items())
@@ -1628,17 +1637,13 @@ def _run_ddl(spark, query: str, mts: dict):
     m = _HISTORY_RE.match(query)
     if m:
         name = m.group(1)
-        if name not in mts:
-            raise KeyError(f"DESCRIBE HISTORY target {name!r} not "
-                           f"in tables")
-        return mts[name].meta_snapshots(spark)
+        return require(name, "DESCRIBE HISTORY").meta_snapshots(spark)
     m = _RESTORE_RE.match(query)
     if m:
         name, v = m.groups()
-        if name not in mts:
-            raise KeyError(f"RESTORE target {name!r} not in tables")
-        mts[name].restore(int(v))
-        return done(mts[name], name)
+        t = require(name, "RESTORE")
+        t.restore(int(v))
+        return done(t, name)
     m = _CREATE_EMPTY_RE.match(query)
     if m:
         from .manifest import ManifestTable
@@ -1652,15 +1657,7 @@ def _run_ddl(spark, query: str, mts: dict):
                              f"{mts[name].root}")
         except (FileNotFoundError, OSError):
             pass
-        cols = []
-        for term in re.split(r",(?![^()]*\))", collist):
-            parts = term.strip().split(None, 1)
-            if len(parts) != 2:
-                raise ValueError(
-                    f"CREATE TABLE column {term.strip()!r}: "
-                    f"expected 'name type'")
-            cols.append((parts[0],
-                         re.sub(r"\s+", "", parts[1].lower())))
+        cols = parse_cols(collist, "CREATE TABLE column")
         ddl = ", ".join(f"`{n}` {tp}" for n, tp in cols)
         empty = spark.createDataFrame([], ddl)
         t = ManifestTable.create(empty, mts[name].root, ts=part_col)

@@ -207,3 +207,67 @@ def test_estimate_quantile_requires_sketch(spark, tmp_path):
     t.analyze(spark, approx=True)
     with pytest.raises(RuntimeError, match="no quantile sketch"):
         t.estimate_quantile("v", 0.5)
+
+
+def test_ddq_heterogeneous_scales_survive_fallback(spark, tmp_path):
+    """Two columns analyzed at DIFFERENT quantile scales coexist;
+    both the incremental path and the full fallback (per-scale
+    rebuild groups) must preserve both sketches at their own
+    scales."""
+    t = ManifestTable.create(_batch(spark, 0, 200),
+                             str(tmp_path / "t"), ts="pt")
+    t.analyze(spark, approx=True, columns=["v"], quantiles=["v"],
+              quantile_scale=10.0)
+    t.analyze(spark, approx=True, columns=["grp"],
+              quantiles=["grp"], quantile_scale=1.0)
+    # incremental path: each column merges under its OWN scale
+    t.append(_batch(spark, 200, 300))
+    inc = t.analyze_incremental(spark, columns=["v", "grp"])
+    assert inc["scanned_files"] > 0
+    assert inc["columns"]["v"]["ddq"]["scale"] == 10.0
+    assert inc["columns"]["grp"]["ddq"]["scale"] == 1.0
+    # full fallback (DV delete invalidates union-only sketches):
+    # per-scale rebuild groups keep BOTH sketches alive
+    t.delete_where(spark, F.expr("pmod(id, 11) = 0"), mode="dv")
+    out = t.analyze_incremental(spark, columns=["v", "grp"])
+    assert out["scanned_files"] == -1
+    assert out["columns"]["v"]["ddq"]["scale"] == 10.0
+    assert out["columns"]["grp"]["ddq"]["scale"] == 1.0
+    live = t.read(spark)
+    assert sum(c for _, c in out["columns"]["grp"]["ddq"]["buckets"]) \
+        == live.where(F.col("grp").isNotNull()).count()
+
+
+def test_ddq_excludes_nan_and_inf(spark, tmp_path):
+    """Non-finite doubles have no oracle-replayable bucket (Spark's
+    non-ANSI long cast buckets NaN at 0, DuckDB errors on the same
+    cast): they are excluded like NULLs, so the sketch total counts
+    finite rows only and quantiles stay uncorrupted."""
+    from stock_market_data_pipeline_spark.functions.sketches import (
+        ddq_buckets,
+    )
+
+    df = spark.sql("""
+        SELECT CASE WHEN id % 5 = 0 THEN double('NaN')
+                    WHEN id % 7 = 0 THEN double('Infinity')
+                    WHEN id % 11 = 0 THEN double('-Infinity')
+                    ELSE CAST(id AS DOUBLE) END AS x
+        FROM range(0, 1000)""")
+    pairs = ddq_buckets(df, "x", scale=1.0)
+    finite = df.where("NOT isnan(x) AND abs(x) != double('Infinity')"
+                      ).count()
+    assert sum(c for _, c in pairs) == finite
+    assert not any(k == 0 and c > 1 for k, c in pairs)
+
+
+def test_estimate_quantile_empty_sketch_raises(spark, tmp_path):
+    import pytest
+
+    t = ManifestTable.create(
+        _batch(spark, 0, 50).withColumn(
+            "v", F.lit(None).cast("double")),
+        str(tmp_path / "t"), ts="pt")
+    t.analyze(spark, approx=True, columns=["v"], quantiles=["v"])
+    assert t._raw()["colstats"]["columns"]["v"]["ddq"]["buckets"] == []
+    with pytest.raises(RuntimeError, match="empty"):
+        t.estimate_quantile("v", 0.5)

@@ -550,3 +550,23 @@ def test_sql_create_empty_typed_table(spark, t, tmp_path):
     with pytest.raises(ValueError, match="already exists"):
         manifest_sql(spark, "CREATE TABLE fresh (x bigint)",
                      {"fresh": root})
+
+
+def test_sql_analyze_preserves_stored_sketches(spark, t):
+    """A routine SQL ANALYZE must REBUILD (never strip) the
+    frequency/quantile sketches the analyzed columns already carry —
+    SQL has no syntax to name them."""
+    t.analyze(spark, approx=True, columns=["v", "id"],
+              frequencies=["id"], quantiles=["v"],
+              quantile_scale=10.0)
+    t.append(_frame(spark, 100, 150))
+    manifest_sql(spark,
+                 "ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMNS "
+                 "id, v", {"t": t})
+    cs = t._raw()["colstats"]["columns"]
+    assert cs["id"].get("cms"), "CMS stripped by SQL ANALYZE"
+    assert cs["v"].get("ddq"), "quantile sketch stripped"
+    assert cs["v"]["ddq"]["scale"] == 10.0
+    # and the rebuilt sketch covers the APPENDED rows too
+    assert sum(c for _, c in cs["v"]["ddq"]["buckets"]) == 150
+    assert t.estimate_quantile("v", 0.5) > 0
