@@ -3572,44 +3572,43 @@ from . import catalog_tpch  # noqa: E402,F401  (TPC-H q4/q7/q8/q13/q15/q16/q18/q
 # entries; VERDICT r12 "Next round" #1 mandated encoding the real
 # achievable schedule).
 
-# -- round 14 window (generated by tools/gen_driver_window.py) --
-# group 0: changed this round — tpch_q12_priority_by_flag rides the
-#   oracle re-typing fix (VERDICT r13 #1: CAST(SUM(CASE) AS BIGINT)
-#   per §8.6 rule 4 — the only red driver row of r13);
-# group 1: the 5 new round-14 registrations (DROP COLUMN, SQL DDL,
-#   SQL maintenance, the two quantile-sketch entries), never
-#   driver-green, FIFO;
-# group 2: the stalest previously-green entries — the full r9
-#   cohort (31 entries at exactly the ceil(185/50)=4 bound, named
-#   by test_driver_window_staleness_bound against the r13 artifact)
-#   plus the next-stalest r10 survivors, FIFO by registration.
+# -- round 15 window (generated by tools/gen_driver_window.py) --
+# group 0: no changed-entry front group yet at round start (new
+#   round-15 registrations are appended when they land and are
+#   never-green, so they auto-front on the next rebuild);
+# group 1: no never-green entries — r14 closed the ledger;
+# group 2: the stalest previously-green entries — the full r10
+#   cohort (37 entries at exactly the ceil(185/50)=4 bound, named by
+#   test_driver_window_staleness_bound against the r14 artifact:
+#   manifest-streaming / metadata / window-function families) plus
+#   the next-stalest r11 survivors, FIFO by registration.
 _DRIVER_WINDOW_FIRST = [
-    "tpch_q12_priority_by_flag", "manifest_drop_column",
-    "manifest_sql_ddl", "manifest_sql_maintenance",
-    "sketch_ddq_quantiles", "sketch_ddq_range_estimate",
-    "agg_alignment_join", "trend_slope_by_key", "dedup_exact",
-    "dedup_minhash_lsh", "dedup_simhash_edges_capped", "text_stats",
-    "text_quality_score", "docs_pii_scrub", "text_fingerprint",
-    "dedup_clusters", "dedup_minhash_edges_capped",
-    "text_rolling_hash", "text_repetition_ratio",
-    "embedding_centroids", "ann_cosine_topk", "ann_ivf_topk",
-    "dedup_embedding_edges_capped", "docs_pack_sequences",
-    "docs_source_quality_filter", "mm_decode_ppm", "mm_decode_wav",
-    "seed_csv_constituents", "stream_manifest_append",
-    "serving_screener", "serving_ticker_range", "ingest_pending_dates",
-    "ingest_daily_bars", "serving_freshness", "serving_breadth",
-    "daily_pipeline_run", "unpivot_dim_metrics",
-    "stg_projection_flags", "gap_fill_daily", "resample_weekly_ohlc",
-    "scd2_constituents", "updown_streaks", "ranking_functions",
-    "vwap_rolling", "bollinger_bands", "scd2_asof_snapshot",
-    "manifest_delete_where", "manifest_delete_dv",
-    "manifest_update_dv", "manifest_merge_dv",
+    "manifest_restore", "manifest_wap_publish", "manifest_meta_tables",
+    "datasource_manifest_scan", "stream_manifest_source",
+    "manifest_time_travel", "datasink_manifest_write",
+    "stream_manifest_sink", "stream_change_feed", "stream_ivm_view",
+    "stream_apply_changes", "runner_wap_audit", "manifest_change_feed",
+    "manifest_count_pushdown", "manifest_bloom_pointlookup",
+    "manifest_ivm_from_cdf", "manifest_schema_evolution",
+    "multiway_dim_join", "qualify_latest_per_key", "topk_by_metric",
+    "distinct_ordered", "running_total", "smoothed_daily_index",
+    "percent_rank_null_segregated", "partition_window_avg",
+    "conditional_agg_daily", "volatility_by_key",
+    "conditional_signal_dates", "median_summary", "rollup_revenue",
+    "text_bpe_tokens", "text_tfidf_top_terms", "docs_chunk_overlap",
+    "mm_decode_jpeg", "mm_decode_jpeg_color", "stream_upsert_dv",
+    "source_jsonl_roundtrip", "fct_trading_momentum_small",
+    "fct_momentum_incremental", "manifest_merge_full_sync",
+    "manifest_column_mapping", "manifest_sql_select",
+    "stream_backfill_chunked", "datasink_auto_layout", "self_lag_join",
+    "scalar_max_filter", "screener_filter", "pairwise_correlation",
+    "tpch_q1_pricing_summary", "tpch_q3_topk_revenue",
 ]
 
 #: never-green overflow ledger (FIFO).  EMPTY this round: the 50
-#: slots hold the one changed entry (the q12 oracle fix), all 5 new
-#: registrations, and the 44 stalest r9/r10 survivors; every
-#: outside entry sits within the ceil(185/50)=4 staleness bound.
+#: slots hold the 37 r10-stale entries plus the next-stalest r11
+#: survivors; every outside entry sits within the ceil(185/50)=4
+#: staleness bound at round-15 accounting.
 _DRIVER_WINDOW_DEFERRED: list[str] = [
 ]
 
