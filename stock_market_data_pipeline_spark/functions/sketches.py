@@ -247,8 +247,15 @@ def ddq_buckets(df: DataFrame, col: str,
     sketch that counted them could never be oracle-verified) with
     ONE Spark job at bucket grain — <= ~3.8k result rows regardless
     of input size (56 octaves x 32 sub-buckets + 128 linear, per
-    sign).  DuckDB twin of the key formula (add ``AND isfinite(x)``
-    to the WHERE when the data may carry non-finite doubles)::
+    sign).  Magnitudes with ``|x*scale| >= 2**53`` are excluded like
+    the non-finite values (ADVICE r14 #3): above 2^53 double
+    precision already diverges from DuckDB's integer math, and at
+    2^63 Spark's non-ANSI long cast CLAMPS where DuckDB's CAST
+    errors — either way the cross-engine bit-replay contract breaks,
+    so such values have no replayable bucket.  DuckDB twin of the
+    key formula (add ``AND isfinite(x) AND abs(x*scale) <
+    9007199254740992`` to the WHERE when the data may carry
+    non-finite or astronomically-scaled doubles)::
 
         q  = CAST(FLOOR(CAST(x AS DOUBLE) * scale) AS BIGINT)
         a  = abs(q);  bl = length(bin(a))
@@ -259,7 +266,9 @@ def ddq_buckets(df: DataFrame, col: str,
     Returns plain ints sorted by key (the commit-object payload)."""
     xd = F.col(col).cast("double")
     src = df.where(xd.isNotNull() & ~F.isnan(xd)
-                   & (xd > float("-inf")) & (xd < float("inf")))
+                   & (xd > float("-inf")) & (xd < float("inf"))
+                   & (F.abs(xd * F.lit(float(scale)))
+                      < F.lit(float(2 ** 53))))
     rows = (src
             .select(F.floor(F.col(col).cast("double")
                             * F.lit(float(scale)))

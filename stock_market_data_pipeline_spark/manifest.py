@@ -4288,10 +4288,16 @@ class ManifestTable:
                 quantiles=sorted(groups[scales[0]]) if scales else [],
                 quantile_scale=scales[0] if scales else 1.0)
             for s in scales[1:]:
-                out = self.analyze(spark, columns=sorted(groups[s]),
-                                   approx=True,
-                                   quantiles=sorted(groups[s]),
-                                   quantile_scale=s)
+                # analyze() replaces each column's stats dict
+                # wholesale, so a column carrying BOTH a CMS and a
+                # ddq sketch at a non-minimum scale must have its
+                # frequencies re-threaded here or the rebuild would
+                # silently strip the CMS (ADVICE r14 #1)
+                out = self.analyze(
+                    spark, columns=sorted(groups[s]), approx=True,
+                    frequencies=sorted(set(groups[s]) & set(freq_cols)),
+                    quantiles=sorted(groups[s]),
+                    quantile_scale=s)
             out["scanned_files"] = -1          # full scan, documented
             return out
 

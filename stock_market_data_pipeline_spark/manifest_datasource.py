@@ -1624,9 +1624,13 @@ def _run_ddl(spark, query: str, mts: dict):
             quantiles=sorted(groups[scales[0]]) if scales else [],
             quantile_scale=scales[0] if scales else 1.0)
         for s in scales[1:]:
-            out = t.analyze(spark, columns=sorted(groups[s]),
-                            approx=True, quantiles=sorted(groups[s]),
-                            quantile_scale=s)
+            # thread freq ∩ group into every per-scale rebuild —
+            # omitting it would strip the CMS from any column whose
+            # ddq scale is not the minimum (ADVICE r14 #2)
+            out = t.analyze(
+                spark, columns=sorted(groups[s]), approx=True,
+                frequencies=sorted(set(groups[s]) & set(freq)),
+                quantiles=sorted(groups[s]), quantile_scale=s)
         rows = [(c, int(s["ndv"]), int(s["nulls"]),
                  s["min"], s["max"])
                 for c, s in sorted(out["columns"].items())

@@ -271,3 +271,57 @@ def test_estimate_quantile_empty_sketch_raises(spark, tmp_path):
     assert t._raw()["colstats"]["columns"]["v"]["ddq"]["buckets"] == []
     with pytest.raises(RuntimeError, match="empty"):
         t.estimate_quantile("v", 0.5)
+
+def test_fallback_keeps_cms_on_nonminimum_scale_column(spark,
+                                                       tmp_path):
+    """ADVICE r14 #1 regression: a column carrying BOTH a CMS and a
+    ddq sketch at a NON-minimum scale must keep its CMS through the
+    full fallback's per-scale rebuild calls (analyze() replaces each
+    column's stats dict wholesale, so each rebuild call must
+    re-thread the frequencies it covers)."""
+    t = ManifestTable.create(_batch(spark, 0, 200),
+                             str(tmp_path / "t"), ts="pt")
+    t.analyze(spark, approx=True, columns=["grp"],
+              quantiles=["grp"], quantile_scale=1.0)
+    # v: cms + ddq at scale 10.0 — NOT the minimum across columns,
+    # so its rebuild happens in a scales[1:] call
+    t.analyze(spark, approx=True, columns=["v"], frequencies=["v"],
+              quantiles=["v"], quantile_scale=10.0)
+    t.delete_where(spark, F.expr("pmod(id, 9) = 0"), mode="dv")
+    out = t.analyze_incremental(spark, columns=["v", "grp"])
+    assert out["scanned_files"] == -1          # full fallback taken
+    assert out["columns"]["v"].get("cms"), \
+        "CMS stripped by per-scale fallback rebuild"
+    assert out["columns"]["v"]["ddq"]["scale"] == 10.0
+    assert out["columns"]["grp"]["ddq"]["scale"] == 1.0
+    # the preserved sketch still serves probes (no 'no frequency
+    # sketch' raise) and covers only live rows
+    assert t.estimate_frequency("v", 3.0) >= 0
+
+def test_ddq_excludes_magnitudes_beyond_double_exact_range(
+        spark, tmp_path):
+    """ADVICE r14 #3 regression: |x*scale| >= 2**53 has no
+    oracle-replayable bucket (double precision diverges from DuckDB
+    integer math above 2^53; Spark's non-ANSI long cast clamps at
+    2^63 where DuckDB's CAST errors) — excluded like NaN/Inf, so the
+    sketch total counts replayable rows only."""
+    from stock_market_data_pipeline_spark.functions.sketches import (
+        ddq_buckets,
+    )
+
+    df = spark.sql("""
+        SELECT CASE WHEN id = 0 THEN 9.3e18
+                    WHEN id = 1 THEN -9.3e18
+                    WHEN id = 2 THEN 1.0e16
+                    WHEN id = 3 THEN double('NaN')
+                    ELSE CAST(id AS DOUBLE) END AS x
+        FROM range(0, 100)""")
+    # scale=1.0: ids 0-3 excluded (two beyond-2^63 clamps, one
+    # beyond-2^53 precision loss, one NaN), 96 plain rows kept
+    pairs = ddq_buckets(df, "x", scale=1.0)
+    assert sum(c for _, c in pairs) == 96
+    # the guard applies to x*scale, not x alone: a modest value at a
+    # huge scale is just as non-replayable
+    pairs = ddq_buckets(df, "x", scale=1.0e15)
+    kept = sum(c for _, c in pairs)
+    assert kept == sum(1 for i in range(4, 100) if i * 1.0e15 < 2**53)

@@ -570,3 +570,25 @@ def test_sql_analyze_preserves_stored_sketches(spark, t):
     # and the rebuilt sketch covers the APPENDED rows too
     assert sum(c for _, c in cs["v"]["ddq"]["buckets"]) == 150
     assert t.estimate_quantile("v", 0.5) > 0
+
+
+def test_sql_analyze_keeps_cms_across_scale_groups(spark, t):
+    """ADVICE r14 #2 regression: SQL ANALYZE rebuilds per quantile
+    scale group; a column holding cms+ddq at a non-minimum scale must
+    keep BOTH sketches (the single-scale-group test above cannot see
+    this — the stripping only happens in the scales[1:] calls)."""
+    t.analyze(spark, approx=True, columns=["id"], quantiles=["id"],
+              quantile_scale=1.0)
+    t.analyze(spark, approx=True, columns=["v"], frequencies=["v"],
+              quantiles=["v"], quantile_scale=10.0)
+    t.append(_frame(spark, 100, 150))
+    manifest_sql(spark,
+                 "ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMNS "
+                 "id, v", {"t": t})
+    cs = t._raw()["colstats"]["columns"]
+    assert cs["v"].get("cms"), \
+        "CMS stripped from non-minimum-scale column by SQL ANALYZE"
+    assert cs["v"]["ddq"]["scale"] == 10.0
+    assert cs["id"]["ddq"]["scale"] == 1.0
+    # the rebuilt quantile sketch covers the appended rows too
+    assert sum(c for _, c in cs["v"]["ddq"]["buckets"]) == 150
