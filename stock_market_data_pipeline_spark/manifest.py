@@ -3553,6 +3553,60 @@ class ManifestTable:
                 df = df.withColumnRenamed(p, n)
         return df
 
+    def table_changes(self, spark: SparkSession, start: int,
+                      end: int | None = None) -> DataFrame:
+        """RANGE change feed — Delta's ``table_changes('t', v1[, v2])``
+        semantics (the SQL spelling rides on this via
+        :func:`~.manifest_datasource.manifest_sql`): the classified
+        row-level changes of every commit in ``[start, end]``
+        (``end`` defaults to the live head), each stamped with its
+        ``_commit_version``, unioned BY NAME so schema-evolution
+        commits inside the range NULL-fill older change sets exactly
+        like a time-travel read would.  Metadata-only commits in
+        range (ANALYZE, DDL, branch/tag bookkeeping — provably so:
+        their partitions map is byte-identical to the previous
+        version's) contribute zero rows; a DATA commit captured
+        without ``cdf=True`` raises the same clear error
+        :meth:`changes` and the ``readChangeFeed`` stream do — a
+        silent gap would corrupt every downstream incremental view.
+        The read is bounded by CHANGE volume across the range, never
+        table size."""
+        live = self.version()
+        end = live if end is None else int(end)
+        if not 1 <= int(start) <= end <= live:
+            raise ValueError(
+                f"table_changes: need 1 <= start <= end <= live "
+                f"head, got start={start} end={end} live={live}")
+        frames = []
+        for v in range(int(start), end + 1):
+            mf = self._raw(self._mname(v))
+            if "cdf" not in mf:
+                prev = None
+                try:
+                    prev = self._raw(self._mname(v - 1))
+                except (FileNotFoundError, OSError):
+                    pass           # vacuumed away: cannot prove safe
+                if prev is not None and (mf["partitions"]
+                                         == prev["partitions"]):
+                    continue       # metadata-only: zero change rows
+                raise FileNotFoundError(
+                    f"{self.root} version {v}: committed without "
+                    "cdf=True — no row-level change set was captured; "
+                    "enable cdf on every write in the range or start "
+                    "past this version")
+            frames.append(self.changes(spark, v).withColumn(
+                "_commit_version", F.lit(v).cast("long")))
+        if not frames:
+            schema = list(self._raw(self._mname(end)).get("schema")
+                          or []) + [["_change_type", "string"],
+                                    ["_commit_version", "bigint"]]
+            return spark.createDataFrame(
+                [], ", ".join(f"`{n}` {t}" for n, t in schema))
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out
+
     def merge_batch(self, spark: SparkSession, updates: DataFrame,
                     keys: list[str], stream_id: str, batch_id: int,
                     cdf: bool = False,

@@ -1,0 +1,109 @@
+"""Range change feed — ManifestTable.table_changes plus its SQL
+spelling ``table_changes('t', v1[, v2])`` through manifest_sql
+(VERDICT r14 "Next round" #2): per-commit classified change sets
+unioned with _commit_version stamped, metadata-only commits provably
+skipped, non-cdf DATA commits refused loudly."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_market_data_pipeline_spark.manifest import ManifestTable
+from stock_market_data_pipeline_spark.manifest_datasource import (
+    manifest_sql,
+)
+
+
+def _frame(spark, lo, hi):
+    return (spark.range(lo, hi)
+            .select(F.col("id"),
+                    (F.col("id") % 3).cast("string").alias("pt"),
+                    (F.col("id") * 2.0).alias("v")))
+
+
+@pytest.fixture()
+def t(spark, tmp_path):
+    tab = ManifestTable.create(_frame(spark, 0, 30),
+                               str(tmp_path / "t"), ts="pt")   # v1
+    tab.append(_frame(spark, 30, 40), cdf=True)                # v2
+    upd = _frame(spark, 20, 35).withColumn("v", F.col("v") * 10)
+    tab.merge(spark, upd, ["id"], cdf=True, mode="dv")         # v3
+    tab.analyze(spark, approx=True, columns=["v"])             # v4: meta
+    tab.delete_where(spark, F.expr("id < 5"), mode="dv",
+                     cdf=True)                                 # v5
+    return tab
+
+
+def test_range_feed_classifies_and_stamps_versions(spark, t):
+    feed = t.table_changes(spark, 2, 5)
+    counts = {(r["_commit_version"], r["_change_type"]): r["n"]
+              for r in feed.groupBy("_commit_version", "_change_type")
+              .agg(F.count("*").alias("n")).collect()}
+    assert counts == {(2, "insert"): 10,
+                      (3, "update_preimage"): 15,
+                      (3, "update_postimage"): 15,
+                      (5, "delete"): 5}
+    # end defaults to the live head
+    assert t.table_changes(spark, 2).count() == feed.count()
+
+
+def test_metadata_only_commit_contributes_zero_rows(spark, t):
+    # v4 is the ANALYZE commit: identical partitions map to v3, so
+    # the range walk skips it rather than raising
+    feed = t.table_changes(spark, 4, 4)
+    assert feed.count() == 0
+    # and the empty frame still carries the CDF schema
+    assert feed.columns[-2:] == ["_change_type", "_commit_version"]
+
+
+def test_non_cdf_data_commit_raises(spark, t):
+    with pytest.raises(FileNotFoundError, match="without cdf=True"):
+        t.table_changes(spark, 1, 3).count()
+
+
+def test_range_validation(spark, t):
+    with pytest.raises(ValueError, match="1 <= start <= end"):
+        t.table_changes(spark, 0, 2)
+    with pytest.raises(ValueError, match="1 <= start <= end"):
+        t.table_changes(spark, 4, 2)
+    with pytest.raises(ValueError, match="1 <= start <= end"):
+        t.table_changes(spark, 2, 99)
+
+
+def test_schema_evolution_inside_range_null_fills(spark, t):
+    t.add_columns([("flag", "string")])                        # v6: meta
+    t.append(_frame(spark, 40, 44).withColumn(
+        "flag", F.lit("new")), cdf=True)                       # v7
+    feed = t.table_changes(spark, 5, 7)
+    assert "flag" in feed.columns
+    rows = {r["_commit_version"]: r for r in
+            feed.groupBy("_commit_version")
+            .agg(F.count("*").alias("n"),
+                 F.count("flag").alias("filled")).collect()}
+    assert rows[5]["filled"] == 0          # pre-evolution: NULL-fill
+    assert rows[7]["n"] == rows[7]["filled"] == 4
+
+
+def test_sql_spelling_matches_dataframe_feed(spark, t):
+    sql = manifest_sql(spark,
+                       "SELECT * FROM table_changes('tc', 2, 5)",
+                       {"tc": t})
+    api = t.table_changes(spark, 2, 5).select(*sql.columns)
+    assert sql.exceptAll(api).count() == 0
+    assert api.exceptAll(sql).count() == 0
+    # the two-arg form defaults v2 to the live head, and the
+    # relation composes with ordinary SQL (aggregation on top)
+    agg = manifest_sql(
+        spark,
+        "SELECT _change_type, COUNT(*) AS n "
+        "FROM table_changes('tc', 2) GROUP BY 1",
+        {"tc": t}).collect()
+    assert {r["_change_type"]: r["n"] for r in agg} == {
+        "insert": 10, "update_preimage": 15,
+        "update_postimage": 15, "delete": 5}
+
+
+def test_sql_unknown_table_raises(spark, t):
+    with pytest.raises(KeyError, match="not in tables"):
+        manifest_sql(spark,
+                     "SELECT * FROM table_changes('nope', 1)",
+                     {"tc": t})
