@@ -1320,3 +1320,98 @@ def manifest_sql_table_changes_q(spark: SparkSession,
             f"change classes/versions off (metadata-only v4 must "
             f"contribute zero rows): {sorted(got)}")
     return feed
+
+
+SQL_CATALOG_SQL = f"""
+WITH b AS ({oracles.BARS_SQL})
+SELECT strftime(trade_date, '%Y-%m') AS trade_month,
+       CAST(COUNT(*) AS BIGINT) AS physical_rows,
+       CAST(SUM(CASE WHEN ticker % 7 = 3 THEN 1 ELSE 0 END)
+            AS BIGINT) AS deleted_rows,
+       CAST(SUM(CASE WHEN ticker % 7 = 3 THEN 0 ELSE 1 END)
+            AS BIGINT) AS live_rows
+FROM b
+GROUP BY 1
+""".strip()
+
+
+@q("manifest_sql_catalog", SQL_CATALOG_SQL)
+def manifest_sql_catalog_q(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """SQL CATALOG INSPECTION surface (VERDICT r14 "Next round" #3 —
+    the metadata frames get their SQL spellings): ``DESCRIBE DETAIL``
+    (Delta's one-row summary), Iceberg's metadata-table form ``FROM
+    bars.partitions`` / ``bars.files`` / ``bars.refs`` composing with
+    ordinary SQL on top, and ``DROP TABLE [IF EXISTS]``.  A bars fact
+    takes a SQL DV-delete, then the WHOLE inspection story runs as
+    raw SQL strings: the entry RAISES unless (a) DESCRIBE DETAIL's
+    one-row totals equal the partitions-table fold, (b) the
+    files-table physical-row fold equals the partitions table's
+    (cross-surface agreement at zero data I/O — every row here is a
+    commit-object read), (c) a scratch clone dropped via ``DROP
+    TABLE`` is physically gone while ``IF EXISTS`` tolerates the
+    re-drop, and the strict re-drop raises.  Returned frame: the
+    per-partition live/dead accounting read back through SQL —
+    oracled against DuckDB counting the REAL rows, proving the
+    metadata the SQL surface serves is physically true."""
+    import os
+
+    from .manifest import ManifestTable
+    from .manifest_datasource import manifest_sql
+
+    bars = _bars_month(spark, sf_dir)
+    t = ManifestTable.create(bars, scratch_dir("manifest_sqlcat_"),
+                             ts="trade_month")
+    manifest_sql(spark, "DELETE FROM bars WHERE pmod(ticker, 7) = 3",
+                 {"bars": t})
+
+    det = manifest_sql(spark, "DESCRIBE DETAIL bars",
+                       {"bars": t}).collect()[0]
+    parts = manifest_sql(
+        spark,
+        "SELECT partition AS trade_month, "
+        "       live_rows + deleted_rows AS physical_rows, "
+        "       deleted_rows, live_rows "
+        "FROM bars.partitions", {"bars": t})
+    fold = parts.agg(
+        F.count("*").alias("np"),
+        F.sum("live_rows").alias("live"),
+        F.sum("deleted_rows").alias("dead")).collect()[0]
+    if (det["num_partitions"], det["live_rows"],
+            det["deleted_rows"]) != (fold["np"], fold["live"],
+                                     fold["dead"]):
+        raise RuntimeError(
+            f"DESCRIBE DETAIL disagrees with bars.partitions: "
+            f"{det} vs {fold}")
+    xf = manifest_sql(
+        spark,
+        "SELECT f.partition, CAST(SUM(f.rows) AS BIGINT) AS phys "
+        "FROM bars.files f GROUP BY 1", {"bars": t}).collect()
+    pp = {r["trade_month"]: r["physical_rows"]
+          for r in parts.collect()}
+    if {r["partition"]: r["phys"] for r in xf} != pp:
+        raise RuntimeError("bars.files fold disagrees with "
+                           "bars.partitions")
+    refs = manifest_sql(spark,
+                        "SELECT name, version FROM bars.refs "
+                        "WHERE type = 'branch'",
+                        {"bars": t}).collect()
+    if [(r["name"], r["version"]) for r in refs] != [("main", 2)]:
+        raise RuntimeError(f"bars.refs wrong: {refs}")
+
+    # DROP TABLE lifecycle on a scratch clone
+    scratch = scratch_dir("manifest_sqlcat_drop_")
+    ManifestTable.create(bars.limit(10), scratch, ts=None)
+    manifest_sql(spark, "DROP TABLE doomed", {"doomed": scratch})
+    if os.path.exists(scratch):
+        raise RuntimeError("DROP TABLE left the table root behind")
+    manifest_sql(spark, "DROP TABLE IF EXISTS doomed",
+                 {"doomed": scratch})        # tolerated re-drop
+    try:
+        manifest_sql(spark, "DROP TABLE doomed", {"doomed": scratch})
+    except (FileNotFoundError, OSError):
+        pass
+    else:
+        raise RuntimeError("strict DROP TABLE on a missing table "
+                           "did not raise")
+    return parts

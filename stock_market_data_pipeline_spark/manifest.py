@@ -2624,6 +2624,56 @@ class ManifestTable:
             rows, schema="name string, type string, version bigint, "
                          "base bigint, commits bigint")
 
+    def detail(self, spark: SparkSession) -> DataFrame:
+        """``DESCRIBE DETAIL`` (Delta's one-row table summary): format,
+        location, partition column, live version + commit stamp, and
+        the partition/file/row/byte totals — ALL from the commit
+        object (one small JSON read, no shard loads, no data I/O at
+        any table size).  ``created_at`` is version 1's commit stamp
+        when that manifest is still in retention, NULL after a vacuum
+        trimmed it — absent history degrades to a NULL, never a
+        guess."""
+        mf = self._raw()
+        created = None
+        try:
+            created = self._raw(self._mname(1)).get("committed_at")
+        except (FileNotFoundError, OSError):
+            pass
+        parts = mf["partitions"]
+        rows = [(
+            "manifest", self.root, mf.get("ts"),
+            int(mf["version"]), mf.get("committed_at"), created,
+            len(parts),
+            int(sum(r["files"] for r in parts.values())),
+            int(sum(r["rows"] - r.get("dv_rows", 0)
+                    for r in parts.values())),
+            int(sum(r.get("dv_rows", 0) for r in parts.values())),
+            int(sum(r["bytes"] for r in parts.values())),
+            len(mf.get("constraints") or {}),
+            len(mf.get("retired") or []),
+        )]
+        return spark.createDataFrame(
+            rows, schema="format string, location string, "
+                         "partition_column string, version bigint, "
+                         "committed_at double, created_at double, "
+                         "num_partitions bigint, num_files bigint, "
+                         "live_rows bigint, deleted_rows bigint, "
+                         "size_bytes bigint, num_constraints int, "
+                         "num_retired_columns int")
+
+    def drop(self) -> None:
+        """``DROP TABLE``: irreversibly remove the table — manifests,
+        data files, DV sidecars, index sidecars, branches and tags —
+        by deleting the table root (the un-catalog + PURGE analog;
+        there is no external catalog entry to keep).  Raises the
+        usual FileNotFoundError when no table exists at the root, so
+        a typo cannot silently rm a directory that was never a
+        table."""
+        import shutil
+
+        self._raw()                      # proves a table lives here
+        shutil.rmtree(self.root)
+
     def stat_bounds(self, col: str,
                     manifest_name: str | None = None) -> tuple | None:
         """Table-wide [min, max] of ``col`` folded from the per-file

@@ -1413,6 +1413,10 @@ _TABLE_CHANGES_RE = re.compile(
     r"\btable_changes\s*\(\s*'([A-Za-z_]\w*)'\s*,\s*(\d+)\s*"
     r"(?:,\s*(\d+)\s*)?\)",
     re.IGNORECASE)
+_META_TABLE_RE = re.compile(
+    r"\b(FROM|JOIN)\s+([A-Za-z_]\w*)\.(partitions|files|history|"
+    r"refs|column_stats|detail)\b",
+    re.IGNORECASE)
 
 # -- SQL DDL over registered manifest tables (VERDICT r13 #4) --------
 _ALTER_ADD_RE = re.compile(
@@ -1462,6 +1466,13 @@ _ANALYZE_RE = re.compile(
 _HISTORY_RE = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_]\w*)\s*;?\s*$",
     re.IGNORECASE)
+_DETAIL_RE = re.compile(
+    r"^\s*DESCRIBE\s+DETAIL\s+([A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE)
+_DROP_TABLE_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?:(IF\s+EXISTS)\s+)?([A-Za-z_]\w*)"
+    r"\s*;?\s*$",
+    re.IGNORECASE)
 _RESTORE_RE = re.compile(
     r"^\s*RESTORE\s+TABLE\s+([A-Za-z_]\w*)\s+TO\s+VERSION\s+AS\s+OF"
     r"\s+(\d+)\s*;?\s*$",
@@ -1509,6 +1520,10 @@ def _run_ddl(spark, query: str, mts: dict):
       :meth:`analyze` (approx/HLL mode — the 100 TB default) —
       returns the per-column stats frame;
     - ``DESCRIBE HISTORY t`` -> :meth:`meta_snapshots`;
+    - ``DESCRIBE DETAIL t`` -> :meth:`detail` (Delta's one-row
+      summary — commit-object reads only);
+    - ``DROP TABLE [IF EXISTS] t`` -> :meth:`drop` — removes the
+      table root irreversibly and unbinds the session view;
     - ``RESTORE TABLE t TO VERSION AS OF n`` -> :meth:`restore`.
 
     The table's session view re-registers after a schema change so a
@@ -1646,6 +1661,22 @@ def _run_ddl(spark, query: str, mts: dict):
     if m:
         name = m.group(1)
         return require(name, "DESCRIBE HISTORY").meta_snapshots(spark)
+    m = _DETAIL_RE.match(query)
+    if m:
+        name = m.group(1)
+        return require(name, "DESCRIBE DETAIL").detail(spark)
+    m = _DROP_TABLE_RE.match(query)
+    if m:
+        if_exists, name = m.groups()
+        t = require(name, "DROP TABLE")
+        try:
+            t.drop()
+        except (FileNotFoundError, OSError):
+            if not if_exists:
+                raise
+        del mts[name]
+        spark.catalog.dropTempView(name)
+        return spark.createDataFrame([(name,)], "table_name string")
     m = _RESTORE_RE.match(query)
     if m:
         name, v = m.groups()
@@ -1967,7 +1998,17 @@ def manifest_sql(spark, query: str, tables: dict,
     as an ordinary relation; ``v2`` defaults to the live head.
     Version numbers only (the timestamp-argument form would resolve
     via ``version_at`` but is deliberately not parsed — one
-    time-travel spelling per axis keeps the grammar unambiguous)."""
+    time-travel spelling per axis keeps the grammar unambiguous).
+
+    Catalog inspection (VERDICT r14 "Next round" #3): ``DESCRIBE
+    DETAIL name`` (Delta's one-row summary ->
+    :meth:`ManifestTable.detail`), ``DROP TABLE [IF EXISTS] name``
+    (-> :meth:`ManifestTable.drop` + view unbind), and Iceberg's
+    metadata-table spelling ``FROM name.partitions`` / ``.files`` /
+    ``.history`` / ``.refs`` / ``.column_stats`` / ``.detail`` —
+    each rewritten onto the corresponding ``meta_*`` inspection
+    frame (commit-object reads, no data I/O) and composable with
+    ordinary SQL on top."""
     from .manifest import ManifestTable
 
     mts = {name: (t if isinstance(t, ManifestTable)
@@ -2026,8 +2067,28 @@ def manifest_sql(spark, query: str, tables: dict,
             .createOrReplaceTempView(alias)
         return alias
 
-    return spark.sql(_TABLE_CHANGES_RE.sub(
-        _sub_changes, _TTS_RE.sub(_sub_ts, _TT_RE.sub(_sub, query))))
+    def _sub_meta(m):
+        # Iceberg's metadata-table spelling (``db.t.files`` etc.) for
+        # the inspection frames (VERDICT r14 #3): ``FROM <name>.<meta>``
+        # registers the meta frame under an alias — driver-side
+        # commit-object reads, no data I/O, composable with ordinary
+        # SQL on top
+        kw, name, meta = m.group(1), m.group(2), m.group(3).lower()
+        if name not in mts:
+            return m.group(0)      # someone else's qualified name
+        t = mts[name]
+        frame = {"partitions": t.meta_partitions,
+                 "files": t.meta_files,
+                 "history": t.meta_snapshots,
+                 "refs": t.meta_refs,
+                 "column_stats": t.meta_column_stats,
+                 "detail": t.detail}[meta](spark)
+        alias = f"{name}__meta_{meta}"
+        frame.createOrReplaceTempView(alias)
+        return f"{kw} {alias}"
+
+    return spark.sql(_META_TABLE_RE.sub(_sub_meta, _TABLE_CHANGES_RE.sub(
+        _sub_changes, _TTS_RE.sub(_sub_ts, _TT_RE.sub(_sub, query)))))
 
 
 def write_manifest(df, root: str, ts: str | None = None,

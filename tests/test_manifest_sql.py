@@ -592,3 +592,63 @@ def test_sql_analyze_keeps_cms_across_scale_groups(spark, t):
     assert cs["id"]["ddq"]["scale"] == 1.0
     # the rebuilt quantile sketch covers the appended rows too
     assert sum(c for _, c in cs["v"]["ddq"]["buckets"]) == 150
+
+
+def test_sql_describe_detail_and_meta_tables(spark, t):
+    """VERDICT r14 #3: DESCRIBE DETAIL + the Iceberg metadata-table
+    spelling (FROM t.partitions / .files / .refs / .history /
+    .column_stats / .detail) — all commit-object reads, composable
+    with ordinary SQL on top."""
+    t.append(_frame(spark, 100, 140))
+    t.delete_where(spark, F.expr("id < 10"), mode="dv")
+    det = manifest_sql(spark, "DESCRIBE DETAIL t",
+                       {"t": t}).collect()[0]
+    assert det["format"] == "manifest"
+    assert det["partition_column"] == "pt"
+    assert det["version"] == 3
+    assert det["live_rows"] == 130 and det["deleted_rows"] == 10
+    assert det["created_at"] is not None
+    # metadata tables compose with SQL on top
+    fold = manifest_sql(
+        spark,
+        "SELECT CAST(SUM(live_rows) AS BIGINT) AS live, "
+        "       CAST(SUM(deleted_rows) AS BIGINT) AS dead "
+        "FROM t.partitions", {"t": t}).collect()[0]
+    assert (fold["live"], fold["dead"]) == (130, 10)
+    nf = manifest_sql(spark,
+                      "SELECT COUNT(*) AS n FROM t.files",
+                      {"t": t}).collect()[0]["n"]
+    assert nf == det["num_files"]
+    hist = manifest_sql(
+        spark, "SELECT version FROM t.history ORDER BY version",
+        {"t": t}).collect()
+    assert [r["version"] for r in hist] == [1, 2, 3]
+    refs = manifest_sql(spark, "SELECT * FROM t.refs", {"t": t})
+    assert refs.where("name = 'main'").collect()[0]["version"] == 3
+    # .detail as a relation == the DESCRIBE DETAIL row
+    rel = manifest_sql(spark,
+                       "SELECT version, live_rows FROM t.detail",
+                       {"t": t}).collect()[0]
+    assert (rel["version"], rel["live_rows"]) == (3, 130)
+    # a dotted name NOT in tables is left for Spark to resolve
+    import pytest
+    from pyspark.sql.utils import AnalysisException
+    with pytest.raises(AnalysisException):
+        manifest_sql(spark, "SELECT * FROM nosuch.files", {"t": t})
+
+
+def test_sql_drop_table(spark, t, tmp_path):
+    import os
+
+    root = str(tmp_path / "doomed")
+    ManifestTable.create(_frame(spark, 0, 10), root, ts=None)
+    out = manifest_sql(spark, "DROP TABLE d", {"d": root}).collect()
+    assert out[0]["table_name"] == "d"
+    assert not os.path.exists(root)
+    # the session view is unbound
+    assert not spark.catalog.tableExists("d")
+    # IF EXISTS tolerates the re-drop; strict form raises
+    manifest_sql(spark, "DROP TABLE IF EXISTS d", {"d": root})
+    import pytest
+    with pytest.raises((FileNotFoundError, OSError)):
+        manifest_sql(spark, "DROP TABLE d", {"d": root})
