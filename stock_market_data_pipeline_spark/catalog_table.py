@@ -1415,3 +1415,87 @@ def manifest_sql_catalog_q(spark: SparkSession,
         raise RuntimeError("strict DROP TABLE on a missing table "
                            "did not raise")
     return parts
+
+
+SKETCH_PROBE_SQL = f"""
+WITH b AS ({oracles.BARS_SQL}),
+s AS (SELECT ticker, trade_date, close, volume,
+             CAST(ticker % 5 AS VARCHAR) AS sector
+      FROM b
+      WHERE trade_date >= DATE '1997-01-01'
+        AND trade_date < DATE '1997-07-01')
+SELECT ticker, trade_date, close, volume, sector
+FROM s
+WHERE sector = '2'
+  AND ticker IN (SELECT DISTINCT ticker FROM s
+                 WHERE ticker % 5 = 2 ORDER BY 1 LIMIT 2)
+""".strip()
+
+
+@q("manifest_sketch_probe_order", SKETCH_PROBE_SQL)
+def manifest_sketch_probe_order_q(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """STORED SKETCHES CONSUMED IN PLANNING (VERDICT r14 "Next round"
+    #4 — the stats family stops being write-only): scan_plan orders
+    multi-column Bloom membership probes by the CMS frequency
+    sketches' selectivity estimates, rarest spec first — the rare key
+    excludes most files, so the common (non-exclusionary) probe never
+    runs for them.  A ticker-clustered bars fact carries blooms on
+    ticker (high-card; the 2-value probe is RARE) and a derived
+    sector (5 values; the probe is COMMON — present in every file, a
+    pure waste to test first).  The entry plans the same IN-list read
+    twice — before ANALYZE (no sketch: honest declaration-order
+    fallback, deliberately worst-case common-first) and after
+    (sketch-ordered) — and RAISES unless the sketch measurably
+    changed the plan: probe_order flipped to rarest-first, strictly
+    fewer bloom probes, IDENTICAL kept file set (ordering is an
+    optimization, never a semantics change), and real bloom skipping
+    happening at all.  At 100 TB this is the stats-driven probe-order
+    decision a warehouse optimizer makes from its histogram, made
+    here from the commit object alone.  Oracle: the exact predicate
+    over raw parquet — equality proves the reordered plan lost no
+    rows."""
+    from .manifest import ManifestTable
+
+    bars = (_bars_month(spark, sf_dir)
+            .where(F.col("trade_month").between("1997-01", "1997-06"))
+            .withColumn("sector",
+                        (F.col("ticker") % 5).cast("string")))
+    n = bars.count()
+    t = ManifestTable.create(
+        bars, scratch_dir("manifest_probe_"), ts="trade_month",
+        bloom={"cols": ["ticker", "sector"], "m": 1 << 14, "k": 5},
+        cluster_by=["ticker"],
+        max_records_per_file=max(50, n // 18))
+    ks = [r["ticker"] for r in
+          bars.where(F.col("sector") == "2").select("ticker")
+          .distinct().orderBy("ticker").limit(2).collect()]
+    # declaration order deliberately worst-case: common spec first
+    where = {"sector": ["2"], "ticker": ks}
+    naive = t.scan_plan(where)
+    if naive["probe_order"] != ["sector", "ticker"]:
+        raise RuntimeError(
+            f"no-sketch fallback must keep declaration order: "
+            f"{naive['probe_order']}")
+    t.analyze(spark, approx=True, columns=["ticker", "sector"],
+              frequencies=["ticker", "sector"])
+    plan = t.scan_plan(where)
+    if plan["probe_order"] != ["ticker", "sector"]:
+        raise RuntimeError(
+            f"sketch did not reorder probes rarest-first: "
+            f"{plan['probe_order']}")
+    if not plan["bloom_probes"] < naive["bloom_probes"]:
+        raise RuntimeError(
+            f"sketch ordering did not reduce probes: "
+            f"{plan['bloom_probes']} vs naive "
+            f"{naive['bloom_probes']}")
+    if sorted(plan["files"]) != sorted(naive["files"]):
+        raise RuntimeError("probe reordering changed the kept file "
+                           "set — ordering must be semantics-free")
+    if not (plan["bloom_skipped"] > 0 and plan["files"]):
+        raise RuntimeError(f"bloom skipping inert: {plan}")
+    return (t.read(spark, where=where)
+            .where(F.col("ticker").isin(ks)
+                   & (F.col("sector") == "2"))
+            .select("ticker", "trade_date", "close", "volume",
+                    "sector"))

