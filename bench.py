@@ -21,6 +21,13 @@ host/sandbox-level slowdown coinciding with the r5 testdata
 regeneration, not an engine regression. Treat ~17.5 s (r3/r4) as the
 engine's number on a quiet host; compare rounds by per-query RATIO
 shape, not absolute totals.
+
+ROSTER NOTE (r15): three manifest-layer entries (manifest_merge_dv,
+stream_manifest_source, manifest_time_travel) joined the headline set
+per VERDICT r14 #5 — each builds a scratch manifest table in-entry, so
+the TOTAL steps up by their fixed cost vs r14 and earlier; cross-round
+comparison holds per-query (the 17 legacy names are unchanged; the
+anchor stays tpch_q1_pricing_summary).
 """
 
 from __future__ import annotations
@@ -59,6 +66,13 @@ HEADLINE = [
     "cube_order_stats",
     "text_tfidf_top_terms",
     "tpch_q5_local_supplier",
+    # round-15 additions (VERDICT r14 #5): manifest-layer
+    # representatives — a plan regression in the table format
+    # (merge, streaming source, time travel) now surfaces in the
+    # per-round driver bench, not only in the sf1 artifact
+    "manifest_merge_dv",
+    "stream_manifest_source",
+    "manifest_time_travel",
 ]
 
 

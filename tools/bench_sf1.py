@@ -98,8 +98,16 @@ def main() -> int:
               + (f"  ERR {row['err'][:80]}" if row.get("err") else ""))
         sys.stdout.flush()
     ok = {n: r for n, r in rows.items() if not r.get("err")}
+    import subprocess
+    head = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                          capture_output=True, text=True).stdout.strip()
     summary = {
         "sf1_dir": sf1_dir,
+        # single-vintage is machine-checkable (VERDICT r14 #6): every
+        # row in this artifact was timed at this HEAD in this run; an
+        # in-place refresh that merges rows from a prior artifact must
+        # overwrite this field with a "mixed (<r>+<r>)" marker
+        "vintage": f"single ({head})",
         "entries_timed": len(ok),
         "sf1_total": round(sum(r["sf1_secs"] for r in ok.values()), 1),
         "sf01_total": round(sum(r["sf01_secs"] for r in ok.values()), 1),
