@@ -361,3 +361,14 @@ def cms_estimate_py(grid: list[list[int]], value,
         c = row[h % w]
         est = c if est is None else min(est, c)
     return est or 0
+
+
+def cms_max_frequency_py(grid: list[list[int]]) -> int:
+    """Upper-bound estimate of the HOTTEST key's frequency WITHOUT
+    knowing the key: the hottest key lands in some cell of every row,
+    so each row's max cell >= its true count, and the min over rows
+    is the tightest such bound the sketch offers.  Never an
+    undercount of the true max; overcount only when other keys share
+    the hot key's cell in every row.  This is the skew probe the
+    salting decision needs when no candidate key is known upfront."""
+    return min((max(row) for row in grid), default=0)

@@ -325,3 +325,47 @@ def test_ddq_excludes_magnitudes_beyond_double_exact_range(
     pairs = ddq_buckets(df, "x", scale=1.0e15)
     kept = sum(c for _, c in pairs)
     assert kept == sum(1 for i in range(4, 100) if i * 1.0e15 < 2**53)
+
+# -- stats-driven salting decision (VERDICT r14 #4, 2nd consumer) ----
+
+
+def test_plan_salt_flags_whale_and_spares_uniform(spark, tmp_path):
+    """plan_salt reads hottest-key bound (CMS row-max fold) vs mean
+    frequency (rows/NDV) from the commit object: a whale key is
+    flagged with a fan-out ~ hot/mean; a uniform column is not; an
+    unsketched column returns None (no guessed fan-out)."""
+    df = (spark.range(0, 6000)
+          .select(F.col("id"),
+                  (F.col("id") % 3).cast("string").alias("pt"),
+                  F.when(F.col("id") % 2 == 0, F.lit(-1))
+                   .otherwise(F.col("id")).alias("whale"),
+                  (F.col("id") % 5).cast("string").alias("uniform"),
+                  (F.col("id") * 1.5).alias("v")))
+    t = ManifestTable.create(df, str(tmp_path / "t"), ts="pt")
+    t.analyze(spark, approx=True, columns=["whale", "uniform"],
+              frequencies=["whale", "uniform"])
+    hot = t.plan_salt("whale")
+    # truth: hot key holds 3000 rows, ~3001 keys, mean ~2 — a
+    # massive ratio; CMS only ever overcounts, HLL NDV is within
+    # ~15%, so the flag is robust
+    assert hot["skewed"] and hot["n_salts"] > 1
+    assert hot["est_hot"] >= 3000          # CMS never undercounts
+    uni = t.plan_salt("uniform")
+    assert not uni["skewed"] and uni["n_salts"] == 1
+    assert t.plan_salt("v") is None
+    # n_salts clamps to max_salts even for extreme ratios
+    assert t.plan_salt("whale", max_salts=8)["n_salts"] == 8
+
+
+def test_cms_max_frequency_upper_bounds_true_max(spark):
+    from stock_market_data_pipeline_spark.functions import sketches
+
+    df = (spark.range(0, 5000)
+          .select(F.when(F.col("id") % 4 == 0, F.lit(0))
+                  .otherwise(F.col("id")).alias("k")))
+    grid = sketches.cms_counters(df, "k")
+    true_max = 1250                        # id % 4 == 0 bucket
+    est = sketches.cms_max_frequency_py(grid)
+    assert est >= true_max                 # never an undercount
+    assert est <= 5000                     # and bounded by total
+    assert sketches.cms_max_frequency_py([[0] * 8] * 4) == 0
