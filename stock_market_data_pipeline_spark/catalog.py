@@ -3574,17 +3574,17 @@ from . import catalog_tpch  # noqa: E402,F401  (TPC-H q4/q7/q8/q13/q15/q16/q18/q
 
 # -- round 15 window (generated by tools/gen_driver_window.py) --
 # group 0: no changed-entry front group at round start;
-# group 1: the 3 new round-15 registrations (SQL table_changes, SQL
-#   catalog surface, sketch-driven probe order), never driver-green,
-#   FIFO;
+# group 1: the 4 new round-15 registrations (SQL table_changes, SQL
+#   catalog surface, sketch-driven probe order, salt decision),
+#   never driver-green, FIFO;
 # group 2: the stalest previously-green entries — the full r10
-#   cohort (37 entries at the ceil(188/50)=4 bound: the
+#   cohort (37 entries at the ceil(189/50)=4 bound: the
 #   manifest-streaming / metadata / window-function families) plus
 #   the next-stalest r11 survivors, FIFO by registration.
 _DRIVER_WINDOW_FIRST = [
     "manifest_sql_table_changes", "manifest_sql_catalog",
-    "manifest_sketch_probe_order", "manifest_restore",
-    "manifest_wap_publish", "manifest_meta_tables",
+    "manifest_sketch_probe_order", "manifest_salt_decision",
+    "manifest_restore", "manifest_wap_publish", "manifest_meta_tables",
     "datasource_manifest_scan", "stream_manifest_source",
     "manifest_time_travel", "datasink_manifest_write",
     "stream_manifest_sink", "stream_change_feed", "stream_ivm_view",
@@ -3602,13 +3602,13 @@ _DRIVER_WINDOW_FIRST = [
     "fct_momentum_incremental", "manifest_merge_full_sync",
     "manifest_column_mapping", "manifest_sql_select",
     "stream_backfill_chunked", "datasink_auto_layout", "self_lag_join",
-    "scalar_max_filter", "screener_filter",
+    "scalar_max_filter",
 ]
 
 #: never-green overflow ledger (FIFO).  EMPTY this round: the 50
-#: slots hold the 3 new registrations, the 37 r10-stale entries and
+#: slots hold the 4 new registrations, the 37 r10-stale entries and
 #: the next-stalest r11 survivors; every outside entry sits within
-#: the ceil(188/50)=4 staleness bound at round-15 accounting.
+#: the ceil(189/50)=4 staleness bound at round-15 accounting.
 _DRIVER_WINDOW_DEFERRED: list[str] = [
 ]
 
