@@ -757,16 +757,12 @@ def manifest_sql_ddl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     stamp = t._raw()["committed_at"]
     v_pre_drop = t.version()
 
-    # committed_at is rounded to milliseconds: hold the DROP until
-    # the clock has moved past the RENAME's stamp, else a
-    # same-millisecond drop commit would make version_at(stamp)
-    # resolve to the POST-drop snapshot and the time-travel
-    # cross-check below would fail flakily (ADVICE r14 #4)
-    import time as _time
-    while round(_time.time(), 3) <= stamp:
-        _time.sleep(0.001)
     manifest_sql(spark, "ALTER TABLE bars DROP COLUMN range_px",
                  {"bars": t})
+    # commit stamps are strictly monotonic along the chain (a
+    # same-millisecond drop would otherwise repoint version_at at
+    # the POST-drop snapshot — ADVICE r14 #4, fixed in _commit);
+    # RAISE-check the anchor anyway so a regression surfaces here
     if t.version_at(stamp) != v_pre_drop:
         raise RuntimeError(
             f"TIMESTAMP AS OF anchor drifted: version_at(rename "

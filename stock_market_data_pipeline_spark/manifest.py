@@ -2032,13 +2032,26 @@ class ManifestTable:
 
         version = base_version + 1
         name = self._mname(version)
+        # wall-clock commit stamp (epoch seconds, ms-rounded) — the
+        # timestampAsOf resolution domain; informational only, never
+        # part of any correctness decision (clocks skew).  STRICTLY
+        # MONOTONIC along the chain: two commits landing in the same
+        # millisecond would otherwise make version_at(stamp of the
+        # earlier) resolve to the LATER snapshot for every timestamp
+        # consumer (SQL TIMESTAMP AS OF, the DSv2 option) — the
+        # ADVICE r14 #4 flake, fixed at the mechanism
+        stamp = round(_time.time(), 3)
+        try:
+            prev = self._raw(self._mname(base_version)) \
+                .get("committed_at")
+            if prev is not None and stamp <= prev:
+                stamp = round(prev + 0.001, 3)
+        except (FileNotFoundError, OSError):
+            pass                   # v1, or base vacuumed: clock wins
         body = {"version": version, "ts": self.ts, "format": _FORMAT,
                 "partitions": refs, "streams": streams or {},
                 "schema": schema or [],
-                # wall-clock commit stamp (epoch seconds) — the
-                # timestampAsOf resolution domain; informational only,
-                # never part of any correctness decision (clocks skew)
-                "committed_at": round(_time.time(), 3)}
+                "committed_at": stamp}
         if self.branch is not None:
             # carry the branch's cut point (recorded by create_branch,
             # inherited commit-to-commit): publish_branch needs it to
@@ -2710,9 +2723,15 @@ class ManifestTable:
         there is no external catalog entry to keep).  Raises the
         usual FileNotFoundError when no table exists at the root, so
         a typo cannot silently rm a directory that was never a
-        table."""
+        table; refuses to run on a branch-bound handle — the root
+        holds MAIN's manifests and data too, and dropping a branch
+        is :meth:`drop_branch`'s job."""
         import shutil
 
+        if self.branch is not None:
+            raise RuntimeError(
+                "drop runs on the main table (the root holds main's "
+                "data; use drop_branch to remove a branch)")
         self._raw()                      # proves a table lives here
         shutil.rmtree(self.root)
 
@@ -4388,6 +4407,39 @@ class ManifestTable:
                 stats[c]["ndv"] = int(row[f"ndv__{c}"])
         return stats
 
+    def _analyze_rebuild(self, spark: SparkSession,
+                         columns: list[str] | None = None) -> dict:
+        """Full approx re-analyze of ``columns`` (default: the pinned
+        schema) REBUILDING every sketch the columns already carry —
+        CMS frequencies re-threaded into every per-scale call and ddq
+        sketches rebuilt per scale group, because one analyze() call
+        carries ONE quantile scale and replaces each column's stats
+        dict wholesale (ADVICE r14 #1/#2 were the same
+        sketch-stripping defect landed in two copies of this loop —
+        now the single shared implementation under both
+        ``analyze_incremental``'s full fallback and SQL ``ANALYZE``).
+        Returns the recorded payload."""
+        mf = self._raw()
+        prior = (mf.get("colstats") or {}).get("columns", {})
+        cols = columns or [n for n, _ in (mf.get("schema") or [])]
+        freq = [c for c in cols if prior.get(c, {}).get("cms")]
+        groups: dict[float, list[str]] = {}
+        for c in cols:
+            ddq = prior.get(c, {}).get("ddq")
+            if ddq:
+                groups.setdefault(ddq["scale"], []).append(c)
+        scales = sorted(groups)
+        out = self.analyze(
+            spark, columns=columns, approx=True, frequencies=freq,
+            quantiles=sorted(groups[scales[0]]) if scales else [],
+            quantile_scale=scales[0] if scales else 1.0)
+        for s in scales[1:]:
+            out = self.analyze(
+                spark, columns=sorted(groups[s]), approx=True,
+                frequencies=sorted(set(groups[s]) & set(freq)),
+                quantiles=sorted(groups[s]), quantile_scale=s)
+        return out
+
     def analyze_incremental(self, spark: SparkSession,
                             columns: list[str] | None = None) -> dict:
         """Refresh ANALYZE stats after APPENDS without re-scanning
@@ -4419,31 +4471,7 @@ class ManifestTable:
                     if prior.get(c, {}).get("ddq")}
 
         def _full_fallback() -> dict:
-            # one analyze() call carries ONE quantile scale, but the
-            # stored sketches may legitimately carry several (each
-            # column keeps the scale it was analyzed at): rebuild
-            # per scale group — extra calls only re-scan the group's
-            # columns, and the payload merges per column
-            groups: dict[float, list[str]] = {}
-            for c, s in ddq_cols.items():
-                groups.setdefault(s, []).append(c)
-            scales = sorted(groups)
-            out = self.analyze(
-                spark, columns=cols, approx=True,
-                frequencies=freq_cols,
-                quantiles=sorted(groups[scales[0]]) if scales else [],
-                quantile_scale=scales[0] if scales else 1.0)
-            for s in scales[1:]:
-                # analyze() replaces each column's stats dict
-                # wholesale, so a column carrying BOTH a CMS and a
-                # ddq sketch at a non-minimum scale must have its
-                # frequencies re-threaded here or the rebuild would
-                # silently strip the CMS (ADVICE r14 #1)
-                out = self.analyze(
-                    spark, columns=sorted(groups[s]), approx=True,
-                    frequencies=sorted(set(groups[s]) & set(freq_cols)),
-                    quantiles=sorted(groups[s]),
-                    quantile_scale=s)
+            out = self._analyze_rebuild(spark, columns)
             out["scanned_files"] = -1          # full scan, documented
             return out
 

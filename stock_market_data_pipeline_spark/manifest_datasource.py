@@ -1623,33 +1623,13 @@ def _run_ddl(spark, query: str, mts: dict):
         t = require(name, "ANALYZE")
         cols = ([c.strip() for c in collist.split(",")]
                 if collist else None)
-        # analyze() replaces each column's stats dict wholesale, and
         # SQL has no syntax to name sketches — REBUILD whatever
         # sketches the analyzed columns already carry (a routine
         # maintenance statement must never silently strip the
-        # frequency/quantile capability a column had)
-        prior = (t._raw().get("colstats") or {}).get("columns", {})
-        scope = cols or [c for c, _ in (t._raw().get("schema")
-                                        or [])]
-        freq = [c for c in scope if prior.get(c, {}).get("cms")]
-        groups: dict = {}
-        for c in scope:
-            ddq = prior.get(c, {}).get("ddq")
-            if ddq:
-                groups.setdefault(ddq["scale"], []).append(c)
-        scales = sorted(groups)
-        out = t.analyze(
-            spark, columns=cols, approx=True, frequencies=freq,
-            quantiles=sorted(groups[scales[0]]) if scales else [],
-            quantile_scale=scales[0] if scales else 1.0)
-        for s in scales[1:]:
-            # thread freq ∩ group into every per-scale rebuild —
-            # omitting it would strip the CMS from any column whose
-            # ddq scale is not the minimum (ADVICE r14 #2)
-            out = t.analyze(
-                spark, columns=sorted(groups[s]), approx=True,
-                frequencies=sorted(set(groups[s]) & set(freq)),
-                quantiles=sorted(groups[s]), quantile_scale=s)
+        # frequency/quantile capability a column had); the per-scale
+        # rebuild loop lives in ONE place, _analyze_rebuild (ADVICE
+        # r14 #1/#2 were the same defect in two copies of it)
+        out = t._analyze_rebuild(spark, cols)
         rows = [(c, int(s["ndv"]), int(s["nulls"]),
                  s["min"], s["max"])
                 for c, s in sorted(out["columns"].items())
@@ -2059,8 +2039,8 @@ def manifest_sql(spark, query: str, tables: dict,
         # consume CDF without touching the DataFrame API
         name, v1, v2 = m.group(1), int(m.group(2)), m.group(3)
         if name not in mts:
-            raise KeyError(
-                f"table_changes target {name!r} not in tables")
+            return m.group(0)      # not ours: Spark resolves (or
+            # errors) like every other unknown name in the rewriters
         end = int(v2) if v2 is not None else None
         alias = f"{name}__ch{v1}_{end if end is not None else 'live'}"
         mts[name].table_changes(spark, v1, end) \

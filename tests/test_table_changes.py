@@ -102,8 +102,40 @@ def test_sql_spelling_matches_dataframe_feed(spark, t):
         "update_postimage": 15, "delete": 5}
 
 
-def test_sql_unknown_table_raises(spark, t):
-    with pytest.raises(KeyError, match="not in tables"):
+def test_sql_unknown_table_passes_through(spark, t):
+    # not ours: left verbatim for Spark to resolve (a real Delta
+    # table_changes in a mixed session) or error — the same contract
+    # as every other unknown name in the rewriters
+    from pyspark.sql.utils import AnalysisException
+
+    with pytest.raises(AnalysisException):
         manifest_sql(spark,
                      "SELECT * FROM table_changes('nope', 1)",
                      {"tc": t})
+
+
+def test_commit_stamps_strictly_monotonic(spark, tmp_path):
+    """ADVICE r14 #4, fixed at the mechanism: committed_at is
+    ms-rounded, so back-to-back commits can land in one wall-clock
+    millisecond — the stamp must still advance, or version_at(stamp)
+    repoints every timestamp consumer at the later snapshot."""
+    t = ManifestTable.create(_frame(spark, 0, 10),
+                             str(tmp_path / "t"), ts=None)
+    for _ in range(5):
+        t.add_columns([])            # metadata-only: fastest commits
+    stamps = [t._raw(t._mname(v)).get("committed_at")
+              for v in range(1, t.version() + 1)]
+    assert all(b > a for a, b in zip(stamps, stamps[1:])), stamps
+    for v in range(1, t.version() + 1):
+        assert t.version_at(stamps[v - 1]) == v
+
+
+def test_drop_refuses_branch_handle(spark, tmp_path):
+    import os
+
+    root = str(tmp_path / "t")
+    t = ManifestTable.create(_frame(spark, 0, 10), root, ts=None)
+    b = t.create_branch("audit")
+    with pytest.raises(RuntimeError, match="main table"):
+        b.drop()
+    assert os.path.exists(root)      # main untouched

@@ -99,8 +99,14 @@ def main() -> int:
         sys.stdout.flush()
     ok = {n: r for n, r in rows.items() if not r.get("err")}
     import subprocess
-    head = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
-                          capture_output=True, text=True).stdout.strip()
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))).stdout.strip() or "unknown"
+    except OSError:
+        head = "unknown"
     summary = {
         "sf1_dir": sf1_dir,
         # single-vintage is machine-checkable (VERDICT r14 #6): every
