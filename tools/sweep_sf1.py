@@ -180,6 +180,15 @@ ENTRIES = [
     "manifest_drop_column", "manifest_sql_ddl",
     "manifest_sql_maintenance", "sketch_ddq_quantiles",
     "sketch_ddq_range_estimate",
+    # round-15: the SQL range change feed consumed across an
+    # append + DV-merge + delete sequence over ~6M bars (the feed is
+    # bounded by change volume, asserted ≡ the DataFrame API), the
+    # SQL catalog surface (DETAIL ≡ partitions ≡ files folds over
+    # 80+ month-partitions with DVs), sketch-ordered bloom probes
+    # (probe count must strictly drop at ~120 clustered files), and
+    # the stats-driven salt decision over 1M events
+    "manifest_sql_table_changes", "manifest_sql_catalog",
+    "manifest_sketch_probe_order", "manifest_salt_decision",
 ]
 
 
