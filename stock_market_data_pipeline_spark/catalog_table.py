@@ -1457,10 +1457,22 @@ def manifest_sketch_probe_order_q(spark: SparkSession,
             .where(F.col("trade_month").between("1997-01", "1997-06"))
             .withColumn("sector",
                         (F.col("ticker") % 5).cast("string")))
-    n = bars.count()
+    n, ntick = bars.agg(
+        F.count("*"), F.countDistinct("ticker")).collect()[0]
+    # SIZE THE FILTER TO THE PER-FILE KEY COUNT (the 100 TB bloom
+    # discipline this entry exists to exercise): ~3 clustered files
+    # per month hold ~ntick/3 distinct tickers each; at a fixed
+    # m=2^14 the filters SATURATE once per-file keys reach ~2k (the
+    # sf1 fixture carries 200k tickers) and every probe answers
+    # "maybe" — ~16 bits/key keeps the false-positive rate ~0.1% at
+    # every scale factor, so exclusions (and the probe-order win)
+    # survive the 10x scale-up
+    m = 1 << 14
+    while m < 16 * max(ntick // 3, 1) and m < 1 << 21:
+        m <<= 1
     t = ManifestTable.create(
         bars, scratch_dir("manifest_probe_"), ts="trade_month",
-        bloom={"cols": ["ticker", "sector"], "m": 1 << 14, "k": 5},
+        bloom={"cols": ["ticker", "sector"], "m": m, "k": 5},
         cluster_by=["ticker"],
         max_records_per_file=max(50, n // 18))
     ks = [r["ticker"] for r in
