@@ -1450,6 +1450,8 @@ _ALTER_NOT_NULL_RE = re.compile(
     re.IGNORECASE)
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+([A-Za-z_]\w*)"
+    r"(?:\s+WHERE\s+([A-Za-z_]\w*)\s*(?:=\s*'([^']*)'"
+    r"|IN\s*\(\s*('[^']*'(?:\s*,\s*'[^']*')*)\s*\)))?"
     r"(?:\s+ZORDER\s+BY\s*\(\s*([A-Za-z_]\w*"
     r"(?:\s*,\s*[A-Za-z_]\w*)*)\s*\))?\s*;?\s*$",
     re.IGNORECASE)
@@ -1474,8 +1476,9 @@ _DROP_TABLE_RE = re.compile(
     r"\s*;?\s*$",
     re.IGNORECASE)
 _RESTORE_RE = re.compile(
-    r"^\s*RESTORE\s+TABLE\s+([A-Za-z_]\w*)\s+TO\s+VERSION\s+AS\s+OF"
-    r"\s+(\d+)\s*;?\s*$",
+    r"^\s*RESTORE\s+TABLE\s+([A-Za-z_]\w*)\s+TO\s+"
+    r"(?:VERSION\s+AS\s+OF\s+(\d+)"
+    r"|TIMESTAMP\s+AS\s+OF\s+'([^']+)')\s*;?\s*$",
     re.IGNORECASE)
 _CREATE_EMPTY_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+([A-Za-z_]\w*)\s*"
@@ -1512,8 +1515,12 @@ def _run_ddl(spark, query: str, mts: dict):
     Utility statements (the Delta operational surface, same literal
     spellings):
 
-    - ``OPTIMIZE t [ZORDER BY (c, ...)]`` -> :meth:`compact` —
-      returns (partitions_compacted, files_before, files_after);
+    - ``OPTIMIZE t [WHERE pt = 'v' | WHERE pt IN ('a','b')]
+      [ZORDER BY (c, ...)]`` -> :meth:`compact` — the WHERE form is
+      Delta's partition-bounded maintenance (partition predicates
+      only; anything else raises rather than degrade to a full
+      rewrite); returns (partitions_compacted, files_before,
+      files_after);
     - ``VACUUM t [RETAIN n HOURS] [DRY RUN]`` -> :meth:`vacuum` —
       returns the removed (or would-remove) paths;
     - ``ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS a, b]`` ->
@@ -1524,7 +1531,9 @@ def _run_ddl(spark, query: str, mts: dict):
       summary — commit-object reads only);
     - ``DROP TABLE [IF EXISTS] t`` -> :meth:`drop` — removes the
       table root irreversibly and unbinds the session view;
-    - ``RESTORE TABLE t TO VERSION AS OF n`` -> :meth:`restore`.
+    - ``RESTORE TABLE t TO VERSION AS OF n`` / ``TO TIMESTAMP AS OF
+      '<iso>'`` -> :meth:`restore` (the timestamp resolves through
+      ``version_at`` exactly like a time-travel read).
 
     The table's session view re-registers after a schema change so a
     follow-up ``SELECT`` in the same session serves the new schema.
@@ -1596,11 +1605,27 @@ def _run_ddl(spark, query: str, mts: dict):
         return done(t, name)
     m = _OPTIMIZE_RE.match(query)
     if m:
-        name, zcols = m.groups()
+        name, wcol, wval, winlist, zcols = m.groups()
         t = require(name, "OPTIMIZE")
         z = ([c.strip() for c in zcols.split(",")] if zcols
              else None)
-        out = t.compact(spark, zorder_by=z)
+        parts = None
+        if wcol is not None:
+            # Delta's OPTIMIZE WHERE: partition predicates only —
+            # bounded maintenance is the point (compact yesterday's
+            # partition, never rescan the table); an arbitrary-column
+            # WHERE would silently degrade to a full rewrite
+            pcol = t._raw().get("ts")
+            cm = t._raw().get("colmap") or {}
+            logical = {l for l, p in cm.items() if p == pcol} | {pcol}
+            if wcol not in logical:
+                raise ValueError(
+                    f"OPTIMIZE WHERE supports only the partition "
+                    f"column {sorted(logical)}, got {wcol!r}")
+            parts = ([wval] if wval is not None else
+                     [v.strip().strip("'")
+                      for v in winlist.split(",")])
+        out = t.compact(spark, zorder_by=z, partitions=parts)
         t.register(spark, name)
         return spark.createDataFrame(
             [(name, int(out.get("partitions", 0)),
@@ -1659,9 +1684,11 @@ def _run_ddl(spark, query: str, mts: dict):
         return spark.createDataFrame([(name,)], "table_name string")
     m = _RESTORE_RE.match(query)
     if m:
-        name, v = m.groups()
+        name, v, ts = m.groups()
         t = require(name, "RESTORE")
-        t.restore(int(v))
+        # the TIMESTAMP form resolves through version_at exactly like
+        # a time-travel read, then restores that snapshot
+        t.restore(int(v) if v is not None else t.version_at(ts))
         return done(t, name)
     m = _CREATE_EMPTY_RE.match(query)
     if m:

@@ -652,3 +652,46 @@ def test_sql_drop_table(spark, t, tmp_path):
     import pytest
     with pytest.raises((FileNotFoundError, OSError)):
         manifest_sql(spark, "DROP TABLE d", {"d": root})
+
+
+def test_sql_optimize_where_partition_bounded(spark, t):
+    """Delta's OPTIMIZE WHERE: compaction bounded to the named
+    partition value(s) — the other partitions' refs ride along
+    untouched; non-partition predicates raise rather than degrade to
+    a full rewrite."""
+    for lo in (100, 200, 300):           # fragment every partition
+        t.append(_frame(spark, lo, lo + 30))
+    before = {v: [e["path"] for e in t._entries(t._raw(), v)]
+              for v in t._raw()["partitions"]}
+    out = manifest_sql(spark, "OPTIMIZE t WHERE pt = '1'",
+                       {"t": t}).collect()[0]
+    assert out["partitions_compacted"] == 1
+    after = {v: [e["path"] for e in t._entries(t._raw(), v)]
+             for v in t._raw()["partitions"]}
+    assert len(after["1"]) == 1 and after["1"] != before["1"]
+    for v in ("0", "2"):
+        assert after[v] == before[v]     # untouched, byte for byte
+    assert t.read(spark).count() == 190  # row-preserving
+    # IN-list form compacts exactly the named set
+    out = manifest_sql(spark, "OPTIMIZE t WHERE pt IN ('0', '2')",
+                       {"t": t}).collect()[0]
+    assert out["partitions_compacted"] == 2
+    # non-partition predicates refuse loudly
+    with pytest.raises(ValueError, match="partition column"):
+        manifest_sql(spark, "OPTIMIZE t WHERE id = '7'", {"t": t})
+
+
+def test_sql_restore_to_timestamp(spark, t):
+    t.append(_frame(spark, 100, 150))                       # v2
+    stamp = t._raw()["committed_at"]
+    import datetime as dt
+
+    t.delete_where(spark, F.expr("id < 50"), mode="dv")     # v3
+    assert t.read(spark).count() == 100
+    iso = dt.datetime.fromtimestamp(
+        stamp, dt.timezone.utc).isoformat()
+    out = manifest_sql(
+        spark, f"RESTORE TABLE t TO TIMESTAMP AS OF '{iso}'",
+        {"t": t}).collect()[0]
+    assert out["version"] == 4           # restore is a new commit
+    assert t.read(spark).count() == 150  # v2 state, deletes undone
