@@ -110,11 +110,23 @@ def test_guarded_sma_null_until_n(spark, closes):
     w = ind.rolling_window("ticker", "trade_date", n)
     out = (df.withColumn("sma", ind.guarded_sma(F.col("close"), w, n))
            .orderBy("trade_date").collect())
+    # guarded_sma sums through the documented DEC quantization (the
+    # cross-engine determinism discipline, SURVEY §8.6 rule 1), so
+    # the reference value must quantize the SAME way: raw-float
+    # expectations diverge at the decimal's last digit for inputs
+    # carrying more fractional digits than DEC's scale (hypothesis
+    # found closes=[1,1,1,1,1.2265625] -> 1.0453126 vs 1.0453125)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    scale = Decimal(1).scaleb(
+        -int(str(ind.DEC).split(",")[1].rstrip(")")))
+    q = [float(Decimal(repr(c)).quantize(scale, ROUND_HALF_UP))
+         for c in closes]
     for i, row in enumerate(out):
         if i < n - 1:
             assert row.sma is None, (i, row)
         else:
-            expect = sum(closes[i - n + 1:i + 1]) / n
+            expect = sum(q[i - n + 1:i + 1]) / n
             assert row.sma == pytest.approx(expect, rel=1e-9)
 
 
