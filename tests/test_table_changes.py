@@ -139,3 +139,48 @@ def test_drop_refuses_branch_handle(spark, tmp_path):
     with pytest.raises(RuntimeError, match="main table"):
         b.drop()
     assert os.path.exists(root)      # main untouched
+
+
+@pytest.mark.parametrize("seed", [3, 11, 27])
+def test_feed_replay_reconstructs_end_state(spark, tmp_path, seed):
+    """The CDF algebra the range feed must satisfy: START state plus
+    the replayed change rows (inserts and update_postimages added,
+    deletes and update_preimages removed, in commit order) equals the
+    END state, as multisets — for a seed-varied mix of appends,
+    keyed DV merges and DV deletes.  This is the invariant every
+    downstream incremental view stands on; a mis-classified or
+    dropped change row breaks it immediately."""
+    t = ManifestTable.create(_frame(spark, 0, 40),
+                             str(tmp_path / "t"), ts="pt")
+    v_start = t.version()
+    ops = [("append", 40 + seed), ("merge", seed),
+           ("delete", seed % 7 + 2), ("merge", seed * 2 + 5),
+           ("append", 90 + seed), ("delete", seed % 5 + 11)]
+    for kind, p in ops:
+        if kind == "append":
+            t.append(_frame(spark, p, p + 10), cdf=True)
+        elif kind == "merge":
+            upd = _frame(spark, p, p + 15).withColumn(
+                "v", F.col("v") * 3 + 1)
+            t.merge(spark, upd, ["id"], cdf=True, mode="dv")
+        else:
+            t.delete_where(spark, F.expr(f"pmod(id, {p}) = 1"),
+                           mode="dv", cdf=True)
+    start = t.read(spark, manifest_name=t._mname(v_start))
+    cols = ["id", "pt", "v"]
+    state = [tuple(r) for r in start.select(*cols).collect()]
+    from collections import Counter
+    bag = Counter(state)
+    feed = (t.table_changes(spark, v_start + 1)
+            .select(*cols, "_change_type", "_commit_version")
+            .collect())
+    for r in sorted(feed, key=lambda r: r["_commit_version"]):
+        key = (r["id"], r["pt"], r["v"])
+        if r["_change_type"] in ("insert", "update_postimage"):
+            bag[key] += 1
+        else:                       # delete / update_preimage
+            bag[key] -= 1
+            assert bag[key] >= 0, (key, r["_change_type"])
+    live = Counter(tuple(r) for r in
+                   t.read(spark).select(*cols).collect())
+    assert bag == live
