@@ -1464,11 +1464,13 @@ def manifest_sketch_probe_order_q(spark: SparkSession,
     # per month hold ~ntick/3 distinct tickers each; at a fixed
     # m=2^14 the filters SATURATE once per-file keys reach ~2k (the
     # sf1 fixture carries 200k tickers) and every probe answers
-    # "maybe" — ~16 bits/key keeps the false-positive rate ~0.1% at
-    # every scale factor, so exclusions (and the probe-order win)
-    # survive the 10x scale-up
+    # "maybe" — ~16 bits/key keeps the false-positive rate ~0.1%.
+    # Clamped at 2^22 bits = ~260k per-file keys at full budget —
+    # 4x the sf1 fixture's ~66k ceiling; past the clamp bits/key
+    # shrinks and the probe-order RAISE-gate below would fire again,
+    # loudly, naming the next scale-up rather than hiding it
     m = 1 << 14
-    while m < 16 * max(ntick // 3, 1) and m < 1 << 21:
+    while m < 16 * max(ntick // 3, 1) and m < 1 << 22:
         m <<= 1
     t = ManifestTable.create(
         bars, scratch_dir("manifest_probe_"), ts="trade_month",

@@ -1614,17 +1614,22 @@ def _run_ddl(spark, query: str, mts: dict):
             # Delta's OPTIMIZE WHERE: partition predicates only —
             # bounded maintenance is the point (compact yesterday's
             # partition, never rescan the table); an arbitrary-column
-            # WHERE would silently degrade to a full rewrite
+            # WHERE would silently degrade to a full rewrite.  (The
+            # partition column cannot be renamed — rename_column
+            # refuses it — so its stored name IS its only spelling.)
             pcol = t._raw().get("ts")
-            cm = t._raw().get("colmap") or {}
-            logical = {l for l, p in cm.items() if p == pcol} | {pcol}
-            if wcol not in logical:
+            if pcol is None:
+                raise ValueError(
+                    f"OPTIMIZE WHERE on {name!r}: the table is "
+                    f"unpartitioned — nothing to bound maintenance to")
+            if wcol != pcol:
                 raise ValueError(
                     f"OPTIMIZE WHERE supports only the partition "
-                    f"column {sorted(logical)}, got {wcol!r}")
+                    f"column {pcol!r}, got {wcol!r}")
+            # IN-list values come out of their own quotes (never a
+            # bare comma split: a quoted value may itself contain one)
             parts = ([wval] if wval is not None else
-                     [v.strip().strip("'")
-                      for v in winlist.split(",")])
+                     re.findall(r"'([^']*)'", winlist))
         out = t.compact(spark, zorder_by=z, partitions=parts)
         t.register(spark, name)
         return spark.createDataFrame(
@@ -1709,6 +1714,17 @@ def _run_ddl(spark, query: str, mts: dict):
         t = ManifestTable.create(empty, mts[name].root, ts=part_col)
         mts[name] = t
         return done(t, name)
+    # a statement that LEADS with a maintenance keyword but matched
+    # no grammar above (unquoted literal, typo'd clause) must fail
+    # HERE with the offending text — falling through to spark.sql
+    # would surface an opaque ParseException on a verb Spark does not
+    # know, contradicting the raises-rather-than-degrades discipline
+    if re.match(r"^\s*(OPTIMIZE|VACUUM|RESTORE\s+TABLE"
+                r"|DESCRIBE\s+(HISTORY|DETAIL)|DROP\s+TABLE"
+                r"|ANALYZE\s+TABLE)\b", query, re.IGNORECASE):
+        raise ValueError(
+            f"unparsed maintenance statement (check quoting — "
+            f"string literals take single quotes): {query!r}")
     return None
 
 # -- SQL DML over registered manifest tables (VERDICT r12 #4) --------

@@ -669,16 +669,34 @@ def test_sql_optimize_where_partition_bounded(spark, t):
     after = {v: [e["path"] for e in t._entries(t._raw(), v)]
              for v in t._raw()["partitions"]}
     assert len(after["1"]) == 1 and after["1"] != before["1"]
-    for v in ("0", "2"):
-        assert after[v] == before[v]     # untouched, byte for byte
+    for v in ("0", "2", "3"):
+        assert after[v] == before[v]     # ALL others untouched
     assert t.read(spark).count() == 190  # row-preserving
-    # IN-list form compacts exactly the named set
+    # IN-list form compacts exactly the named set, nothing else
+    before2 = {v: [e["path"] for e in t._entries(t._raw(), v)]
+               for v in t._raw()["partitions"]}
     out = manifest_sql(spark, "OPTIMIZE t WHERE pt IN ('0', '2')",
                        {"t": t}).collect()[0]
     assert out["partitions_compacted"] == 2
+    after2 = {v: [e["path"] for e in t._entries(t._raw(), v)]
+              for v in t._raw()["partitions"]}
+    for v in ("0", "2"):
+        assert len(after2[v]) == 1 and after2[v] != before2[v]
+    for v in ("1", "3"):
+        assert after2[v] == before2[v]
+    assert t.read(spark).count() == 190
     # non-partition predicates refuse loudly
     with pytest.raises(ValueError, match="partition column"):
         manifest_sql(spark, "OPTIMIZE t WHERE id = '7'", {"t": t})
+    # an unquoted literal must fail HERE with the offending text,
+    # never fall through to an opaque Spark ParseException
+    with pytest.raises(ValueError, match="unparsed maintenance"):
+        manifest_sql(spark, "OPTIMIZE t WHERE pt = 1", {"t": t})
+    with pytest.raises(ValueError, match="unparsed maintenance"):
+        manifest_sql(
+            spark,
+            "RESTORE TABLE t TO TIMESTAMP AS OF 2024-01-01",
+            {"t": t})
 
 
 def test_sql_restore_to_timestamp(spark, t):
