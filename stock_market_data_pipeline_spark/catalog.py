@@ -3572,43 +3572,46 @@ from . import catalog_tpch  # noqa: E402,F401  (TPC-H q4/q7/q8/q13/q15/q16/q18/q
 # entries; VERDICT r12 "Next round" #1 mandated encoding the real
 # achievable schedule).
 
-# -- round 15 window (generated by tools/gen_driver_window.py) --
+# -- round 16 window (generated by tools/gen_driver_window.py) --
 # group 0: no changed-entry front group at round start;
-# group 1: the 4 new round-15 registrations (SQL table_changes, SQL
-#   catalog surface, sketch-driven probe order, salt decision),
-#   never driver-green, FIFO;
-# group 2: the stalest previously-green entries — the full r10
-#   cohort (37 entries at the ceil(189/50)=4 bound: the
-#   manifest-streaming / metadata / window-function families) plus
-#   the next-stalest r11 survivors, FIFO by registration.
+# group 1: (none — no never-driver-green entries remain: all 4
+#   round-15 registrations went green in CORRECTNESS_r15);
+# group 2: the stalest previously-green entries — the full r12
+#   cohort at the ceil(189/50)=4 bound (the relational / TPC-H /
+#   events-streaming / LLM-text families: tpch_q1/q3/q5,
+#   sessionize_events, stream_hourly_rollup, cube_order_stats,
+#   pairwise_correlation, dedup_simhash, mm_decode_png, ...) plus
+#   the next-stalest r13 survivors, FIFO by registration.
 _DRIVER_WINDOW_FIRST = [
-    "manifest_sql_table_changes", "manifest_sql_catalog",
-    "manifest_sketch_probe_order", "manifest_salt_decision",
-    "manifest_restore", "manifest_wap_publish", "manifest_meta_tables",
-    "datasource_manifest_scan", "stream_manifest_source",
-    "manifest_time_travel", "datasink_manifest_write",
-    "stream_manifest_sink", "stream_change_feed", "stream_ivm_view",
-    "stream_apply_changes", "runner_wap_audit", "manifest_change_feed",
-    "manifest_count_pushdown", "manifest_bloom_pointlookup",
-    "manifest_ivm_from_cdf", "manifest_schema_evolution",
-    "multiway_dim_join", "qualify_latest_per_key", "topk_by_metric",
-    "distinct_ordered", "running_total", "smoothed_daily_index",
-    "percent_rank_null_segregated", "partition_window_avg",
-    "conditional_agg_daily", "volatility_by_key",
-    "conditional_signal_dates", "median_summary", "rollup_revenue",
-    "text_bpe_tokens", "text_tfidf_top_terms", "docs_chunk_overlap",
-    "mm_decode_jpeg", "mm_decode_jpeg_color", "stream_upsert_dv",
-    "source_jsonl_roundtrip", "fct_trading_momentum_small",
-    "fct_momentum_incremental", "manifest_merge_full_sync",
-    "manifest_column_mapping", "manifest_sql_select",
-    "stream_backfill_chunked", "datasink_auto_layout", "self_lag_join",
-    "scalar_max_filter",
+    "screener_filter", "pairwise_correlation",
+    "tpch_q1_pricing_summary", "tpch_q3_topk_revenue",
+    "tpch_q5_local_supplier", "dedup_ngram_jaccard", "dedup_simhash",
+    "text_lang_id", "dedup_survivors_by_quality", "sample_hash_split",
+    "text_boilerplate_segments", "mm_payload_features",
+    "mm_payload_grid", "dedup_embedding_cosine",
+    "benchmark_contamination", "stratified_balance_lang",
+    "docs_length_band_filter", "docs_unigram_logprob", "mm_decode_png",
+    "stream_hourly_rollup", "stream_upsert_rollup",
+    "stream_stateful_user_totals", "datasource_grouped_daily",
+    "stream_interval_join", "sessionize_events",
+    "events_hopping_counts", "events_json_props",
+    "stream_dedup_events", "asof_prior_view",
+    "cumulative_distinct_users", "session_funnel",
+    "session_window_native", "stream_session_windows",
+    "pivot_priority_year", "cube_order_stats", "histogram_prices",
+    "band_range_join", "quantiles_by_brand", "except_intersect_keys",
+    "bucketed_join_revenue", "bars_ohlcv", "constituents_snapshots",
+    "universe_daily", "fct_trading_momentum", "constituents_diff",
+    "fct_trading_momentum_valid", "manifest_momentum_merge",
+    "manifest_pruned_scan", "serving_manifest_ticker_range",
+    "manifest_zorder_scan",
 ]
 
-#: never-green overflow ledger (FIFO).  EMPTY this round: the 50
-#: slots hold the 4 new registrations, the 37 r10-stale entries and
-#: the next-stalest r11 survivors; every outside entry sits within
-#: the ceil(189/50)=4 staleness bound at round-15 accounting.
+#: never-green overflow ledger (FIFO).  EMPTY this round: there are
+#: no never-driver-green entries; the 50 slots hold the full
+#: r12-stale cohort plus the next-stalest r13 survivors, and every
+#: outside entry sits within the ceil(189/50)=4 staleness bound at
+#: round-16 accounting.
 _DRIVER_WINDOW_DEFERRED: list[str] = [
 ]
 
