@@ -1880,7 +1880,8 @@ class ManifestTable:
                 colmap=_BLOOM_CARRY,
                 constraints=_BLOOM_CARRY,
                 colstats=_BLOOM_CARRY,
-                retired=_BLOOM_CARRY) -> None:
+                retired=_BLOOM_CARRY,
+                row_preserving: bool = False) -> None:
         """Steps 2+3 of the protocol: write a shard file for every
         partition given as a file-entry LIST (= changed by this
         commit), carry every ref dict through untouched (= unchanged;
@@ -2083,6 +2084,16 @@ class ManifestTable:
             # extra bytes); changes() adds the constant column.
             body["cdf"] = cdf
             body["cdf_kind"] = cdf_kind
+        if row_preserving:
+            # maintenance rewrite that provably changed no visible row
+            # (compact / OPTIMIZE / compact_dvs) — Delta's
+            # dataChange=false analog.  The change-feed range walk
+            # (table_changes) skips these commits like metadata-only
+            # ones instead of demanding a cdf capture they could never
+            # carry (they rewrite files, so their partitions map DOES
+            # differ from the base — the map-identity proof used for
+            # ANALYZE/DDL commits cannot apply).
+            body["row_preserving"] = True
         tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex[:12]}")
         with open(tmp, "w") as f:
             f.write(json.dumps(body, sort_keys=True))
@@ -3692,6 +3703,15 @@ class ManifestTable:
         for v in range(int(start), end + 1):
             mf = self._raw(self._mname(v))
             if "cdf" not in mf:
+                if mf.get("row_preserving"):
+                    # maintenance rewrite stamped dataChange=false
+                    # (compact / OPTIMIZE / compact_dvs): visible rows
+                    # provably unchanged, so the feed skips it exactly
+                    # like Delta's table_changes skips
+                    # dataChange=false commits — a routine OPTIMIZE in
+                    # range must never break the CDF walk (ADVICE r15
+                    # #1)
+                    continue
                 prev = None
                 try:
                     prev = self._raw(self._mname(v - 1))
@@ -3701,10 +3721,14 @@ class ManifestTable:
                                          == prev["partitions"]):
                     continue       # metadata-only: zero change rows
                 raise FileNotFoundError(
-                    f"{self.root} version {v}: committed without "
-                    "cdf=True — no row-level change set was captured; "
-                    "enable cdf on every write in the range or start "
-                    "past this version")
+                    f"{self.root} version {v}: a DATA commit in the "
+                    "requested range was captured without cdf=True, "
+                    "so its row-level change set does not exist; "
+                    "re-run the feed with start past this version, or "
+                    "pass cdf=True on every data write "
+                    "(append/merge/delete_where) whose changes the "
+                    "feed must carry — maintenance commits "
+                    "(compact/OPTIMIZE, ANALYZE, DDL) never need it")
             frames.append(self.changes(spark, v).withColumn(
                 "_commit_version", F.lit(v).cast("long")))
         if not frames:
@@ -5537,7 +5561,8 @@ class ManifestTable:
             try:
                 self._commit(new_parts, base_version=snap["version"],
                              streams=snap.get("streams", {}),
-                             schema=snap.get("schema"))
+                             schema=snap.get("schema"),
+                             row_preserving=True)
                 break
             except CommitConflict:
                 snap = self._raw()   # fingerprints re-checked above
@@ -5691,7 +5716,8 @@ class ManifestTable:
                 self._commit(new_parts,
                              base_version=snap["version"],
                              streams=snap.get("streams", {}),
-                             schema=snap.get("schema"))
+                             schema=snap.get("schema"),
+                             row_preserving=True)
                 break
             except CommitConflict:
                 newer = self._raw()

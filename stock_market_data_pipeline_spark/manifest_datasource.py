@@ -632,11 +632,25 @@ class ManifestStreamReader(DataSourceStreamReader):
         for v in range(max(s, 0) + 1, e + 1):
             mf = table._raw(table._mname(v))
             if "cdf" not in mf:
+                if mf.get("row_preserving"):
+                    continue     # compact/OPTIMIZE: dataChange=false,
+                #                  zero change rows by construction
+                prev = None
+                try:
+                    prev = table._raw(table._mname(v - 1))
+                except (FileNotFoundError, OSError):
+                    pass         # vacuumed away: cannot prove safe
+                if prev is not None and (mf["partitions"]
+                                         == prev["partitions"]):
+                    continue     # metadata-only (ANALYZE/DDL): a
+                #                  routine maintenance commit must not
+                #                  kill a running change-feed stream
                 raise RuntimeError(
-                    f"{self.root} version {v}: committed without "
-                    "cdf=True — no row-level change set was captured; "
-                    "enable cdf on every write (merge/delete/append/"
-                    "sink) or start the stream past this version")
+                    f"{self.root} version {v}: a DATA commit was "
+                    "captured without cdf=True — no row-level change "
+                    "set exists; enable cdf on every data write "
+                    "(merge/delete/append/sink) or start the stream "
+                    "past this version")
             ctype = ("insert" if mf.get("cdf_kind") == "insert_files"
                      else None)
             out.extend(ManifestCDFPartition(

@@ -184,3 +184,63 @@ def test_feed_replay_reconstructs_end_state(spark, tmp_path, seed):
     live = Counter(tuple(r) for r in
                    t.read(spark).select(*cols).collect())
     assert bag == live
+
+
+def test_row_preserving_maintenance_skipped_in_range(spark, tmp_path):
+    """ADVICE r15 #1: compact/OPTIMIZE (and compact_dvs) rewrite
+    files, so their partitions map DIFFERS from the base — the
+    metadata-only identity proof can never apply.  They must still
+    contribute zero rows to a spanning change feed (Delta skips
+    dataChange=false commits); before the ``row_preserving`` stamp,
+    one routine OPTIMIZE permanently broke every range over it."""
+    t = ManifestTable.create(_frame(spark, 0, 30),
+                             str(tmp_path / "t"), ts="pt")       # v1
+    t.append(_frame(spark, 30, 40), cdf=True)                    # v2
+    t.append(_frame(spark, 40, 50), cdf=True)                    # v3
+    stats = t.compact(spark, min_files=2)                        # v4
+    assert stats["partitions"] > 0
+    t.delete_where(spark, F.expr("id < 5"), mode="dv",
+                   cdf=True)                                     # v5
+    assert t._raw(t._mname(4)).get("row_preserving") is True
+    # the stamp is maintenance-only: data commits must never carry it
+    assert "row_preserving" not in t._raw(t._mname(5))
+    feed = t.table_changes(spark, 2, 5)
+    by_v = {r["_commit_version"]: r["n"] for r in
+            feed.groupBy("_commit_version")
+            .agg(F.count("*").alias("n")).collect()}
+    assert by_v == {2: 10, 3: 10, 5: 5}      # v4 contributes nothing
+    # compact_dvs (sidecar consolidation) gets the same stamp
+    t.delete_where(spark, F.expr("id >= 45"), mode="dv",
+                   cdf=True)                                     # v6
+    t.compact_dvs(spark, min_sidecars=2)                         # v7
+    assert t._raw(t._mname(7)).get("row_preserving") is True
+    assert t.table_changes(spark, 7, 7).count() == 0
+
+
+def test_stream_cdf_survives_maintenance_commits(spark, tmp_path):
+    """The readChangeFeed STREAM walk gets the same skips: a
+    mid-stream ANALYZE (metadata-only) or compact (row-preserving)
+    must not kill the stream — only a genuine uncaptured DATA commit
+    raises."""
+    import os
+
+    root = str(tmp_path / "t")
+    t = ManifestTable.create(_frame(spark, 0, 30), root, ts="pt")
+    t.append(_frame(spark, 30, 40), cdf=True)
+    t.analyze(spark, approx=True, columns=["v"])     # metadata-only
+    t.compact(spark, min_files=1)                    # row-preserving
+    t.append(_frame(spark, 40, 45), cdf=True)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    q = (spark.readStream.format("manifest")
+         .option("path", root).option("startingVersion", 1)
+         .option("readChangeFeed", "true").load()
+         .writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    by_v = {r["_commit_version"]: r["n"] for r in
+            got.groupBy("_commit_version")
+            .agg(F.count("*").alias("n")).collect()}
+    assert by_v == {2: 10, 5: 5}
