@@ -1432,6 +1432,55 @@ _META_TABLE_RE = re.compile(
     r"refs|column_stats|detail)\b",
     re.IGNORECASE)
 
+
+def _literal_spans(text: str) -> list:
+    """[start, end) spans of quoted SQL string literals in ``text``
+    — single-quoted ('' escapes) and double-quoted ("" escapes;
+    Spark's default dialect reads ``"..."`` as a string literal too,
+    and under ANSI double-quoted-identifier mode a quoted identifier
+    is never our unquoted grammar, so masking both is safe either
+    way).  An unterminated literal runs to the end of the string —
+    the rewriters must stay out of it either way."""
+    spans = []
+    i, n = 0, len(text)
+    while i < n:
+        q = text[i]
+        if q not in ("'", '"'):
+            i += 1
+            continue
+        j = i + 1
+        while j < n:
+            if text[j] == q:
+                if j + 1 < n and text[j + 1] == q:
+                    j += 2
+                    continue
+                break
+            j += 1
+        end = j + 1 if j < n else n
+        spans.append((i, end))
+        i = end
+    return spans
+
+
+def _sub_outside_literals(regex, fn, text: str) -> str:
+    """``regex.sub(fn, text)`` with matches that START inside a
+    single-quoted literal left verbatim — the ONE masking helper for
+    all four read rewriters (ADVICE r15 #4: a literal containing
+    ``FROM bars.files`` must never register a stray temp view or have
+    its content rewritten).  Start-position guarding suffices: every
+    rewriter's match begins at a keyword/function name, and those
+    regexes cannot begin outside a literal yet extend into one (an
+    identifier char run never crosses a quote)."""
+    spans = _literal_spans(text)
+
+    def guarded(m):
+        s = m.start()
+        if any(a <= s < b for a, b in spans):
+            return m.group(0)
+        return fn(m)
+
+    return regex.sub(guarded, text)
+
 # -- SQL DDL over registered manifest tables (VERDICT r13 #4) --------
 _ALTER_ADD_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+ADD\s+COLUMNS?\s*"
@@ -1693,11 +1742,20 @@ def _run_ddl(spark, query: str, mts: dict):
     if m:
         if_exists, name = m.groups()
         t = require(name, "DROP TABLE")
+        # probe first: IF EXISTS may swallow ONLY "no table lives at
+        # this root" — an rmtree failure on an EXISTING table
+        # (permissions, half-deleted tree) must propagate loudly, or
+        # the statement reports success while data files remain on
+        # disk (ADVICE r15 #3)
+        missing = False
         try:
-            t.drop()
+            t._raw()
         except (FileNotFoundError, OSError):
+            missing = True
             if not if_exists:
                 raise
+        if not missing:
+            t.drop()
         del mts[name]
         spark.catalog.dropTempView(name)
         return spark.createDataFrame([(name,)], "table_name string")
@@ -1837,7 +1895,10 @@ def _run_dml(spark, query: str, mts: dict, cdf: bool):
                            f"pass its root path")
         from .manifest import ManifestTable
         root = mts[name].root
-        df = spark.sql(select)
+        # the CTAS source is arbitrary SELECT text: it gets the same
+        # grammar rewrites (time travel, table_changes, meta tables)
+        # as a standalone query (ADVICE r15 #2)
+        df = spark.sql(_rewrite_reads(spark, select, mts))
         n = df.count()
         try:
             mts[name]._raw()
@@ -1864,8 +1925,12 @@ def _run_dml(spark, query: str, mts: dict, cdf: bool):
             raise KeyError(f"MERGE target {name!r} not in tables")
         t = mts[name]
         src = m.group("source")
-        updates = (spark.sql(src[1:-1]) if src.startswith("(")
-                   else spark.table(src))
+        # a parenthesized MERGE source is arbitrary SELECT text — run
+        # the read rewriters over it so `USING (SELECT * FROM
+        # table_changes('s', 2, 5))`, the natural CDF-apply spelling,
+        # parses exactly like the standalone form (ADVICE r15 #2)
+        updates = (spark.sql(_rewrite_reads(spark, src[1:-1], mts))
+                   if src.startswith("(") else spark.table(src))
         sig = t._raw().get("schema") or []
         if sig and sorted(c.lower() for c in updates.columns) \
                 == sorted(n.lower() for n, _ in sig):
@@ -1932,7 +1997,7 @@ def _run_dml(spark, query: str, mts: dict, cdf: bool):
                 f"SELECT * FROM ({sel}) AS "
                 f"v({', '.join(names)})")
         else:
-            df = spark.sql(sel)
+            df = spark.sql(_rewrite_reads(spark, sel, mts))
             if cols:
                 df = df.toDF(*[c.strip()
                                for c in cols.strip("() ").split(",")])
@@ -1973,6 +2038,82 @@ def _run_dml(spark, query: str, mts: dict, cdf: bool):
             spark, sets, m.group(3) or "true", cdf=cdf)
         return metrics(num_updated_rows=out["rows_updated"])
     return None
+
+
+def _rewrite_reads(spark, query: str, mts: dict) -> str:
+    """Apply the four read-side grammar rewriters — ``VERSION AS OF``,
+    ``TIMESTAMP AS OF``, ``table_changes('t', v1[, v2])`` and the
+    Iceberg metadata-table spelling ``name.partitions/.files/...`` —
+    to one SQL text, literal-masked (:func:`_sub_outside_literals`),
+    registering the per-snapshot / feed / meta temp views the
+    rewritten text references.  Shared by :func:`manifest_sql`'s
+    final SELECT path AND every DML source subquery (ADVICE r15 #2:
+    ``MERGE INTO t USING (SELECT * FROM table_changes('s', 2, 5))`` —
+    the natural CDF-apply spelling — must parse like the standalone
+    form).  Names not in ``mts`` are left verbatim for Spark to
+    resolve."""
+    def _sub(m):
+        kw, name, v = m.group(1), m.group(2), int(m.group(3))
+        if name not in mts:
+            return m.group(0)
+        alias = f"{name}__v{v}"
+        mts[name].register(spark, alias, version=v)
+        return f"{kw} {alias}"
+
+    def _sub_ts(m):
+        # the literal ``TIMESTAMP AS OF 'ts'`` form (Delta's second
+        # time-travel spelling): the DSv2 reader resolves the version
+        # whose commit stamp is the latest <= ts (version_at), then
+        # pins that snapshot exactly like VERSION AS OF
+        kw, name, ts = m.group(1), m.group(2), m.group(3)
+        if name not in mts:
+            return m.group(0)
+        alias = f"{name}__t{re.sub(r'[^0-9A-Za-z]', '_', ts)}"
+        mts[name].register(spark, alias, timestamp=ts)
+        return f"{kw} {alias}"
+
+    def _sub_changes(m):
+        # Delta's ``table_changes('t', v1[, v2])`` table function
+        # (VERDICT r14 #2): the range change feed as a SQL relation —
+        # rewritten onto ManifestTable.table_changes, which unions
+        # the per-commit classified change sets with _change_type /
+        # _commit_version intact, so the raw-SQL serving tier can
+        # consume CDF without touching the DataFrame API
+        name, v1, v2 = m.group(1), int(m.group(2)), m.group(3)
+        if name not in mts:
+            return m.group(0)      # not ours: Spark resolves (or
+            # errors) like every other unknown name in the rewriters
+        end = int(v2) if v2 is not None else None
+        alias = f"{name}__ch{v1}_{end if end is not None else 'live'}"
+        mts[name].table_changes(spark, v1, end) \
+            .createOrReplaceTempView(alias)
+        return alias
+
+    def _sub_meta(m):
+        # Iceberg's metadata-table spelling (``db.t.files`` etc.) for
+        # the inspection frames (VERDICT r14 #3): ``FROM <name>.<meta>``
+        # registers the meta frame under an alias — driver-side
+        # commit-object reads, no data I/O, composable with ordinary
+        # SQL on top
+        kw, name, meta = m.group(1), m.group(2), m.group(3).lower()
+        if name not in mts:
+            return m.group(0)      # someone else's qualified name
+        t = mts[name]
+        frame = {"partitions": t.meta_partitions,
+                 "files": t.meta_files,
+                 "history": t.meta_snapshots,
+                 "refs": t.meta_refs,
+                 "column_stats": t.meta_column_stats,
+                 "detail": t.detail}[meta](spark)
+        alias = f"{name}__meta_{meta}"
+        frame.createOrReplaceTempView(alias)
+        return f"{kw} {alias}"
+
+    out = _sub_outside_literals(_TT_RE, _sub, query)
+    out = _sub_outside_literals(_TTS_RE, _sub_ts, out)
+    out = _sub_outside_literals(_TABLE_CHANGES_RE, _sub_changes, out)
+    out = _sub_outside_literals(_META_TABLE_RE, _sub_meta, out)
+    return out
 
 
 def manifest_sql(spark, query: str, tables: dict,
@@ -2066,66 +2207,7 @@ def manifest_sql(spark, query: str, tables: dict,
     dml = _run_dml(spark, query, mts, cdf)
     if dml is not None:
         return dml
-
-    def _sub(m):
-        kw, name, v = m.group(1), m.group(2), int(m.group(3))
-        if name not in mts:
-            return m.group(0)
-        alias = f"{name}__v{v}"
-        mts[name].register(spark, alias, version=v)
-        return f"{kw} {alias}"
-
-    def _sub_ts(m):
-        # the literal ``TIMESTAMP AS OF 'ts'`` form (Delta's second
-        # time-travel spelling): the DSv2 reader resolves the version
-        # whose commit stamp is the latest <= ts (version_at), then
-        # pins that snapshot exactly like VERSION AS OF
-        kw, name, ts = m.group(1), m.group(2), m.group(3)
-        if name not in mts:
-            return m.group(0)
-        alias = f"{name}__t{re.sub(r'[^0-9A-Za-z]', '_', ts)}"
-        mts[name].register(spark, alias, timestamp=ts)
-        return f"{kw} {alias}"
-
-    def _sub_changes(m):
-        # Delta's ``table_changes('t', v1[, v2])`` table function
-        # (VERDICT r14 #2): the range change feed as a SQL relation —
-        # rewritten onto ManifestTable.table_changes, which unions
-        # the per-commit classified change sets with _change_type /
-        # _commit_version intact, so the raw-SQL serving tier can
-        # consume CDF without touching the DataFrame API
-        name, v1, v2 = m.group(1), int(m.group(2)), m.group(3)
-        if name not in mts:
-            return m.group(0)      # not ours: Spark resolves (or
-            # errors) like every other unknown name in the rewriters
-        end = int(v2) if v2 is not None else None
-        alias = f"{name}__ch{v1}_{end if end is not None else 'live'}"
-        mts[name].table_changes(spark, v1, end) \
-            .createOrReplaceTempView(alias)
-        return alias
-
-    def _sub_meta(m):
-        # Iceberg's metadata-table spelling (``db.t.files`` etc.) for
-        # the inspection frames (VERDICT r14 #3): ``FROM <name>.<meta>``
-        # registers the meta frame under an alias — driver-side
-        # commit-object reads, no data I/O, composable with ordinary
-        # SQL on top
-        kw, name, meta = m.group(1), m.group(2), m.group(3).lower()
-        if name not in mts:
-            return m.group(0)      # someone else's qualified name
-        t = mts[name]
-        frame = {"partitions": t.meta_partitions,
-                 "files": t.meta_files,
-                 "history": t.meta_snapshots,
-                 "refs": t.meta_refs,
-                 "column_stats": t.meta_column_stats,
-                 "detail": t.detail}[meta](spark)
-        alias = f"{name}__meta_{meta}"
-        frame.createOrReplaceTempView(alias)
-        return f"{kw} {alias}"
-
-    return spark.sql(_META_TABLE_RE.sub(_sub_meta, _TABLE_CHANGES_RE.sub(
-        _sub_changes, _TTS_RE.sub(_sub_ts, _TT_RE.sub(_sub, query)))))
+    return spark.sql(_rewrite_reads(spark, query, mts))
 
 
 def write_manifest(df, root: str, ts: str | None = None,

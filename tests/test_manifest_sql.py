@@ -713,3 +713,86 @@ def test_sql_restore_to_timestamp(spark, t):
         {"t": t}).collect()[0]
     assert out["version"] == 4           # restore is a new commit
     assert t.read(spark).count() == 150  # v2 state, deletes undone
+
+
+def test_sql_drop_if_exists_surfaces_rmtree_failure(
+        spark, tmp_path, monkeypatch):
+    """ADVICE r15 #3: IF EXISTS swallows ONLY the missing-table
+    probe.  A deletion failure on an EXISTING table (permissions,
+    half-deleted tree) must propagate loudly — reporting success
+    while data files remain on disk is the worst outcome a DROP can
+    have."""
+    import os
+    import shutil
+
+    root = str(tmp_path / "sticky")
+    ManifestTable.create(_frame(spark, 0, 10), root, ts=None)
+
+    def boom(path, *a, **kw):
+        raise OSError(f"permission denied removing {path}")
+
+    monkeypatch.setattr(shutil, "rmtree", boom)
+    with pytest.raises(OSError, match="permission denied"):
+        manifest_sql(spark, "DROP TABLE IF EXISTS s", {"s": root})
+    monkeypatch.undo()
+    assert os.path.exists(root)          # nothing silently vanished
+    # and the missing-table probe is still swallowed
+    gone = str(tmp_path / "never_was")
+    out = manifest_sql(spark, "DROP TABLE IF EXISTS g",
+                       {"g": gone}).collect()
+    assert out[0]["table_name"] == "g"
+
+
+def test_sql_rewriters_skip_quoted_literals(spark, t):
+    """ADVICE r15 #4: grammar-shaped text INSIDE a string literal
+    must come through verbatim — no stray temp views registered, no
+    literal content rewritten — while the same text outside a
+    literal still rewrites (the meta-table read in the same query
+    proves the rewriter stayed active)."""
+    # the table binds under a name no other test registers, so the
+    # no-stray-view assertions cannot see session pollution
+    got = manifest_sql(
+        spark,
+        "SELECT 'FROM qlit.files' AS a, "
+        "'FROM qlit VERSION AS OF 1' AS b, "
+        '"see table_changes(\'qlit\', 1, 2) for the feed" AS c, '
+        "COUNT(*) AS n FROM qlit.partitions",
+        {"qlit": t}).collect()
+    assert got[0]["a"] == "FROM qlit.files"
+    assert got[0]["b"] == "FROM qlit VERSION AS OF 1"
+    assert got[0]["c"] == "see table_changes('qlit', 1, 2) for the feed"
+    assert got[0]["n"] == 4              # the real rewrite ran
+    # the literal mention of qlit.files registered nothing
+    assert not spark.catalog.tableExists("qlit__meta_files")
+    assert not spark.catalog.tableExists("qlit__ch1_2")
+
+
+def test_sql_merge_using_table_changes_source(spark, t, tmp_path):
+    """ADVICE r15 #2: the DML source subquery gets the same grammar
+    rewrites as a standalone SELECT — ``MERGE INTO tgt USING (SELECT
+    ... FROM table_changes('src', v1, v2))`` is the natural
+    CDF-apply spelling and must not fall through to bare spark.sql's
+    ParseException."""
+    src_root = str(tmp_path / "src")
+    s = ManifestTable.create(_frame(spark, 0, 20), src_root,
+                             ts="pt")                        # v1
+    s.append(_frame(spark, 100, 110).withColumn(
+        "v", F.col("v") + 0.5), cdf=True)                    # v2
+    out = manifest_sql(
+        spark,
+        "MERGE INTO t USING (SELECT id, pt, v FROM "
+        "table_changes('s', 2, 2) WHERE _change_type = 'insert') s "
+        "ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+        {"t": t, "s": s}).collect()
+    assert out[0]["num_affected_rows"] == 10
+    live = t.read(spark)
+    assert live.count() == 110
+    assert live.filter("id >= 100").count() == 10
+    # INSERT INTO gets the same treatment (time-travel in source)
+    manifest_sql(spark,
+                 "INSERT INTO t SELECT id + 200 AS id, pt, v "
+                 "FROM s VERSION AS OF 1 WHERE id < 5",
+                 {"t": t, "s": s})
+    assert t.read(spark).count() == 115
