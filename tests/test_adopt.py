@@ -1,0 +1,192 @@
+"""Zero-copy parquet adoption (VERDICT r15 "Next round" #3 — the
+``CONVERT TO DELTA`` / ``add_files`` analog): ManifestTable.adopt
+harvests an existing lake's footers into one metadata commit, moves
+zero data bytes, and every subsequent operation (scan pruning, DV
+delete, append, merge, compact, vacuum, time travel, SQL) works
+unchanged on the adopted snapshot."""
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_market_data_pipeline_spark.manifest import (
+    ManifestTable,
+    SchemaMismatch,
+)
+
+
+def _frame(spark, lo, hi):
+    return (spark.range(lo, hi)
+            .select(F.col("id"),
+                    (F.col("id") % 4).cast("string").alias("pt"),
+                    (F.col("id") * 2.0).alias("v")))
+
+
+def _lake_fingerprint(root: str) -> dict:
+    return {p: (os.path.getsize(p), os.path.getmtime(p))
+            for p in glob.glob(os.path.join(root, "**", "*.parquet"),
+                               recursive=True)}
+
+
+@pytest.fixture()
+def hive_root(spark, tmp_path):
+    root = str(tmp_path / "lake")
+    _frame(spark, 0, 1000).write.partitionBy("pt").parquet(root)
+    return root
+
+
+def test_adopt_moves_zero_bytes_and_reads_exactly(spark, hive_root):
+    before = _lake_fingerprint(hive_root)
+    t = ManifestTable.adopt(spark, hive_root, ts="pt")
+    assert _lake_fingerprint(hive_root) == before   # ZERO data I/O
+    assert t.version() == 1
+    live = t.read(spark)
+    # the partition column reconstructs from the directory names,
+    # typed by the same inference a direct read would use
+    direct = spark.read.parquet(hive_root)
+    assert sorted(live.columns) == sorted(direct.columns)
+    a = {tuple(r) for r in
+         live.select("id", "v", F.col("pt").cast("string")).collect()}
+    b = {tuple(r) for r in
+         direct.select("id", "v",
+                       F.col("pt").cast("string")).collect()}
+    assert a == b
+    assert live.filter("pt IS NULL").count() == 0
+
+
+def test_adopt_scan_plan_prunes_partitions_and_files(spark, hive_root):
+    t = ManifestTable.adopt(spark, hive_root, ts="pt")
+    plan = t.scan_plan({"pt": ["2"]})
+    assert plan["partitions"] == ["2"]
+    assert plan["partitions_pruned"] == 3
+    # zone maps harvested from the adopted footers skip on data cols
+    plan2 = t.scan_plan({"id": (5000, None)})
+    assert plan2["files"] == []          # nothing reaches id >= 5000
+
+
+def test_adopt_then_dv_delete_append_merge_timetravel(spark,
+                                                     hive_root):
+    t = ManifestTable.adopt(spark, hive_root, ts="pt")
+    out = t.delete_where(spark, F.expr("id < 100"), mode="dv")
+    assert out["rows_deleted"] == 100
+    assert t.read(spark).count() == 900
+    # the delete wrote SIDECARS only — adopted data files untouched
+    # (fingerprint of the adopted files, not the new data/ txn area)
+    adopted = {p: s for p, s in _lake_fingerprint(hive_root).items()
+               if "/data/" not in p}
+    assert len(adopted) >= 4
+    dfi = (_frame(spark, 5000, 5010)
+           .withColumn("pt", F.col("pt").cast("int"))
+           .select("id", "v", "pt"))
+    t.append(dfi)
+    assert t.read(spark).count() == 910
+    assert t.read(spark).filter("pt IS NULL").count() == 0
+    upd = (spark.range(500, 520)
+           .select(F.col("id"), F.lit(99.0).alias("v"),
+                   (F.col("id") % 4).cast("int").alias("pt")))
+    t.merge(spark, upd, ["id"], mode="dv")
+    got = t.read(spark).filter("id BETWEEN 500 AND 519")
+    assert got.count() == 20
+    assert got.filter("v = 99.0").count() == 20
+    # time travel back to the adopted snapshot
+    assert t.read(spark, manifest_name=t._mname(1)).count() == 1000
+
+
+def test_adopt_flat_file_aligned_lake(spark, tmp_path):
+    root = str(tmp_path / "flat")
+    os.makedirs(root)
+    df = _frame(spark, 0, 1000)
+    for v in range(4):
+        scratch = str(tmp_path / f"s{v}")
+        df.filter(F.col("pt") == str(v)).coalesce(1) \
+            .write.parquet(scratch)
+        shutil.move(glob.glob(scratch + "/*.parquet")[0],
+                    os.path.join(root, f"chunk-{v}.parquet"))
+        shutil.rmtree(scratch)
+    t = ManifestTable.adopt(spark, root, ts="pt")
+    assert t.read(spark).count() == 1000
+    plan = t.scan_plan({"pt": ["1"]})
+    assert len(plan["files"]) == 1 and plan["partitions_pruned"] == 3
+    o = t.delete_where(spark, F.expr("id % 10 = 0"), mode="dv")
+    assert t.read(spark).count() == 1000 - o["rows_deleted"]
+
+
+def test_adopt_flat_refuses_value_spanning_file(spark, tmp_path):
+    root = str(tmp_path / "span")
+    _frame(spark, 0, 100).coalesce(1).write.parquet(root)
+    with pytest.raises(SchemaMismatch, match="FILE-ALIGNED"):
+        ManifestTable.adopt(spark, root, ts="pt")
+
+
+def test_adopt_unpartitioned(spark, tmp_path):
+    root = str(tmp_path / "flatn")
+    _frame(spark, 0, 500).write.parquet(root)
+    t = ManifestTable.adopt(spark, root)
+    assert t.read(spark).count() == 500
+    o = t.delete_where(spark, F.expr("id < 10"), mode="dv")
+    assert o["rows_deleted"] == 10
+    assert t.read(spark).count() == 490
+
+
+def test_adopt_refuses_existing_table_and_empty_lake(spark,
+                                                    tmp_path,
+                                                    hive_root):
+    ManifestTable.adopt(spark, hive_root, ts="pt")
+    with pytest.raises(ValueError, match="already holds"):
+        ManifestTable.adopt(spark, hive_root, ts="pt")
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    with pytest.raises(FileNotFoundError):
+        ManifestTable.adopt(spark, empty)
+
+
+def test_adopt_vacuum_never_reclaims_adopted_files(spark, hive_root):
+    t = ManifestTable.adopt(spark, hive_root, ts="pt")
+    t.append((_frame(spark, 5000, 5100)
+              .withColumn("pt", F.col("pt").cast("int"))
+              .select("id", "v", "pt")))
+    removed = t.vacuum(retention_seconds=0.0)
+    assert all("/data/" in p or os.sep + "data" + os.sep in p
+               or not p.endswith(".parquet") for p in removed), removed
+    assert t.read(spark).count() == 1100
+
+
+def test_adopt_compact_migrates_and_feed_skips_it(spark, hive_root):
+    """compact() re-stages adopted files into engine-owned txn dirs
+    (materializing the reconstructed partition column into the new
+    files) without changing visible rows — and its commit is
+    row-preserving, so a CDF range spanning it stays walkable."""
+    t = ManifestTable.adopt(spark, hive_root, ts="pt")          # v1
+    t.delete_where(spark, F.expr("id < 50"), mode="dv",
+                   cdf=True)                                    # v2
+    stats = t.compact(spark, min_files=1)                       # v3
+    assert stats["partitions"] == 4
+    assert t.read(spark).count() == 950
+    assert t.read(spark).filter("pt IS NULL").count() == 0
+    t.append((_frame(spark, 6000, 6010)
+              .withColumn("pt", F.col("pt").cast("int"))
+              .select("id", "v", "pt")), cdf=True)              # v4
+    by_v = {r["_commit_version"]: r["n"] for r in
+            t.table_changes(spark, 2, 4)
+            .groupBy("_commit_version")
+            .agg(F.count("*").alias("n")).collect()}
+    assert by_v == {2: 50, 4: 10}        # v3 contributes nothing
+
+
+def test_adopt_sql_register_and_describe_detail(spark, hive_root):
+    from stock_market_data_pipeline_spark.manifest_datasource import (
+        manifest_sql,
+    )
+
+    t = ManifestTable.adopt(spark, hive_root, ts="pt")
+    got = manifest_sql(
+        spark, "SELECT pt, COUNT(*) AS n, SUM(v) AS s FROM lake "
+               "WHERE pt = 2 GROUP BY pt", {"lake": t}).collect()
+    assert len(got) == 1 and got[0]["n"] == 250
+    detail = manifest_sql(spark, "DESCRIBE DETAIL lake",
+                          {"lake": t}).collect()[0]
+    assert detail["num_files"] >= 4
+    assert detail["live_rows"] == 1000
