@@ -1648,3 +1648,93 @@ def manifest_adopt_parquet_q(spark: SparkSession,
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum("volume").alias("vol"),
                  F.countDistinct("ticker").alias("tickers")))
+
+
+MANIFEST_JOIN_PLAN_SQL = """
+WITH f AS (
+  SELECT CASE WHEN user_id % 3 = 0 THEN -1
+              ELSE user_id % 20 END AS skew_key,
+         value
+  FROM events
+), d AS (
+  SELECT range AS skew_key,
+         'seg_' || CAST(range AS VARCHAR) AS label
+  FROM range(-1, 20)
+)
+SELECT d.label,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(f.value AS DECIMAL(18,6))) AS DOUBLE)
+         AS total_value
+FROM f JOIN d USING (skew_key)
+GROUP BY 1
+""".strip()
+
+
+@q("manifest_join_plan", MANIFEST_JOIN_PLAN_SQL)
+def manifest_join_plan_q(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """Stored stats driving a JOIN's physical strategy (VERDICT r15
+    "Next round" #4 — the stats triad's join-side consumer): BOTH
+    decisions a warehouse optimizer makes for a skewed fact ⋈ dim
+    come from commit objects alone, zero data I/O.  (1)
+    ``plan_broadcast`` — live bytes vs threshold, Spark's
+    autoBroadcastJoinThreshold shape — must choose BROADCAST for the
+    fixed 21-row dim and SHUFFLE for the fact at every scale factor
+    (the decision genuinely differs by side; RAISE if either side
+    lands wrong).  (2) ``plan_salt`` — CMS hot-key bound vs HLL-mean
+    — recommends the fan-out for ``salted_broadcast_left``; the join
+    runs AT that fan-out and the entry RAISES unless the whale key's
+    probe rows provably spread across >1 salt (the physical change)
+    AND the executed plan actually broadcasts the dim (the decision
+    applied).  Hash equality against DuckDB's plain join proves the
+    strategy changed the plan, never the answer."""
+    from .manifest import ManifestTable
+    from .operators.salt import salted_broadcast_left
+
+    ev = _t(spark, sf_dir, "events")
+    fact = ev.select(
+        F.when(F.col("user_id") % 3 == 0,
+               F.lit(-1).cast("bigint"))
+         .otherwise(F.col("user_id") % 20).alias("skew_key"),
+        "event_id", "user_id", "value")
+    ft = ManifestTable.create(fact, scratch_dir("manifest_jp_f_"),
+                              ts=None)
+    dim = (spark.range(-1, 20)
+           .select(F.col("id").alias("skew_key"),
+                   F.concat(F.lit("seg_"),
+                            F.col("id").cast("string"))
+                   .alias("label")))
+    dt = ManifestTable.create(dim, scratch_dir("manifest_jp_d_"),
+                              ts=None)
+    # decision 1: broadcast-or-shuffle per side, from commit objects.
+    # 8 KiB sits between the dim's fixed ~1 KB and the fact's size at
+    # the smallest fixture (~12 KB at sf0.001, growing linearly)
+    pb_dim = dt.plan_broadcast(threshold_bytes=8192)
+    pb_fact = ft.plan_broadcast(threshold_bytes=8192)
+    if not pb_dim["broadcast"] or pb_fact["broadcast"]:
+        raise RuntimeError(
+            f"broadcast decision wrong: dim={pb_dim} fact={pb_fact}")
+    # decision 2: salt fan-out from the stored CMS/HLL stats
+    ft.analyze(spark, approx=True, columns=["skew_key"],
+               frequencies=["skew_key"])
+    hot = ft.plan_salt("skew_key", skew_threshold=3.0)
+    if not (hot and hot["skewed"] and hot["n_salts"] > 1):
+        raise RuntimeError(f"whale key not flagged: {hot}")
+    joined = salted_broadcast_left(
+        ft.read(spark), dt.read(spark), "skew_key",
+        n_salts=hot["n_salts"], keep_salt=True)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    if "Broadcast" not in plan:
+        raise RuntimeError("the dim side must broadcast (decision "
+                           "not applied to the physical plan)")
+    whale_salts = (joined.where(F.col("skew_key") == -1)
+                   .select("__salt").distinct().count())
+    if whale_salts <= 1:
+        raise RuntimeError(
+            f"whale probe rows did not spread: {whale_salts} salt(s) "
+            f"at fan-out {hot['n_salts']}")
+    return (joined.drop("__salt")
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,6)"))
+                 .cast("double").alias("total_value")))

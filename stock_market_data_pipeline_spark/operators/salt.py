@@ -55,15 +55,21 @@ def salted_agg(df: DataFrame, keys: list[str],
 
 
 def salted_broadcast_left(fact: DataFrame, dim: DataFrame, key: str,
-                          n_salts: int = 16) -> DataFrame:
+                          n_salts: int = 16,
+                          keep_salt: bool = False) -> DataFrame:
     """Skewed fact ⋈ small dim: salt the fact's key, explode the dim
     across all salts, join on (key, salt). The hot key's probe work
     spreads over ``n_salts`` tasks; the dim (already broadcast-sized)
-    replicates n_salts-fold, which is free relative to the skew."""
+    replicates n_salts-fold, which is free relative to the skew.
+
+    ``keep_salt=True`` leaves the ``__salt`` column in the output so
+    a caller can PROVE the hot key's rows actually spread across
+    salts (the manifest_join_plan entry's RAISE gate) — semantics are
+    unchanged, the column is simply not dropped."""
     salted_fact = fact.withColumn(
         "__salt", F.pmod(F.xxhash64(F.col(key), F.monotonically_increasing_id()),
                          F.lit(n_salts)).cast("int"))
     dim_rep = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
-    return salted_fact.join(F.broadcast(dim_rep), [key, "__salt"]) \
-                      .drop("__salt")
+    out = salted_fact.join(F.broadcast(dim_rep), [key, "__salt"])
+    return out if keep_salt else out.drop("__salt")

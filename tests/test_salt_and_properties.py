@@ -189,3 +189,50 @@ def test_approx_count_distinct_error_bound(spark):
         ).first()
         assert abs(approx - exact) <= max(3, 0.06 * exact), \
             (col, exact, approx)
+
+
+def test_plan_broadcast_decides_per_side(spark, tmp_path):
+    """plan_broadcast (VERDICT r15 #4): the broadcast-or-shuffle
+    decision from the commit object alone — live bytes (DV-adjusted)
+    vs threshold — with no ANALYZE required."""
+    from stock_market_data_pipeline_spark.manifest import ManifestTable
+
+    big = spark.range(0, 20000).select(
+        F.col("id"), (F.col("id") * 1.5).alias("v"))
+    small = spark.range(0, 10).select(
+        F.col("id"), F.lit("x").alias("tag"))
+    bt = ManifestTable.create(big, str(tmp_path / "big"), ts=None)
+    st_ = ManifestTable.create(small, str(tmp_path / "small"),
+                               ts=None)
+    thr = 16 * 1024
+    assert st_.plan_broadcast(thr)["broadcast"] is True
+    pb = bt.plan_broadcast(thr)
+    assert pb["broadcast"] is False and pb["live_rows"] == 20000
+    # DV-dead rows shrink the estimate proportionally
+    bt.delete_where(spark, F.expr("id >= 2000"), mode="dv")
+    pb2 = bt.plan_broadcast(thr)
+    assert pb2["live_rows"] == 2000
+    assert pb2["est_bytes"] < pb["est_bytes"] // 5
+
+
+def test_salted_broadcast_left_keep_salt(spark):
+    from stock_market_data_pipeline_spark.operators.salt import (
+        salted_broadcast_left,
+    )
+
+    fact = spark.range(0, 2000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("v"))
+    dim = spark.range(0, 3).select(
+        F.col("id").alias("k"), F.lit("d").alias("tag"))
+    out = salted_broadcast_left(fact, dim, "k", n_salts=8,
+                                keep_salt=True)
+    assert "__salt" in out.columns
+    assert out.count() == 2000
+    # every key's rows spread across multiple salts at this volume
+    spread = (out.groupBy("k")
+              .agg(F.countDistinct("__salt").alias("s")).collect())
+    assert all(r["s"] > 1 for r in spread)
+    # and dropping the salt reproduces the plain join exactly
+    plain = fact.join(dim, "k")
+    assert out.drop("__salt").exceptAll(plain).count() == 0
+    assert plain.exceptAll(out.drop("__salt")).count() == 0
