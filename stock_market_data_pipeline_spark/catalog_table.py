@@ -1738,3 +1738,75 @@ def manifest_join_plan_q(spark: SparkSession,
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum(F.col("value").cast("decimal(18,6)"))
                  .cast("double").alias("total_value")))
+
+
+MANIFEST_RANGE_BROADCAST_SQL = """
+SELECT o.o_orderpriority AS priority,
+       COUNT(*) AS n,
+       CAST(SUM(l.l_quantity) AS BIGINT) AS qty,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_totalprice < 60000
+GROUP BY 1
+""".strip()
+
+
+@q("manifest_range_broadcast", MANIFEST_RANGE_BROADCAST_SQL)
+def manifest_range_broadcast_q(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The stored QUANTILE sketch consumed in planning (VERDICT r15
+    "Next round" #2 — the stats triad's missing third: CMS drives
+    probe order, CMS+HLL drive salting, and now DDQ drives RANGE
+    SELECTIVITY): "does ``orders WHERE o_totalprice < 60000`` fit a
+    broadcast?" is the textbook CBO question zone maps cannot answer
+    (every file MIGHT overlap; only the value distribution says how
+    many rows do).  ``plan_broadcast(where=...)`` scales the
+    commit-object size estimate by ``estimate_range_rows``'s
+    selectivity — ~12% here, scale-stable because o_totalprice is a
+    per-order price.  The entry RAISES unless (a) WITHOUT a sketch
+    the decision is the honest conservative fallback (full size,
+    ``selectivity: None``, no broadcast at a threshold of half the
+    table), (b) WITH the sketch the SAME call flips to broadcast —
+    the sketch alone changed the plan — and (c) the estimated row
+    count lands within 2x of the exact filtered count (DDQ buckets
+    are <=1/32 relative wide).  The join then runs AT the decision
+    (broadcast hint iff flagged), hash-matched by DuckDB's plain
+    join — the decision changed the plan, never the answer."""
+    from .manifest import ManifestTable
+
+    orders = _t(spark, sf_dir, "orders")
+    t = ManifestTable.create(orders, scratch_dir("manifest_rb_"),
+                             ts=None)
+    full = t.plan_broadcast()
+    threshold = max(full["est_bytes"] // 2, 1)
+    rng = ("o_totalprice", None, 60000.0)
+    pb_ns = t.plan_broadcast(threshold_bytes=threshold, where=rng)
+    if pb_ns["selectivity"] is not None or pb_ns["broadcast"]:
+        raise RuntimeError(
+            f"no-sketch fallback must be conservative: {pb_ns}")
+    t.analyze(spark, approx=True, columns=["o_totalprice"],
+              quantiles=["o_totalprice"])
+    pb = t.plan_broadcast(threshold_bytes=threshold, where=rng)
+    if pb["selectivity"] is None or not pb["broadcast"]:
+        raise RuntimeError(
+            f"quantile sketch did not flip the decision: {pb}")
+    filtered = (t.read(spark, where={"o_totalprice": (None, 60000.0)})
+                .where(F.col("o_totalprice") < 60000.0))
+    exact = filtered.count()
+    est_rows = pb["selectivity"] * pb["live_rows"]
+    if not (0.5 * exact <= est_rows <= 2.0 * exact):
+        raise RuntimeError(
+            f"range estimate off: est {est_rows:.0f} vs exact "
+            f"{exact}")
+    dim = filtered.select("o_orderkey", "o_orderpriority")
+    if pb["broadcast"]:
+        dim = F.broadcast(dim)
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.join(dim, li.l_orderkey == dim.o_orderkey)
+            .groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("l_quantity").cast("bigint").alias("qty"),
+                 F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                 .cast("double").alias("revenue")))

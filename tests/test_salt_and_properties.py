@@ -236,3 +236,30 @@ def test_salted_broadcast_left_keep_salt(spark):
     plain = fact.join(dim, "k")
     assert out.drop("__salt").exceptAll(plain).count() == 0
     assert plain.exceptAll(out.drop("__salt")).count() == 0
+
+
+def test_plan_broadcast_range_selectivity_from_ddq(spark, tmp_path):
+    """plan_broadcast(where=...) — the DDQ quantile sketch's planning
+    consumer (VERDICT r15 #2): without a sketch the filtered-side
+    decision falls back to the UNFILTERED size (selectivity None,
+    conservative); with one, the estimate scales by range selectivity
+    and can flip the decision."""
+    from stock_market_data_pipeline_spark.manifest import ManifestTable
+
+    df = spark.range(0, 10000).select(
+        F.col("id"), (F.col("id") % 1000).cast("double").alias("v"))
+    t = ManifestTable.create(df, str(tmp_path / "t"), ts=None)
+    full = t.plan_broadcast()["est_bytes"]
+    thr = full // 2
+    rng = ("v", None, 100.0)          # ~10% of rows
+    ns = t.plan_broadcast(threshold_bytes=thr, where=rng)
+    assert ns["selectivity"] is None
+    assert ns["est_bytes"] == full and not ns["broadcast"]
+    t.analyze(spark, approx=True, columns=["v"], quantiles=["v"])
+    pb = t.plan_broadcast(threshold_bytes=thr, where=rng)
+    assert pb["broadcast"] and 0.05 <= pb["selectivity"] <= 0.2
+    # a range covering everything keeps the full size
+    allr = t.plan_broadcast(threshold_bytes=thr,
+                            where=("v", None, None))
+    assert allr["selectivity"] == 1.0
+    assert allr["est_bytes"] == full
