@@ -1589,6 +1589,10 @@ _CREATE_EMPTY_RE = re.compile(
     r"\(\s*(.*?)\s*\)\s*"
     r"(?:PARTITIONED\s+BY\s*\(\s*([A-Za-z_]\w*)\s*\)\s*)?;?\s*$",
     re.IGNORECASE | re.DOTALL)
+_CONVERT_RE = re.compile(
+    r"^\s*CONVERT\s+TO\s+MANIFEST\s+([A-Za-z_]\w*)\s*"
+    r"(?:PARTITIONED\s+BY\s*\(\s*([A-Za-z_]\w*)\s*\)\s*)?;?\s*$",
+    re.IGNORECASE)
 
 
 def _run_ddl(spark, query: str, mts: dict):
@@ -1633,6 +1637,10 @@ def _run_ddl(spark, query: str, mts: dict):
     - ``DESCRIBE HISTORY t`` -> :meth:`meta_snapshots`;
     - ``DESCRIBE DETAIL t`` -> :meth:`detail` (Delta's one-row
       summary — commit-object reads only);
+    - ``CONVERT TO MANIFEST t [PARTITIONED BY (col)]`` ->
+      :meth:`ManifestTable.adopt` — zero-copy adoption of the
+      existing parquet lake at t's root (Delta's ``CONVERT TO
+      DELTA`` spelling): one metadata commit, no data I/O;
     - ``DROP TABLE [IF EXISTS] t`` -> :meth:`drop` — removes the
       table root irreversibly and unbinds the session view;
     - ``RESTORE TABLE t TO VERSION AS OF n`` / ``TO TIMESTAMP AS OF
@@ -1779,6 +1787,21 @@ def _run_ddl(spark, query: str, mts: dict):
     if m:
         name = m.group(1)
         return require(name, "DESCRIBE DETAIL").detail(spark)
+    m = _CONVERT_RE.match(query)
+    if m:
+        # ``CONVERT TO MANIFEST name [PARTITIONED BY (col)]`` —
+        # Delta's ``CONVERT TO DELTA`` spelling for zero-copy
+        # adoption (:meth:`ManifestTable.adopt`): the name maps to an
+        # existing parquet lake's root (the same tables-dict
+        # convention as CTAS), one metadata commit, no data I/O
+        name, part_col = m.groups()
+        from .manifest import ManifestTable
+
+        t = require(name, "CONVERT TO MANIFEST")
+        adopted = ManifestTable.adopt(spark, t.root, ts=part_col,
+                                      backend=t.backend)
+        mts[name] = adopted
+        return done(adopted, name)
     m = _DROP_TABLE_RE.match(query)
     if m:
         if_exists, name = m.groups()

@@ -190,3 +190,25 @@ def test_adopt_sql_register_and_describe_detail(spark, hive_root):
                           {"lake": t}).collect()[0]
     assert detail["num_files"] >= 4
     assert detail["live_rows"] == 1000
+
+
+def test_sql_convert_to_manifest(spark, hive_root):
+    """Delta's ``CONVERT TO DELTA`` spelling: CONVERT TO MANIFEST
+    adopts the lake at the name's root in one metadata commit, and
+    the converted table serves SQL immediately."""
+    from stock_market_data_pipeline_spark.manifest_datasource import (
+        manifest_sql,
+    )
+
+    out = manifest_sql(
+        spark, "CONVERT TO MANIFEST lake PARTITIONED BY (pt)",
+        {"lake": hive_root}).collect()
+    assert out[0]["table_name"] == "lake" and out[0]["version"] == 1
+    got = manifest_sql(
+        spark, "SELECT COUNT(*) AS n FROM lake WHERE pt = 3",
+        {"lake": hive_root}).collect()
+    assert got[0]["n"] == 250
+    # re-converting an adopted table refuses (it is already a table)
+    with pytest.raises(ValueError, match="already holds"):
+        manifest_sql(spark, "CONVERT TO MANIFEST lake",
+                     {"lake": hive_root})
