@@ -189,6 +189,14 @@ ENTRIES = [
     # the stats-driven salt decision over 1M events
     "manifest_sql_table_changes", "manifest_sql_catalog",
     "manifest_sketch_probe_order", "manifest_salt_decision",
+    # round-16: zero-copy adoption of a ~6M-row hive lake (entry
+    # asserts zero data bytes moved + partition pruning + DV delete
+    # on adopted files), both stored-stats join decisions over 1M
+    # events (broadcast-vs-shuffle per side + CMS/HLL salt fan-out
+    # with whale-spread proof), and the DDQ range-selectivity
+    # broadcast flip over 600k orders
+    "manifest_adopt_parquet", "manifest_join_plan",
+    "manifest_range_broadcast",
 ]
 
 
