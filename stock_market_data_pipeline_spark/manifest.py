@@ -409,6 +409,78 @@ def _file_entry(abs_path: str, rel_path: str) -> dict:
             "nn": nn}
 
 
+def _harvest_lake(root: str, ts: str | None, mode: str = "auto",
+                  known: frozenset = frozenset()) -> tuple:
+    """Walk the parquet lake at ``root`` and harvest footer entries
+    for ZERO-COPY adoption (:meth:`ManifestTable.adopt` /
+    :meth:`ManifestTable.adopt_files`): returns ``({partition value:
+    [entries]}, adopted_dirs)``.  ``mode``: ``"flat"`` (unpartitioned
+    — everything keys ``__all``), ``"dirs"`` (classic hive
+    ``ts=value/`` directories), ``"stats"`` (the column lives IN the
+    files; file-aligned values required), or ``"auto"`` (dirs when
+    any ``ts=`` directory exists, else stats; flat when ``ts`` is
+    None).  ``known`` filters already-referenced manifest-relative
+    paths — the incremental re-walk.  Engine-owned areas
+    (``_manifests``, ``data/``) and dot/underscore names are never
+    descended."""
+    skip_dirs = {os.path.basename(_MANIFEST_DIR), "data"}
+
+    def _walk(d: str) -> list:
+        out = []
+        for dp, dns, fns in os.walk(d):
+            dns[:] = [x for x in dns if x not in skip_dirs
+                      and not x.startswith((".", "_"))]
+            out.extend(os.path.join(dp, fn) for fn in fns
+                       if fn.endswith(".parquet")
+                       and not fn.startswith((".", "_")))
+        return sorted(out)
+
+    def _entries(files: list) -> list:
+        out = []
+        for f in files:
+            rel = os.path.relpath(f, root)
+            if rel not in known:
+                out.append(_file_entry(f, rel))
+        return out
+
+    if ts is None or mode == "flat":
+        es = _entries(_walk(root))
+        return ({"__all": es} if es else {}), None
+    if mode in ("auto", "dirs"):
+        hive = [d for d in sorted(os.listdir(root))
+                if d.startswith(ts + "=")
+                and os.path.isdir(os.path.join(root, d))]
+        if hive or mode == "dirs":
+            parts = {}
+            for d in hive:
+                value = d[len(ts) + 1:]
+                if "%" in value \
+                        or value == "__HIVE_DEFAULT_PARTITION__":
+                    raise SchemaMismatch(
+                        f"unsupported partition value {value!r}: "
+                        f"NULL or characters the writer escapes "
+                        f"cannot key a manifest partition")
+                es = _entries(_walk(os.path.join(root, d)))
+                if es:
+                    parts[value] = es
+            return parts, ts
+    parts = {}
+    for f in _walk(root):
+        rel = os.path.relpath(f, root)
+        if rel in known:
+            continue
+        e = _file_entry(f, rel)
+        st = e["stats"].get(ts)
+        if st is None or st[0] != st[1] or ts not in e["nn"]:
+            raise SchemaMismatch(
+                f"zero-copy adopt needs FILE-ALIGNED partition "
+                f"values: {e['path']} spans {ts!r} range {st} (or "
+                f"carries NULLs/no stats); compact the lake by "
+                f"{ts!r} first or adopt with ts=None")
+        parts.setdefault(str(st[0]), []).append(e)
+    return parts, None
+
+
 def _ref_fp(ref: dict) -> tuple:
     """Conflict fingerprint of a partition ref: a competitor changed
     the partition iff its shard OR its deletion-vector set changed.
@@ -3110,67 +3182,10 @@ class ManifestTable:
                 f"{root} already holds a manifest table — adopt() "
                 f"initializes a lake, it never re-registers one")
 
-        skip_dirs = {os.path.basename(_MANIFEST_DIR), "data"}
-
-        def _walk(d: str) -> list[str]:
-            out = []
-            for dp, dns, fns in os.walk(d):
-                dns[:] = [x for x in dns if x not in skip_dirs
-                          and not x.startswith((".", "_"))]
-                out.extend(os.path.join(dp, fn) for fn in fns
-                           if fn.endswith(".parquet")
-                           and not fn.startswith((".", "_")))
-            return sorted(out)
-
-        def _entry(f: str) -> dict:
-            return _file_entry(f, os.path.relpath(f, root))
-
-        adopted_dirs = None
-        if ts is None:
-            files = _walk(root)
-            if not files:
-                raise FileNotFoundError(
-                    f"{root}: no parquet files to adopt")
-            parts: dict = {"__all": [_entry(f) for f in files]}
-        else:
-            hive = [d for d in sorted(os.listdir(root))
-                    if d.startswith(ts + "=")
-                    and os.path.isdir(os.path.join(root, d))]
-            if hive:
-                parts = {}
-                for d in hive:
-                    value = d[len(ts) + 1:]
-                    if "%" in value \
-                            or value == "__HIVE_DEFAULT_PARTITION__":
-                        raise SchemaMismatch(
-                            f"unsupported partition value {value!r}: "
-                            f"NULL or characters the writer escapes "
-                            f"cannot key a manifest partition")
-                    fs = _walk(os.path.join(root, d))
-                    if fs:
-                        parts[value] = [_entry(f) for f in fs]
-                if not parts:
-                    raise FileNotFoundError(
-                        f"{root}: no parquet files to adopt")
-                adopted_dirs = ts
-            else:
-                files = _walk(root)
-                if not files:
-                    raise FileNotFoundError(
-                        f"{root}: no parquet files to adopt")
-                parts = {}
-                for f in files:
-                    e = _entry(f)
-                    st = e["stats"].get(ts)
-                    if st is None or st[0] != st[1] \
-                            or ts not in e["nn"]:
-                        raise SchemaMismatch(
-                            f"zero-copy adopt needs FILE-ALIGNED "
-                            f"partition values: {e['path']} spans "
-                            f"{ts!r} range {st} (or carries "
-                            f"NULLs/no stats); compact the lake by "
-                            f"{ts!r} first or adopt with ts=None")
-                    parts.setdefault(str(st[0]), []).append(e)
+        parts, adopted_dirs = _harvest_lake(root, ts)
+        if not parts:
+            raise FileNotFoundError(
+                f"{root}: no parquet files to adopt")
         # schema from Spark's own inference (hive partition dirs
         # included and typed exactly as a direct read would)
         inferred = spark.read.option("basePath", root).parquet(root)
@@ -3186,6 +3201,94 @@ class ManifestTable:
         t._commit(parts, base_version=0, schema=sig,
                   adopted=adopted_dirs)
         return t
+
+    def adopt_files(self, cdf: bool = False) -> dict:
+        """INCREMENTAL zero-copy adoption (Iceberg's repeatable
+        ``add_files`` — the steady-state half of :meth:`adopt`): an
+        external writer keeps landing parquet under the table's lake
+        layout (a new ``ts=value/`` directory each day, new files in
+        existing ones, or new file-aligned chunks), and one metadata
+        commit absorbs every not-yet-referenced file — footers
+        harvested driver-side, zero data I/O, append semantics (new
+        entries MERGE into existing refs with their DV sidecars
+        carried, exactly like a blind append).  ``cdf=True`` records
+        the commit's feed at zero extra bytes (``insert_files`` kind:
+        the adopted entries ARE the change set).  Returns
+        ``{"files_added", "rows_added", "partitions_touched"}``
+        (all-zero when the walk finds nothing new — the idempotent
+        re-run).
+
+        Restricted to IDENTITY partitioning: under a hidden-partition
+        transform the stats-grouping walk would have to re-derive
+        ``fn(ts)`` per file, and an externally-written file has no
+        proven alignment with any transformed directory value —
+        raises rather than mis-key rows."""
+        while True:
+            mf = self._raw()
+            if mf.get("pt") or mf.get("pt_history"):
+                raise ValueError(
+                    "adopt_files needs identity partitioning — a "
+                    "hidden-partition transform cannot prove an "
+                    "external file's directory value")
+            ts = mf.get("ts")
+            known = frozenset(e["path"] for v in mf["partitions"]
+                              for e in self._entries(mf, v))
+            mode = ("dirs" if mf.get("adopted_dirs")
+                    else "flat" if ts is None else "stats")
+            parts, _ = _harvest_lake(self.root, ts, mode=mode,
+                                     known=known)
+            added = sum(len(es) for es in parts.values())
+            if not added:
+                return {"files_added": 0, "rows_added": 0,
+                        "partitions_touched": 0}
+            # schema safety (the add_files validation): a new file
+            # carrying a column the pinned schema does not know would
+            # silently drop data on every read — refuse; missing
+            # pinned columns NULL-fill (the documented evolution
+            # semantic; dirs-mode partition columns fill from the
+            # directory value)
+            import pyarrow.parquet as pq
+
+            cm = mf.get("colmap") or {}
+            pinned = {cm.get(n, n) for n, _ in
+                      (mf.get("schema") or [])} | {_PT}
+            for es in parts.values():
+                for e in es:
+                    on_disk = set(pq.ParquetFile(os.path.join(
+                        self.root, e["path"])).schema_arrow.names)
+                    extra = sorted(on_disk - pinned)
+                    if extra:
+                        raise SchemaMismatch(
+                            f"adopt_files: {e['path']} carries "
+                            f"columns the pinned schema does not "
+                            f"know: {extra}")
+            new_parts = dict(mf["partitions"])
+            for v, es in parts.items():
+                base = new_parts.get(v)
+                if base is None:
+                    new_parts[v] = es
+                    continue
+                form: dict = {"entries": self._entries(mf, v) + es}
+                if isinstance(base, dict):
+                    for k in ("dv", "dv_rows", "tidx", "pid"):
+                        if k in base:
+                            form[k] = base[k]
+                new_parts[v] = form
+            cdf_entries = ([e for es in parts.values() for e in es]
+                           if cdf else None)
+            try:
+                self._commit(new_parts, base_version=mf["version"],
+                             streams=mf.get("streams", {}),
+                             schema=mf.get("schema"),
+                             cdf=cdf_entries,
+                             cdf_kind="insert_files")
+            except CommitConflict:
+                continue        # full re-walk against the new head
+            return {"files_added": int(added),
+                    "rows_added": int(sum(e["rows"]
+                                          for es in parts.values()
+                                          for e in es)),
+                    "partitions_touched": len(parts)}
 
     def _parse_by_source(self, mf: dict, keys: list[str],
                          delete, update, condition):

@@ -212,3 +212,66 @@ def test_sql_convert_to_manifest(spark, hive_root):
     with pytest.raises(ValueError, match="already holds"):
         manifest_sql(spark, "CONVERT TO MANIFEST lake",
                      {"lake": hive_root})
+
+
+def test_adopt_files_incremental(spark, hive_root, tmp_path):
+    """adopt_files — Iceberg's repeatable add_files: an external
+    writer keeps landing files under the lake layout; one metadata
+    commit absorbs only the not-yet-referenced ones, idempotently,
+    with the feed recorded at zero extra bytes."""
+    t = ManifestTable.adopt(spark, hive_root, ts="pt")          # v1
+    assert t.adopt_files() == {"files_added": 0, "rows_added": 0,
+                               "partitions_touched": 0}
+    # external writer drops a NEW partition directory + extra files
+    # into an existing one (classic daily-landing shape)
+    extra = _frame(spark, 2000, 2100).withColumn(
+        "pt", F.when(F.col("id") < 2050, "7").otherwise("2"))
+    staging = str(tmp_path / "staging")
+    extra.write.partitionBy("pt").parquet(staging)
+    import glob as g
+    for d in ("pt=7", "pt=2"):
+        os.makedirs(os.path.join(hive_root, d), exist_ok=True)
+        for i, f in enumerate(g.glob(os.path.join(staging, d,
+                                                  "*.parquet"))):
+            shutil.copy(f, os.path.join(hive_root, d,
+                                        f"ext-{i}-{os.path.basename(f)}"))
+    before = _lake_fingerprint(hive_root)
+    out = t.adopt_files(cdf=True)                               # v2
+    assert out["files_added"] >= 2
+    assert out["rows_added"] == 100
+    assert out["partitions_touched"] == 2
+    assert _lake_fingerprint(hive_root) == before   # zero data I/O
+    live = t.read(spark)
+    assert live.count() == 1100
+    assert live.filter("pt = 7").count() == 50
+    assert live.filter("pt IS NULL").count() == 0
+    # the feed classifies the adoption as pure inserts
+    feed = t.changes(spark, 2)
+    assert feed.count() == 100
+    assert feed.select("_change_type").distinct().collect()[0][0] \
+        == "insert"
+    # idempotent re-walk
+    assert t.adopt_files()["files_added"] == 0
+    # DVs carried: delete in an absorbed partition, then absorb more
+    t.delete_where(spark, F.expr("pt = 7 AND id < 2010"),
+                   mode="dv")                                   # v3
+    assert t.read(spark).filter("pt = 7").count() == 40
+    more = _frame(spark, 3000, 3010).withColumn("pt", F.lit("7"))
+    staging2 = str(tmp_path / "staging2")
+    more.write.partitionBy("pt").parquet(staging2)
+    for i, f in enumerate(g.glob(os.path.join(staging2, "pt=7",
+                                              "*.parquet"))):
+        shutil.copy(f, os.path.join(hive_root, "pt=7",
+                                    f"ext2-{i}-{os.path.basename(f)}"))
+    t.adopt_files()                                             # v4
+    got = t.read(spark).filter("pt = 7")
+    assert got.count() == 50            # 40 live + 10 new, DVs held
+    # schema safety: an unknown column refuses
+    bad = more.withColumn("rogue", F.lit(1))
+    staging3 = str(tmp_path / "staging3")
+    bad.write.partitionBy("pt").parquet(staging3)
+    for f in g.glob(os.path.join(staging3, "pt=7", "*.parquet")):
+        shutil.copy(f, os.path.join(hive_root, "pt=7",
+                                    "rogue-" + os.path.basename(f)))
+    with pytest.raises(SchemaMismatch, match="rogue"):
+        t.adopt_files()
