@@ -409,8 +409,18 @@ def _file_entry(abs_path: str, rel_path: str) -> dict:
             "nn": nn}
 
 
+#: above this many not-yet-known files the footer harvest runs as a
+#: Spark job instead of a sequential driver loop — at 100 TB a lake
+#: holds 10^5-10^6 files, and one footer read is a few ms of
+#: metadata I/O that parallelizes embarrassingly (the entries are
+#: pure per-file derivations); below it the job-launch overhead
+#: exceeds the loop
+_HARVEST_DISTRIBUTE_OVER = 512
+
+
 def _harvest_lake(root: str, ts: str | None, mode: str = "auto",
-                  known: frozenset = frozenset()) -> tuple:
+                  known: frozenset = frozenset(),
+                  spark: SparkSession | None = None) -> tuple:
     """Walk the parquet lake at ``root`` and harvest footer entries
     for ZERO-COPY adoption (:meth:`ManifestTable.adopt` /
     :meth:`ManifestTable.adopt_files`): returns ``({partition value:
@@ -422,7 +432,14 @@ def _harvest_lake(root: str, ts: str | None, mode: str = "auto",
     None).  ``known`` filters already-referenced manifest-relative
     paths — the incremental re-walk.  Engine-owned areas
     (``_manifests``, ``data/``) and dot/underscore names are never
-    descended."""
+    descended.
+
+    With ``spark`` and more than ``_HARVEST_DISTRIBUTE_OVER`` new
+    files, the footer reads run as ONE Spark job over the file list
+    (:func:`_file_entry` is a pure per-file derivation) — the
+    100 TB onboarding path: a 10^6-file lake harvests in one
+    cluster-wide metadata pass instead of a driver-hours loop; the
+    listing itself stays driver-side (names only, no footer I/O)."""
     skip_dirs = {os.path.basename(_MANIFEST_DIR), "data"}
 
     def _walk(d: str) -> list:
@@ -435,23 +452,18 @@ def _harvest_lake(root: str, ts: str | None, mode: str = "auto",
                        and not fn.startswith((".", "_")))
         return sorted(out)
 
-    def _entries(files: list) -> list:
-        out = []
-        for f in files:
-            rel = os.path.relpath(f, root)
-            if rel not in known:
-                out.append(_file_entry(f, rel))
-        return out
-
+    # phase 1 — LIST (driver-side, names only): (abs, rel, value)
+    # triples; value None = derive from the file's own stats later
+    triples: list = []
+    adopted_dirs = None
     if ts is None or mode == "flat":
-        es = _entries(_walk(root))
-        return ({"__all": es} if es else {}), None
-    if mode in ("auto", "dirs"):
+        triples = [(f, os.path.relpath(f, root), "__all")
+                   for f in _walk(root)]
+    else:
         hive = [d for d in sorted(os.listdir(root))
                 if d.startswith(ts + "=")
                 and os.path.isdir(os.path.join(root, d))]
-        if hive or mode == "dirs":
-            parts = {}
+        if mode == "dirs" or (mode == "auto" and hive):
             for d in hive:
                 value = d[len(ts) + 1:]
                 if "%" in value \
@@ -460,25 +472,43 @@ def _harvest_lake(root: str, ts: str | None, mode: str = "auto",
                         f"unsupported partition value {value!r}: "
                         f"NULL or characters the writer escapes "
                         f"cannot key a manifest partition")
-                es = _entries(_walk(os.path.join(root, d)))
-                if es:
-                    parts[value] = es
-            return parts, ts
-    parts = {}
-    for f in _walk(root):
-        rel = os.path.relpath(f, root)
-        if rel in known:
-            continue
-        e = _file_entry(f, rel)
-        st = e["stats"].get(ts)
-        if st is None or st[0] != st[1] or ts not in e["nn"]:
-            raise SchemaMismatch(
-                f"zero-copy adopt needs FILE-ALIGNED partition "
-                f"values: {e['path']} spans {ts!r} range {st} (or "
-                f"carries NULLs/no stats); compact the lake by "
-                f"{ts!r} first or adopt with ts=None")
-        parts.setdefault(str(st[0]), []).append(e)
-    return parts, None
+                triples.extend(
+                    (f, os.path.relpath(f, root), value)
+                    for f in _walk(os.path.join(root, d)))
+            adopted_dirs = ts
+        else:
+            triples = [(f, os.path.relpath(f, root), None)
+                       for f in _walk(root)]
+    triples = [t for t in triples if t[1] not in known]
+    if not triples:
+        return {}, adopted_dirs
+
+    # phase 2 — HARVEST the footers (the only per-file I/O)
+    if spark is not None and len(triples) > _HARVEST_DISTRIBUTE_OVER:
+        sc = spark.sparkContext
+        slices = min(max(32, len(triples) // 256), 4096)
+        harvested = (sc.parallelize(triples, slices)
+                     .map(lambda t: (_file_entry(t[0], t[1]), t[2]))
+                     .collect())
+        # deterministic commit bodies regardless of task order
+        harvested.sort(key=lambda ev: ev[0]["path"])
+    else:
+        harvested = [(_file_entry(a, r), v) for a, r, v in triples]
+
+    # phase 3 — GROUP by partition value
+    parts: dict = {}
+    for e, value in harvested:
+        if value is None:
+            st = e["stats"].get(ts)
+            if st is None or st[0] != st[1] or ts not in e["nn"]:
+                raise SchemaMismatch(
+                    f"zero-copy adopt needs FILE-ALIGNED partition "
+                    f"values: {e['path']} spans {ts!r} range {st} "
+                    f"(or carries NULLs/no stats); compact the lake "
+                    f"by {ts!r} first or adopt with ts=None")
+            value = str(st[0])
+        parts.setdefault(value, []).append(e)
+    return parts, adopted_dirs
 
 
 def _ref_fp(ref: dict) -> tuple:
@@ -3182,7 +3212,7 @@ class ManifestTable:
                 f"{root} already holds a manifest table — adopt() "
                 f"initializes a lake, it never re-registers one")
 
-        parts, adopted_dirs = _harvest_lake(root, ts)
+        parts, adopted_dirs = _harvest_lake(root, ts, spark=spark)
         if not parts:
             raise FileNotFoundError(
                 f"{root}: no parquet files to adopt")
@@ -3202,14 +3232,17 @@ class ManifestTable:
                   adopted=adopted_dirs)
         return t
 
-    def adopt_files(self, cdf: bool = False) -> dict:
+    def adopt_files(self, cdf: bool = False,
+                    spark: SparkSession | None = None) -> dict:
         """INCREMENTAL zero-copy adoption (Iceberg's repeatable
         ``add_files`` — the steady-state half of :meth:`adopt`): an
         external writer keeps landing parquet under the table's lake
         layout (a new ``ts=value/`` directory each day, new files in
         existing ones, or new file-aligned chunks), and one metadata
         commit absorbs every not-yet-referenced file — footers
-        harvested driver-side, zero data I/O, append semantics (new
+        harvested with zero data I/O (pass ``spark`` to distribute
+        the harvest as one metadata job when the lake grew by many
+        files — see :func:`_harvest_lake`), append semantics (new
         entries MERGE into existing refs with their DV sidecars
         carried, exactly like a blind append).  ``cdf=True`` records
         the commit's feed at zero extra bytes (``insert_files`` kind:
@@ -3236,7 +3269,7 @@ class ManifestTable:
             mode = ("dirs" if mf.get("adopted_dirs")
                     else "flat" if ts is None else "stats")
             parts, _ = _harvest_lake(self.root, ts, mode=mode,
-                                     known=known)
+                                     known=known, spark=spark)
             added = sum(len(es) for es in parts.values())
             if not added:
                 return {"files_added": 0, "rows_added": 0,

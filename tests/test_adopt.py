@@ -275,3 +275,42 @@ def test_adopt_files_incremental(spark, hive_root, tmp_path):
                                     "rogue-" + os.path.basename(f)))
     with pytest.raises(SchemaMismatch, match="rogue"):
         t.adopt_files()
+
+
+def test_adopt_distributed_harvest_matches_driver_loop(
+        spark, tmp_path, monkeypatch):
+    """Above _HARVEST_DISTRIBUTE_OVER new files the footer harvest
+    runs as one Spark job (the 100 TB onboarding path) — the commit
+    object must be IDENTICAL to the driver-loop build."""
+    from stock_market_data_pipeline_spark import manifest as M
+
+    root_a = str(tmp_path / "a")
+    root_b = str(tmp_path / "b")
+    df = _frame(spark, 0, 2000).repartition(8)
+    df.write.partitionBy("pt").parquet(root_a)
+    shutil.copytree(root_a, root_b)
+    ta = ManifestTable.adopt(spark, root_a, ts="pt")   # driver loop
+    monkeypatch.setattr(M, "_HARVEST_DISTRIBUTE_OVER", 4)
+    tb = ManifestTable.adopt(spark, root_b, ts="pt")   # Spark job
+    ma, mb = ta.manifest(), tb.manifest()
+    assert set(ma["partitions"]) == set(mb["partitions"])
+    for v in ma["partitions"]:
+        ea = sorted(ma["partitions"][v], key=lambda e: e["path"])
+        eb = sorted(mb["partitions"][v], key=lambda e: e["path"])
+        assert [(e["path"], e["rows"], e["stats"], e["nn"])
+                for e in ea] \
+            == [(e["path"], e["rows"], e["stats"], e["nn"])
+                for e in eb]
+    assert tb.read(spark).count() == 2000
+    # incremental path through the distributed harvest too
+    extra = _frame(spark, 9000, 9020).withColumn("pt", F.lit("9"))
+    staging = str(tmp_path / "st")
+    extra.write.partitionBy("pt").parquet(staging)
+    import glob as g
+    os.makedirs(os.path.join(root_b, "pt=9"))
+    for f in g.glob(os.path.join(staging, "pt=9", "*.parquet")):
+        shutil.copy(f, os.path.join(root_b, "pt=9",
+                                    os.path.basename(f)))
+    out = tb.adopt_files(spark=spark)
+    assert out["rows_added"] == 20
+    assert tb.read(spark).count() == 2020

@@ -474,13 +474,14 @@ def test_merge_batch_restages_through_conflict(spark, table, monkeypatch):
     orig = M.ManifestTable._commit
 
     def racy_commit(self, partitions, base_version, streams=None,
-                    schema=None, cdf=None, cdf_kind="classified"):
+                    schema=None, cdf=None, cdf_kind="classified",
+                    **kw):
         if not fired["done"]:
             fired["done"] = True
             ManifestTable(table.root, table.ts).merge(
                 spark, competing, KEYS)
         return orig(self, partitions, base_version, streams=streams,
-                    schema=schema, cdf=cdf, cdf_kind=cdf_kind)
+                    schema=schema, cdf=cdf, cdf_kind=cdf_kind, **kw)
 
     monkeypatch.setattr(M.ManifestTable, "_commit", racy_commit)
     assert table.merge_batch(spark, mine, KEYS, "s", 0) is True
@@ -503,12 +504,13 @@ def test_append_batch_retries_through_conflict(spark, table, monkeypatch):
     orig = M.ManifestTable._commit
 
     def racy_commit(self, partitions, base_version, streams=None,
-                    schema=None, cdf=None, cdf_kind="classified"):
+                    schema=None, cdf=None, cdf_kind="classified",
+                    **kw):
         if not fired["done"]:
             fired["done"] = True
             ManifestTable(table.root, table.ts).append(competing)
         return orig(self, partitions, base_version, streams=streams,
-                    schema=schema, cdf=cdf, cdf_kind=cdf_kind)
+                    schema=schema, cdf=cdf, cdf_kind=cdf_kind, **kw)
 
     monkeypatch.setattr(M.ManifestTable, "_commit", racy_commit)
     assert table.append_batch(b, "s1", 0) is True
@@ -1468,12 +1470,13 @@ def test_append_retries_through_conflict(spark, table, monkeypatch):
     orig = M.ManifestTable._commit
 
     def racy_commit(self, partitions, base_version, streams=None,
-                    schema=None, cdf=None, cdf_kind="classified"):
+                    schema=None, cdf=None, cdf_kind="classified",
+                    **kw):
         if not fired["done"]:
             fired["done"] = True
             _sibling(table).merge(spark, competing, KEYS)
         return orig(self, partitions, base_version, streams=streams,
-                    schema=schema, cdf=cdf, cdf_kind=cdf_kind)
+                    schema=schema, cdf=cdf, cdf_kind=cdf_kind, **kw)
 
     monkeypatch.setattr(M.ManifestTable, "_commit", racy_commit)
     table.append(_mkdf(spark, [("YYY", "2024-01-06", 2.0)]))
@@ -1497,12 +1500,13 @@ def test_compact_rebases_over_disjoint_writer(spark, table,
     orig = M.ManifestTable._commit
 
     def racy_commit(self, partitions, base_version, streams=None,
-                    schema=None, cdf=None, cdf_kind="classified"):
+                    schema=None, cdf=None, cdf_kind="classified",
+                    **kw):
         if not fired["done"]:
             fired["done"] = True
             _sibling(table).append(competing)    # disjoint partition
         return orig(self, partitions, base_version, streams=streams,
-                    schema=schema, cdf=cdf, cdf_kind=cdf_kind)
+                    schema=schema, cdf=cdf, cdf_kind=cdf_kind, **kw)
 
     monkeypatch.setattr(M.ManifestTable, "_commit", racy_commit)
     out = table.compact(spark)
@@ -1529,12 +1533,13 @@ def test_compact_conflicts_when_writer_touches_same_partition(
     orig = M.ManifestTable._commit
 
     def racy_commit(self, partitions, base_version, streams=None,
-                    schema=None, cdf=None, cdf_kind="classified"):
+                    schema=None, cdf=None, cdf_kind="classified",
+                    **kw):
         if not fired["done"]:
             fired["done"] = True
             _sibling(table).merge(spark, competing, KEYS)
         return orig(self, partitions, base_version, streams=streams,
-                    schema=schema, cdf=cdf, cdf_kind=cdf_kind)
+                    schema=schema, cdf=cdf, cdf_kind=cdf_kind, **kw)
 
     monkeypatch.setattr(M.ManifestTable, "_commit", racy_commit)
     with pytest.raises(CommitConflict, match="re-run compact"):
@@ -1564,12 +1569,13 @@ def test_delete_where_rebases_over_disjoint_writer(spark, table,
     orig = M.ManifestTable._commit
 
     def racy_commit(self, partitions, base_version, streams=None,
-                    schema=None, cdf=None, cdf_kind="classified"):
+                    schema=None, cdf=None, cdf_kind="classified",
+                    **kw):
         if not fired["done"]:
             fired["done"] = True
             _sibling(table).append(competing)
         return orig(self, partitions, base_version, streams=streams,
-                    schema=schema, cdf=cdf, cdf_kind=cdf_kind)
+                    schema=schema, cdf=cdf, cdf_kind=cdf_kind, **kw)
 
     monkeypatch.setattr(M.ManifestTable, "_commit", racy_commit)
     out = table.delete_where(spark, F.col("close") >= 20.0,
@@ -1585,12 +1591,13 @@ def test_delete_where_rebases_over_disjoint_writer(spark, table,
     overlap = _mkdf(spark, [("AAA", "2024-01-03", 1.0)])
 
     def racy_commit2(self, partitions, base_version, streams=None,
-                     schema=None, cdf=None, cdf_kind="classified"):
+                     schema=None, cdf=None, cdf_kind="classified",
+                     **kw):
         if not fired["done"]:
             fired["done"] = True
             _sibling(table).merge(spark, overlap, KEYS)
         return orig(self, partitions, base_version, streams=streams,
-                    schema=schema, cdf=cdf, cdf_kind=cdf_kind)
+                    schema=schema, cdf=cdf, cdf_kind=cdf_kind, **kw)
 
     monkeypatch.setattr(M.ManifestTable, "_commit", racy_commit2)
     with pytest.raises(CommitConflict, match="re-run delete_where"):
