@@ -1810,3 +1810,101 @@ def manifest_range_broadcast_q(spark: SparkSession,
                  F.sum("l_quantity").cast("bigint").alias("qty"),
                  F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
                  .cast("double").alias("revenue")))
+
+
+MANIFEST_BACKFILL_SIZED_SQL = f"""
+SELECT * FROM ({oracles.BARS_SQL}) b
+WHERE strftime(trade_date, '%Y-%m') BETWEEN '1997-07' AND '1997-12'
+  AND close < 15000
+""".strip()
+
+
+@q("manifest_backfill_sized", MANIFEST_BACKFILL_SIZED_SQL)
+def manifest_backfill_sized_q(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The stored QUANTILE sketch pre-sizes a chunked backfill
+    (VERDICT r15 "Next round" #2's other named consumer — the first,
+    ``plan_broadcast(where=...)``, landed as
+    ``manifest_range_broadcast``): a deep catch-up replaying ``WHERE
+    close < 15000`` delivers only ~13% of each staged file's rows to
+    the sink, so a per-run ROW budget should admit proportionally
+    MORE files per run — ``plan_backfill`` computes that file budget
+    from the commit object plus ``estimate_range_rows``' selectivity,
+    no scan.  The entry RAISES unless (a) WITHOUT a sketch the sizing
+    is the honest whole-file-rows fallback (``selectivity: None``, 2
+    files for a 2-average-files row budget), (b) WITH the sketch the
+    SAME budget admits >2x the files — the sketch alone changed the
+    walk, (c) the range estimate lands within 2x of the exact
+    filtered count, and (d) the sketch-sized schedule
+    (``plan_backfill_runs`` — the deterministic dry-run of the SAME
+    admission loop the executed walk steps through) is STRICTLY
+    SHORTER than the conservative one, and EXECUTING it through
+    ``backfill_manifest_stream`` takes exactly that many runs.  At
+    100 TB this is a month-long catch-up finishing in a third of the
+    runs at the same sink pressure.  Oracle: the filtered backfilled
+    slice recomputed from raw parquet — the sizing changed the
+    schedule, never the answer."""
+    import os
+
+    from .manifest import ManifestTable
+    from .manifest_datasource import (backfill_manifest_stream,
+                                      plan_backfill_runs)
+
+    bars = _bars_month(spark, sf_dir)
+    months = [f"1997-{m:02d}" for m in range(7, 13)]
+    base = bars.where(~F.col("trade_month").isin(months))
+    t = ManifestTable.create(base, scratch_dir("bf_sized_"),
+                             ts="trade_month")
+    for m in months:                        # v2..v7, 1 file each
+        t.append(bars.where(F.col("trade_month") == m))
+    raw = t._raw()
+    files = sum(r["files"] for r in raw["partitions"].values())
+    live = sum(r["rows"] for r in raw["partitions"].values())
+    step = int(2.0 * live / files) + 1      # ~2 average files' rows
+    rng = ("close", None, 15000.0)
+    ns = t.plan_backfill(step, where=rng)
+    if ns["selectivity"] is not None or ns["step_files"] != 2:
+        raise RuntimeError(
+            f"no-sketch sizing must be the conservative whole-file "
+            f"budget: {ns}")
+    t.analyze(spark, approx=True, columns=["close"],
+              quantiles=["close"])          # v8, metadata-only
+    pb = t.plan_backfill(step, where=rng)
+    if pb["selectivity"] is None or \
+            pb["step_files"] <= 2 * ns["step_files"]:
+        raise RuntimeError(
+            f"quantile sketch did not upsize the chunk: {pb}")
+    exact = t.read(spark).where(F.col("close") < 15000.0).count()
+    est = pb["selectivity"] * pb["live_rows"]
+    if not (0.5 * exact <= est <= 2.0 * exact):
+        raise RuntimeError(
+            f"range estimate off: est {est:.0f} vs exact {exact}")
+
+    sched_ns = plan_backfill_runs(t.root,
+                                  step_files=ns["step_files"],
+                                  starting_version=1)
+    sched_sk = plan_backfill_runs(t.root,
+                                  step_files=pb["step_files"],
+                                  starting_version=1)
+    if not len(sched_sk) < len(sched_ns):
+        raise RuntimeError(
+            f"sketch-sized schedule is not shorter: {len(sched_sk)} "
+            f"vs {len(sched_ns)} runs — sizing changed nothing")
+    ckpt = os.path.join(scratch_dir("bf_sized_ck_"), "ck")
+    out = scratch_dir("bf_sized_out_")
+
+    def start(df):
+        return (df.where(F.col("close") < 15000.0)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True).start())
+
+    runs = backfill_manifest_stream(
+        spark, t.root, start, step_files=pb["step_files"],
+        starting_version=1, checkpoint=ckpt)
+    if runs != len(sched_sk):
+        raise RuntimeError(
+            f"executed walk took {runs} run(s); the dry-run "
+            f"schedule promised {len(sched_sk)}")
+    return spark.read.parquet(out).drop("trade_month")

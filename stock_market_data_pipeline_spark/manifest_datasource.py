@@ -2338,6 +2338,47 @@ def _checkpoint_position(checkpoint: str) -> int | None:
         return None
 
 
+def _next_run_end(t, p: int, live: int, step_files: int) -> int:
+    """One bounded run's ending version: admit whole versions after
+    ``p`` until ``step_files`` staged files (a version never splits;
+    ``p == 0`` is the full-snapshot replay, planned whole)."""
+    if p == 0:
+        return live
+    e, budget = p, int(step_files)
+    while e < live:
+        n = len(t.added_files(e, manifest_name=t._mname(e + 1)))
+        if n > budget and e > p:
+            break           # cap reached; a version never splits
+        e += 1
+        budget -= n
+        if budget <= 0:
+            break
+    return e
+
+
+def plan_backfill_runs(root: str, *, step_files: int,
+                       starting_version: int = 0) -> list:
+    """The DETERMINISTIC run schedule :func:`backfill_manifest_stream`
+    would execute — the list of per-run ending versions — computed
+    driver-side from the manifest alone (the admission loop is pure
+    commit-object arithmetic; the executed walk advances ``p = e``
+    with no runtime feedback).  This is the dry-run half of the
+    sketch-sized backfill decision: ``ManifestTable.plan_backfill``
+    turns a row budget into a file budget, this turns the file budget
+    into the schedule it implies, and comparing schedule LENGTHS
+    costs zero streaming runs."""
+    from .manifest import ManifestTable
+
+    t = ManifestTable(root, None)
+    live = t.version()
+    p, out = int(starting_version), []
+    while p < live:
+        e = _next_run_end(t, p, live, step_files)
+        out.append(e)
+        p = e
+    return out
+
+
 def backfill_manifest_stream(spark, root: str, start_query,
                              *, step_files: int,
                              starting_version: int = 0,
@@ -2380,19 +2421,7 @@ def backfill_manifest_stream(spark, root: str, start_query,
             p = max(p, ck)
     runs = 0
     while p < live and runs < max_runs:
-        if p == 0:
-            e = live        # full-snapshot replay: planned whole
-        else:
-            e, budget = p, int(step_files)
-            while e < live:
-                n = len(t.added_files(
-                    e, manifest_name=t._mname(e + 1)))
-                if n > budget and e > p:
-                    break   # cap reached; a version never splits
-                e += 1
-                budget -= n
-                if budget <= 0:
-                    break
+        e = _next_run_end(t, p, live, step_files)
         reader = (spark.readStream.format("manifest")
                   .option("startingVersion", int(starting_version))
                   .option("endingVersion", int(e)))

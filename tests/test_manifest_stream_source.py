@@ -274,3 +274,42 @@ def test_backfill_chunked_bounded_exactly_once(spark):
         spark, root, start, step_files=8, starting_version=1,
         checkpoint=ckpt) == 0
     assert spark.read.parquet(out).count() == 400
+
+
+def test_plan_backfill_runs_matches_executed_walk(spark):
+    """plan_backfill_runs is the DRY-RUN of the same admission loop
+    backfill_manifest_stream executes: identical schedule length,
+    identical ending versions, zero streaming runs to compute."""
+    import os
+
+    from stock_market_data_pipeline_spark.manifest_datasource import (
+        backfill_manifest_stream,
+        plan_backfill_runs,
+    )
+
+    root, out = (tempfile.mkdtemp(prefix=p) for p in ("bfp_t_",
+                                                      "bfp_o_"))
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="bfp_c_"), "ck")
+    t = ManifestTable.create(_frame(spark, 0, 100), root, ts="pt")
+    for i in range(6):                    # v2..v7, 4 files each
+        t.append(_frame(spark, 100 + i * 40, 140 + i * 40))
+
+    sched = plan_backfill_runs(root, step_files=8,
+                               starting_version=1)
+    assert sched[-1] == t.version()
+    assert sched == sorted(set(sched))    # strictly increasing
+    # a version never splits: each run advances >= 1 version
+    assert len(sched) >= 3                # 24 files / 8-file budget
+
+    def start(df):
+        return (df.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True).start())
+
+    runs = backfill_manifest_stream(
+        spark, root, start, step_files=8, starting_version=1,
+        checkpoint=ckpt)
+    assert runs == len(sched)
+    # full-snapshot replay (starting_version=0) plans as ONE run
+    assert plan_backfill_runs(root, step_files=8) == [t.version()]

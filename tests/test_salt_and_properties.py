@@ -263,3 +263,59 @@ def test_plan_broadcast_range_selectivity_from_ddq(spark, tmp_path):
                             where=("v", None, None))
     assert allr["selectivity"] == 1.0
     assert allr["est_bytes"] == full
+
+
+def test_plan_backfill_sizes_from_range_selectivity(spark, tmp_path):
+    """plan_backfill — the DDQ sketch's second planning consumer: a
+    per-run ROW budget becomes a per-run FILE budget, scaled up by
+    the replay filter's range selectivity when the sketch exists,
+    conservative (selectivity None, 1.0 assumed) when it does not."""
+    from stock_market_data_pipeline_spark.manifest import ManifestTable
+
+    df = spark.range(0, 8000).select(
+        F.col("id"), (F.col("id") % 1000).cast("double").alias("v"))
+    t = ManifestTable.create(df.where(F.col("id") < 2000),
+                             str(tmp_path / "t"), ts=None)
+    for k in range(1, 4):             # 4 same-sized files, v1..v4
+        t.append(df.where((F.col("id") >= 2000 * k)
+                          & (F.col("id") < 2000 * (k + 1))))
+    raw = t._raw()
+    files = sum(r["files"] for r in raw["partitions"].values())
+    assert files >= 2
+    avg = 8000 / files
+    rng = ("v", None, 100.0)          # ~10% of rows
+    step = int(2 * avg)
+    ns = t.plan_backfill(step, where=rng)
+    assert ns["selectivity"] is None
+    assert ns["step_files"] == 2      # floor(2*avg / avg)
+    assert ns["files"] == files and ns["live_rows"] == 8000
+    t.analyze(spark, approx=True, columns=["v"], quantiles=["v"])
+    pb = t.plan_backfill(step, where=rng)
+    assert pb["selectivity"] is not None
+    assert 0.05 <= pb["selectivity"] <= 0.2
+    # ~10x more files per run for a ~10%-selective replay
+    assert pb["step_files"] > 2 * ns["step_files"]
+    # the estimated per-run delivery stays near the row budget
+    assert pb["est_rows_per_run"] <= 2 * step
+    # no `where` => plain rows/avg sizing even with the sketch stored
+    plain = t.plan_backfill(step)
+    assert plain["selectivity"] is None
+    assert plain["step_files"] == ns["step_files"]
+
+
+def test_plan_backfill_clamps_and_empty_table(spark, tmp_path):
+    from stock_market_data_pipeline_spark.manifest import ManifestTable
+
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 10).cast("double").alias("v"))
+    t = ManifestTable.create(df, str(tmp_path / "t"), ts=None)
+    # budget below one file's rows still admits one file per run
+    assert t.plan_backfill(1)["step_files"] == 1
+    # a huge budget clamps at max_step_files
+    big = t.plan_backfill(10**9, max_step_files=64)
+    assert big["step_files"] == 64
+    # a DV-emptied table has zero effective rows per file: the walk
+    # degenerates to max_step_files (nothing to deliver, one run)
+    t.delete_where(spark, F.lit(True), mode="dv")
+    gone = t.plan_backfill(50, max_step_files=16)
+    assert gone["live_rows"] == 0 and gone["step_files"] == 16
