@@ -3576,7 +3576,8 @@ from . import catalog_tpch  # noqa: E402,F401  (TPC-H q4/q7/q8/q13/q15/q16/q18/q
 # group 0: no changed-entry front group at round start;
 # group 1: the round-16 registrations (manifest_adopt_parquet,
 #   manifest_join_plan, manifest_range_broadcast,
-#   manifest_backfill_sized), never driver-green, fronted;
+#   manifest_backfill_sized, manifest_compact_plan), never
+#   driver-green, fronted;
 # group 2: the stalest previously-green entries — the full r12
 #   cohort at the ceil(189/50)=4 bound (the relational / TPC-H /
 #   events-streaming / LLM-text families: tpch_q1/q3/q5,
@@ -3586,7 +3587,7 @@ from . import catalog_tpch  # noqa: E402,F401  (TPC-H q4/q7/q8/q13/q15/q16/q18/q
 _DRIVER_WINDOW_FIRST = [
     "manifest_adopt_parquet", "manifest_join_plan",
     "manifest_range_broadcast", "manifest_backfill_sized",
-    "screener_filter", "pairwise_correlation",
+    "manifest_compact_plan", "screener_filter", "pairwise_correlation",
     "tpch_q1_pricing_summary", "tpch_q3_topk_revenue",
     "tpch_q5_local_supplier", "dedup_ngram_jaccard", "dedup_simhash",
     "text_lang_id", "dedup_survivors_by_quality", "sample_hash_split",
@@ -3605,13 +3606,12 @@ _DRIVER_WINDOW_FIRST = [
     "band_range_join", "quantiles_by_brand", "except_intersect_keys",
     "bucketed_join_revenue", "bars_ohlcv", "constituents_snapshots",
     "universe_daily", "fct_trading_momentum", "constituents_diff",
-    "fct_trading_momentum_valid",
 ]
 
 #: never-green overflow ledger (FIFO).  EMPTY this round: the 50
 #: slots hold the new registrations plus the full r12-stale
 #: cohort and the next-stalest r13 survivors, and every outside
-#: entry sits within the ceil(193/50)=4 staleness bound at round-16
+#: entry sits within the ceil(194/50)=4 staleness bound at round-16
 #: accounting.
 _DRIVER_WINDOW_DEFERRED: list[str] = [
 ]

@@ -1908,3 +1908,95 @@ def manifest_backfill_sized_q(spark: SparkSession,
             f"executed walk took {runs} run(s); the dry-run "
             f"schedule promised {len(sched_sk)}")
     return spark.read.parquet(out).drop("trade_month")
+
+
+MANIFEST_COMPACT_PLAN_SQL = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+       l_extendedprice,
+       strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS ship_month
+FROM lineitem
+WHERE strftime(CAST(l_shipdate AS DATE), '%Y-%m')
+        BETWEEN '1997-01' AND '1997-06'
+  AND NOT (strftime(CAST(l_shipdate AS DATE), '%Y-%m') = '1997-05'
+           AND l_partkey % 5 = 2)
+""".strip()
+
+
+@q("manifest_compact_plan", MANIFEST_COMPACT_PLAN_SQL)
+def manifest_compact_plan_q(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """OPTIMIZE victim selection from the commit object alone
+    (``plan_compact`` — the auto-maintenance decision Delta's
+    OPTIMIZE + auto-compaction heuristics make from table metadata):
+    ``compact``'s own file-count threshold would rewrite ANY
+    multi-file partition, but a partition of few WELL-SIZED files is
+    healthy and re-copying it is pure write amplification — at
+    100 TB, the difference between "compact yesterday's streaming
+    debris" and "re-copy a well-laid terabyte every night".  The
+    entry builds all three layout states in one table (months 01/02
+    single-file, 03/04 fragmented 8-way by streaming-shaped slice
+    appends, 05 deletion-vector'd, 06 healthy TWO-file), then RAISES
+    unless (a) the plan flags EXACTLY {03, 04, 05} — the two-file
+    healthy partition is spared, which no file-count rule can
+    express, (b) ``compact(partitions=plan, max_records_per_file=
+    target)`` produces exactly the plan's projected file counts,
+    (c) the spared partitions' files are BYTE-UNTOUCHED (same
+    paths — zero write amplification), (d) the DV sidecar is
+    materialized away, and (e) a re-plan is EMPTY (the idempotent
+    fixed point).  Oracle: the surviving content recomputed from
+    raw parquet — maintenance changed the layout, never the
+    answer."""
+    from .manifest import ManifestTable
+
+    li = (_t(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_partkey",
+                  "l_quantity", "l_extendedprice",
+                  F.date_format(F.col("l_shipdate").cast("date"),
+                                "yyyy-MM").alias("ship_month"))
+          .where(F.col("ship_month").between("1997-01", "1997-06")))
+    frag = F.col("ship_month").isin("1997-03", "1997-04")
+    half2 = ((F.col("ship_month") == "1997-06")
+             & (F.pmod("l_orderkey", F.lit(2)) == 1))
+    t = ManifestTable.create(
+        li.where(~frag & ~half2), scratch_dir("compact_plan_"),
+        ts="ship_month")
+    t.append(li.where(half2))             # 06 -> 2 well-sized halves
+    for k in range(8):                    # 03/04 -> 8 slivers each
+        t.append(li.where(frag & (F.pmod("l_orderkey",
+                                         F.lit(8)) == k)))
+    t.delete_where(spark, (F.col("ship_month") == "1997-05")
+                   & (F.pmod("l_partkey", F.lit(5)) == 2), mode="dv")
+    raw = t._raw()["partitions"]
+    # the policy knob, from the commit object alone: target one file
+    # per partition at the largest observed per-file row payload
+    target = max(r["rows"] // r["files"] for r in raw.values())
+    plan = t.plan_compact(target_rows=target, small_ratio=0.3)
+    if sorted(plan["partitions"]) != ["1997-03", "1997-04",
+                                      "1997-05"]:
+        raise RuntimeError(
+            f"victim selection wrong (the 2-file month 06 must be "
+            f"SPARED, the DV'd month 05 flagged): {plan}")
+    spared_before = {
+        v: sorted(e["path"] for e in t._entries(t._raw(), v))
+        for v in ("1997-01", "1997-02", "1997-06")}
+    res = t.compact(spark, partitions=plan["partitions"],
+                    max_records_per_file=target)
+    if res["files_before"] != plan["files_before"] or \
+            res["files_after"] != plan["est_files_after"]:
+        raise RuntimeError(
+            f"compaction diverged from the plan's projection: "
+            f"{res} vs {plan}")
+    after = t._raw()
+    for v, paths in spared_before.items():
+        now = sorted(e["path"] for e in t._entries(after, v))
+        if now != paths:
+            raise RuntimeError(
+                f"spared partition {v} was rewritten: write "
+                f"amplification the plan exists to prevent")
+    if after["partitions"]["1997-05"].get("dv"):
+        raise RuntimeError("DV sidecar not materialized away")
+    replan = t.plan_compact(target_rows=target, small_ratio=0.3)
+    if replan["partitions"]:
+        raise RuntimeError(
+            f"re-plan not empty after maintenance: {replan}")
+    return t.read(spark)

@@ -6006,6 +6006,54 @@ class ManifestTable:
         return {"partitions": len(staged), "sidecars_before": before,
                 "sidecars_after": len(staged)}
 
+    def plan_compact(self, target_rows: int,
+                     min_files: int = 2,
+                     small_ratio: float = 0.5) -> dict:
+        """OPTIMIZE victim selection from the commit object alone —
+        the maintenance decision a lakehouse makes daily at 100 TB,
+        priced at one JSON read: a partition is flagged FRAGMENTED
+        when it holds >= ``min_files`` files whose MEAN live rows
+        per file sit below ``small_ratio * target_rows`` (streaming
+        ingest's small-file debris), or when it carries a
+        deletion-vector sidecar (the rewrite materializes the delete
+        and frees the per-read DV tax).  Everything else is left
+        alone — the half :meth:`compact`'s own file-count threshold
+        cannot express: a partition of few WELL-SIZED files is
+        healthy, and rewriting it is pure write amplification (at
+        100 TB, re-copying a well-laid terabyte to "compact" its 3
+        files).  ``target_rows`` is the same unit
+        :meth:`compact`'s ``max_records_per_file`` targets (Delta /
+        Iceberg size their OPTIMIZE in bytes; under this engine's
+        row-targeted writer, rows are the knob — and unlike bytes
+        they are not distorted by per-file format overhead on small
+        fixtures).  Returns ``{"partitions": [values],
+        "files_before": n, "est_files_after": n, "rows": n}`` —
+        ``est_files_after`` projects each victim at
+        ``ceil(live_rows / target_rows)`` files, i.e. exactly what
+        ``compact(spark, partitions=plan["partitions"],
+        max_records_per_file=target_rows)`` will produce; an empty
+        list means the layout already is the one maintenance would
+        build (the idempotent fixed point)."""
+        import math
+
+        mf = self._raw()
+        victims, fb, fa, total = [], 0, 0, 0
+        for v, r in mf["partitions"].items():
+            nfiles = int(r["files"])
+            live = int(r["rows"]) - int(r.get("dv_rows", 0))
+            fragged = (nfiles >= int(min_files)
+                       and (live / max(nfiles, 1))
+                       < float(small_ratio) * int(target_rows))
+            if fragged or r.get("dv"):
+                victims.append(v)
+                fb += nfiles
+                # live > 0 always: delete_where drops a fully-dead
+                # partition's ref at delete time, never leaving it
+                fa += max(1, math.ceil(live / int(target_rows)))
+                total += live
+        return {"partitions": victims, "files_before": fb,
+                "est_files_after": fa, "rows": total}
+
     def compact(self, spark: SparkSession,
                 min_files: int = 2,
                 cluster_by: list[str] | None = None,

@@ -1687,3 +1687,55 @@ def test_decimal_columns_stage_without_zone_maps(spark, tmp_path):
         (decimal.Decimal(i * 7) / 4).quantize(
             decimal.Decimal("0.01"),
             rounding=decimal.ROUND_HALF_UP) for i in range(40))
+
+
+def test_plan_compact_spares_well_sized_partitions(spark, tmp_path):
+    """plan_compact: fragmented partitions and DV'd partitions are
+    flagged; a multi-file partition of WELL-SIZED files is spared —
+    the write-amplification guard a bare file-count rule lacks."""
+    df = spark.range(0, 900).select(
+        F.col("id"),
+        F.when(F.col("id") < 300, "a")
+         .when(F.col("id") < 600, "b").otherwise("c").alias("pt"))
+    # a: one 300-row file; b: two 150-row halves (healthy);
+    # c: six 50-row slivers (streaming debris)
+    t = ManifestTable.create(
+        df.where((F.col("pt") == "a")
+                 | ((F.col("pt") == "b") & (F.col("id") % 2 == 0))
+                 | ((F.col("pt") == "c") & (F.col("id") % 6 == 0))),
+        str(tmp_path / "t"), ts="pt")
+    t.append(df.where((F.col("pt") == "b") & (F.col("id") % 2 == 1)))
+    for k in range(1, 6):
+        t.append(df.where((F.col("pt") == "c")
+                          & (F.col("id") % 6 == k)))
+    plan = t.plan_compact(target_rows=300, small_ratio=0.5)
+    assert plan["partitions"] == ["c"]
+    assert plan["files_before"] == 6 and plan["est_files_after"] == 1
+    # a DV sidecar flags a partition regardless of layout
+    t.delete_where(spark, (F.col("pt") == "b") & (F.col("id") < 310),
+                   mode="dv")
+    plan2 = t.plan_compact(target_rows=300, small_ratio=0.5)
+    assert sorted(plan2["partitions"]) == ["b", "c"]
+    res = t.compact(spark, partitions=plan2["partitions"],
+                    max_records_per_file=300)
+    assert res["files_after"] == plan2["est_files_after"]
+    assert t.plan_compact(target_rows=300,
+                          small_ratio=0.5)["partitions"] == []
+    assert t.read(spark).count() == 890
+
+
+def test_plan_compact_never_sees_all_dead_partitions(
+        spark, tmp_path):
+    """A fully-DV-dead partition cannot reach plan_compact:
+    delete_where drops its ref at delete time, so the plan's
+    per-victim projection (>= 1 file) is always achievable."""
+    df = spark.range(0, 100).select(
+        F.col("id"), F.when(F.col("id") < 50, "x").otherwise("y")
+        .alias("pt"))
+    t = ManifestTable.create(df, str(tmp_path / "t"), ts="pt")
+    t.append(df.where(F.col("pt") == "x"))   # x: 2 files
+    t.delete_where(spark, F.col("id") < 50, mode="dv")
+    assert "x" not in t._raw()["partitions"]
+    plan = t.plan_compact(target_rows=1000)
+    assert plan["partitions"] == [] and plan["rows"] == 0
+    assert t.read(spark).count() == 50

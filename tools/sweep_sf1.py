@@ -197,6 +197,12 @@ ENTRIES = [
     # broadcast flip over 600k orders
     "manifest_adopt_parquet", "manifest_join_plan",
     "manifest_range_broadcast",
+    # round-16 late: the DDQ-sized chunked backfill (6 month-commits
+    # of ~70k bars replayed through a range-filtered bounded walk;
+    # the sketch-shortened schedule is entry-asserted), and the
+    # commit-object OPTIMIZE victim selection over ~350k H1-1997
+    # lineitems (8-way fragmented months + a spared 2-file month)
+    "manifest_backfill_sized", "manifest_compact_plan",
 ]
 
 
