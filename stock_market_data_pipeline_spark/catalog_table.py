@@ -1857,19 +1857,22 @@ def manifest_backfill_sized_q(spark: SparkSession,
                              ts="trade_month")
     for m in months:                        # v2..v7, 1 file each
         t.append(bars.where(F.col("trade_month") == m))
-    raw = t._raw()
-    files = sum(r["files"] for r in raw["partitions"].values())
-    live = sum(r["rows"] for r in raw["partitions"].values())
-    step = int(2.0 * live / files) + 1      # ~2 average files' rows
     rng = ("close", None, 15000.0)
-    ns = t.plan_backfill(step, where=rng)
+    # the walk replays v2..v7 only: scope the rows/file average to
+    # that range (plan_backfill's since_version — the whole-table
+    # mean would mix in the base commit's layout), and express the
+    # row budget in range-average units so the gates are
+    # scale-invariant
+    avg = t.plan_backfill(1, since_version=1)["avg_rows_per_file"]
+    step = int(2.0 * avg) + 1               # ~2 average files' rows
+    ns = t.plan_backfill(step, where=rng, since_version=1)
     if ns["selectivity"] is not None or ns["step_files"] != 2:
         raise RuntimeError(
             f"no-sketch sizing must be the conservative whole-file "
             f"budget: {ns}")
     t.analyze(spark, approx=True, columns=["close"],
               quantiles=["close"])          # v8, metadata-only
-    pb = t.plan_backfill(step, where=rng)
+    pb = t.plan_backfill(step, where=rng, since_version=1)
     if pb["selectivity"] is None or \
             pb["step_files"] <= 2 * ns["step_files"]:
         raise RuntimeError(

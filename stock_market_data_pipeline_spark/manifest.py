@@ -5074,24 +5074,37 @@ class ManifestTable:
         live = rows - sum(r.get("dv_rows", 0) for r in refs)
         est = (0 if rows == 0
                else int(round(total_bytes * live / rows)))
-        sel = None
-        if where is not None and live > 0:
-            col, lo, hi = where
-            try:
-                est_rows = self.estimate_range_rows(col, lo, hi)
-            except RuntimeError:
-                est_rows = None      # no sketch: full-size fallback
-            if est_rows is not None:
-                sel = min(max(est_rows, 0) / live, 1.0)
-                est = int(round(est * sel))
+        sel = self._range_selectivity(live, where)
+        if sel is not None:
+            est = int(round(est * sel))
         return {"broadcast": bool(est <= int(threshold_bytes)),
                 "est_bytes": est, "live_rows": int(live),
                 "threshold": int(threshold_bytes),
                 "selectivity": sel}
 
+    def _range_selectivity(self, live: int,
+                           where: tuple | None) -> float | None:
+        """Shared no-sketch-honest range-selectivity probe for the
+        stats-driven planners (:meth:`plan_broadcast`,
+        :meth:`plan_backfill`): the fraction of live rows
+        ``estimate_range_rows`` puts inside ``where=(col, lo, hi)``,
+        clamped to [0, 1] — or ``None`` when ``where`` is absent, the
+        table is empty, or no quantile sketch exists for the column
+        (every caller treats None as "assume everything matches", the
+        conservative fallback)."""
+        if where is None or live <= 0:
+            return None
+        col, lo, hi = where
+        try:
+            est_rows = self.estimate_range_rows(col, lo, hi)
+        except RuntimeError:
+            return None          # no sketch: full-volume fallback
+        return min(max(est_rows, 0) / live, 1.0)
+
     def plan_backfill(self, step_rows: int,
                       where: tuple | None = None,
-                      max_step_files: int = 4096) -> dict:
+                      max_step_files: int = 4096,
+                      since_version: int | None = None) -> dict:
         """Pre-size a chunked backfill's per-run FILE budget from the
         commit object (VERDICT r15 "Next round" #2's other named
         consumer): ``backfill_manifest_stream`` admits whole versions
@@ -5112,22 +5125,34 @@ class ManifestTable:
         a missing sketch can only make chunks smaller (more runs),
         never an oversized batch.  Pure commit-object arithmetic —
         no scan, no data I/O; at 100 TB the sizing decision for a
-        month-long catch-up costs one JSON read."""
+        month-long catch-up costs one JSON read.
+
+        ``since_version`` scopes the rows/file average to what the
+        walk will actually REPLAY — the diff of the two commit
+        objects' aggregates, exact for an append-only range: a big
+        compacted base would otherwise inflate the average (slivered
+        streaming appends would then land oversized runs), and a
+        slivered base would deflate it.  If the range's diff is not
+        append-shaped (a compaction/merge in range makes the file or
+        row delta non-positive), the whole-table mean stays the
+        honest basis.  The sketch's selectivity is whole-table
+        either way (sketches are snapshot-scoped) — the stationary-
+        distribution assumption every histogram CBO makes."""
         mf = self._raw()
         refs = list(mf["partitions"].values())
         files = sum(r["files"] for r in refs)
         rows = sum(r["rows"] for r in refs)
         live = rows - sum(r.get("dv_rows", 0) for r in refs)
         avg = (live / files) if files else 0.0
-        sel = None
-        if where is not None and live > 0:
-            col, lo, hi = where
-            try:
-                est_rows = self.estimate_range_rows(col, lo, hi)
-            except RuntimeError:
-                est_rows = None      # no sketch: full-volume fallback
-            if est_rows is not None:
-                sel = min(max(est_rows, 0) / live, 1.0)
+        if since_version is not None:
+            old = self._raw(self._mname(int(since_version)))
+            orefs = list(old["partitions"].values())
+            dfiles = files - sum(r["files"] for r in orefs)
+            dlive = live - sum(r["rows"] - r.get("dv_rows", 0)
+                               for r in orefs)
+            if dfiles > 0 and dlive > 0:
+                avg = dlive / dfiles
+        sel = self._range_selectivity(live, where)
         eff = avg * (1.0 if sel is None else sel)
         n = (int(max_step_files) if eff <= 0.0
              else int(int(step_rows) // max(eff, 1e-9)))
@@ -6031,11 +6056,29 @@ class ManifestTable:
         ``est_files_after`` projects each victim at
         ``ceil(live_rows / target_rows)`` files, i.e. exactly what
         ``compact(spark, partitions=plan["partitions"],
-        max_records_per_file=target_rows)`` will produce; an empty
-        list means the layout already is the one maintenance would
-        build (the idempotent fixed point)."""
+        max_records_per_file=target_rows)`` will produce on a
+        single-era table (under partition EVOLUTION a migrating
+        rewrite can merge into a colliding active-spec ref and land
+        more files than the per-victim projection — the projection is
+        a floor there, not an identity); an empty list means the
+        layout already is the one maintenance would build (the
+        idempotent fixed point).
+
+        ``min_files`` must stay >= 2: a single-file partition cannot
+        compact into fewer files (``compact(partitions=...)``
+        re-filters through its own >= 2-files-or-DV rule and would
+        silently skip such a victim, breaking the projection
+        contract); the one legitimate single-file rewrite — DV
+        materialization — is what the sidecar rule already flags."""
         import math
 
+        if int(min_files) < 2:
+            raise ValueError(
+                "plan_compact: min_files must be >= 2 — a "
+                "single-file partition has nothing to compact (the "
+                "DV rule covers the only single-file rewrite worth "
+                "doing), and compact(partitions=...) would silently "
+                "skip it")
         mf = self._raw()
         victims, fb, fa, total = [], 0, 0, 0
         for v, r in mf["partitions"].items():

@@ -2357,7 +2357,8 @@ def _next_run_end(t, p: int, live: int, step_files: int) -> int:
 
 
 def plan_backfill_runs(root: str, *, step_files: int,
-                       starting_version: int = 0) -> list:
+                       starting_version: int = 0,
+                       checkpoint: str | None = None) -> list:
     """The DETERMINISTIC run schedule :func:`backfill_manifest_stream`
     would execute — the list of per-run ending versions — computed
     driver-side from the manifest alone (the admission loop is pure
@@ -2366,12 +2367,21 @@ def plan_backfill_runs(root: str, *, step_files: int,
     sketch-sized backfill decision: ``ManifestTable.plan_backfill``
     turns a row budget into a file budget, this turns the file budget
     into the schedule it implies, and comparing schedule LENGTHS
-    costs zero streaming runs."""
+    costs zero streaming runs.  Pass the SAME ``checkpoint`` the
+    executed walk will use to predict a RESUMED backfill's remaining
+    runs — the walk starts at the checkpoint's committed version when
+    that is ahead (exactly the executed resume rule); without it the
+    schedule assumes a fresh checkpoint."""
     from .manifest import ManifestTable
 
     t = ManifestTable(root, None)
     live = t.version()
-    p, out = int(starting_version), []
+    p = int(starting_version)
+    if checkpoint is not None:
+        ck = _checkpoint_position(checkpoint)
+        if ck is not None:
+            p = max(p, ck)
+    out = []
     while p < live:
         e = _next_run_end(t, p, live, step_files)
         out.append(e)

@@ -319,3 +319,47 @@ def test_plan_backfill_clamps_and_empty_table(spark, tmp_path):
     t.delete_where(spark, F.lit(True), mode="dv")
     gone = t.plan_backfill(50, max_step_files=16)
     assert gone["live_rows"] == 0 and gone["step_files"] == 16
+
+
+def test_plan_backfill_since_version_scopes_the_average(spark,
+                                                        tmp_path):
+    """since_version scopes the rows/file average to the replayed
+    range: a big compacted base must not inflate the per-file
+    estimate for a slivered streaming tail (and the whole-table mean
+    stays the fallback when the range diff is not append-shaped)."""
+    from stock_market_data_pipeline_spark.manifest import ManifestTable
+
+    base = spark.range(0, 10000).select(
+        F.col("id"), (F.col("id") % 100).cast("double").alias("v"))
+    t = ManifestTable.create(base, str(tmp_path / "t"), ts=None)
+    for k in range(4):                    # v2..v5: 100-row slivers
+        t.append(base.where((F.col("id") >= 10000 + 0) &
+                            F.lit(False)).unionAll(
+            spark.range(10000 + k * 100, 10000 + (k + 1) * 100)
+            .select(F.col("id"),
+                    (F.col("id") % 100).cast("double").alias("v"))))
+    whole = t.plan_backfill(800)
+    scoped = t.plan_backfill(800, since_version=1)
+    # whole-table mean ~= 2080 rows/file -> 0 floors to 1 file/run;
+    # the replayed range's mean is 100 -> 8 files/run
+    assert scoped["avg_rows_per_file"] == 100.0
+    assert scoped["step_files"] == 8
+    assert whole["step_files"] < scoped["step_files"]
+    # a non-append-shaped range diff (compaction shrank file count)
+    # falls back to the whole-table mean rather than a bogus delta
+    t.compact(spark)
+    fb = t.plan_backfill(800, since_version=t.version() - 1)
+    assert fb["avg_rows_per_file"] == fb["live_rows"] / fb["files"]
+
+
+def test_plan_compact_rejects_min_files_below_two(spark, tmp_path):
+    from stock_market_data_pipeline_spark.manifest import ManifestTable
+
+    df = spark.range(0, 10).select(F.col("id"), F.lit("a").alias("pt"))
+    t = ManifestTable.create(df, str(tmp_path / "t"), ts="pt")
+    try:
+        t.plan_compact(target_rows=100, min_files=1)
+    except ValueError as e:
+        assert "min_files" in str(e)
+    else:
+        raise AssertionError("min_files=1 must be rejected")
