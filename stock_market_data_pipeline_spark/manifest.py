@@ -418,6 +418,12 @@ def _file_entry(abs_path: str, rel_path: str) -> dict:
 _HARVEST_DISTRIBUTE_OVER = 512
 
 
+#: a top-level directory shaped like a hive partition (``col=value``)
+#: — used to refuse FLAT adoption of a partitioned lake (dot/underscore
+#: leading names are engine/hidden and never match)
+_HIVE_DIR_RE = re.compile(r"^[A-Za-z][\w.]*=")
+
+
 def _harvest_lake(root: str, ts: str | None, mode: str = "auto",
                   known: frozenset = frozenset(),
                   spark: SparkSession | None = None) -> tuple:
@@ -440,23 +446,42 @@ def _harvest_lake(root: str, ts: str | None, mode: str = "auto",
     100 TB onboarding path: a 10^6-file lake harvests in one
     cluster-wide metadata pass instead of a driver-hours loop; the
     listing itself stays driver-side (names only, no footer I/O)."""
-    skip_dirs = {os.path.basename(_MANIFEST_DIR), "data"}
+    engine_owned = {os.path.basename(_MANIFEST_DIR), "data"}
 
     def _walk(d: str) -> list:
         out = []
         for dp, dns, fns in os.walk(d):
-            dns[:] = [x for x in dns if x not in skip_dirs
-                      and not x.startswith((".", "_"))]
+            # engine-owned areas live at the TABLE ROOT only — a
+            # user directory that happens to be named "data" inside
+            # a partition must be harvested, not silently dropped
+            dns[:] = [x for x in dns
+                      if not x.startswith((".", "_"))
+                      and not (dp == root and x in engine_owned)]
             out.extend(os.path.join(dp, fn) for fn in fns
                        if fn.endswith(".parquet")
                        and not fn.startswith((".", "_")))
         return sorted(out)
+
+    def _top_dirs() -> list:
+        return [d for d in sorted(os.listdir(root))
+                if os.path.isdir(os.path.join(root, d))
+                and d not in engine_owned
+                and not d.startswith((".", "_"))]
 
     # phase 1 — LIST (driver-side, names only): (abs, rel, value)
     # triples; value None = derive from the file's own stats later
     triples: list = []
     adopted_dirs = None
     if ts is None or mode == "flat":
+        hivey = [d for d in _top_dirs() if _HIVE_DIR_RE.match(d)]
+        if hivey:
+            raise SchemaMismatch(
+                f"{root}: hive-partitioned layout detected "
+                f"({hivey[:3]}{'...' if len(hivey) > 3 else ''}) — "
+                f"flat adoption would key every row '__all' and "
+                f"lose the partition column silently; adopt with "
+                f"ts='<col>' (SQL: CONVERT TO MANIFEST name "
+                f"PARTITIONED BY (col))")
         triples = [(f, os.path.relpath(f, root), "__all")
                    for f in _walk(root)]
     else:
@@ -476,6 +501,23 @@ def _harvest_lake(root: str, ts: str | None, mode: str = "auto",
                     (f, os.path.relpath(f, root), value)
                     for f in _walk(os.path.join(root, d)))
             adopted_dirs = ts
+            # a dirs-mode harvest adopts ONLY ts=value/ directories:
+            # data anywhere else would be silently absent from the
+            # adopted snapshot — the exact omission zero-copy exists
+            # to preclude — so its presence must refuse, not skip
+            stray = [x for x in sorted(os.listdir(root))
+                     if x.endswith(".parquet")
+                     and not x.startswith((".", "_"))]
+            stray += [d for d in _top_dirs()
+                      if not d.startswith(ts + "=")
+                      and _walk(os.path.join(root, d))]
+            if stray:
+                raise SchemaMismatch(
+                    f"{root}: data outside {ts}=value/ directories "
+                    f"({stray[:3]}{'...' if len(stray) > 3 else ''})"
+                    f" — a hive-layout adoption would silently omit "
+                    f"it; move it under a partition directory or "
+                    f"adopt flat (ts=None)")
         else:
             triples = [(f, os.path.relpath(f, root), None)
                        for f in _walk(root)]
@@ -3226,6 +3268,27 @@ class ManifestTable:
                 f"partition column {ts!r} not found in the lake "
                 f"(neither as hive directories nor a file column); "
                 f"columns: {[n for n, _ in sig]}")
+        if adopted_dirs is None and ts is not None:
+            # shape-A (file-aligned) keys render through Python's
+            # str(footer stat); every later addressing site (DV
+            # delete/update/merge via _owning_pt's fallback) renders
+            # through Spark's cast-to-string.  The two agree for
+            # int/string/date — and provably DIVERGE for timestamp
+            # ('T' vs ' ' separator, micros), boolean ('True' vs
+            # 'true') and float/double (exponent forms): a mismatch
+            # would stage DVs under a key no partition owns, so those
+            # types refuse at the adopt boundary instead
+            dtype = dict((n, t) for n, t in sig)[ts]
+            ok = (dtype in ("string", "date")
+                  or dtype in ("tinyint", "smallint", "int", "bigint"))
+            if not ok:
+                raise SchemaMismatch(
+                    f"file-aligned adoption cannot key partitions by "
+                    f"{ts!r} ({dtype}): its Python and Spark string "
+                    f"renderings diverge, which would mis-address "
+                    f"row-level deletes later; partition by an "
+                    f"int/string/date column, use a hive "
+                    f"({ts}=value/) layout, or adopt flat (ts=None)")
         # vacuum / _stage expect the engine-owned txn area to exist
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         t._commit(parts, base_version=0, schema=sig,

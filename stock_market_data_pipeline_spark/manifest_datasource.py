@@ -101,11 +101,35 @@ class ManifestCDFPartition(InputPartition):
     """One change-set file of one commit: ``ctype`` is the constant
     classification for ``insert_files``-kind commits (the entries ARE
     the commit's data files), or None when the file physically carries
-    ``_change_type`` (classified merge/delete change sets)."""
+    ``_change_type`` (classified merge/delete change sets).  ``fill``
+    is the adopted-hive constant-column dict (see
+    :class:`ManifestFilePartition`) — insert_files entries of a
+    dirs-adopted table carry their partition column only as a
+    directory name."""
 
     def __init__(self, path: str | None, ctype: str | None,
-                 version: int):
+                 version: int, fill: dict | None = None):
         self.path, self.ctype, self.version = path, ctype, version
+        self.fill = fill
+
+
+def _adopted_fill(mf: dict, rel: str) -> dict | None:
+    """Constant-fill dict for one file of a dirs-adopted table: the
+    partition column exists only as a ``col=value`` directory name in
+    the file's relative path, so every read path (batch, stream,
+    CDF) must reconstruct it per task.  None for tables without
+    ``adopted_dirs`` and for paths carrying no such component —
+    engine-written files hold the column on disk, and a fill for a
+    present column is ignored by the readers anyway."""
+    adn = mf.get("adopted_dirs")
+    if not adn:
+        return None
+    pre = f"{adn}="
+    for comp in rel.split("/"):
+        if comp.startswith(pre):
+            inv = {p: l for l, p in (mf.get("colmap") or {}).items()}
+            return {inv.get(adn, adn): comp[len(pre):]}
+    return None
 
 
 class ManifestReader(DataSourceReader):
@@ -479,10 +503,21 @@ def _read_cdf_partition(partition: ManifestCDFPartition,
         ct = pa.array([partition.ctype] * t.num_rows, pa.string())
     else:
         ct = t.column("_change_type")
+    fill = getattr(partition, "fill", None) or {}
     for n, ty in schema:
         if n not in on_disk:
-            t = t.append_column(n, pa.nulls(t.num_rows,
-                                            _arrow_type(ty)))
+            if n in fill:
+                # adopted hive layout: the partition column exists
+                # only as the file's directory name — same constant
+                # fill as the batch/file-stream readers, else the
+                # change feed would NULL the column it keys on
+                t = t.append_column(
+                    n, pa.array([str(fill[n])] * t.num_rows,
+                                type=pa.string())
+                    .cast(_arrow_type(ty)))
+            else:
+                t = t.append_column(n, pa.nulls(t.num_rows,
+                                                _arrow_type(ty)))
     out = (t.select(names)
            .append_column("_change_type", ct)
            .append_column("_commit_version",
@@ -626,8 +661,16 @@ class ManifestStreamReader(DataSourceStreamReader):
             self._require_append_only(table, old, new, s, e)
         if s > 0:
             files = table.added_files(s, manifest_name=table._mname(e))
-            out = [ManifestFilePartition(
-                p, os.path.relpath(p, self.root), []) for p in files]
+            # files absorbed by adopt_files on a dirs-adopted table
+            # need the same constant partition-column fill the
+            # catch-up branch below applies — without it an
+            # incremental micro-batch streams the column as NULL
+            # while a batch read of the same snapshot returns it
+            out = []
+            for p in files:
+                rel = os.path.relpath(p, self.root)
+                out.append(ManifestFilePartition(
+                    p, rel, [], _adopted_fill(new, rel)))
         else:
             # Initial CATCH-UP batch: a full-snapshot read at e.  The
             # snapshot's refs may carry deletion vectors from earlier
@@ -695,7 +738,8 @@ class ManifestStreamReader(DataSourceStreamReader):
             ctype = ("insert" if mf.get("cdf_kind") == "insert_files"
                      else None)
             out.extend(ManifestCDFPartition(
-                os.path.join(self.root, x["path"]), ctype, v)
+                os.path.join(self.root, x["path"]), ctype, v,
+                _adopted_fill(mf, x["path"]))
                 for x in mf["cdf"])
         return out or [ManifestFilePartition(None, "", [])]
 

@@ -314,3 +314,151 @@ def test_adopt_distributed_harvest_matches_driver_loop(
     out = tb.adopt_files(spark=spark)
     assert out["rows_added"] == 20
     assert tb.read(spark).count() == 2020
+
+
+def _land_extra(spark, hive_root, tmp_path, lo, hi, pt_value):
+    extra = _frame(spark, lo, hi).withColumn("pt", F.lit(pt_value))
+    staging = str(tmp_path / f"staging_{lo}")
+    extra.write.partitionBy("pt").parquet(staging)
+    d = f"pt={pt_value}"
+    os.makedirs(os.path.join(hive_root, d), exist_ok=True)
+    for i, f in enumerate(glob.glob(os.path.join(staging, d,
+                                                 "*.parquet"))):
+        shutil.copy(f, os.path.join(hive_root, d,
+                                    f"ext-{lo}-{i}.parquet"))
+
+
+def test_stream_cdf_fills_adopted_partition_column(spark, hive_root,
+                                                   tmp_path):
+    """The CDF STREAM path reconstructs the adopted partition column
+    exactly like batch changes()/table_changes(): insert_files
+    change sets from adopt_files(cdf=True) on a dirs-adopted table
+    must not stream the column as NULL."""
+    from stock_market_data_pipeline_spark.manifest_datasource import (
+        ManifestDataSource,
+    )
+
+    t = ManifestTable.adopt(spark, hive_root, ts="pt")          # v1
+    _land_extra(spark, hive_root, tmp_path, 3000, 3050, "9")
+    assert t.adopt_files(cdf=True)["files_added"] >= 1          # v2
+    spark.dataSource.register(ManifestDataSource)
+    out = str(tmp_path / "cdf_out")
+    ck = str(tmp_path / "cdf_ck")
+    q = (spark.readStream.format("manifest")
+         .option("readChangeFeed", "true")
+         .option("startingVersion", 1)
+         .load(hive_root)
+         .writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 50
+    assert got.filter("pt IS NULL").count() == 0
+    assert {str(r["pt"]) for r in got.select("pt").distinct()
+            .collect()} == {"9"}
+    assert {r["_change_type"] for r in
+            got.select("_change_type").distinct().collect()} == \
+        {"insert"}
+
+
+def test_stream_incremental_fills_adopted_partition_column(
+        spark, hive_root, tmp_path):
+    """The INCREMENTAL (s>0) file-stream branch applies the same
+    adopted-dirs fill as the catch-up branch: files absorbed by
+    adopt_files must not stream the partition column as NULL."""
+    from stock_market_data_pipeline_spark.manifest_datasource import (
+        ManifestDataSource,
+    )
+
+    t = ManifestTable.adopt(spark, hive_root, ts="pt")          # v1
+    _land_extra(spark, hive_root, tmp_path, 4000, 4040, "8")
+    assert t.adopt_files()["files_added"] >= 1                  # v2
+    spark.dataSource.register(ManifestDataSource)
+    out = str(tmp_path / "inc_out")
+    ck = str(tmp_path / "inc_ck")
+    q = (spark.readStream.format("manifest")
+         .option("startingVersion", 1)      # start AFTER v1: s>0
+         .load(hive_root)
+         .writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 40
+    assert got.filter("pt IS NULL").count() == 0
+    assert {str(r["pt"]) for r in got.select("pt").distinct()
+            .collect()} == {"8"}
+
+
+def test_adopt_flat_refuses_hive_layout(spark, hive_root):
+    """ts=None on a hive-partitioned lake must REFUSE, not silently
+    adopt flat with the partition column NULL on every read."""
+    with pytest.raises(SchemaMismatch, match="PARTITIONED BY"):
+        ManifestTable.adopt(spark, hive_root)
+
+
+def test_adopt_dirs_refuses_stray_data(spark, hive_root, tmp_path):
+    """dirs-mode adoption walks ONLY ts=value/ directories; loose
+    parquet at the root or a non-hive subdir with data must refuse
+    rather than silently omit rows from the adopted snapshot."""
+    stray = str(tmp_path / "stray")
+    _frame(spark, 5000, 5010).drop("pt").coalesce(1) \
+        .write.parquet(stray)
+    f = glob.glob(os.path.join(stray, "*.parquet"))[0]
+    shutil.copy(f, os.path.join(hive_root, "loose.parquet"))
+    with pytest.raises(SchemaMismatch, match="outside"):
+        ManifestTable.adopt(spark, hive_root, ts="pt")
+    os.remove(os.path.join(hive_root, "loose.parquet"))
+    os.makedirs(os.path.join(hive_root, "misc"))
+    shutil.copy(f, os.path.join(hive_root, "misc", "x.parquet"))
+    with pytest.raises(SchemaMismatch, match="outside"):
+        ManifestTable.adopt(spark, hive_root, ts="pt")
+
+
+def test_adopt_descends_nested_data_named_dirs(spark, hive_root,
+                                               tmp_path):
+    """Only the ROOT-level engine-owned data/ dir is pruned from the
+    harvest walk: a user directory named 'data' inside a partition
+    is real data and must be adopted."""
+    nested = str(tmp_path / "nested")
+    _frame(spark, 6000, 6020).where(F.col("pt") == "0") \
+        .drop("pt").coalesce(1).write.parquet(nested)
+    f = glob.glob(os.path.join(nested, "*.parquet"))[0]
+    os.makedirs(os.path.join(hive_root, "pt=0", "data"))
+    shutil.copy(f, os.path.join(hive_root, "pt=0", "data",
+                                "chunk.parquet"))
+    t = ManifestTable.adopt(spark, hive_root, ts="pt")
+    direct = spark.read.option("basePath", hive_root) \
+        .parquet(hive_root).count()
+    assert t.read(spark).count() == direct
+
+
+def test_adopt_file_aligned_refuses_divergent_key_types(spark,
+                                                        tmp_path):
+    """Shape-A keys come from str(footer stat) while later DV
+    addressing renders via Spark's cast-to-string; timestamp /
+    boolean / double keys diverge between the two, so adoption
+    refuses them up front rather than mis-address deletes later."""
+    root = str(tmp_path / "tskeyed")
+    os.makedirs(root)
+    key = "spark.sql.parquet.outputTimestampType"
+    prior = spark.conf.get(key)
+    try:
+        # INT96 (the Spark default) writes no decodable footer
+        # stats, which trips the FILE-ALIGNED raise before the type
+        # guard; micros timestamps carry stats, so the guard itself
+        # is what must refuse here
+        spark.conf.set(key, "TIMESTAMP_MICROS")
+        for v in ("2020-01-01 12:00:00", "2020-01-02 06:30:00"):
+            scratch = str(tmp_path / f"ts_{v[8:10]}")
+            (spark.range(0, 50)
+             .select(F.col("id"),
+                     F.lit(v).cast("timestamp").alias("load_ts"))
+             .coalesce(1).write.parquet(scratch))
+            shutil.move(glob.glob(scratch + "/*.parquet")[0],
+                        os.path.join(root, f"chunk-{v[8:10]}.parquet"))
+    finally:
+        spark.conf.set(key, prior)
+    with pytest.raises(SchemaMismatch, match="renderings diverge"):
+        ManifestTable.adopt(spark, root, ts="load_ts")
