@@ -332,10 +332,15 @@ def _sql_lit(v) -> str:
     return f"'{s}'"
 
 
-def _file_entry(abs_path: str, rel_path: str) -> dict:
+def _file_entry(abs_path: str, rel_path: str,
+                with_cols: bool = False) -> dict:
     """One manifest entry from a parquet footer: rows, bytes, and
     per-column [min, max] aggregated across row groups.  Driver-side
-    pyarrow metadata read — a few KB per file, no data pages."""
+    pyarrow metadata read — a few KB per file, no data pages.
+    ``with_cols=True`` additionally records the file's top-level
+    column-name set under ``"cols"`` (the adoption schema-safety
+    input, harvested from the SAME footer read so validation never
+    re-opens the file); callers strip it before committing."""
     import decimal
 
     import pyarrow.parquet as pq
@@ -404,9 +409,13 @@ def _file_entry(abs_path: str, rel_path: str) -> dict:
         del stats[name]
     nn = sorted(n for n, k in nn_hits.items()
                 if k == md.num_row_groups and n not in nn_bad)
-    return {"path": rel_path, "rows": md.num_rows,
-            "bytes": os.path.getsize(abs_path), "stats": stats,
-            "nn": nn}
+    out = {"path": rel_path, "rows": md.num_rows,
+           "bytes": os.path.getsize(abs_path), "stats": stats,
+           "nn": nn}
+    if with_cols:
+        out["cols"] = sorted({c.name.split(".")[0]
+                              for c in md.schema})
+    return out
 
 
 #: above this many not-yet-known files the footer harvest runs as a
@@ -530,12 +539,15 @@ def _harvest_lake(root: str, ts: str | None, mode: str = "auto",
         sc = spark.sparkContext
         slices = min(max(32, len(triples) // 256), 4096)
         harvested = (sc.parallelize(triples, slices)
-                     .map(lambda t: (_file_entry(t[0], t[1]), t[2]))
+                     .map(lambda t: (_file_entry(t[0], t[1],
+                                                 with_cols=True),
+                                     t[2]))
                      .collect())
         # deterministic commit bodies regardless of task order
         harvested.sort(key=lambda ev: ev[0]["path"])
     else:
-        harvested = [(_file_entry(a, r), v) for a, r, v in triples]
+        harvested = [(_file_entry(a, r, with_cols=True), v)
+                     for a, r, v in triples]
 
     # phase 3 — GROUP by partition value
     parts: dict = {}
@@ -2064,34 +2076,36 @@ class ManifestTable:
         name, so our publish raises :class:`CommitConflict` — the
         competing snapshot stays fully live, nothing of ours (shards
         included — they become aged-out vacuum orphans) is visible."""
+        # ONE read of the base commit object feeds every carry below
+        # (bloom/colmap/colstats/retired/adopted/constraints/pt/
+        # branch/stamp all consult it): re-opening and re-parsing the
+        # same JSON per carried key was pure repeated I/O on the hot
+        # commit path.  None = no base (v1) or base vacuumed
+        # mid-flight — each carry's fallback below is unchanged.
+        _base_cell: list = []
+
+        def _base() -> dict | None:
+            if not _base_cell:
+                mf_ = None
+                if base_version > 0:
+                    try:
+                        mf_ = self._raw(self._mname(base_version))
+                    except (FileNotFoundError, OSError):
+                        mf_ = None
+                _base_cell.append(mf_)
+            return _base_cell[0]
+
         if bloom is ManifestTable._BLOOM_CARRY:
-            bloom = None
-            if base_version > 0:
-                try:
-                    bloom = self._raw(
-                        self._mname(base_version)).get("bloom")
-                except (FileNotFoundError, OSError):
-                    bloom = None    # base vacuumed mid-flight: spec lost
+            # base vacuumed mid-flight: spec lost (None)
+            bloom = (_base() or {}).get("bloom")
         if colmap is ManifestTable._BLOOM_CARRY:
             # column-mapping carries commit-to-commit exactly like the
             # bloom spec: only rename_column ever passes it explicitly
-            colmap = None
-            if base_version > 0:
-                try:
-                    colmap = self._raw(
-                        self._mname(base_version)).get("colmap")
-                except (FileNotFoundError, OSError):
-                    colmap = None
+            colmap = (_base() or {}).get("colmap")
         if colstats is ManifestTable._BLOOM_CARRY:
             # analyzed column stats carry too (meta_column_stats
             # flags them stale past their recorded version)
-            colstats = None
-            if base_version > 0:
-                try:
-                    colstats = self._raw(
-                        self._mname(base_version)).get("colstats")
-                except (FileNotFoundError, OSError):
-                    colstats = None
+            colstats = (_base() or {}).get("colstats")
         if retired is ManifestTable._BLOOM_CARRY:
             # RETIRED physical column names (drop_column's ledger):
             # physical names that still hold data inside live files
@@ -2100,13 +2114,7 @@ class ManifestTable:
             # never bind a new logical column to a physical name with
             # stale data in it (it allocates a fresh physical via the
             # colmap instead — the Delta column-mapping drop rule).
-            retired = None
-            if base_version > 0:
-                try:
-                    retired = self._raw(
-                        self._mname(base_version)).get("retired")
-                except (FileNotFoundError, OSError):
-                    retired = None
+            retired = (_base() or {}).get("retired")
         if adopted is ManifestTable._BLOOM_CARRY:
             # the adopted-hive-layout marker (see :meth:`adopt`)
             # carries commit-to-commit like the bloom spec: it is
@@ -2114,24 +2122,12 @@ class ManifestTable:
             # only exists as directory names in adopted files), so
             # losing it on a routine append would NULL the column for
             # every adopted row
-            adopted = None
-            if base_version > 0:
-                try:
-                    adopted = self._raw(
-                        self._mname(base_version)).get("adopted_dirs")
-                except (FileNotFoundError, OSError):
-                    adopted = None
+            adopted = (_base() or {}).get("adopted_dirs")
         if constraints is ManifestTable._BLOOM_CARRY:
             # table constraints carry commit-to-commit like the bloom
             # spec / colmap; only add_check / add_range_check /
             # set_not_null / drop_constraint pass them explicitly
-            constraints = None
-            if base_version > 0:
-                try:
-                    constraints = self._raw(
-                        self._mname(base_version)).get("constraints")
-                except (FileNotFoundError, OSError):
-                    constraints = None
+            constraints = (_base() or {}).get("constraints")
         # the partition transform is table identity: set at create
         # (ctor spec), carried verbatim on every later commit; the
         # spec HISTORY (evolve_partition) carries beside it, and when
@@ -2141,9 +2137,8 @@ class ManifestTable:
         pt = self._pt_ctor
         pt_history = None
         if base_version > 0:
-            try:
-                base_mf = self._raw(self._mname(base_version))
-            except (FileNotFoundError, OSError):
+            base_mf = _base()
+            if base_mf is None:
                 # unlike the bloom/colmap/constraint carries above
                 # (perf-only: losing them costs a rescan), the
                 # partition transform is CORRECTNESS-bearing — a
@@ -2226,13 +2221,10 @@ class ManifestTable:
         # consumer (SQL TIMESTAMP AS OF, the DSv2 option) — the
         # ADVICE r14 #4 flake, fixed at the mechanism
         stamp = round(_time.time(), 3)
-        try:
-            prev = self._raw(self._mname(base_version)) \
-                .get("committed_at")
-            if prev is not None and stamp <= prev:
-                stamp = round(prev + 0.001, 3)
-        except (FileNotFoundError, OSError):
-            pass                   # v1, or base vacuumed: clock wins
+        prev = (_base() or {}).get("committed_at")
+        if prev is not None and stamp <= prev:
+            stamp = round(prev + 0.001, 3)
+        # v1, or base vacuumed (_base() None): clock wins
         body = {"version": version, "ts": self.ts, "format": _FORMAT,
                 "partitions": refs, "streams": streams or {},
                 "schema": schema or [],
@@ -2241,8 +2233,16 @@ class ManifestTable:
             # carry the branch's cut point (recorded by create_branch,
             # inherited commit-to-commit): publish_branch needs it to
             # decide whether the fast-forward is still a fast-forward
-            body["branch"] = self._raw(
-                self._mname(base_version))["branch"]
+            base_for_branch = _base()
+            if base_for_branch is None:
+                # the cut point is correctness-bearing for
+                # publish_branch — fail loudly, never publish a
+                # branch commit that forgot where it was cut
+                raise FileNotFoundError(
+                    f"{self.root}: branch base manifest "
+                    f"{base_version} unreadable; cannot carry the "
+                    f"branch cut point")
+            body["branch"] = base_for_branch["branch"]
         if pt:
             body["pt"] = pt
         if pt_history:
@@ -3291,6 +3291,9 @@ class ManifestTable:
                     f"({ts}=value/) layout, or adopt flat (ts=None)")
         # vacuum / _stage expect the engine-owned txn area to exist
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        for es in parts.values():        # validation-only key
+            for e in es:
+                e.pop("cols", None)
         t._commit(parts, base_version=0, schema=sig,
                   adopted=adopted_dirs)
         return t
@@ -3342,17 +3345,16 @@ class ManifestTable:
             # silently drop data on every read — refuse; missing
             # pinned columns NULL-fill (the documented evolution
             # semantic; dirs-mode partition columns fill from the
-            # directory value)
-            import pyarrow.parquet as pq
-
+            # directory value).  The column sets come from the
+            # harvest's own footer pass (``with_cols``) — validating
+            # 10^5 new files must not re-open 10^5 footers
+            # sequentially on the driver after a distributed harvest
             cm = mf.get("colmap") or {}
             pinned = {cm.get(n, n) for n, _ in
                       (mf.get("schema") or [])} | {_PT}
             for es in parts.values():
                 for e in es:
-                    on_disk = set(pq.ParquetFile(os.path.join(
-                        self.root, e["path"])).schema_arrow.names)
-                    extra = sorted(on_disk - pinned)
+                    extra = sorted(set(e.pop("cols", [])) - pinned)
                     if extra:
                         raise SchemaMismatch(
                             f"adopt_files: {e['path']} carries "
@@ -4072,6 +4074,39 @@ class ManifestTable:
                 df = df.withColumnRenamed(p, n)
         return df
 
+    def cdf_commit_action(self, v: int, mf: dict) -> str:
+        """Classify one in-range commit for a change-feed walk:
+        ``"read"`` (a captured change set exists), ``"skip"``
+        (row-preserving maintenance — compact/OPTIMIZE's
+        dataChange=false analog — or a provably metadata-only
+        commit whose partitions map is byte-identical to its
+        predecessor's), else RAISE for an uncaptured DATA commit.
+        ONE rule shared by the batch range walk
+        (:meth:`table_changes`) and the ``readChangeFeed`` stream —
+        the two walks diverging on which commits are safe to skip is
+        exactly the bug class ADVICE r15 #1 fixed (a stream dying on
+        a commit the batch walk skipped)."""
+        if "cdf" in mf:
+            return "read"
+        if mf.get("row_preserving"):
+            return "skip"
+        prev = None
+        try:
+            prev = self._raw(self._mname(v - 1))
+        except (FileNotFoundError, OSError):
+            pass               # vacuumed away: cannot prove safe
+        if prev is not None and mf["partitions"] == prev["partitions"]:
+            return "skip"      # metadata-only: zero change rows
+        raise FileNotFoundError(
+            f"{self.root} version {v}: a DATA commit in the "
+            "requested range was captured without cdf=True, "
+            "so its row-level change set does not exist; "
+            "re-run the feed with start past this version, or "
+            "pass cdf=True on every data write "
+            "(append/merge/delete_where) whose changes the "
+            "feed must carry — maintenance commits "
+            "(compact/OPTIMIZE, ANALYZE, DDL) never need it")
+
     def table_changes(self, spark: SparkSession, start: int,
                       end: int | None = None) -> DataFrame:
         """RANGE change feed — Delta's ``table_changes('t', v1[, v2])``
@@ -4099,33 +4134,8 @@ class ManifestTable:
         frames = []
         for v in range(int(start), end + 1):
             mf = self._raw(self._mname(v))
-            if "cdf" not in mf:
-                if mf.get("row_preserving"):
-                    # maintenance rewrite stamped dataChange=false
-                    # (compact / OPTIMIZE / compact_dvs): visible rows
-                    # provably unchanged, so the feed skips it exactly
-                    # like Delta's table_changes skips
-                    # dataChange=false commits — a routine OPTIMIZE in
-                    # range must never break the CDF walk (ADVICE r15
-                    # #1)
-                    continue
-                prev = None
-                try:
-                    prev = self._raw(self._mname(v - 1))
-                except (FileNotFoundError, OSError):
-                    pass           # vacuumed away: cannot prove safe
-                if prev is not None and (mf["partitions"]
-                                         == prev["partitions"]):
-                    continue       # metadata-only: zero change rows
-                raise FileNotFoundError(
-                    f"{self.root} version {v}: a DATA commit in the "
-                    "requested range was captured without cdf=True, "
-                    "so its row-level change set does not exist; "
-                    "re-run the feed with start past this version, or "
-                    "pass cdf=True on every data write "
-                    "(append/merge/delete_where) whose changes the "
-                    "feed must carry — maintenance commits "
-                    "(compact/OPTIMIZE, ANALYZE, DDL) never need it")
+            if self.cdf_commit_action(v, mf) == "skip":
+                continue
             frames.append(self.changes(spark, v).withColumn(
                 "_commit_version", F.lit(v).cast("long")))
         if not frames:

@@ -715,26 +715,11 @@ class ManifestStreamReader(DataSourceStreamReader):
         out = []
         for v in range(max(s, 0) + 1, e + 1):
             mf = table._raw(table._mname(v))
-            if "cdf" not in mf:
-                if mf.get("row_preserving"):
-                    continue     # compact/OPTIMIZE: dataChange=false,
-                #                  zero change rows by construction
-                prev = None
-                try:
-                    prev = table._raw(table._mname(v - 1))
-                except (FileNotFoundError, OSError):
-                    pass         # vacuumed away: cannot prove safe
-                if prev is not None and (mf["partitions"]
-                                         == prev["partitions"]):
-                    continue     # metadata-only (ANALYZE/DDL): a
-                #                  routine maintenance commit must not
-                #                  kill a running change-feed stream
-                raise RuntimeError(
-                    f"{self.root} version {v}: a DATA commit was "
-                    "captured without cdf=True — no row-level change "
-                    "set exists; enable cdf on every data write "
-                    "(merge/delete/append/sink) or start the stream "
-                    "past this version")
+            # the ONE skip/raise rule, shared with the batch range
+            # walk (ManifestTable.cdf_commit_action) — a stream dying
+            # on a commit the batch walk skips was ADVICE r15 #1
+            if table.cdf_commit_action(v, mf) == "skip":
+                continue
             ctype = ("insert" if mf.get("cdf_kind") == "insert_files"
                      else None)
             out.extend(ManifestCDFPartition(
@@ -1524,8 +1509,17 @@ def _literal_spans(text: str) -> list:
     Spark's default dialect reads ``"..."`` as a string literal too,
     and under ANSI double-quoted-identifier mode a quoted identifier
     is never our unquoted grammar, so masking both is safe either
-    way).  An unterminated literal runs to the end of the string —
-    the rewriters must stay out of it either way."""
+    way).  Backslash escapes are honored (Spark's default parser,
+    ``escapedStringLiterals=false``, reads ``\\'`` as an escaped
+    quote INSIDE the literal — ending the span there would unmask
+    the literal's tail and let a rewriter rewrite text the parser
+    treats as data).  Under ``escapedStringLiterals=true`` a
+    backslash is a plain character and ``\\'`` genuinely ends the
+    literal — there the longer span merely masks a few extra
+    characters, which can only make the rewriters MORE conservative,
+    never rewrite inside a literal.  An unterminated literal runs to
+    the end of the string — the rewriters must stay out of it either
+    way."""
     spans = []
     i, n = 0, len(text)
     while i < n:
@@ -1535,6 +1529,9 @@ def _literal_spans(text: str) -> list:
             continue
         j = i + 1
         while j < n:
+            if text[j] == "\\" and j + 1 < n:
+                j += 2              # escaped char: stays in-literal
+                continue
             if text[j] == q:
                 if j + 1 < n and text[j + 1] == q:
                     j += 2

@@ -796,3 +796,18 @@ def test_sql_merge_using_table_changes_source(spark, t, tmp_path):
                  "FROM s VERSION AS OF 1 WHERE id < 5",
                  {"t": t, "s": s})
     assert t.read(spark).count() == 115
+
+
+def test_sql_rewriters_honor_backslash_escaped_quotes(spark, t):
+    """Spark's default parser (escapedStringLiterals=false) reads
+    \\' as an escaped quote INSIDE the literal; the masking must not
+    end the span there, or the literal's tail unmasks and a grammar
+    regex can rewrite text the parser treats as data."""
+    got = manifest_sql(
+        spark,
+        "SELECT 'it\\'s listed FROM qbs.files now' AS msg, "
+        "COUNT(*) AS n FROM qbs.partitions",
+        {"qbs": t}).collect()
+    assert got[0]["msg"] == "it's listed FROM qbs.files now"
+    assert got[0]["n"] == 4              # the real rewrite still ran
+    assert not spark.catalog.tableExists("qbs__meta_files")
