@@ -1586,8 +1586,13 @@ def stream_manifest_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .manifest_datasource import ManifestDataSource
     from .scratch import scratch_dir
 
+    # the bar build feeds SIX consumers below (three slice counts, the
+    # create, two appends): persist the aggregate so the lineitem scan
+    # + groupBy shuffle run once per invocation instead of six times
+    # (guide §5 — reuse > recompute here; unpersisted before return,
+    # nothing survives the entry)
     bars = bars_from_lineitem(_t(spark, sf_dir, "lineitem")).withColumn(
-        "trade_month", F.date_format("trade_date", "yyyy-MM"))
+        "trade_month", F.date_format("trade_date", "yyyy-MM")).persist()
     base = bars.where(F.col("trade_month") < "1997-01")
     slice2 = bars.where(F.col("trade_month").between("1997-01",
                                                      "1997-06"))
@@ -1621,6 +1626,7 @@ def stream_manifest_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{n_after - n_base}")
     if run_once() != n_after:
         raise RuntimeError("an empty trigger re-emitted rows")
+    bars.unpersist()
     return spark.read.parquet(sink).drop("trade_month")
 
 
@@ -1651,11 +1657,15 @@ def manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .manifest_datasource import ManifestDataSource
     from .scratch import scratch_dir
 
+    # two consumers (the count gate and the create) — persist so the
+    # lineitem scan + bar groupBy run once; unpersisted right after
+    # the create, before any read-side work
     bars = bars_from_lineitem(_t(spark, sf_dir, "lineitem")).withColumn(
-        "trade_month", F.date_format("trade_date", "yyyy-MM"))
+        "trade_month", F.date_format("trade_date", "yyyy-MM")).persist()
     n_total = bars.count()
     table = ManifestTable.create(
         bars, scratch_dir("manifest_tt_"), ts="trade_month")     # v1
+    bars.unpersist()
     table.create_tag("pre_delete")
     out = table.delete_where(spark, F.expr("pmod(ticker, 9) = 4"),
                              mode="dv")                          # v2

@@ -3784,6 +3784,12 @@ class ManifestTable:
             mf, keys, not_matched_by_source_delete,
             not_matched_by_source_update,
             not_matched_by_source_condition)
+        # NOTE (r16, measured): persisting ``updates`` here for its
+        # 3+ consumers was TRIED and reverted — materializing the
+        # cache forces all columns while each consumer is
+        # column-pruned (the touched-partition distinct reads one
+        # column), so the A/B ran ~0.5 s SLOWER at sf0.1.  Recompute
+        # with pruning beats cache without it (guide §5).
         if mode == "dv":
             return self._merge_dv(spark, mf, updates, keys,
                                   validate_key_stability, cdf,
