@@ -418,6 +418,16 @@ def _file_entry(abs_path: str, rel_path: str,
     return out
 
 
+#: deletion-vector sidecar sets at or below this many TOTAL bytes
+#: (known exactly from their commit-object entries) are read on the
+#: driver with pyarrow and shipped to the anti-join as local rows —
+#: below it, planning one Spark scan task per KB-sized sidecar costs
+#: more than the whole read (measured ~3x at sf0.1).  Above it (or
+#: when any entry predates byte accounting) the distributed scan is
+#: kept: a high-fraction delete's DV set must never be driver-read.
+_DV_DRIVER_READ_BYTES = 32 << 20
+
+
 #: above this many not-yet-known files the footer harvest runs as a
 #: Spark job instead of a sequential driver loop — at 100 TB a lake
 #: holds 10^5-10^6 files, and one footer read is a few ms of
@@ -3047,11 +3057,34 @@ class ManifestTable:
                   .drop("__p")
                   .withColumn("__ri", F.col("_metadata.row_index")))
         if dv_entries:
-            dv = spark.read.parquet(
-                *[os.path.join(self.root, e["path"])
-                  for e in dv_entries]).select(
-                F.col("rel").alias("__rel"),
-                F.col("row_index").alias("__ri"))
+            dv_paths = [os.path.join(self.root, e["path"])
+                        for e in dv_entries]
+            # DV sidecars are tiny by the mode's contract (bounded by
+            # deleted-row count, the low-fraction-delete path), and
+            # their exact sizes are IN the commit object — when the
+            # whole set fits a driver budget, read the KB-sized
+            # files with pyarrow on the driver and hand Spark the
+            # rows directly instead of planning one scan task per
+            # sidecar (83 sub-ms tasks + a distributed broadcast
+            # build measured ~3x the whole anti-joined read at
+            # sf0.1; guide §2.4 — remove the job, don't tune it).
+            # Unknown sizes or a big set keep the distributed scan:
+            # more I/O, never a driver OOM.
+            dv_bytes = sum(e.get("bytes", _DV_DRIVER_READ_BYTES)
+                           for e in dv_entries)
+            if dv_bytes <= _DV_DRIVER_READ_BYTES:
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+                tb = pa.concat_tables([
+                    pq.read_table(p, columns=["rel", "row_index"])
+                    for p in dv_paths])
+                dv = spark.createDataFrame(
+                    tb.to_pandas(),
+                    schema="__rel string, __ri bigint")
+            else:
+                dv = spark.read.parquet(*dv_paths).select(
+                    F.col("rel").alias("__rel"),
+                    F.col("row_index").alias("__ri"))
             df = df.join(F.broadcast(dv), ["__rel", "__ri"],
                          "left_anti")
         if (dv_entries or keep_pos) and not keep_pos:

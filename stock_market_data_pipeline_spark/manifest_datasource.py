@@ -97,6 +97,87 @@ class ManifestFilePartition(InputPartition):
         self.fill = fill
 
 
+class ManifestPackedPartition(InputPartition):
+    """Several small surviving files planned as ONE task (guide-§4
+    shape: fewer JVM↔Python crossings).  Produced only under the
+    opt-in ``packFiles`` reader option — the DEFAULT plan stays one
+    task per file, which is both what the pruning-proof entries gate
+    on (``ntasks == len(scan_plan()["files"])``) and the right plan
+    for a compacted lake whose files are already 128 MB–1 GB.  Each
+    member keeps its own rel/DV/fill metadata, so packing changes
+    scheduling only, never row semantics."""
+
+    def __init__(self, files: list[ManifestFilePartition]):
+        self.files = files
+
+
+def _pack_file_partitions(parts: list, sizes: dict,
+                          budget: int) -> list:
+    """Greedy in-order packing of one-file partitions into byte
+    ``budget`` bins (the FilePartition/maxPartitionBytes idea applied
+    to the Python seam).  ``sizes`` maps rel -> bytes from the commit
+    object; a file with unknown size, or one at/over the budget,
+    closes its own bin — so well-sized files degrade to exactly the
+    unpacked plan."""
+    out, cur, acc = [], [], 0
+    for p in parts:
+        b = sizes.get(p.rel)
+        if b is None or b >= budget:
+            if cur:
+                out.append(cur)
+                cur, acc = [], 0
+            out.append([p])
+            continue
+        if cur and acc + b > budget:
+            out.append(cur)
+            cur, acc = [], 0
+        cur.append(p)
+        acc += b
+    if cur:
+        out.append(cur)
+    return [g[0] if len(g) == 1 else ManifestPackedPartition(g)
+            for g in out]
+
+
+def _auto_pack_budget(total_bytes: int) -> int:
+    """The ``packFiles='auto'`` bin size: spread the surviving bytes
+    over ~3x the session's parallelism (slack for stragglers),
+    floored at 1 MiB (below that, bin overhead dominates) and capped
+    at the session's own ``maxPartitionBytes`` (so a cluster profile
+    with 128 MB+ splits packs no coarser than its JVM scans would).
+    Driver-side only — partitions() runs on the driver."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    par = (spark.sparkContext.defaultParallelism
+           if spark is not None else 8)
+    cap = 128 << 20
+    if spark is not None:
+        raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes",
+                                 "134217728")).strip().lower()
+        mult = 1
+        for suf, m in (("g", 1 << 30), ("m", 1 << 20), ("k", 1 << 10),
+                       ("b", 1)):
+            if raw.endswith(suf):
+                raw, mult = raw[:-1], m
+                break
+        cap = int(raw) * mult
+    return max(1 << 20, min(cap, total_bytes // max(1, 3 * par) or 1))
+
+
+def _pack_opt(options) -> int:
+    """Parse the ``packFiles`` reader option: absent/0/'false' = off
+    (one task per file — the default contract), 'auto' = derive the
+    byte budget from the session (see :func:`_auto_pack_budget`,
+    resolved at plan time), an integer = explicit byte budget."""
+    v = _opt(options, "packFiles")
+    if v is None or str(v).strip().lower() in ("", "0", "false"):
+        return 0
+    if str(v).strip().lower() == "auto":
+        return -1
+    return int(v)
+
+
 class ManifestCDFPartition(InputPartition):
     """One change-set file of one commit: ``ctype`` is the constant
     classification for ``insert_files``-kind commits (the entries ARE
@@ -135,11 +216,13 @@ def _adopted_fill(mf: dict, rel: str) -> dict | None:
 class ManifestReader(DataSourceReader):
     def __init__(self, root: str, schema: list[list[str]],
                  manifest_name: str | None = None,
-                 colmap: dict | None = None):
+                 colmap: dict | None = None,
+                 pack: int = 0):
         self.root = root
         self.pinned = schema                   # (name, type) pairs
         self.manifest_name = manifest_name     # time travel (versionAsOf)
         self.colmap = colmap or {}             # logical -> physical
+        self.pack = pack        # 0 off, -1 auto, >0 byte budget
         self.where: dict = {}
 
     # -- pushdown ---------------------------------------------------
@@ -205,11 +288,13 @@ class ManifestReader(DataSourceReader):
         rel_to_dv = {}
         abs_to_rel = {}
         rel_fill: dict = {}
+        rel_bytes: dict = {}
         for v, ref in by_value.items():
             dvs = [os.path.join(self.root, e["path"])
                    for e in ref.get("dv", [])]
             for e in table._entries(mf, v):
                 rel_to_dv[e["path"]] = dvs
+                rel_bytes[e["path"]] = e.get("bytes")
                 # the entry's OWN path is the file's canonical rel —
                 # for a shallow clone's BORROWED files it is absolute
                 # (outside the table root), and os.path.relpath would
@@ -226,6 +311,11 @@ class ManifestReader(DataSourceReader):
             out.append(ManifestFilePartition(
                 abspath, rel, rel_to_dv.get(rel, []),
                 rel_fill.get(rel)))
+        if self.pack and len(out) > 1:
+            budget = (self.pack if self.pack > 0 else
+                      _auto_pack_budget(sum(
+                          rel_bytes.get(p.rel) or 0 for p in out)))
+            out = _pack_file_partitions(out, rel_bytes, budget)
         return out
 
     def _normalized_where(self) -> dict:
@@ -254,7 +344,15 @@ class ManifestReader(DataSourceReader):
         partition's deletion vectors applied as a positional mask
         (rows addressed (rel, row_index) within THIS file drop before
         anything is emitted); the pushed filters prune row groups by
-        their footer stats before any data page is read."""
+        their footer stats before any data page is read.  A packed
+        partition (opt-in ``packFiles``) chains its members' reads —
+        each file keeps its own DV mask and constant fill."""
+        if isinstance(partition, ManifestPackedPartition):
+            for p in partition.files:
+                yield from _read_file_partition(
+                    p, self.pinned, self._normalized_where(),
+                    colmap=self.colmap)
+            return
         yield from _read_file_partition(partition, self.pinned,
                                         self._normalized_where(),
                                         colmap=self.colmap)
@@ -596,6 +694,7 @@ class ManifestStreamReader(DataSourceStreamReader):
         #: (start, endingVersion] — backfill_manifest_stream steps it
         self.end_version = int(_opt(options, "endingVersion", 0)
                                or 0) or None
+        self.pack = _pack_opt(options)  # 0 off, -1 auto, >0 bytes
         self._pos: int | None = None    # last end version handed out
 
     def _table(self):
@@ -703,6 +802,18 @@ class ManifestStreamReader(DataSourceStreamReader):
                 {fill_col: v} if fill_col is not None else None)
                 for v in new["partitions"]
                 for x in table._entries(new, v)]
+        if self.pack and len(out) > 1:
+            # same opt-in byte-budget packing as the batch reader:
+            # a micro-batch over many small files plans fewer Python
+            # tasks; offsets/ordering are untouched (files of a batch
+            # are an unordered set)
+            rel_bytes = {x["path"]: x.get("bytes")
+                         for v in new["partitions"]
+                         for x in table._entries(new, v)}
+            budget = (self.pack if self.pack > 0 else
+                      _auto_pack_budget(sum(
+                          rel_bytes.get(p.rel) or 0 for p in out)))
+            out = _pack_file_partitions(out, rel_bytes, budget)
         return out or [ManifestFilePartition(None, "", [])]
 
     def _cdf_partitions(self, table, s: int, e: int) -> list:
@@ -756,6 +867,10 @@ class ManifestStreamReader(DataSourceStreamReader):
         if isinstance(partition, ManifestCDFPartition):
             yield from _read_cdf_partition(partition, self.pinned,
                                            colmap=self.colmap)
+        elif isinstance(partition, ManifestPackedPartition):
+            for p in partition.files:
+                yield from _read_file_partition(p, self.pinned,
+                                                colmap=self.colmap)
         else:
             yield from _read_file_partition(partition, self.pinned,
                                             colmap=self.colmap)
@@ -1281,7 +1396,16 @@ class ManifestDataSource(DataSource):
     vectors all come from THAT version's commit object, so an
     evolved/compacted/deleted-from table reads back exactly as it
     was; ``option("tag", name)`` resolves a named tag
-    (:meth:`ManifestTable.create_tag`) to its pinned version."""
+    (:meth:`ManifestTable.create_tag`) to its pinned version.
+
+    ``option("packFiles", "auto" | <bytes>)`` (r16, batch AND stream):
+    plan several SMALL surviving files as one byte-budget Python task
+    instead of the default one-task-per-file — same rows, same DV
+    masks, fewer JVM<->Python crossings (guide §4).  Off by default:
+    per-file tasks are the documented contract the pruning-proof
+    entries gate on, and the right plan once files are 128 MB+
+    (``auto`` degrades to it — a file at/over the budget closes its
+    own bin)."""
 
     @classmethod
     def name(cls) -> str:
@@ -1368,7 +1492,8 @@ class ManifestDataSource(DataSource):
                 f"{self._root()}: manifest carries no pinned schema")
         return ManifestReader(self._root(), schema,
                               self._manifest_name(),
-                              colmap=body.get("colmap"))
+                              colmap=body.get("colmap"),
+                              pack=_pack_opt(self.options))
 
     def streamReader(self, schema) -> ManifestStreamReader:
         return ManifestStreamReader(
