@@ -110,8 +110,14 @@ def main() -> int:
                     log(f"bench: warmup {wname} failed: {exc!r:.200}")
     log(f"bench: warmup {time.perf_counter() - t0:.2f}s")
 
+    # Optional subset for LOCAL A/B work (tools/ab.py): unset (the
+    # driver's case) runs the full roster with identical methodology.
+    only = [s for s in os.environ.get(
+        "SPARK_GRAFT_BENCH_QUERIES", "").split(",") if s.strip()]
+    roster = [n for n in HEADLINE if n in only] if only else HEADLINE
+
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in roster:
         fn = QUERIES.get(name)
         if fn is None:
             log(f"bench: skip {name} (not registered)")

@@ -1297,11 +1297,14 @@ def datasource_manifest_scan(spark: SparkSession,
     `df.where(...)` on the loaded frame hands its conjuncts to the
     source, which replays them through `scan_plan` — partition-value
     pruning on the month, zone maps, and per-file BLOOM membership
-    probes for the ticker IN-list — and plans ONE task per surviving
-    file, with that partition's deletion vectors applied executor-side
-    as a positional mask.  The entry RAISES unless the task count
-    equals scan_plan's file list (pruning actually reached Spark's
-    scheduler), months outside the range were partition-pruned, and
+    probes for the ticker IN-list — and plans the surviving files
+    into byte-budget tasks (``packFiles=auto``, the r17 default),
+    with each file's deletion vectors applied executor-side as a
+    positional mask.  The entry RAISES unless a packing-off probe
+    plans EXACTLY one task per surviving scan_plan file (pruning
+    actually reached Spark's scheduler), the default packed read
+    plans exactly the packer's deterministic bin count over the same
+    pruned set, months outside the range were partition-pruned, and
     the bloom index skipped files the zone maps could not.  The
     oracle applies the same predicates AND the DV'd residue-class
     delete in SQL: hash equality proves pushdown pruned a superset
@@ -1309,7 +1312,8 @@ def datasource_manifest_scan(spark: SparkSession,
     table this is the difference between touching 3 tickers' files
     and scanning every file of six months."""
     from .manifest import ManifestTable
-    from .manifest_datasource import ManifestDataSource
+    from .manifest_datasource import (ManifestDataSource,
+                                      expected_scan_tasks)
     from .scratch import scratch_dir
 
     lineitem = _t(spark, sf_dir, "lineitem")
@@ -1343,16 +1347,37 @@ def datasource_manifest_scan(spark: SparkSession,
                                   "enabled", "false"))
     spark.conf.set(key_, "true")
     try:
-        out = (spark.read.format("manifest").load(table.root)
-               .where(F.col("trade_date").between(lo, hi)
-                      & F.col("ticker").isin(keys)
-                      & F.col("trade_month").between("1997-03",
-                                                     "1997-08")))
-        ntasks = out.rdd.getNumPartitions()
+        pred = (F.col("trade_date").between(lo, hi)
+                & F.col("ticker").isin(keys)
+                & F.col("trade_month").between("1997-03", "1997-08"))
+        # exact pushdown proof, plan-time only (getNumPartitions runs
+        # the reader's partition planning, no data is read): with
+        # packing OFF the task count must equal scan_plan's surviving
+        # file list at any scale factor
+        probe = (spark.read.format("manifest")
+                 .option("packFiles", "0").load(table.root)
+                 .where(pred))
+        ntasks = probe.rdd.getNumPartitions()
         if ntasks != len(plan["files"]):
             raise RuntimeError(
                 f"pushdown did not reach the scheduler: {ntasks} "
                 f"tasks vs {len(plan['files'])} planned files")
+        # the read that actually executes uses the r17 default
+        # (packFiles=auto — byte-budget bins over the pruned set,
+        # fewer JVM<->Python crossings); gate it against the packer's
+        # own deterministic bin count so a lost pushdown (bins over
+        # the FULL file set) still RAISES here
+        out = (spark.read.format("manifest").load(table.root)
+               .where(pred))
+        npacked = out.rdd.getNumPartitions()
+        expect = expected_scan_tasks(
+            table, {"trade_month": ("1997-03", "1997-08"),
+                    "trade_date": (lo, hi), "ticker": keys})
+        if npacked != expect or npacked > ntasks:
+            raise RuntimeError(
+                f"packed plan diverged from the deterministic bin "
+                f"count: {npacked} tasks vs {expect} expected "
+                f"(unpacked {ntasks})")
         # materialize inside the conf scope: the lazy frame would
         # otherwise re-plan after `prior` is restored
         out = out.drop("trade_month").localCheckpoint(eager=True)
@@ -1382,9 +1407,12 @@ def manifest_sql_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     view over the DSv2 pushdown path, and a dashboard-shaped
     ``spark.sql("SELECT ... WHERE month range AND volume >= k")``
     plans straight into the table's own pruning — the entry RAISES
-    unless the SQL query's task count equals ``scan_plan``'s
-    surviving-file list (pushdown reached the scheduler THROUGH the
-    SQL front door) and months outside the range were pruned.  A
+    unless a packing-off probe view's task count equals
+    ``scan_plan``'s surviving-file list (pushdown reached the
+    scheduler THROUGH the SQL front door), the serving view's
+    default packed read plans the packer's deterministic bin count
+    over the same pruned set, and months outside the range were
+    pruned.  A
     prior merge-on-read DV delete is invisible to the SQL consumer
     (executor-side masks).  Time travel gets the LITERAL Delta
     syntax via :func:`manifest_sql` — ``FROM bars VERSION AS OF 1``
@@ -1394,7 +1422,7 @@ def manifest_sql_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality proves the raw-SQL path serves exactly the governed
     table state."""
     from .manifest import ManifestTable
-    from .manifest_datasource import manifest_sql
+    from .manifest_datasource import expected_scan_tasks, manifest_sql
     from .scratch import scratch_dir
 
     bars = bars_from_lineitem(_t(spark, sf_dir, "lineitem")).withColumn(
@@ -1426,14 +1454,32 @@ def manifest_sql_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not (0 < len(plan["files"]) < total):
             raise RuntimeError(
                 f"scan not pruned: {len(plan['files'])}/{total}")
+        # exact pushdown proof THROUGH THE SQL FRONT DOOR, plan-time
+        # only: a probe view bound with packing OFF must plan one
+        # task per surviving file at any scale factor
+        table.register(spark, "bars_sql_probe",
+                       reader_options={"packFiles": "0"})
         probe = spark.sql(
-            "SELECT * FROM bars_sql WHERE trade_month BETWEEN "
+            "SELECT * FROM bars_sql_probe WHERE trade_month BETWEEN "
             "'1997-03' AND '1997-05' AND volume >= 50")
         ntasks = probe.rdd.getNumPartitions()
         if ntasks != len(plan["files"]):
             raise RuntimeError(
                 f"SQL pushdown did not reach the scheduler: "
                 f"{ntasks} tasks vs {len(plan['files'])} files")
+        # the serving view itself uses the r17 default (packFiles=
+        # auto); gate its plan against the packer's deterministic bin
+        # count — a lost pushdown bins the FULL file set and RAISES
+        packed = spark.sql(
+            "SELECT * FROM bars_sql WHERE trade_month BETWEEN "
+            "'1997-03' AND '1997-05' AND volume >= 50")
+        npacked = packed.rdd.getNumPartitions()
+        expect = expected_scan_tasks(table, where)
+        if npacked != expect or npacked > ntasks:
+            raise RuntimeError(
+                f"SQL packed plan diverged from the deterministic "
+                f"bin count: {npacked} tasks vs {expect} expected "
+                f"(unpacked {ntasks})")
         out = spark.sql(
             "SELECT ticker, trade_date, close, volume FROM bars_sql "
             "WHERE trade_month BETWEEN '1997-03' AND '1997-05' "
@@ -1593,44 +1639,49 @@ def stream_manifest_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nothing survives the entry)
     bars = bars_from_lineitem(_t(spark, sf_dir, "lineitem")).withColumn(
         "trade_month", F.date_format("trade_date", "yyyy-MM")).persist()
-    base = bars.where(F.col("trade_month") < "1997-01")
-    slice2 = bars.where(F.col("trade_month").between("1997-01",
-                                                     "1997-06"))
-    slice3 = bars.where(F.col("trade_month") > "1997-06")
-    table = ManifestTable.create(
-        base, scratch_dir("stream_src_"), ts="trade_month")
-    ckpt, sink = scratch_dir("stream_src_ck_"), scratch_dir(
-        "stream_src_out_")
+    try:
+        base = bars.where(F.col("trade_month") < "1997-01")
+        slice2 = bars.where(F.col("trade_month").between("1997-01",
+                                                         "1997-06"))
+        slice3 = bars.where(F.col("trade_month") > "1997-06")
+        table = ManifestTable.create(
+            base, scratch_dir("stream_src_"), ts="trade_month")
+        ckpt, sink = scratch_dir("stream_src_ck_"), scratch_dir(
+            "stream_src_out_")
 
-    spark.dataSource.register(ManifestDataSource)
+        spark.dataSource.register(ManifestDataSource)
 
-    def run_once() -> int:
-        # packFiles=auto: micro-batch planning is unchanged (offsets
-        # are versions; a batch's file set is unordered) — the small
-        # per-month files just pack into byte-budget Python tasks
-        q_ = (spark.readStream.format("manifest")
-              .option("packFiles", "auto").load(table.root)
-              .writeStream.format("parquet").option("path", sink)
-              .option("checkpointLocation", ckpt)
-              .trigger(availableNow=True).start())
-        q_.awaitTermination(300)
-        if q_.exception():
-            raise RuntimeError(str(q_.exception()))
-        return spark.read.parquet(sink).count()
+        def run_once() -> int:
+            # packFiles=auto: micro-batch planning is unchanged
+            # (offsets are versions; a batch's file set is unordered)
+            # — the small per-month files just pack into byte-budget
+            # Python tasks
+            q_ = (spark.readStream.format("manifest")
+                  .option("packFiles", "auto").load(table.root)
+                  .writeStream.format("parquet").option("path", sink)
+                  .option("checkpointLocation", ckpt)
+                  .trigger(availableNow=True).start())
+            q_.awaitTermination(300)
+            if q_.exception():
+                raise RuntimeError(str(q_.exception()))
+            return spark.read.parquet(sink).count()
 
-    n_base = run_once()
-    if n_base != base.count():
-        raise RuntimeError(f"replay read {n_base} rows")
-    table.append(slice2)
-    table.append(slice3)
-    n_after = run_once()
-    if n_after - n_base != slice2.count() + slice3.count():
-        raise RuntimeError(
-            f"incremental batch was not exactly the appended rows: "
-            f"{n_after - n_base}")
-    if run_once() != n_after:
-        raise RuntimeError("an empty trigger re-emitted rows")
-    bars.unpersist()
+        n_base = run_once()
+        if n_base != base.count():
+            raise RuntimeError(f"replay read {n_base} rows")
+        table.append(slice2)
+        table.append(slice3)
+        n_after = run_once()
+        if n_after - n_base != slice2.count() + slice3.count():
+            raise RuntimeError(
+                f"incremental batch was not exactly the appended rows: "
+                f"{n_after - n_base}")
+        if run_once() != n_after:
+            raise RuntimeError("an empty trigger re-emitted rows")
+    finally:
+        # a gate RuntimeError above must not leak the cache block
+        # into the shared session
+        bars.unpersist()
     return spark.read.parquet(sink).drop("trade_month")
 
 
@@ -1666,10 +1717,13 @@ def manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the create, before any read-side work
     bars = bars_from_lineitem(_t(spark, sf_dir, "lineitem")).withColumn(
         "trade_month", F.date_format("trade_date", "yyyy-MM")).persist()
-    n_total = bars.count()
-    table = ManifestTable.create(
-        bars, scratch_dir("manifest_tt_"), ts="trade_month")     # v1
-    bars.unpersist()
+    try:
+        n_total = bars.count()
+        table = ManifestTable.create(
+            bars, scratch_dir("manifest_tt_"), ts="trade_month")  # v1
+    finally:
+        # unpersist even if create raises — no leaked cache block
+        bars.unpersist()
     table.create_tag("pre_delete")
     out = table.delete_where(spark, F.expr("pmod(ticker, 9) = 4"),
                              mode="dv")                          # v2

@@ -428,6 +428,18 @@ def _file_entry(abs_path: str, rel_path: str,
 _DV_DRIVER_READ_BYTES = 32 << 20
 
 
+def _dv_fits_driver_budget(dv_entries: list[dict]) -> bool:
+    """True when the DV sidecar set's TOTAL bytes are known from the
+    commit object and fit `_DV_DRIVER_READ_BYTES`.  An entry with no
+    byte accounting (pre-accounting legacy commits) counts as
+    over-budget on its own — unknown means "could be huge", so it must
+    disqualify the driver path, never default to exactly the budget
+    and slip through ``<=``."""
+    dv_bytes = sum(e.get("bytes", _DV_DRIVER_READ_BYTES + 1)
+                   for e in dv_entries)
+    return dv_bytes <= _DV_DRIVER_READ_BYTES
+
+
 #: above this many not-yet-known files the footer harvest runs as a
 #: Spark job instead of a sequential driver loop — at 100 TB a lake
 #: holds 10^5-10^6 files, and one footer read is a few ms of
@@ -3069,10 +3081,9 @@ class ManifestTable:
             # build measured ~3x the whole anti-joined read at
             # sf0.1; guide §2.4 — remove the job, don't tune it).
             # Unknown sizes or a big set keep the distributed scan:
-            # more I/O, never a driver OOM.
-            dv_bytes = sum(e.get("bytes", _DV_DRIVER_READ_BYTES)
-                           for e in dv_entries)
-            if dv_bytes <= _DV_DRIVER_READ_BYTES:
+            # more I/O, never a driver OOM (see
+            # :func:`_dv_fits_driver_budget`).
+            if _dv_fits_driver_budget(dv_entries):
                 import pyarrow as pa
                 import pyarrow.parquet as pq
                 tb = pa.concat_tables([
@@ -3117,7 +3128,8 @@ class ManifestTable:
 
     def register(self, spark: SparkSession, name: str,
                  version: int | None = None,
-                 timestamp=None, tag: str | None = None) -> DataFrame:
+                 timestamp=None, tag: str | None = None,
+                 reader_options: dict | None = None) -> DataFrame:
         """Make this table SQL-ADDRESSABLE (VERDICT r10 #2 — the
         reference's entire serving tier speaks raw SQL strings,
         data-viz/utilities/snowflake_helper.py:42-51, screener SQL
@@ -3126,9 +3138,11 @@ class ManifestTable:
         ``spark.sql(f"SELECT ... FROM {name} WHERE ...")`` plans
         straight through Catalyst filter pushdown into the table's
         own pruning (partition values, zone maps, footer stats,
-        Bloom probes) with one task per surviving file and deletion
-        vectors applied executor-side — a dashboard's WHERE clause
-        prunes the 100 TB table exactly like the DataFrame API path.
+        Bloom probes) with surviving files packed into byte-budget
+        tasks (``packFiles=auto``, the r17 default; well-sized files
+        plan one task each) and deletion vectors applied
+        executor-side — a dashboard's WHERE clause prunes the 100 TB
+        table exactly like the DataFrame API path.
 
         ``version`` / ``timestamp`` / ``tag`` (at most one) bind a
         TIME-TRAVELED view — the option-bound per-version form of
@@ -3160,6 +3174,12 @@ class ManifestTable:
             reader = reader.option("timestampAsOf", timestamp)
         if tag is not None:
             reader = reader.option("tag", tag)
+        for k, v in (reader_options or {}).items():
+            # extra DSv2 reader options for the bound view (e.g. the
+            # pruning-proof entries bind a packFiles=0 probe view so
+            # their exact one-task-per-file gate survives the r17
+            # packed-by-default read path)
+            reader = reader.option(k, v)
         df = reader.load(self.root)
         df.createOrReplaceTempView(name)
         return df

@@ -10,10 +10,14 @@ the loaded frame hands its conjuncts to :meth:`pushFilters` (the
 DSv2 pushdown seam), which translates them into the same ``where``
 dict ``scan_plan`` already serves: partition-value pruning, commit-
 object zone maps, per-file footer stats, and Bloom membership probes
-for equality/IN on indexed columns.  One InputPartition per
-SURVIVING file, so the Spark task count IS the post-pruning file
-count — pruning is observable from the driver as
-``df.rdd.getNumPartitions()``.
+for equality/IN on indexed columns.  SURVIVING files plan into
+byte-budget tasks (``packFiles=auto``, the r17 default — small files
+pack, well-sized files keep one task each); under
+``option("packFiles", "0")`` the plan is exactly one InputPartition
+per surviving file, so the task count IS the post-pruning file
+count — pruning stays observable from the driver as
+``df.rdd.getNumPartitions()`` (the pruning-proof entries probe that
+way, and gate the default read on :func:`expected_scan_tasks`).
 
 Correctness stance: every filter is RETURNED as residual (the API's
 "still needs evaluating" contract) — the source prunes with the
@@ -32,7 +36,8 @@ a per-file bitmap, O(file rows)).
 Scale notes (100 TB): planning is ``scan_plan`` — commit-object-only
 until a partition survives pruning (shards open on demand); the
 file list never materializes data driver-side.  Reads are
-Arrow-batched columnar, one task per file, tasks independent —
+Arrow-batched columnar, one task per byte-budget bin (one per file
+once files reach the budget), tasks independent —
 1000-executor-parallel by construction.  What this Python source
 does NOT give (and the DataFrame API path does): whole-stage
 codegen fusion over the scan and vectorized parquet row groups —
@@ -99,13 +104,18 @@ class ManifestFilePartition(InputPartition):
 
 class ManifestPackedPartition(InputPartition):
     """Several small surviving files planned as ONE task (guide-§4
-    shape: fewer JVM↔Python crossings).  Produced only under the
-    opt-in ``packFiles`` reader option — the DEFAULT plan stays one
-    task per file, which is both what the pruning-proof entries gate
-    on (``ntasks == len(scan_plan()["files"])``) and the right plan
-    for a compacted lake whose files are already 128 MB–1 GB.  Each
-    member keeps its own rel/DV/fill metadata, so packing changes
-    scheduling only, never row semantics."""
+    shape: fewer JVM↔Python crossings).  Since r17 packing is the
+    DEFAULT (``packFiles=auto``): small-file snapshots pay one Python
+    task per byte-budget bin instead of ~4 ms per file, while a
+    compacted lake whose files are already 128 MB–1 GB degrades to
+    exactly the old one-task-per-file plan (a file at/over the budget
+    closes its own bin).  ``option("packFiles", "0"|"false")`` restores
+    one task per file — the pruning-proof entries use that for their
+    exact ``ntasks == len(scan_plan()["files"])`` probe and gate the
+    default read against :func:`expected_scan_tasks`, the packer's
+    deterministic bin count.  Each member keeps its own rel/DV/fill
+    metadata, so packing changes scheduling only, never row
+    semantics."""
 
     def __init__(self, files: list[ManifestFilePartition]):
         self.files = files
@@ -153,29 +163,63 @@ def _auto_pack_budget(total_bytes: int) -> int:
            if spark is not None else 8)
     cap = 128 << 20
     if spark is not None:
+        # Spark byte strings take one-letter ('128m') AND two-letter
+        # ('128mb', '1gb') suffixes, or a bare 'b'; parse the whole
+        # shape at once and fall back to the 128 MB default on
+        # anything unrecognized rather than crashing plan time.
         raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes",
                                  "134217728")).strip().lower()
-        mult = 1
-        for suf, m in (("g", 1 << 30), ("m", 1 << 20), ("k", 1 << 10),
-                       ("b", 1)):
-            if raw.endswith(suf):
-                raw, mult = raw[:-1], m
-                break
-        cap = int(raw) * mult
+        m = re.fullmatch(r"(\d+)\s*([gmk]?b?)", raw)
+        if m:
+            mult = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10,
+                    "m": 1 << 20, "mb": 1 << 20,
+                    "g": 1 << 30, "gb": 1 << 30}[m.group(2)]
+            cap = int(m.group(1)) * mult
     return max(1 << 20, min(cap, total_bytes // max(1, 3 * par) or 1))
 
 
 def _pack_opt(options) -> int:
-    """Parse the ``packFiles`` reader option: absent/0/'false' = off
-    (one task per file — the default contract), 'auto' = derive the
-    byte budget from the session (see :func:`_auto_pack_budget`,
-    resolved at plan time), an integer = explicit byte budget."""
+    """Parse the ``packFiles`` reader option: absent/'auto' = derive
+    the byte budget from the session (see :func:`_auto_pack_budget`,
+    resolved at plan time — the r17 default; well-sized files degrade
+    to the unpacked plan, so only small-file snapshots change),
+    0/'false' = off (exactly one task per file — the pruning-proof
+    probes' contract), an integer = explicit byte budget."""
     v = _opt(options, "packFiles")
-    if v is None or str(v).strip().lower() in ("", "0", "false"):
+    if v is None:
+        return -1
+    if str(v).strip().lower() in ("", "0", "false"):
         return 0
     if str(v).strip().lower() == "auto":
         return -1
-    return int(v)
+    n = int(v)
+    if n < 0:
+        # A negative explicit budget is a misconfiguration; -1 is the
+        # INTERNAL auto sentinel and must not be reachable from the
+        # option string, and silently reinterpreting -5 as "auto"
+        # would hide the typo.
+        raise ValueError(f"packFiles must be 'auto', 'false' or a "
+                         f"non-negative byte budget, got {v!r}")
+    return n
+
+
+def expected_scan_tasks(table, where: dict | None = None,
+                        manifest_name: str | None = None,
+                        pack: str | int = "auto") -> int:
+    """The deterministic task count the manifest reader will plan for
+    this (snapshot, where, packFiles) triple — computed by running THE
+    SAME driver-side code path the reader runs at plan time (scan_plan
+    pruning + greedy byte-budget packing over the commit object's
+    per-file sizes).  The pruning-proof entries gate their default
+    (packed) reads on this: a lost pushdown plans bins over the FULL
+    file set and produces a different count.  ``where`` uses
+    scan_plan's form ((lo, hi) tuples / value lists)."""
+    body = table._raw(manifest_name)
+    rdr = ManifestReader(table.root, body.get("schema") or [],
+                         manifest_name, colmap=body.get("colmap"),
+                         pack=_pack_opt({"packFiles": str(pack)}))
+    rdr.where = dict(where or {})
+    return len(rdr.partitions())
 
 
 class ManifestCDFPartition(InputPartition):
@@ -348,10 +392,9 @@ class ManifestReader(DataSourceReader):
         partition (opt-in ``packFiles``) chains its members' reads —
         each file keeps its own DV mask and constant fill."""
         if isinstance(partition, ManifestPackedPartition):
-            for p in partition.files:
-                yield from _read_file_partition(
-                    p, self.pinned, self._normalized_where(),
-                    colmap=self.colmap)
+            yield from _read_packed_partition(
+                partition, self.pinned, self._normalized_where(),
+                colmap=self.colmap)
             return
         yield from _read_file_partition(partition, self.pinned,
                                         self._normalized_where(),
@@ -576,6 +619,32 @@ def _read_file_partition(partition: ManifestFilePartition,
                 mask[np.asarray(hits, dtype=np.int64)] = False
                 t = t.filter(pa.array(mask))
     yield from t.to_batches()
+
+
+def _read_packed_partition(packed: ManifestPackedPartition,
+                           schema: list[list[str]],
+                           where: dict | None = None,
+                           colmap: dict | None = None):
+    """Chain a packed partition's member reads into ONE Arrow stream.
+    Spark's DSv2 worker writes every batch a task yields under the
+    FIRST batch's schema, and two member files can legitimately
+    disagree in Arrow terms while agreeing in Spark terms — a
+    pre-evolution file NULL-fills an added map/struct column whose
+    nested field names differ from the parquet-read form of a
+    post-evolution file.  Align every batch to the pinned schema's
+    canonical Arrow rendering (a no-op cast when schemas already
+    match), so packing stays scheduling-only."""
+    import pyarrow as pa
+
+    target = pa.schema([pa.field(n, _arrow_type(ty))
+                        for n, ty in schema])
+    for p in packed.files:
+        for b in _read_file_partition(p, schema, where, colmap=colmap):
+            if b.schema != target:
+                b = pa.Table.from_batches([b]).cast(target).combine_chunks()
+                yield from b.to_batches()
+            else:
+                yield b
 
 
 def _read_cdf_partition(partition: ManifestCDFPartition,
@@ -868,9 +937,8 @@ class ManifestStreamReader(DataSourceStreamReader):
             yield from _read_cdf_partition(partition, self.pinned,
                                            colmap=self.colmap)
         elif isinstance(partition, ManifestPackedPartition):
-            for p in partition.files:
-                yield from _read_file_partition(p, self.pinned,
-                                                colmap=self.colmap)
+            yield from _read_packed_partition(partition, self.pinned,
+                                              colmap=self.colmap)
         else:
             yield from _read_file_partition(partition, self.pinned,
                                             colmap=self.colmap)

@@ -50,8 +50,12 @@ def test_schema_and_dv_correct_read(spark, pushdown):
 
 
 def test_pushdown_prunes_partitions_to_task_count(spark, pushdown):
+    # packFiles=0: this test IS the one-task-per-file pruning proof
+    # (the r17 default packs small files into byte-budget bins — see
+    # test_default_read_packs_to_deterministic_bins)
     root, t = _table(spark)
-    d = spark.read.format("manifest").load(root)
+    d = (spark.read.format("manifest")
+         .option("packFiles", "0").load(root))
     full = d.rdd.getNumPartitions()
     filt = d.where((F.col("pt") == "3") & (F.col("id") >= 100))
     expect_files = len(t.scan_plan(
@@ -63,7 +67,8 @@ def test_pushdown_prunes_partitions_to_task_count(spark, pushdown):
 
 def test_range_and_in_filters_fold_and_stay_residual(spark, pushdown):
     root, _ = _table(spark)
-    d = spark.read.format("manifest").load(root)
+    d = (spark.read.format("manifest")
+         .option("packFiles", "0").load(root))
     out = d.where(F.col("pt").isin("2", "5")
                   & (F.col("id") > 40) & (F.col("id") <= 2000))
     expect = [i for i in range(41, 2001)
@@ -92,7 +97,8 @@ def test_bloom_membership_prunes_files(spark, pushdown):
                                     "k": 5})
     spark_plan = t.scan_plan({"id": [1234]})
     assert spark_plan["bloom_skipped"] > 0
-    d = spark.read.format("manifest").load(root)
+    d = (spark.read.format("manifest")
+         .option("packFiles", "0").load(root))
     probe = d.where(F.col("id") == 1234)
     assert probe.rdd.getNumPartitions() == len(spark_plan["files"])
     assert [r["pt"] for r in probe.collect()] == ["2"]
@@ -139,7 +145,8 @@ def test_version_as_of_pushdown_prunes_the_old_snapshot(spark,
                      (F.col("id") * 2).alias("v")))
     t.append(extra)                                         # v2
     d = (spark.read.format("manifest")
-         .option("versionAsOf", 1).load(root))
+         .option("versionAsOf", 1)
+         .option("packFiles", "0").load(root))
     filt = d.where(F.col("pt") == "3")
     expect_files = len(t.scan_plan({"pt": ["3"]},
                                    t._mname(1))["files"])
@@ -271,7 +278,8 @@ def test_date_range_pushdown_canonicalizes(spark, pushdown):
                   F.col("id")))
     df = df.withColumn("m", F.date_format("d", "yyyy-MM"))
     ManifestTable.create(df, root, ts="m")
-    d = spark.read.format("manifest").load(root)
+    d = (spark.read.format("manifest")
+         .option("packFiles", "0").load(root))
     out = d.where(F.col("d").between("1997-03-10", "1997-04-05"))
     assert out.count() == 27
     assert out.rdd.getNumPartitions() == 2    # March + April only

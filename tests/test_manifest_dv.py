@@ -632,3 +632,22 @@ def test_compact_dvs_noop_below_threshold(spark, dvt):
     dvt.delete_where(spark, "ticker = 'AAA'", mode="dv")
     out = dvt.compact_dvs(spark)      # 1 sidecar per ref: nothing to do
     assert out["partitions"] == 0
+
+
+def test_dv_driver_budget_guard_disqualifies_unknown_sizes():
+    # r17 (VERDICT r16 item 2): a single legacy entry with NO byte
+    # accounting must keep the distributed scan — it used to default
+    # to exactly the budget and pass `<=`, driver-reading a sidecar
+    # of unknown (possibly huge) size.
+    from stock_market_data_pipeline_spark.manifest import (
+        _DV_DRIVER_READ_BYTES, _dv_fits_driver_budget)
+
+    assert _dv_fits_driver_budget([{"path": "a", "bytes": 100}])
+    assert _dv_fits_driver_budget(
+        [{"path": "a", "bytes": _DV_DRIVER_READ_BYTES}])
+    assert not _dv_fits_driver_budget(
+        [{"path": "a", "bytes": _DV_DRIVER_READ_BYTES + 1}])
+    # the fixed edge: one byte-less legacy entry -> distributed path
+    assert not _dv_fits_driver_budget([{"path": "a"}])
+    assert not _dv_fits_driver_budget(
+        [{"path": "a", "bytes": 0}, {"path": "b"}])

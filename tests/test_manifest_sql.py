@@ -93,13 +93,24 @@ def test_manifest_sql_join_and_unknown_names(spark, t, tmp_path):
 
 def test_register_sql_pushdown_task_count(spark, t):
     """The SQL front door plans through the same pruning as the
-    DataFrame path: task count == surviving files."""
-    t.register(spark, "reg_push")
+    DataFrame path: with packing off, task count == surviving files;
+    the default (packFiles=auto, r17) view plans the packer's
+    deterministic bin count over the same pruned set."""
+    from stock_market_data_pipeline_spark.manifest_datasource import (
+        expected_scan_tasks)
+
+    t.register(spark, "reg_push",
+               reader_options={"packFiles": "0"})
     plan = t.scan_plan({"pt": ["3"]})
     probe = spark.sql("SELECT * FROM reg_push WHERE pt = '3'")
     assert probe.rdd.getNumPartitions() == len(plan["files"])
     total = sum(r["files"] for r in t._raw()["partitions"].values())
     assert len(plan["files"]) < total
+    t.register(spark, "reg_push_auto")
+    packed = spark.sql("SELECT * FROM reg_push_auto WHERE pt = '3'")
+    npacked = packed.rdd.getNumPartitions()
+    assert npacked == expected_scan_tasks(t, {"pt": ["3"]})
+    assert npacked <= len(plan["files"])
 
 
 # -- SQL DML (VERDICT r12 "Next round" #4) ----------------------------

@@ -62,10 +62,16 @@ def test_packed_batch_read_identical_and_fewer_tasks(spark):
     table = _table(spark)
     spark.dataSource.register(ManifestDataSource)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    plain = spark.read.format("manifest").load(table.root)
+    plain = (spark.read.format("manifest")
+             .option("packFiles", "0").load(table.root))
     packed = (spark.read.format("manifest")
               .option("packFiles", "auto").load(table.root))
     assert packed.rdd.getNumPartitions() < plain.rdd.getNumPartitions()
+    # r17: packing is the DEFAULT — an option-less read plans exactly
+    # the auto bin count, and never more tasks than files
+    dflt = spark.read.format("manifest").load(table.root)
+    assert (dflt.rdd.getNumPartitions()
+            == packed.rdd.getNumPartitions())
     a = plain.orderBy("ticker", "trade_date").toPandas()
     b = packed.orderBy("ticker", "trade_date").toPandas()
     assert a.equals(b)
@@ -96,3 +102,41 @@ def test_packed_stream_replays_identically(spark, tmp_path):
     assert (got.select(F.sum(F.col("ticker").cast("bigint"))).first()[0]
             == bars.select(
                 F.sum(F.col("ticker").cast("bigint"))).first()[0])
+
+
+def test_auto_pack_budget_parses_two_letter_byte_suffixes(spark):
+    # r17 (ADVICE r16): '128mb'/'1gb' are standard Spark byte strings;
+    # the old parser stripped only one of g/m/k/b and crashed plan
+    # time with int('128m').  Unparseable values fall back to the
+    # 128 MB default instead of raising.
+    from stock_market_data_pipeline_spark.manifest_datasource import (
+        _auto_pack_budget)
+
+    key = "spark.sql.files.maxPartitionBytes"
+    prior = spark.conf.get(key)
+    big = 10 << 40  # total bytes large enough that the cap binds
+    try:
+        for raw, cap in (("128mb", 128 << 20), ("1gb", 1 << 30),
+                         ("64m", 64 << 20), ("134217728", 128 << 20),
+                         ("2097152b", 2 << 20)):
+            spark.conf.set(key, raw)
+            assert _auto_pack_budget(big) == cap, raw
+    finally:
+        spark.conf.set(key, prior)
+
+
+def test_pack_opt_rejects_negative_budget():
+    # r17 (ADVICE r16): '-5' is neither off nor the internal auto
+    # sentinel; silently reinterpreting it as auto hides the typo.
+    import pytest
+
+    from stock_market_data_pipeline_spark.manifest_datasource import (
+        _pack_opt)
+
+    assert _pack_opt({"packFiles": "auto"}) == -1
+    assert _pack_opt({"packFiles": "0"}) == 0
+    assert _pack_opt({"packFiles": "false"}) == 0
+    assert _pack_opt({}) == -1       # r17: absent means auto
+    assert _pack_opt({"packFiles": "1048576"}) == 1 << 20
+    with pytest.raises(ValueError):
+        _pack_opt({"packFiles": "-5"})
