@@ -49,11 +49,33 @@ class Ledger:
 
     def record(self, api_date: str, status: str, rows_loaded: int = 0,
                error: str | None = None, run_id: str | None = None) -> str:
+        """Append ONE checkpoint row.  Written driver-side with
+        pyarrow (r17, guide §2.4 — remove the job): a 1-row
+        control-plane record needs a file in the ledger directory,
+        not a distributed Spark write job (which cost ~0.5 s each,
+        3 per ingested date).  The file is parquet with the exact
+        LEDGER_SCHEMA arrow rendering, so :meth:`read`'s
+        schema-pinned ``spark.read.parquet`` consumes it unchanged;
+        a unique part- name keeps concurrent writers append-only,
+        exactly like Spark's own output files."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         run_id = run_id or uuid.uuid4().hex
-        row = [(run_id, api_date, status, rows_loaded,
-                datetime.now(timezone.utc).replace(tzinfo=None), error)]
-        (self.spark.createDataFrame(row, LEDGER_SCHEMA)
-         .write.mode("append").parquet(self.path))
+        tb = pa.table({
+            "run_id": pa.array([run_id], pa.string()),
+            "api_date": pa.array([api_date], pa.string()),
+            "status": pa.array([status], pa.string()),
+            "rows_loaded": pa.array([rows_loaded], pa.int64()),
+            "event_at": pa.array(
+                [datetime.now(timezone.utc).replace(tzinfo=None)],
+                pa.timestamp("us")),
+            "error": pa.array([error], pa.string()),
+        })
+        os.makedirs(self.path, exist_ok=True)
+        pq.write_table(
+            tb, os.path.join(self.path,
+                             f"part-{uuid.uuid4().hex}.parquet"))
         return run_id
 
     def completed_dates(self) -> set[str]:

@@ -75,7 +75,12 @@ def normalize_rows(spark: SparkSession, rows: list[dict],
     )
     # column-subset guard: only target columns, in target order
     target = [f.name for f in RAW_BARS_SCHEMA.fields]
-    return enriched.select(*[c for c in target if c in enriched.columns])
+    out = enriched.select(*[c for c in target if c in enriched.columns])
+    # one file per daily micro-batch (guide §6 — output file sizing):
+    # a date's bars are one API page; letting the local default
+    # parallelism shard them wrote 8-32 near-empty files PER DAY,
+    # inflating every later listing/heal/read of the table
+    return out.coalesce(1)
 
 
 def ensure_table(path: str) -> None:

@@ -158,6 +158,21 @@ def _pair_jaccard(sh: DataFrame, pairs_from: DataFrame | None = None) -> DataFra
     the pair-level semi-join below the groupBy, so without this the
     LSH path would still pay the full inverted-index join; measured
     17s -> ~7s at sf0.1). Sizes still come from the full shingle set.
+
+    The two candidate semi-joins carry an explicit BROADCAST hint
+    (r17, VERDICT r16 #5): the executed sf0.1 plan
+    (plans/r17/dedup_minhash_lsh_runtime_sf0.1.txt, pre-hint) showed
+    AQE converting the semi-join to BroadcastHashJoin where its stats
+    arrived before stage materialization (488 candidate docs, 7.6 KiB)
+    but FREEZING 3 sibling instances of the identical join as
+    SortMergeJoin inside already-materialized broadcast build stages —
+    each paying a full sort of the shingle table per consumer.  The
+    hint makes every instance the plan AQE already chose where it
+    could.  Scale stance: the candidate set is the LSH design's small
+    side (banding exists to make it so); the capped production forms
+    (star edges, max_df) bound it structurally, and a candidate set
+    too big to broadcast is the all-pairs regime where the exactness
+    baseline is the wrong tool regardless of join strategy.
     """
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sh_v = sh
@@ -166,7 +181,7 @@ def _pair_jaccard(sh: DataFrame, pairs_from: DataFrame | None = None) -> DataFra
                      .unionByName(pairs_from.select(
                          F.col("doc_b").alias("doc_id")))
                      .distinct())
-        sh_v = sh.join(cand_docs, "doc_id", "left_semi")
+        sh_v = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
     a, b = sh_v.alias("a"), sh_v.alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
@@ -176,7 +191,8 @@ def _pair_jaccard(sh: DataFrame, pairs_from: DataFrame | None = None) -> DataFra
         .agg(F.count("*").alias("n_common"))
     )
     if pairs_from is not None:
-        common = common.join(pairs_from, ["doc_a", "doc_b"], "left_semi")
+        common = common.join(F.broadcast(pairs_from),
+                             ["doc_a", "doc_b"], "left_semi")
     sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")
     sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")
     return (

@@ -155,6 +155,17 @@ class Runner:
         qualified = f"{model.schema}.{model.name}"
 
         def create(frame: DataFrame) -> None:
+            if model.partition_by:
+                # hash-distribute by the partition columns before the
+                # partitioned write (guide §6; Iceberg's hash
+                # write.distribution-mode): without it one task can
+                # hold EVERY partition value (a day-grain model at
+                # test scale = 2000+ directories written serially by
+                # one task) and every task of a wide frame writes a
+                # file into every directory it touches
+                frame = frame.repartition(
+                    spark.sparkContext.defaultParallelism,
+                    *[F.col(c) for c in model.partition_by])
             w = frame.write.mode("overwrite").format("parquet")
             if model.partition_by:
                 w = w.partitionBy(*model.partition_by)
@@ -203,6 +214,8 @@ class Runner:
                 spark.conf.set(key, "dynamic")
                 try:
                     (merged.select(*spark.table(qualified).columns)
+                     .repartition(spark.sparkContext.defaultParallelism,
+                                  *[F.col(c) for c in parts])
                      .write.mode("overwrite").insertInto(qualified))
                 finally:
                     spark.conf.set(key, prior)

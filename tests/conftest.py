@@ -18,6 +18,8 @@ def spark():
     s = get_spark("tests", extra_conf={
         "spark.sql.shuffle.partitions": "8",
         "spark.driver.memory": "8g",
+        "spark.default.parallelism": "8",
+        "spark.sql.leafNodeDefaultParallelism": "8",
     })
     yield s
 

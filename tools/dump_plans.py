@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Dump .explain("formatted") for headline queries into plans/r16/
+"""Dump .explain("formatted") for headline queries into plans/$SPARK_GRAFT_PLANS_DIR (default r17)/
 (<query>_<suffix>.txt).  Usage:
 
     python tools/dump_plans.py before [name ...]
@@ -33,7 +33,7 @@ def main() -> int:
     spark = get_spark("dump_plans")
     names = names or bench.HEADLINE
     outdir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r16")
+        os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLANS_DIR", "r17"))
     os.makedirs(outdir, exist_ok=True)
     for name in names:
         fn = QUERIES.get(name)
