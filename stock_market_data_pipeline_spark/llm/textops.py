@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import hex_id, words_col
+from .dedup import _spill, hex_id, words_col
 
 #: tiny function-word list — the synthetic corpus' only English
 #: function words. Real pipelines plug in per-language lists.
@@ -200,6 +200,9 @@ def boilerplate_segments(docs: DataFrame, chunk_words: int = 2,
     the df table joins back on the hash. No stage is quadratic and
     nothing is driver-side.
     """
+    # spread docs before the CPU-heavy explode (see boilerplate_scrub)
+    sc = docs.sparkSession.sparkContext
+    docs = docs.repartition(sc.defaultParallelism, "doc_id")
     w = words_col()
     n_chunks = F.floor(F.size(w) / chunk_words).cast("int")
     chunks = F.when(
@@ -212,7 +215,10 @@ def boilerplate_segments(docs: DataFrame, chunk_words: int = 2,
     ).otherwise(F.array().cast("array<string>"))
     seg = docs.select(
         "doc_id", F.explode(chunks).alias("segment"))
-    seg = seg.withColumn("seg_id", hex_id(F.col("segment")))
+    # consumed by the df count AND the flag join — one explode, not
+    # two (see boilerplate_scrub's scale note)
+    seg = _spill(seg.withColumn("seg_id", hex_id(F.col("segment"))),
+                 "bp_seg_detect_")
     # document frequency at segment-type grain (distinct doc first so
     # within-doc repeats count once)
     df_tbl = (seg.select("seg_id", "doc_id").distinct()
@@ -259,7 +265,18 @@ def boilerplate_scrub(docs: DataFrame, chunk_words: int = 2,
     back to doc grain where ``array_sort`` over (pos, segment)
     structs restores order executor-side — no window, no driver
     involvement, and skew is bounded because a document's segment
-    count is bounded by its own length."""
+    count is bounded by its own length.  The segment table feeds BOTH
+    the df count and the join's probe side, so it is materialized
+    ONCE to scratch parquet (r17, the same ``_spill`` discipline the
+    minhash pipeline uses for its shingle table): re-running the
+    tokenize+slice+concat+md5 explode per consumer was the dominant
+    phase at sf1 (~2x the whole-pipeline cost of one pass)."""
+    # a document table often arrives as few large files -> few input
+    # partitions, which would serialize the CPU-heavy slice+concat+md5
+    # explode; spread docs across the cluster first (same rule as
+    # shingle_table — the shuffle moves only the raw docs)
+    sc = docs.sparkSession.sparkContext
+    docs = docs.repartition(sc.defaultParallelism, "doc_id")
     w = words_col()
     n_chunks = F.floor(F.size(w) / chunk_words).cast("int")
     chunks = F.when(
@@ -272,7 +289,8 @@ def boilerplate_scrub(docs: DataFrame, chunk_words: int = 2,
     ).otherwise(F.array().cast("array<string>"))
     seg = docs.select(
         "doc_id", F.posexplode(chunks).alias("pos", "segment"))
-    seg = seg.withColumn("seg_id", hex_id(F.col("segment")))
+    seg = _spill(seg.withColumn("seg_id", hex_id(F.col("segment"))),
+                 "bp_segments_")
     df_tbl = (seg.select("seg_id", "doc_id").distinct()
               .groupBy("seg_id").agg(F.count("*").alias("seg_df")))
     n_docs = docs.agg(F.count("*").alias("n_docs"))

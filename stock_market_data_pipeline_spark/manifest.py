@@ -4815,27 +4815,43 @@ class ManifestTable:
             raise SchemaMismatch(
                 f"analyze: no column(s) {missing} in the pinned "
                 f"schema {names}")
-        df = self.read(spark)
-        stats = self._column_stats(df, cols, approx)
         for c in frequencies or []:
             if c not in cols:
                 raise SchemaMismatch(
                     f"analyze(frequencies=...): column {c!r} not in "
                     f"the analyzed set {cols} (a sketch without base "
                     f"stats would read back partial)")
-            from .functions import sketches
-            stats[c]["cms"] = sketches.cms_counters(df, c)
         for c in quantiles or []:
             if c not in cols:
                 raise SchemaMismatch(
                     f"analyze(quantiles=...): column {c!r} not in "
                     f"the analyzed set {cols} (a sketch without base "
                     f"stats would read back partial)")
-            from .functions import sketches
-            stats[c]["ddq"] = {
-                "scale": float(quantile_scale),
-                "buckets": sketches.ddq_buckets(
-                    df, c, float(quantile_scale))}
+        df = self.read(spark)
+        # the stats pass, each CMS grid and each quantile sketch are
+        # INDEPENDENT jobs over the same snapshot; submit them from a
+        # small thread pool so later jobs back-fill the cores the
+        # current job's tail leaves idle (guide §2.6 — a 2-col
+        # frequencies+stats analyze was 5 sequential narrow jobs).
+        # Each job's result is deterministic on its own, so overlap
+        # changes wall-clock only, never the recorded payload.
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .functions import sketches
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_stats = pool.submit(self._column_stats, df, cols, approx)
+            f_cms = {c: pool.submit(sketches.cms_counters, df, c)
+                     for c in frequencies or []}
+            f_ddq = {c: pool.submit(sketches.ddq_buckets, df, c,
+                                    float(quantile_scale))
+                     for c in quantiles or []}
+            stats = f_stats.result()
+            for c, fut in f_cms.items():
+                stats[c]["cms"] = fut.result()
+            for c, fut in f_ddq.items():
+                stats[c]["ddq"] = {"scale": float(quantile_scale),
+                                   "buckets": fut.result()}
         while True:
             cur = self._raw()
             # the analyze commit itself changes no data, so stats
