@@ -1650,15 +1650,23 @@ def stream_manifest_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stream_src_out_")
 
         spark.dataSource.register(ManifestDataSource)
+        # ONE streaming frame reused across the three query starts:
+        # a restart re-plans the SOURCE from the checkpoint either
+        # way (offsets pin the batches), and rebuilding the reader
+        # per run paid pyspark's schema-resolution worker (~0.15 s)
+        # three times for the identical plan (r17, guide §5 fixed
+        # costs; the remaining ~1.2 s/start is pyspark's Python-DSv2
+        # query-start machinery — measured floor, OPTIMIZATION_r17.md
+        # §7).  packFiles=auto: micro-batch planning is unchanged
+        # (offsets are versions; a batch's file set is unordered) —
+        # the small per-month files just pack into byte-budget
+        # Python tasks
+        sdf = (spark.readStream.format("manifest")
+               .option("packFiles", "auto").load(table.root))
 
         def run_once() -> int:
-            # packFiles=auto: micro-batch planning is unchanged
-            # (offsets are versions; a batch's file set is unordered)
-            # — the small per-month files just pack into byte-budget
-            # Python tasks
-            q_ = (spark.readStream.format("manifest")
-                  .option("packFiles", "auto").load(table.root)
-                  .writeStream.format("parquet").option("path", sink)
+            q_ = (sdf.writeStream.format("parquet")
+                  .option("path", sink)
                   .option("checkpointLocation", ckpt)
                   .trigger(availableNow=True).start())
             q_.awaitTermination(300)

@@ -61,7 +61,7 @@ def _mk(spark, rows, venue=False):
 
 
 @pytest.mark.parametrize("backend_kind", ["posix", "coordinator"])
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=5, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(ops=_ops, evolve_at=st.integers(0, 4))
 def test_random_op_sequences_match_dict_model(spark, tmp_path_factory,

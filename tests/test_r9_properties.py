@@ -43,7 +43,7 @@ def test_count_where_matches_exact_count(spark, tmp_path_factory,
     assert out["rows_from_metadata"] + out["files_read"] >= 0
 
 
-@settings(max_examples=5, deadline=None,
+@settings(max_examples=3, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(batches=st.lists(
     st.lists(st.tuples(st.sampled_from(list("abcdef")),
