@@ -97,8 +97,15 @@ def main() -> int:
     rows = []
     with open(args.out, "a") as f:
         for rnd in range(1, args.rounds + 1):
-            for label, tree, tid in (("A", base_dir, sha),
-                                     ("B", REPO, "WORKING")):
+            # alternate which arm runs first each round: a host whose
+            # speed drifts WITHIN a round (quota replenishment,
+            # thermal) otherwise systematically penalizes the
+            # second-run arm — observed as ±15-20% scatter on
+            # UNTOUCHED queries when A always ran first
+            arms = [("A", base_dir, sha), ("B", REPO, "WORKING")]
+            if rnd % 2 == 0:
+                arms.reverse()
+            for label, tree, tid in arms:
                 seq += 1
                 d = run_bench(tree, env)
                 d["_tag"] = f"{args.tag}-{rnd}{label}"
